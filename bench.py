@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": ...}
+
+Each query is fully executed (results drained via a count over the
+materialized result) — not just planned. Session startup is excluded;
+every query gets one warm-up-free timed run after a global session warm-up
+query so JVM/codegen startup doesn't pollute q1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+HEADLINE = [
+    "q_flagship",
+]
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from d_sparq_spark import registry
+    from d_sparq_spark.session import build_session
+
+    spark = build_session(app_name="d-sparq-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    all_q = registry.all_queries()
+
+    # Warm up the JVM / parquet footer cache with one untimed run.
+    all_q[HEADLINE[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in all_q:
+            continue
+        t0 = time.perf_counter()
+        # noop sink executes the full plan and drains all rows without
+        # collecting to the driver.
+        all_q[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(sf_dir),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,7 @@
+"""Registered harness queries — one module per SURVEY.md §2 group.
+
+Importing this package populates the registry (each submodule registers its
+queries at import time via @register).
+"""
+
+from d_sparq_spark.queries import flagship  # noqa: F401

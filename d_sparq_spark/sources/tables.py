@@ -1,0 +1,39 @@
+"""Parquet table access for the driver-provided TPC-H-ish tables.
+
+Replaces the reference's MongoDB bulk-load path (D-SPARQ `load/` MapReduce
+jobs, SURVEY.md §2 A10): at rest everything is columnar Parquet, and a scan
+is ``spark.read.parquet`` — Catalyst handles predicate pushdown, column
+pruning, and partition pruning, which the reference implemented manually as
+MongoDB index lookups.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from d_sparq_spark import TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so spark.sql() queries can run
+    against the same names the DuckDB oracle uses."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
