@@ -4,4 +4,12 @@ Importing this package populates the registry (each submodule registers its
 queries at import time via @register).
 """
 
-from d_sparq_spark.queries import flagship  # noqa: F401
+from d_sparq_spark.queries import (  # noqa: F401
+    flagship,
+    relational_aggs,
+    relational_joins,
+    relational_scalars,
+    relational_scan,
+    relational_setops,
+    relational_windows,
+)

@@ -28,8 +28,12 @@ def dsum(expr: Column) -> Column:
 
 
 def davg(expr: Column) -> Column:
-    """Order-insensitive AVG: exact decimal sum / count, as double."""
-    return (F.sum(expr.cast(DEC)) / F.count(expr)).cast("double")
+    """Order-insensitive AVG: (exact decimal sum as double) / count.
+
+    The division happens in double on BOTH engines (identical inputs ->
+    identical IEEE result); dividing as decimal would hit each engine's own
+    decimal-quotient scale/rounding rules, which differ."""
+    return dsum(expr) / F.count(expr)
 
 
 def sql_dsum(expr: str) -> str:
@@ -37,4 +41,4 @@ def sql_dsum(expr: str) -> str:
 
 
 def sql_davg(expr: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(25,6))) / COUNT({expr}) AS DOUBLE)"
+    return f"({sql_dsum(expr)} / COUNT({expr}))"

@@ -1,0 +1,155 @@
+"""Window-function surface (SURVEY §2.C): ranking, frames, lag/lead, ntile,
+top-k. Every window ORDER BY includes a unique tiebreak column — without
+it, row_number/lag results are nondeterministic and can't hash-match any
+oracle (and at scale, nondeterminism across retries corrupts results).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from d_sparq_spark.queries.helpers import DEC
+from d_sparq_spark.registry import register
+from d_sparq_spark.sources.tables import load_table
+
+# --- q_window_rank -------------------------------------------------------------
+
+_ORACLE_RANK = """
+SELECT c_custkey, c_nationkey,
+       CAST(rank()       OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       CAST(row_number() OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)
+"""
+
+
+@register("q_window_rank", oracle=_ORACLE_RANK)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    w_unique = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return customer.select(
+        "c_custkey",
+        "c_nationkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.row_number().over(w_unique).cast("long").alias("rn"),
+    )
+
+
+# --- q_window_frame: running revenue per customer ------------------------------
+
+_ORACLE_FRAME = f"""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS running_spent
+FROM orders
+"""
+
+
+@register("q_window_frame", oracle=_ORACLE_FRAME)
+def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_spent"),
+    )
+
+
+# --- q_window_lag: inter-event gap in exact microseconds ------------------------
+
+_ORACLE_LAG = """
+WITH e AS (SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts FROM events)
+SELECT user_id, event_id,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS gap_us
+FROM e
+"""
+
+
+@register("q_window_lag", oracle=_ORACLE_LAG)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return events.select(
+        "user_id", "event_id", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+
+
+# --- q_window_ntile --------------------------------------------------------------
+
+_ORACLE_NTILE = """
+SELECT c_custkey, c_mktsegment,
+       CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                           ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
+FROM customer
+"""
+
+
+@register("q_window_ntile", oracle=_ORACLE_NTILE)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return customer.select(
+        "c_custkey", "c_mktsegment", F.ntile(4).over(w).cast("long").alias("quartile")
+    )
+
+
+# --- q_topk: global top-k (TakeOrderedAndProject — no full sort at scale) --------
+
+_ORACLE_TOPK = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@register("q_topk", oracle=_ORACLE_TOPK)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+# --- q_topk_per_group: per-customer top-3 orders ----------------------------------
+
+_ORACLE_TOPK_GROUP = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey)
+                  AS BIGINT) AS rn
+      FROM orders)
+WHERE rn <= 3
+"""
+
+
+@register("q_topk_per_group", oracle=_ORACLE_TOPK_GROUP)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )

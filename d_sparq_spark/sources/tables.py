@@ -25,7 +25,26 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
+    outright (PARQUET_TYPE_ILLEGAL). Read it as a raw ns long via the
+    legacy conf, then floor-truncate to microseconds — Spark's native
+    timestamp precision. Truncation is floor, so >=/< comparisons against
+    whole-microsecond literals agree with the untruncated ns values (the
+    DuckDB oracle side mirrors this with date_trunc('microseconds', ts)).
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, "events"))
+    # integer div (ns -> us) keeps full precision; a double division would
+    # lose bits above 2^53.
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
