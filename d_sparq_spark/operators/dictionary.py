@@ -1,0 +1,109 @@
+"""Dictionary encoding/decoding of RDF terms (SURVEY §2.A A2/A3).
+
+The reference assigns numeric IDs to all distinct terms with a dedicated
+MapReduce job pair (D-SPARQ load phase), then rewrites triples to ID form.
+Spark-first equivalent, designed for the 100 TB case:
+
+- IDs are the GLOBAL DENSE RANK of the term in lexicographic order —
+  deterministic across runs/retries (monotonically_increasing_id is not),
+  so encode is idempotent and the DuckDB oracle can reproduce it exactly
+  with row_number() OVER (ORDER BY term).
+- A naive row_number() over a global Window collapses to ONE task. Instead
+  `assign_ids` range-partitions terms (global order preserved across
+  partitions), ranks within each partition in parallel, and adds per-
+  partition offsets computed from partition counts — the classic
+  zipWithIndex scheme, two linear jobs, no single-task stage. Offsets are
+  a driver-side cumulative sum over numPartitions integers (not data).
+- Encode rewrites s/p/o via three joins against the dictionary; the dict
+  is broadcast when small enough, otherwise AQE picks the strategy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_IRI_RE = r"^[A-Za-z][A-Za-z0-9+.-]*:"
+
+
+def assign_ids(terms: DataFrame, col: str = "term", num_partitions: int | None = None) -> DataFrame:
+    """Distinct terms -> (id LONG, term). id = 1-based global lexicographic
+    dense rank, computed without a single-task global window."""
+    distinct = terms.select(col).distinct()
+    n = num_partitions or max(distinct.sparkSession.sparkContext.defaultParallelism, 2)
+
+    parts = distinct.repartitionByRange(n, F.col(col)).sortWithinPartitions(col)
+    # persist is REQUIRED for correctness, not a cache hint: the counts job
+    # and the rank job must see the SAME partitioning, and
+    # repartitionByRange samples its boundaries per job. MEMORY_AND_DISK so
+    # a 100 TB term set spills instead of OOMing.
+    with_pid = parts.withColumn("_pid", F.spark_partition_id()).persist()
+
+    # numPartitions rows — tiny, driver-side cumsum.
+    counts = {r["_pid"]: r["cnt"] for r in with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    spark = distinct.sparkSession
+    offset_df = F.broadcast(
+        spark.createDataFrame([(pid, off) for pid, off in offsets.items()], "_pid INT, _off LONG")
+    )
+
+    w = Window.partitionBy("_pid").orderBy(col)  # parallel per range-partition
+    return (
+        with_pid.join(offset_df, "_pid")
+        .select((F.row_number().over(w) + F.col("_off")).cast("long").alias("id"), F.col(col).alias("term"))
+    )
+
+
+def build_dictionary(triples: DataFrame) -> DataFrame:
+    """All distinct terms across s/p/o positions -> dict(id, term, kind)."""
+    terms = (
+        triples.select(F.col("s").alias("term"))
+        .unionByName(triples.select(F.col("p").alias("term")))
+        .unionByName(triples.select(F.col("o").alias("term")))
+    )
+    with_ids = assign_ids(terms)
+    return with_ids.withColumn(
+        "kind", F.when(F.col("term").rlike(_IRI_RE), "iri").otherwise("literal")
+    )
+
+
+def encode_triples(triples: DataFrame, dictionary: DataFrame, broadcast_dict: bool = True) -> DataFrame:
+    """triples(s,p,o string) -> triples_enc(s,p,o long) via three dict joins."""
+    d = dictionary.select("id", "term")
+    if broadcast_dict:
+        d = F.broadcast(d)
+    enc = triples
+    for pos in ("s", "p", "o"):
+        enc = (
+            enc.join(d, enc[pos] == d.term)
+            .drop(pos, "term")
+            .withColumnRenamed("id", pos)
+        )
+    return enc.select("s", "p", "o")
+
+
+def decode_triples(enc: DataFrame, dictionary: DataFrame, broadcast_dict: bool = True) -> DataFrame:
+    """triples_enc(s,p,o long) -> lexical triples(s,p,o string)."""
+    d = dictionary.select("id", "term")
+    if broadcast_dict:
+        d = F.broadcast(d)
+    dec = enc
+    for pos in ("s", "p", "o"):
+        dec = (
+            dec.join(d, dec[pos] == d.id)
+            .drop(pos, "id")
+            .withColumnRenamed("term", pos)
+        )
+    return dec.select("s", "p", "o")
+
+
+def decode_columns(df: DataFrame, dictionary: DataFrame, columns: list[str]) -> DataFrame:
+    """Decode selected long columns of a binding table back to terms."""
+    d = F.broadcast(dictionary.select("id", "term"))
+    out = df
+    for c in columns:
+        out = out.join(d, out[c] == d.id, "left").drop(c, "id").withColumnRenamed("term", c)
+    return out.select(*df.columns)

@@ -1,0 +1,122 @@
+"""Triple-pattern scan, star join, path join, predicate statistics
+(SURVEY §2.A A4/A5/A6/A7/A11) — the reference engine's core.
+
+D-SPARQ answers a star (all patterns sharing one subject variable) with a
+single MongoDB lookup against subject-grouped documents, and chains stars
+by pipelining bindings (index nested-loop). Spark-first:
+
+- a triple pattern is a filtered projection of the triples relation
+  (constant positions -> pushed-down filters; variable positions ->
+  binding columns),
+- a star is a chain of self-equi-joins on the subject column; when the
+  triple store is bucketed by s the joins are co-partitioned (no shuffle),
+- star-to-star (path) joins are ordinary equi-joins on the shared
+  variable — Spark's shuffle/broadcast hash join replaces pipelining,
+- pattern order within a star is chosen by ascending predicate count
+  (A7 selectivity reordering) when a stats DataFrame is supplied; AQE/CBO
+  refine at runtime.
+
+Works identically over lexical (string) and encoded (long) triple stores —
+patterns just carry constants of the matching type.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class TriplePattern:
+    """One SPARQL triple pattern. Strings starting with '?' are variables;
+    anything else (str for lexical stores, int for encoded) is a constant."""
+
+    s: object
+    p: object
+    o: object
+
+    def positions(self):
+        return (("s", self.s), ("p", self.p), ("o", self.o))
+
+    def variables(self) -> list[str]:
+        return [v[1:] for _, v in self.positions() if _is_var(v)]
+
+
+def _is_var(term: object) -> bool:
+    return isinstance(term, str) and term.startswith("?")
+
+
+def match_pattern(triples: DataFrame, pattern: TriplePattern) -> DataFrame:
+    """Bindings of one pattern: filter constants, project variables.
+
+    Repeated variables (e.g. (?x, p, ?x)) become an intra-row equality
+    filter, per SPARQL semantics."""
+    df = triples
+    proj, seen = [], {}
+    for pos, term in pattern.positions():
+        if _is_var(term):
+            var = term[1:]
+            if var in seen:
+                df = df.filter(F.col(pos) == F.col(seen[var]))
+            else:
+                seen[var] = pos
+                proj.append(F.col(pos).alias(var))
+        else:
+            df = df.filter(F.col(pos) == F.lit(term))
+    return df.select(*proj)
+
+
+def order_by_selectivity(
+    patterns: list[TriplePattern], stats: DataFrame | None
+) -> list[TriplePattern]:
+    """A7: cheapest (lowest predicate count) pattern first. Patterns with a
+    variable predicate (unknown selectivity) go last."""
+    if stats is None:
+        return list(patterns)
+    counts = {r["p"]: r["cnt"] for r in stats.select("p", "cnt").collect()}
+    big = max(counts.values(), default=0) + 1
+
+    def cost(tp: TriplePattern) -> int:
+        return big if _is_var(tp.p) else counts.get(tp.p, big)
+
+    return sorted(patterns, key=cost)
+
+
+def join_bindings(left: DataFrame, right: DataFrame, how: str = "inner") -> DataFrame:
+    """Natural join of two binding tables on their shared variables
+    (cross join when none — SPARQL cartesian BGP)."""
+    shared = sorted(set(left.columns) & set(right.columns))
+    if not shared:
+        return left.crossJoin(right)
+    return left.join(right, on=shared, how=how)
+
+
+def star_join(
+    triples: DataFrame, patterns: list[TriplePattern], stats: DataFrame | None = None
+) -> DataFrame:
+    """Evaluate a subject-star (or any BGP fragment) as a join chain."""
+    ordered = order_by_selectivity(patterns, stats)
+    return reduce(join_bindings, (match_pattern(triples, tp) for tp in ordered))
+
+
+def bgp(
+    triples: DataFrame, stars: list[list[TriplePattern]], stats: DataFrame | None = None
+) -> DataFrame:
+    """Full basic graph pattern: evaluate each star, then chain stars on
+    their shared variables (the reference's pipelined inter-star join —
+    here a hash join)."""
+    return reduce(join_bindings, (star_join(triples, star, stats) for star in stars))
+
+
+def predicate_stats(triples: DataFrame) -> DataFrame:
+    """A11: per-predicate count + exact distinct subject/object counts.
+    At 100 TB swap the exact distincts for approx_count_distinct — the
+    optimizer only needs the order of magnitude."""
+    return triples.groupBy("p").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("s").alias("ndv_s"),
+        F.countDistinct("o").alias("ndv_o"),
+    )

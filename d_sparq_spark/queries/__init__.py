@@ -6,6 +6,7 @@ queries at import time via @register).
 
 from d_sparq_spark.queries import (  # noqa: F401
     flagship,
+    rdf_core,
     relational_aggs,
     relational_joins,
     relational_scalars,

@@ -1,0 +1,184 @@
+"""Harness queries for the RDF core (SURVEY §2.A) over the derived triples
+view (FIXTURES.md §2) — every one oracle-checked against the same relation
+derived in DuckDB SQL, so D-SPARQ's own operators run through the exact
+correctness gate the relational surface does.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from d_sparq_spark.operators.dictionary import (
+    build_dictionary,
+    decode_triples,
+    encode_triples,
+)
+from d_sparq_spark.operators.rdf_patterns import (
+    TriplePattern,
+    bgp,
+    match_pattern,
+    predicate_stats,
+    star_join,
+)
+from d_sparq_spark.registry import register
+from d_sparq_spark.sources.derived_rdf import TRIPLES_SQL, derive_triples
+from d_sparq_spark.sources.ntriples import format_ntriples, parse_ntriples
+
+_T = f"WITH triples AS ({TRIPLES_SQL})"
+
+# --- q_rdf_derive: the triples view itself ----------------------------------
+
+@register("q_rdf_derive", oracle=f"{_T} SELECT s, p, o FROM triples")
+def q_rdf_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return derive_triples(spark, sf_dir)
+
+
+# --- q_nt_roundtrip: N-Triples sink -> file -> source (A1) --------------------
+
+@register("q_nt_roundtrip", oracle=f"{_T} SELECT s, p, o FROM triples")
+def q_nt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serialize the derived triples as an .nt text file, read it back with
+    spark.read.text, parse with the regexp parser — a real file-source scan
+    (D-SPARQ's load-phase input format)."""
+    path = os.path.join(
+        "/tmp", "d_sparq_nt_cache", os.path.basename(sf_dir.rstrip("/"))
+    )
+    format_ntriples(derive_triples(spark, sf_dir)).write.mode("overwrite").text(path)
+    return parse_ntriples(spark.read.text(path))
+
+
+# --- q_dict_encode: deterministic dictionary (A2) -----------------------------
+
+_ORACLE_DICT = f"""
+{_T},
+terms AS (
+  SELECT DISTINCT term FROM (
+    SELECT s AS term FROM triples
+    UNION ALL SELECT p FROM triples
+    UNION ALL SELECT o FROM triples
+  )
+)
+SELECT CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS id,
+       term,
+       CASE WHEN regexp_matches(term, '^[A-Za-z][A-Za-z0-9+.-]*:')
+            THEN 'iri' ELSE 'literal' END AS kind
+FROM terms
+"""
+
+
+@register("q_dict_encode", oracle=_ORACLE_DICT)
+def q_dict_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_dictionary(derive_triples(spark, sf_dir))
+
+
+# --- q_dict_roundtrip: encode -> decode identity (A2+A3) ----------------------
+
+@register("q_dict_roundtrip", oracle=f"{_T} SELECT s, p, o FROM triples")
+def q_dict_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    triples = derive_triples(spark, sf_dir)
+    d = build_dictionary(triples)
+    return decode_triples(encode_triples(triples, d), d)
+
+
+# --- q_triple_pattern: single-pattern scan (A4) --------------------------------
+
+_ORACLE_PATTERN = """
+SELECT 'c:' || c_custkey AS c
+FROM customer WHERE c_mktsegment = 'BUILDING'
+"""
+
+
+@register("q_triple_pattern", oracle=_ORACLE_PATTERN)
+def q_triple_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    triples = derive_triples(spark, sf_dir)
+    return match_pattern(triples, TriplePattern("?c", "ex:mktsegment", "BUILDING"))
+
+
+# --- q_star_join: subject star (A5) ---------------------------------------------
+
+_ORACLE_STAR = """
+SELECT 'c:' || c_custkey AS c, c_name AS name, printf('%.2f', c_acctbal) AS bal
+FROM customer WHERE c_mktsegment = 'BUILDING'
+"""
+
+_STAR_PATTERNS = [
+    TriplePattern("?c", "foaf:name", "?name"),
+    TriplePattern("?c", "ex:acctbal", "?bal"),
+    TriplePattern("?c", "ex:mktsegment", "BUILDING"),
+]
+
+
+@register("q_star_join", oracle=_ORACLE_STAR)
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    triples = derive_triples(spark, sf_dir)
+    stats = predicate_stats(triples)
+    return star_join(triples, _STAR_PATTERNS, stats=stats).select("c", "name", "bal")
+
+
+# --- q_star_join_enc: full encoded pipeline (A2 -> A4/A5 -> A3) ------------------
+
+@register("q_star_join_enc", oracle=_ORACLE_STAR)
+def q_star_join_enc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same star, but through the encoded store: encode triples to longs,
+    translate pattern constants via the dictionary, join on longs (cheaper
+    shuffles at scale — 8-byte keys, not strings), decode the bindings."""
+    triples = derive_triples(spark, sf_dir)
+    d = build_dictionary(triples).cache()
+    enc = encode_triples(triples, d)
+
+    consts = {"ex:mktsegment": None, "foaf:name": None, "ex:acctbal": None, "BUILDING": None}
+    for row in d.filter(F.col("term").isin(*consts)).collect():
+        consts[row["term"]] = row["id"]
+    patterns = [
+        TriplePattern("?c", consts["foaf:name"], "?name"),
+        TriplePattern("?c", consts["ex:acctbal"], "?bal"),
+        TriplePattern("?c", consts["ex:mktsegment"], consts["BUILDING"]),
+    ]
+    bound = star_join(enc, patterns)
+    dd = F.broadcast(d.select("id", "term"))
+    for var in ("c", "name", "bal"):
+        bound = bound.join(dd, bound[var] == dd.id).drop(var, "id").withColumnRenamed("term", var)
+    return bound.select("c", "name", "bal")
+
+
+# --- q_path_join: star-to-star chain (A6) -----------------------------------------
+
+_ORACLE_PATH = """
+SELECT 'c:' || c_custkey AS c, c_name AS cname,
+       'n:' || n_nationkey AS n, 'r:' || r_regionkey AS r
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+"""
+
+
+@register("q_path_join", oracle=_ORACLE_PATH)
+def q_path_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    triples = derive_triples(spark, sf_dir)
+    stats = predicate_stats(triples)
+    stars = [
+        [TriplePattern("?c", "ex:nation", "?n"), TriplePattern("?c", "foaf:name", "?cname")],
+        [TriplePattern("?n", "ex:region", "?r")],
+        [TriplePattern("?r", "foaf:name", "ASIA")],
+    ]
+    return bgp(triples, stars, stats=stats).select("c", "cname", "n", "r")
+
+
+# --- q_pred_stats: predicate statistics (A11) ---------------------------------------
+
+_ORACLE_STATS = f"""
+{_T}
+SELECT p, COUNT(*) AS cnt,
+       COUNT(DISTINCT s) AS ndv_s,
+       COUNT(DISTINCT o) AS ndv_o
+FROM triples GROUP BY p
+"""
+
+
+@register("q_pred_stats", oracle=_ORACLE_STATS)
+def q_pred_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return predicate_stats(derive_triples(spark, sf_dir))

@@ -1,0 +1,87 @@
+"""Derived RDF triples view over the relational test tables (FIXTURES.md §2).
+
+D-SPARQ's data model is a single logical triples(s, p, o) relation (the
+ISWC 2013 paper; SURVEY.md §1.1). To make every RDF operator checkable by
+the DuckDB oracle, tests derive a deterministic triples relation from
+customer/nation/region; a star query over "c:*" subjects is then exactly a
+SQL query over customer, and a path query customer->nation->region is the
+3-way relational join.
+
+Numeric literals are rendered with printf('%.2f') on both engines — a bare
+double->string cast formats differently in Spark vs DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from d_sparq_spark.sources.tables import load_table
+
+# Predicates: rdf:type, foaf:name, ex:nation, ex:acctbal, ex:mktsegment, ex:region
+
+TRIPLES_SQL = """
+SELECT 'c:' || c_custkey AS s, 'rdf:type' AS p, 'Customer' AS o FROM customer
+UNION ALL
+SELECT 'c:' || c_custkey, 'foaf:name', c_name FROM customer
+UNION ALL
+SELECT 'c:' || c_custkey, 'ex:nation', 'n:' || c_nationkey FROM customer
+UNION ALL
+SELECT 'c:' || c_custkey, 'ex:acctbal', printf('%.2f', c_acctbal) FROM customer
+UNION ALL
+SELECT 'c:' || c_custkey, 'ex:mktsegment', c_mktsegment FROM customer
+UNION ALL
+SELECT 'n:' || n_nationkey, 'rdf:type', 'Nation' FROM nation
+UNION ALL
+SELECT 'n:' || n_nationkey, 'foaf:name', n_name FROM nation
+UNION ALL
+SELECT 'n:' || n_nationkey, 'ex:region', 'r:' || n_regionkey FROM nation
+UNION ALL
+SELECT 'r:' || r_regionkey, 'rdf:type', 'Region' FROM region
+UNION ALL
+SELECT 'r:' || r_regionkey, 'foaf:name', r_name FROM region
+"""
+
+
+def derive_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical triples(s string, p string, o string) from the test tables."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+
+    def t(s, p, o):
+        return F.struct(s.alias("s"), p.alias("p"), o.alias("o"))
+
+    c_s = F.concat(F.lit("c:"), F.col("c_custkey").cast("string"))
+    n_s = F.concat(F.lit("n:"), F.col("n_nationkey").cast("string"))
+    r_s = F.concat(F.lit("r:"), F.col("r_regionkey").cast("string"))
+
+    cust = c.select(
+        F.explode(
+            F.array(
+                t(c_s, F.lit("rdf:type"), F.lit("Customer")),
+                t(c_s, F.lit("foaf:name"), F.col("c_name")),
+                t(c_s, F.lit("ex:nation"), F.concat(F.lit("n:"), F.col("c_nationkey").cast("string"))),
+                t(c_s, F.lit("ex:acctbal"), F.format_string("%.2f", F.col("c_acctbal"))),
+                t(c_s, F.lit("ex:mktsegment"), F.col("c_mktsegment")),
+            )
+        ).alias("tr")
+    )
+    nat = n.select(
+        F.explode(
+            F.array(
+                t(n_s, F.lit("rdf:type"), F.lit("Nation")),
+                t(n_s, F.lit("foaf:name"), F.col("n_name")),
+                t(n_s, F.lit("ex:region"), F.concat(F.lit("r:"), F.col("n_regionkey").cast("string"))),
+            )
+        ).alias("tr")
+    )
+    reg = r.select(
+        F.explode(
+            F.array(
+                t(r_s, F.lit("rdf:type"), F.lit("Region")),
+                t(r_s, F.lit("foaf:name"), F.col("r_name")),
+            )
+        ).alias("tr")
+    )
+    return cust.unionByName(nat).unionByName(reg).select("tr.s", "tr.p", "tr.o")

@@ -1,0 +1,88 @@
+"""N-Triples source and sink (SURVEY §2.A A1).
+
+The reference's load phase parses `<s> <p> <o> .` lines with MapReduce
+jobs (D-SPARQ paper, load pipeline). Spark-first: an N-Triples file is
+just ``spark.read.text`` plus one regexp per term — fully JVM-side,
+whole-stage-codegen'd, linearly parallel over file splits at any scale
+(text splits on line boundaries, so a 100 TB dump parallelizes for free).
+
+Term convention: IRIs are kept in their prefixed lexical form ("c:1",
+"foaf:name") and serialized as <c:1>; literals are quoted with standard
+N-Triples escaping. parse(format(x)) == x for any term set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# term is an IRI if it looks like prefix:... (see derived_rdf literals:
+# none of them contain a lowercase-prefix + colon shape).
+_IRI_RE = r"^[A-Za-z][A-Za-z0-9+.-]*:"
+
+# one full N-Triples line: subject, predicate, object, dot.
+_LINE_RE = (
+    r'^\s*(<[^>]*>|_:\S+)\s+(<[^>]*>)\s+(<[^>]*>|_:\S+|"(?:[^"\\]|\\.)*")\s*\.\s*$'
+)
+
+
+def _escape_literal(c: Column) -> Column:
+    c = F.regexp_replace(c, r"\\", r"\\\\")
+    c = F.regexp_replace(c, '"', '\\\\"')
+    c = F.regexp_replace(c, "\n", "\\\\n")
+    c = F.regexp_replace(c, "\t", "\\\\t")
+    return c
+
+
+def _unescape_literal(c: Column) -> Column:
+    # reverse order of _escape_literal; placeholder guards the escaped
+    # backslash so \\n doesn't turn into a newline.
+    c = F.regexp_replace(c, r"\\\\", "\x00")
+    c = F.regexp_replace(c, '\\\\"', '"')
+    c = F.regexp_replace(c, r"\\n", "\n")
+    c = F.regexp_replace(c, r"\\t", "\t")
+    c = F.regexp_replace(c, "\x00", r"\\")
+    return c
+
+
+def _format_term(c: Column) -> Column:
+    return F.when(c.rlike(_IRI_RE), F.concat(F.lit("<"), c, F.lit(">"))).otherwise(
+        F.concat(F.lit('"'), _escape_literal(c), F.lit('"'))
+    )
+
+
+def _parse_term(c: Column) -> Column:
+    inner = F.substring(c, F.lit(2), F.length(c) - 2)
+    return (
+        F.when(c.startswith("<"), inner)
+        .when(c.startswith('"'), _unescape_literal(inner))
+        .otherwise(c)  # blank node label kept verbatim
+    )
+
+
+def format_ntriples(triples: DataFrame) -> DataFrame:
+    """triples(s,p,o) -> single-column DataFrame of N-Triples lines."""
+    return triples.select(
+        F.concat_ws(
+            " ",
+            _format_term(F.col("s")),
+            _format_term(F.col("p")),
+            _format_term(F.col("o")),
+            F.lit("."),
+        ).alias("value")
+    )
+
+
+def parse_ntriples(lines: DataFrame, column: str = "value") -> DataFrame:
+    """DataFrame of raw text lines -> triples(s,p,o); malformed lines and
+    comments are dropped (regexp gate), as in any robust bulk loader."""
+    matched = lines.select(
+        F.regexp_extract(F.col(column), _LINE_RE, 1).alias("s_raw"),
+        F.regexp_extract(F.col(column), _LINE_RE, 2).alias("p_raw"),
+        F.regexp_extract(F.col(column), _LINE_RE, 3).alias("o_raw"),
+    ).filter(F.col("s_raw") != "")
+    return matched.select(
+        _parse_term(F.col("s_raw")).alias("s"),
+        _parse_term(F.col("p_raw")).alias("p"),
+        _parse_term(F.col("o_raw")).alias("o"),
+    )

@@ -1,0 +1,49 @@
+"""Triple-store layouts at rest (SURVEY §2.A A9/A10, §1.2).
+
+The reference bulk-loads subject-grouped documents into per-node MongoDB
+collections placed by METIS partition, with boundary triples replicated so
+star/path joins are node-local. Spark replaces all of that with two
+columnar Parquet layouts:
+
+- ``by_p/``  — partitionBy('p'): vertical partitioning (one directory per
+  predicate, the S2RDF "VP" layout). A pattern with a bound predicate
+  prunes to one directory — Catalyst partition pruning IS the predicate
+  index.
+- ``by_s``   — bucketBy(n, 's') sorted by s: star joins (self-joins on s)
+  become co-partitioned joins with NO shuffle, the analogue of MongoDB's
+  subject grouping + METIS placement. Bucketed tables need the session
+  catalog (saveAsTable), so this layout lives in the warehouse.
+
+At 100 TB: by_p holds ~|P| directories (RDF predicate counts are small,
+typically < 10k); within each, row-group min/max on s gives secondary
+pruning. Bucket count should be sized so each bucket*predicate slice fits
+an executor (e.g. 4096 buckets for 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_vp(triples_enc: DataFrame, base_path: str) -> None:
+    """Vertical-partitioned copy: one directory per predicate."""
+    triples_enc.write.mode("overwrite").partitionBy("p").parquet(f"{base_path}/by_p")
+
+
+def read_vp(spark: SparkSession, base_path: str) -> DataFrame:
+    return spark.read.parquet(f"{base_path}/by_p")
+
+
+def write_bucketed(triples_enc: DataFrame, table: str, buckets: int = 32) -> None:
+    """Subject-bucketed catalog table for shuffle-free star self-joins."""
+    (
+        triples_enc.write.mode("overwrite")
+        .bucketBy(buckets, "s")
+        .sortBy("s")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)

@@ -7,9 +7,14 @@ SF_ORACLE = os.environ.get("TEST_ORACLE_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from d_sparq_spark.session import build_session
 
-    s = build_session(app_name="d-sparq-spark-tests", shuffle_partitions=8)
+    wh = tmp_path_factory.mktemp("spark-warehouse")
+    s = build_session(
+        app_name="d-sparq-spark-tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": str(wh)},
+    )
     yield s
     s.stop()

@@ -1,0 +1,98 @@
+"""Unit tests for the RDF core beyond the oracle harness: N-Triples edge
+cases, scalable dictionary ID assignment, triple-store physical layouts
+(partition pruning / shuffle-free bucketed star joins).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from d_sparq_spark.operators.dictionary import assign_ids
+from d_sparq_spark.operators.rdf_patterns import TriplePattern, match_pattern, star_join
+from d_sparq_spark.sources.ntriples import format_ntriples, parse_ntriples
+from d_sparq_spark.sources.triple_store import read_vp, write_vp
+
+
+def test_ntriples_escaping_roundtrip(spark):
+    rows = [
+        ("ex:s1", "ex:p", 'literal with "quotes"'),
+        ("ex:s2", "ex:p", "back\\slash and\nnewline and\ttab"),
+        ("ex:s3", "ex:p", "ex:object-iri"),
+        ("ex:s4", "foaf:name", "plain"),
+    ]
+    triples = spark.createDataFrame(rows, "s string, p string, o string")
+    back = parse_ntriples(format_ntriples(triples))
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
+def test_ntriples_drops_malformed(spark):
+    lines = spark.createDataFrame(
+        [
+            ("<ex:s> <ex:p> <ex:o> .",),
+            ("# a comment",),
+            ("",),
+            ("<ex:s> <ex:p> .",),  # missing object
+            ('<ex:s> <ex:p> "lit" .',),
+        ],
+        "value string",
+    )
+    out = parse_ntriples(lines).collect()
+    assert sorted(map(tuple, out)) == [("ex:s", "ex:p", "ex:o"), ("ex:s", "ex:p", "lit")]
+
+
+def test_assign_ids_matches_global_rank_across_partitionings(spark):
+    terms = spark.createDataFrame(
+        [(f"t{i:04d}",) for i in range(997)], "term string"
+    )
+    expect = {f"t{i:04d}": i + 1 for i in range(997)}
+    for n in (2, 7, 32):
+        got = {r["term"]: r["id"] for r in assign_ids(terms, num_partitions=n).collect()}
+        assert got == expect, f"num_partitions={n}"
+
+
+def test_vp_layout_prunes_partitions(spark, tmp_path):
+    enc = spark.createDataFrame(
+        [(i, i % 5, i * 10) for i in range(100)], "s long, p long, o long"
+    )
+    write_vp(enc, str(tmp_path))
+    df = read_vp(spark, str(tmp_path)).filter(F.col("p") == 3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(p" in plan, plan
+    assert df.count() == 20
+
+
+def test_bucketed_star_join_has_no_shuffle(spark, tmp_path):
+    enc = spark.createDataFrame(
+        [(i % 50, 1 + i % 3, i) for i in range(300)], "s long, p long, o long"
+    )
+    (
+        enc.write.mode("overwrite")
+        .bucketBy(8, "s")
+        .sortBy("s")
+        .format("parquet")
+        .saveAsTable("t_bucketed_star")
+    )
+    t = spark.table("t_bucketed_star")
+    # force the non-broadcast path: the point is that the s-bucketed layout
+    # lets a sort-merge self-join run with NO shuffle exchange at any scale.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = star_join(
+            t, [TriplePattern("?x", 1, "?a"), TriplePattern("?x", 2, "?b")]
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffleExchange" not in plan.replace("Exchange hashpartitioning", "ShuffleExchange"), (
+            f"bucketed star join should not shuffle:\n{plan}"
+        )
+        assert "SortMergeJoin" in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_match_pattern_repeated_variable(spark):
+    triples = spark.createDataFrame(
+        [("a", "p", "a"), ("a", "p", "b")], "s string, p string, o string"
+    )
+    out = match_pattern(triples, TriplePattern("?x", "p", "?x")).collect()
+    assert [r["x"] for r in out] == ["a"]
