@@ -70,13 +70,18 @@ def match_pattern(triples: DataFrame, pattern: TriplePattern) -> DataFrame:
 
 
 def order_by_selectivity(
-    patterns: list[TriplePattern], stats: DataFrame | None
+    patterns: list[TriplePattern], stats: DataFrame | dict | None
 ) -> list[TriplePattern]:
     """A7: cheapest (lowest predicate count) pattern first. Patterns with a
-    variable predicate (unknown selectivity) go last."""
+    variable predicate (unknown selectivity) go last. ``stats`` may be the
+    predicate_stats DataFrame or an already-collected {p: count} dict (the
+    SPARQL engine collects once per engine, not once per star)."""
     if stats is None:
         return list(patterns)
-    counts = {r["p"]: r["cnt"] for r in stats.select("p", "cnt").collect()}
+    if isinstance(stats, dict):
+        counts = stats
+    else:
+        counts = {r["p"]: r["cnt"] for r in stats.select("p", "cnt").collect()}
     big = max(counts.values(), default=0) + 1
 
     def cost(tp: TriplePattern) -> int:
@@ -95,7 +100,7 @@ def join_bindings(left: DataFrame, right: DataFrame, how: str = "inner") -> Data
 
 
 def star_join(
-    triples: DataFrame, patterns: list[TriplePattern], stats: DataFrame | None = None
+    triples: DataFrame, patterns: list[TriplePattern], stats: DataFrame | dict | None = None
 ) -> DataFrame:
     """Evaluate a subject-star (or any BGP fragment) as a join chain."""
     ordered = order_by_selectivity(patterns, stats)
@@ -103,7 +108,7 @@ def star_join(
 
 
 def bgp(
-    triples: DataFrame, stars: list[list[TriplePattern]], stats: DataFrame | None = None
+    triples: DataFrame, stars: list[list[TriplePattern]], stats: DataFrame | dict | None = None
 ) -> DataFrame:
     """Full basic graph pattern: evaluate each star, then chain stars on
     their shared variables (the reference's pipelined inter-star join —

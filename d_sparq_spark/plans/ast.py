@@ -1,0 +1,155 @@
+"""SPARQL algebra IR + expression tree (SURVEY.md §2.B surface).
+
+Deliberately small dataclasses; the translator (translate.py) is the only
+consumer. Expression type coercion note: the triple store is lexical
+(all-string), so comparisons against numeric literals coerce the other
+side to double — the standard trick for untyped stores (S2RDF does the
+same with its VP tables).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from d_sparq_spark.operators.rdf_patterns import TriplePattern
+
+# ---------------- expressions ----------------
+
+
+@dataclass(frozen=True)
+class Var:
+    name: str
+
+
+@dataclass(frozen=True)
+class Lit:
+    value: object  # str | float | int | bool
+    is_numeric: bool = False
+
+
+@dataclass(frozen=True)
+class BinOp:
+    op: str  # || && = != < <= > >= + - * / IN
+    left: object
+    right: object
+
+
+@dataclass(frozen=True)
+class UnOp:
+    op: str  # ! -
+    operand: object
+
+
+@dataclass(frozen=True)
+class FuncCall:
+    name: str  # lowercase: regex bound str strlen contains ucase ... xsd:double
+    args: tuple
+
+
+@dataclass(frozen=True)
+class ExistsExpr:
+    group: object  # GroupGraphPattern algebra node
+    negated: bool
+
+
+@dataclass(frozen=True)
+class Aggregate:
+    func: str  # count sum avg min max group_concat sample
+    arg: object | None  # expression; None for COUNT(*)
+    distinct: bool = False
+    separator: str = " "  # GROUP_CONCAT
+
+
+# ---------------- algebra nodes ----------------
+
+
+@dataclass
+class BGP:
+    patterns: list[TriplePattern] = field(default_factory=list)
+
+
+@dataclass
+class Join:
+    left: object
+    right: object
+
+
+@dataclass
+class LeftJoin:  # OPTIONAL
+    left: object
+    right: object
+
+
+@dataclass
+class Union:
+    left: object
+    right: object
+
+
+@dataclass
+class Minus:
+    left: object
+    right: object
+
+
+@dataclass
+class Filter:
+    expr: object
+    child: object
+
+
+@dataclass
+class Bind:
+    expr: object
+    var: str
+    child: object
+
+
+@dataclass
+class Values:
+    varnames: list[str]
+    rows: list[tuple]  # None entries = UNDEF
+    child: object | None  # joined with child when present
+
+
+@dataclass
+class Group:
+    keys: list[str]  # grouping variable names
+    aggs: list[tuple[str, Aggregate]]  # (output var, aggregate)
+    child: object
+
+
+@dataclass
+class Project:
+    vars: list[str]  # output column order
+    exprs: list[tuple[str, object]]  # non-aggregate SELECT (expr AS var)
+    child: object
+
+
+@dataclass
+class Distinct:
+    child: object
+
+
+@dataclass
+class OrderBy:
+    keys: list[tuple[object, bool]]  # (expr, ascending)
+    child: object
+
+
+@dataclass
+class Slice:
+    offset: int
+    limit: int | None
+    child: object
+
+
+@dataclass
+class Ask:
+    child: object
+
+
+@dataclass
+class SelectQuery:
+    root: object
+    having: object | None = None

@@ -1,0 +1,556 @@
+"""Recursive-descent SPARQL parser for the SURVEY.md §2.B subset.
+
+Supported: PREFIX, SELECT [DISTINCT] (vars | * | (expr AS ?v) | aggregates),
+ASK, WHERE { triples with ; and , shorthand, FILTER (incl. EXISTS / NOT
+EXISTS / regex / IN), OPTIONAL, UNION, MINUS, BIND, VALUES }, GROUP BY,
+HAVING, ORDER BY ASC()/DESC(), LIMIT, OFFSET.
+
+Terms: variables (?x), prefixed names (kept lexically unless their prefix
+was declared — the engine's stores use prefixed lexical terms), <iri>,
+quoted strings, numbers, true/false.
+
+No rdflib in this environment (verified; SURVEY.md §3) — this is a
+self-contained tokenizer + parser, ~450 lines.
+"""
+
+from __future__ import annotations
+
+import re
+
+from d_sparq_spark.operators.rdf_patterns import TriplePattern
+from d_sparq_spark.plans import ast as A
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<WS>\s+|\#[^\n]*)
+  | (?P<IRIREF><[^<>\s]*>)
+  | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
+  | (?P<STRING>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<NUMBER>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<PNAME>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_][A-Za-z0-9_.-]*)
+  | (?P<NS>[A-Za-z_][A-Za-z0-9_-]*:)
+  | (?P<KEYWORD>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<OP><=|>=|!=|\|\||&&|[=<>!*/+\-(){},.;a])
+    """,
+    re.VERBOSE,
+)
+
+_KEYWORDS = {
+    "prefix", "select", "distinct", "reduced", "where", "optional", "union",
+    "minus", "filter", "bind", "values", "group", "by", "having", "order",
+    "limit", "offset", "asc", "desc", "as", "ask", "not", "exists", "in",
+    "undef", "true", "false", "a",
+    "count", "sum", "avg", "min", "max", "group_concat", "sample", "separator",
+}
+
+_FUNCS = {
+    "regex", "bound", "str", "strlen", "contains", "strstarts", "strends",
+    "ucase", "lcase", "concat", "abs", "coalesce", "if", "sameterm", "replace",
+}
+
+
+class Token:
+    __slots__ = ("kind", "text")
+
+    def __init__(self, kind: str, text: str):
+        self.kind = kind
+        self.text = text
+
+    def __repr__(self):
+        return f"{self.kind}({self.text})"
+
+
+def tokenize(s: str) -> list[Token]:
+    out, pos = [], 0
+    while pos < len(s):
+        m = _TOKEN_RE.match(s, pos)
+        if not m:
+            raise SyntaxError(f"SPARQL: cannot tokenize at {s[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "WS":
+            continue
+        text = m.group()
+        if kind == "KEYWORD" and text.lower() not in _KEYWORDS and text.lower() not in _FUNCS:
+            # bare identifier — not valid standalone, but xsd:double style
+            # casts arrive as PNAME, so anything here is an error later.
+            pass
+        out.append(Token(kind, text))
+    out.append(Token("EOF", ""))
+    return out
+
+
+def _unquote(text: str) -> str:
+    body = text[1:-1]
+    return (
+        body.replace('\\"', '"').replace("\\'", "'").replace("\\n", "\n")
+        .replace("\\t", "\t").replace("\\\\", "\\")
+    )
+
+
+class Parser:
+    def __init__(self, text: str):
+        self.toks = tokenize(text)
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+
+    # ---- token helpers ----
+    def peek(self, k: int = 0) -> Token:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self) -> Token:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def at_kw(self, *words: str) -> bool:
+        t = self.peek()
+        return t.kind == "KEYWORD" and t.text.lower() in words
+
+    def eat_kw(self, word: str) -> None:
+        if not self.at_kw(word):
+            raise SyntaxError(f"SPARQL: expected {word.upper()}, got {self.peek()}")
+        self.next()
+
+    def at_op(self, op: str) -> bool:
+        t = self.peek()
+        return t.kind == "OP" and t.text == op
+
+    def eat_op(self, op: str) -> None:
+        if not self.at_op(op):
+            raise SyntaxError(f"SPARQL: expected {op!r}, got {self.peek()}")
+        self.next()
+
+    # ---- entry ----
+    def parse(self) -> A.SelectQuery | A.Ask:
+        while self.at_kw("prefix"):
+            self.next()
+            ns = self.next()
+            iri = self.next()
+            if ns.kind != "NS" or iri.kind != "IRIREF":
+                raise SyntaxError("SPARQL: malformed PREFIX")
+            self.prefixes[ns.text[:-1]] = iri.text[1:-1]
+        if self.at_kw("ask"):
+            self.next()
+            group = self.parse_group()
+            if self.peek().kind != "EOF":
+                raise SyntaxError(f"SPARQL: trailing tokens at {self.peek()}")
+            return A.Ask(group)
+        return self.parse_select()
+
+    # ---- SELECT ----
+    def parse_select(self) -> A.SelectQuery:
+        self.eat_kw("select")
+        distinct = False
+        if self.at_kw("distinct", "reduced"):
+            distinct = True
+            self.next()
+
+        select_all = False
+        proj_vars: list[str] = []
+        proj_exprs: list[tuple[str, object]] = []
+        aggs: list[tuple[str, A.Aggregate]] = []
+        while True:
+            if self.at_op("*"):
+                self.next()
+                select_all = True
+            elif self.peek().kind == "VAR":
+                proj_vars.append(self.next().text[1:])
+            elif self.at_op("("):
+                self.next()
+                expr = self.parse_expr()
+                self.eat_kw("as")
+                var = self.next()
+                if var.kind != "VAR":
+                    raise SyntaxError("SPARQL: expected variable after AS")
+                self.eat_op(")")
+                name = var.text[1:]
+                if isinstance(expr, A.Aggregate):
+                    aggs.append((name, expr))
+                else:
+                    proj_exprs.append((name, expr))
+                proj_vars.append(name)
+            else:
+                break
+
+        self.eat_kw("where") if self.at_kw("where") else None
+        root: object = self.parse_group()
+
+        group_keys: list[str] | None = None
+        having = None
+        order_keys: list[tuple[object, bool]] = []
+        offset, limit = 0, None
+
+        if self.at_kw("group"):
+            self.next()
+            self.eat_kw("by")
+            group_keys = []
+            while self.peek().kind == "VAR":
+                group_keys.append(self.next().text[1:])
+        if self.at_kw("having"):
+            self.next()
+            having = self.parse_expr()
+        if self.at_kw("order"):
+            self.next()
+            self.eat_kw("by")
+            while True:
+                if self.at_kw("asc", "desc"):
+                    asc = self.next().text.lower() == "asc"
+                    self.eat_op("(")
+                    e = self.parse_expr()
+                    self.eat_op(")")
+                    order_keys.append((e, asc))
+                elif self.peek().kind == "VAR":
+                    order_keys.append((A.Var(self.next().text[1:]), True))
+                elif self.at_op("("):
+                    self.next()
+                    e = self.parse_expr()
+                    self.eat_op(")")
+                    order_keys.append((e, True))
+                else:
+                    break
+        # LIMIT/OFFSET in either order
+        for _ in range(2):
+            if self.at_kw("limit"):
+                self.next()
+                limit = int(self.next().text)
+            elif self.at_kw("offset"):
+                self.next()
+                offset = int(self.next().text)
+        if self.peek().kind != "EOF":
+            raise SyntaxError(f"SPARQL: trailing tokens at {self.peek()}")
+
+        if aggs or group_keys is not None:
+            root = A.Group(keys=group_keys or [], aggs=aggs, child=root)
+            if having is not None:
+                root = A.Filter(having, root)
+        root = A.Project(
+            vars=proj_vars if not select_all else [],
+            exprs=proj_exprs,
+            child=root,
+        )
+        if distinct:
+            root = A.Distinct(root)
+        if order_keys:
+            root = A.OrderBy(order_keys, root)
+        if offset or limit is not None:
+            root = A.Slice(offset, limit, root)
+        return A.SelectQuery(root=root)
+
+    # ---- group graph pattern ----
+    def parse_group(self):
+        self.eat_op("{")
+        elements: list[object] = []  # BGP | ('optional',g) | ...
+        filters: list[object] = []
+        triples: list[TriplePattern] = []
+
+        def flush_triples():
+            if triples:
+                elements.append(A.BGP(list(triples)))
+                triples.clear()
+
+        while not self.at_op("}"):
+            if self.at_kw("optional"):
+                self.next()
+                flush_triples()
+                elements.append(("optional", self.parse_group()))
+            elif self.at_kw("minus"):
+                self.next()
+                flush_triples()
+                elements.append(("minus", self.parse_group()))
+            elif self.at_kw("filter"):
+                self.next()
+                filters.append(self.parse_constraint())
+            elif self.at_kw("bind"):
+                self.next()
+                self.eat_op("(")
+                e = self.parse_expr()
+                self.eat_kw("as")
+                v = self.next()
+                self.eat_op(")")
+                flush_triples()
+                elements.append(("bind", e, v.text[1:]))
+            elif self.at_kw("values"):
+                self.next()
+                flush_triples()
+                elements.append(("values", *self.parse_values()))
+            elif self.at_op("{"):
+                flush_triples()
+                g = self.parse_group()
+                while self.at_kw("union"):
+                    self.next()
+                    g = A.Union(g, self.parse_group())
+                elements.append(("group", g))
+            elif self.at_op("."):
+                self.next()
+            else:
+                self.parse_triples_same_subject(triples)
+        self.eat_op("}")
+        flush_triples()
+
+        # fold elements left-to-right
+        node: object | None = None
+
+        def join(left, right):
+            return right if left is None else A.Join(left, right)
+
+        for el in elements:
+            if isinstance(el, A.BGP):
+                node = join(node, el)
+            elif el[0] == "group":
+                node = join(node, el[1])
+            elif el[0] == "optional":
+                node = A.LeftJoin(node if node is not None else A.BGP([]), el[1])
+            elif el[0] == "minus":
+                node = A.Minus(node if node is not None else A.BGP([]), el[1])
+            elif el[0] == "bind":
+                node = A.Bind(el[1], el[2], node if node is not None else A.BGP([]))
+            elif el[0] == "values":
+                node = A.Values(el[1], el[2], node)
+        if node is None:
+            node = A.BGP([])
+        for f in filters:  # SPARQL: FILTER scopes to the whole group
+            node = A.Filter(f, node)
+        return node
+
+    # ---- triples ----
+    def parse_triples_same_subject(self, out: list[TriplePattern]) -> None:
+        s = self.parse_term()
+        while True:
+            p = self.parse_verb()
+            while True:
+                o = self.parse_term()
+                out.append(TriplePattern(s, p, o))
+                if self.at_op(","):
+                    self.next()
+                    continue
+                break
+            if self.at_op(";"):
+                self.next()
+                if self.at_op(".") or self.at_op("}"):
+                    break
+                continue
+            break
+
+    def parse_verb(self):
+        if self.at_kw("a"):  # rdf:type shorthand
+            self.next()
+            return "rdf:type"
+        return self.parse_term()
+
+    def parse_term(self):
+        t = self.next()
+        if t.kind == "VAR":
+            return "?" + t.text[1:]
+        if t.kind == "PNAME":
+            pfx = t.text.split(":", 1)[0]
+            if pfx in self.prefixes:
+                return self.prefixes[pfx] + t.text.split(":", 1)[1]
+            return t.text  # lexical prefixed form (matches our stores)
+        if t.kind == "IRIREF":
+            return t.text[1:-1]
+        if t.kind == "STRING":
+            return _unquote(t.text)
+        if t.kind == "NUMBER":
+            return t.text  # lexical form; stores are all-string
+        if t.kind == "KEYWORD":
+            if t.text.lower() in ("true", "false"):
+                return t.text.lower()
+            # bare identifier as lexical term (our stores hold plain-string
+            # literals like "Person"); strict SPARQL would require an IRI.
+            return t.text
+        raise SyntaxError(f"SPARQL: unexpected term {t}")
+
+    # ---- VALUES ----
+    def parse_values(self):
+        varnames: list[str] = []
+        rows: list[tuple] = []
+        if self.peek().kind == "VAR":
+            varnames = [self.next().text[1:]]
+            self.eat_op("{")
+            while not self.at_op("}"):
+                rows.append((self._values_term(),))
+            self.next()
+        else:
+            self.eat_op("(")
+            while self.peek().kind == "VAR":
+                varnames.append(self.next().text[1:])
+            self.eat_op(")")
+            self.eat_op("{")
+            while self.at_op("("):
+                self.next()
+                row = []
+                while not self.at_op(")"):
+                    row.append(self._values_term())
+                self.next()
+                rows.append(tuple(row))
+            self.eat_op("}")
+        return varnames, rows
+
+    def _values_term(self):
+        if self.at_kw("undef"):
+            self.next()
+            return None
+        return self.parse_term()
+
+    # ---- expressions ----
+    def parse_constraint(self):
+        if self.at_kw("exists"):
+            self.next()
+            return A.ExistsExpr(self.parse_group(), negated=False)
+        if self.at_kw("not"):
+            self.next()
+            self.eat_kw("exists")
+            return A.ExistsExpr(self.parse_group(), negated=True)
+        if self.at_op("("):
+            self.next()
+            e = self.parse_expr()
+            self.eat_op(")")
+            return e
+        return self.parse_primary()  # bare function call e.g. FILTER regex(...)
+
+    def parse_expr(self):
+        return self.parse_or()
+
+    def parse_or(self):
+        left = self.parse_and()
+        while self.at_op("||"):
+            self.next()
+            left = A.BinOp("||", left, self.parse_and())
+        return left
+
+    def parse_and(self):
+        left = self.parse_rel()
+        while self.at_op("&&"):
+            self.next()
+            left = A.BinOp("&&", left, self.parse_rel())
+        return left
+
+    def parse_rel(self):
+        left = self.parse_add()
+        for op in ("<=", ">=", "!=", "=", "<", ">"):
+            if self.at_op(op):
+                self.next()
+                return A.BinOp(op, left, self.parse_add())
+        if self.at_kw("in"):
+            self.next()
+            self.eat_op("(")
+            items = [self.parse_expr()]
+            while self.at_op(","):
+                self.next()
+                items.append(self.parse_expr())
+            self.eat_op(")")
+            return A.BinOp("IN", left, tuple(items))
+        if self.at_kw("not") and self.peek(1).kind == "KEYWORD" and self.peek(1).text.lower() == "in":
+            self.next()
+            self.next()
+            self.eat_op("(")
+            items = [self.parse_expr()]
+            while self.at_op(","):
+                self.next()
+                items.append(self.parse_expr())
+            self.eat_op(")")
+            return A.UnOp("!", A.BinOp("IN", left, tuple(items)))
+        return left
+
+    def parse_add(self):
+        left = self.parse_mul()
+        while self.at_op("+") or self.at_op("-"):
+            op = self.next().text
+            left = A.BinOp(op, left, self.parse_mul())
+        return left
+
+    def parse_mul(self):
+        left = self.parse_unary()
+        while self.at_op("*") or self.at_op("/"):
+            op = self.next().text
+            left = A.BinOp(op, left, self.parse_unary())
+        return left
+
+    def parse_unary(self):
+        if self.at_op("!"):
+            self.next()
+            return A.UnOp("!", self.parse_unary())
+        if self.at_op("-"):
+            self.next()
+            return A.UnOp("-", self.parse_unary())
+        if self.at_op("+"):
+            self.next()
+        return self.parse_primary()
+
+    _AGG_NAMES = ("count", "sum", "avg", "min", "max", "group_concat", "sample")
+
+    def parse_primary(self):
+        t = self.peek()
+        if t.kind == "OP" and t.text == "(":
+            self.next()
+            e = self.parse_expr()
+            self.eat_op(")")
+            return e
+        if t.kind == "VAR":
+            self.next()
+            return A.Var(t.text[1:])
+        if t.kind == "NUMBER":
+            self.next()
+            return A.Lit(float(t.text), is_numeric=True)
+        if t.kind == "STRING":
+            self.next()
+            return A.Lit(_unquote(t.text))
+        if t.kind == "KEYWORD":
+            low = t.text.lower()
+            if low in ("true", "false"):
+                self.next()
+                return A.Lit(low == "true")
+            if low in self._AGG_NAMES:
+                return self.parse_aggregate()
+            if low in _FUNCS:
+                self.next()
+                self.eat_op("(")
+                args = []
+                if not self.at_op(")"):
+                    args.append(self.parse_expr())
+                    while self.at_op(","):
+                        self.next()
+                        args.append(self.parse_expr())
+                self.eat_op(")")
+                return A.FuncCall(low, tuple(args))
+            if low == "exists":
+                self.next()
+                return A.ExistsExpr(self.parse_group(), negated=False)
+            if low == "not":
+                self.next()
+                self.eat_kw("exists")
+                return A.ExistsExpr(self.parse_group(), negated=True)
+        if t.kind == "PNAME" and t.text.lower() in ("xsd:double", "xsd:decimal", "xsd:integer", "xsd:float", "xsd:int", "xsd:long", "xsd:string", "xsd:boolean"):
+            self.next()
+            self.eat_op("(")
+            arg = self.parse_expr()
+            self.eat_op(")")
+            return A.FuncCall(t.text.lower(), (arg,))
+        raise SyntaxError(f"SPARQL: unexpected expression token {t}")
+
+    def parse_aggregate(self):
+        name = self.next().text.lower()
+        self.eat_op("(")
+        distinct = False
+        if self.at_kw("distinct"):
+            distinct = True
+            self.next()
+        arg = None
+        sep = " "
+        if self.at_op("*"):
+            self.next()
+        else:
+            arg = self.parse_expr()
+        if self.at_op(";"):  # GROUP_CONCAT(?x; SEPARATOR=",")
+            self.next()
+            self.eat_kw("separator")
+            self.eat_op("=")
+            sep_t = self.next()
+            sep = _unquote(sep_t.text)
+        self.eat_op(")")
+        return A.Aggregate(func=name, arg=arg, distinct=distinct, separator=sep)
+
+
+def parse_sparql(text: str):
+    return Parser(text).parse()

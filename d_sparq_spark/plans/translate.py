@@ -1,0 +1,297 @@
+"""SPARQL algebra -> DataFrame translation.
+
+The only "planner" code in the engine (SURVEY.md §4: zero custom Catalyst
+rules): BGPs are decomposed into subject stars (D-SPARQ's core idea),
+patterns inside a star are ordered by ascending predicate count (A7), and
+stars are chained greedily so every inter-star join shares a variable
+(avoiding accidental cartesians). Everything downstream — join strategy,
+pushdown, pruning, skew — is Catalyst + AQE.
+
+Numeric semantics over the lexical store: comparisons/arithmetic against
+numeric literals coerce the string operand to double; SUM/AVG aggregate
+through exact decimals (helpers.py rationale).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from d_sparq_spark.operators.rdf_patterns import (
+    TriplePattern,
+    join_bindings,
+    star_join,
+)
+from d_sparq_spark.plans import ast as A
+from d_sparq_spark.queries.helpers import DEC
+
+_XSD_CASTS = {
+    "xsd:double": "double",
+    "xsd:decimal": "double",
+    "xsd:float": "double",
+    "xsd:integer": "long",
+    "xsd:int": "long",
+    "xsd:long": "long",
+    "xsd:string": "string",
+    "xsd:boolean": "boolean",
+}
+
+_NUMERIC_FUNCS = {"strlen", "abs", "xsd:double", "xsd:decimal", "xsd:float",
+                  "xsd:integer", "xsd:int", "xsd:long"}
+
+
+def _is_numeric_expr(e: object) -> bool:
+    if isinstance(e, A.Lit):
+        return e.is_numeric
+    if isinstance(e, A.BinOp):
+        return e.op in ("+", "-", "*", "/")
+    if isinstance(e, A.UnOp):
+        return e.op == "-" or _is_numeric_expr(e.operand)
+    if isinstance(e, A.FuncCall):
+        return e.name in _NUMERIC_FUNCS
+    return False
+
+
+class Translator:
+    def __init__(self, triples: DataFrame, stats: dict | None = None):
+        self.triples = triples
+        self.stats = stats
+        self.spark = triples.sparkSession
+
+    # ------------- algebra -------------
+
+    def eval(self, node) -> DataFrame:
+        if isinstance(node, A.BGP):
+            return self._bgp(node)
+        if isinstance(node, A.Join):
+            return join_bindings(self.eval(node.left), self.eval(node.right))
+        if isinstance(node, A.LeftJoin):
+            left = self.eval(node.left)
+            if not left.columns:
+                return self.eval(node.right)
+            return join_bindings(left, self.eval(node.right), "left_outer")
+        if isinstance(node, A.Union):
+            l, r = self.eval(node.left), self.eval(node.right)
+            return l.unionByName(r, allowMissingColumns=True)
+        if isinstance(node, A.Minus):
+            left, right = self.eval(node.left), self.eval(node.right)
+            shared = sorted(set(left.columns) & set(right.columns))
+            if not shared:  # SPARQL MINUS with disjoint domains removes nothing
+                return left
+            return left.join(right, on=shared, how="left_anti")
+        if isinstance(node, A.Filter):
+            return self._filter(node)
+        if isinstance(node, A.Bind):
+            child = self.eval(node.child)
+            return child.withColumn(node.var, self.expr(node.expr, child))
+        if isinstance(node, A.Values):
+            vdf = self.spark.createDataFrame(
+                node.rows, ", ".join(f"{v} string" for v in node.varnames)
+            )
+            if node.child is None:
+                return vdf
+            return join_bindings(self.eval(node.child), vdf)
+        if isinstance(node, A.Group):
+            return self._group(node)
+        if isinstance(node, A.Project):
+            child = self.eval(node.child)
+            for name, e in node.exprs:
+                child = child.withColumn(name, self.expr(e, child))
+            return child.select(*node.vars) if node.vars else child
+        if isinstance(node, A.Distinct):
+            return self.eval(node.child).dropDuplicates()
+        if isinstance(node, A.OrderBy):
+            child = self.eval(node.child)
+            keys = [
+                self.expr(e, child).asc() if asc else self.expr(e, child).desc()
+                for e, asc in node.keys
+            ]
+            return child.orderBy(*keys)
+        if isinstance(node, A.Slice):
+            child = self.eval(node.child)
+            if node.offset:
+                child = child.offset(node.offset)
+            return child.limit(node.limit) if node.limit is not None else child
+        if isinstance(node, A.Ask):
+            exists = bool(self.eval(node.child).limit(1).take(1))
+            return self.spark.createDataFrame([(exists,)], "ask boolean")
+        if isinstance(node, A.SelectQuery):
+            return self.eval(node.root)
+        raise TypeError(f"SPARQL translate: unknown node {type(node).__name__}")
+
+    # ------------- BGP: star decomposition + greedy star chaining -------------
+
+    def _bgp(self, node: A.BGP) -> DataFrame:
+        if not node.patterns:
+            # unit table: one row, zero columns
+            return self.spark.range(1).select()
+        by_subject: dict[object, list[TriplePattern]] = {}
+        for tp in node.patterns:
+            by_subject.setdefault(tp.s, []).append(tp)
+        stars = list(by_subject.values())
+
+        # greedy connectivity order: always join a star that shares a
+        # variable with what's already bound (no accidental cartesians).
+        ordered: list[list[TriplePattern]] = [stars.pop(0)]
+        bound = set().union(*(set(tp.variables()) for tp in ordered[0]))
+        while stars:
+            idx = next(
+                (i for i, st in enumerate(stars)
+                 if bound & set().union(*(set(tp.variables()) for tp in st))),
+                0,
+            )
+            st = stars.pop(idx)
+            ordered.append(st)
+            bound |= set().union(*(set(tp.variables()) for tp in st))
+        return reduce(
+            join_bindings,
+            (star_join(self.triples, star, self.stats) for star in ordered),
+        )
+
+    # ------------- FILTER (incl. EXISTS / NOT EXISTS) -------------
+
+    def _filter(self, node: A.Filter) -> DataFrame:
+        child = self.eval(node.child)
+        e = node.expr
+        if isinstance(e, A.ExistsExpr):
+            right = self.eval(e.group)
+            shared = sorted(set(child.columns) & set(right.columns))
+            if shared:
+                how = "left_anti" if e.negated else "left_semi"
+                return child.join(right, on=shared, how=how)
+            nonempty = bool(right.limit(1).take(1))
+            keep = nonempty != e.negated
+            return child if keep else child.limit(0)
+        return child.filter(self.expr(e, child))
+
+    # ------------- GROUP BY + aggregates -------------
+
+    def _group(self, node: A.Group) -> DataFrame:
+        child = self.eval(node.child)
+        aggs = [self._aggregate(a, child).alias(name) for name, a in node.aggs]
+        if node.keys:
+            return child.groupBy(*node.keys).agg(*aggs)
+        return child.agg(*aggs)
+
+    def _aggregate(self, a: A.Aggregate, df: DataFrame) -> Column:
+        if a.func == "count":
+            if a.arg is None:
+                return F.count(F.lit(1))
+            c = self.expr(a.arg, df)
+            return F.count_distinct(c) if a.distinct else F.count(c)
+        arg_numeric = a.func in ("sum", "avg") or _is_numeric_expr(a.arg)
+        c = self.expr(a.arg, df, numeric=arg_numeric)
+        if a.func == "sum":
+            d = c.cast(DEC)
+            return (F.sum_distinct(d) if a.distinct else F.sum(d)).cast("double")
+        if a.func == "avg":
+            # exact decimal sum / count — order-insensitive (helpers.py)
+            return (F.sum(c.cast(DEC)).cast("double") / F.count(c))
+        if a.func == "min":
+            return F.min(c)
+        if a.func == "max":
+            return F.max(c)
+        if a.func == "group_concat":
+            # SPARQL leaves element order undefined; we sort for determinism
+            return F.concat_ws(a.separator, F.array_sort(F.collect_list(c)))
+        if a.func == "sample":
+            return F.min(c)  # deterministic SAMPLE
+        raise ValueError(f"SPARQL: unsupported aggregate {a.func}")
+
+    # ------------- expressions -------------
+
+    def expr(self, e, df: DataFrame, numeric: bool = False) -> Column:
+        if isinstance(e, A.Var):
+            c = F.col(e.name)
+            return c.cast("double") if numeric else c
+        if isinstance(e, A.Lit):
+            if isinstance(e.value, bool):
+                return F.lit(e.value)
+            if e.is_numeric:
+                return F.lit(float(e.value))
+            return F.lit(e.value)
+        if isinstance(e, A.UnOp):
+            if e.op == "!":
+                return ~self.expr(e.operand, df)
+            return -self.expr(e.operand, df, numeric=True)
+        if isinstance(e, A.BinOp):
+            return self._binop(e, df)
+        if isinstance(e, A.FuncCall):
+            return self._func(e, df)
+        if isinstance(e, A.Aggregate):
+            return self._aggregate(e, df)
+        if isinstance(e, A.ExistsExpr):
+            raise ValueError("SPARQL: EXISTS only supported directly under FILTER")
+        raise TypeError(f"SPARQL expr: unknown node {type(e).__name__}")
+
+    def _binop(self, e: A.BinOp, df: DataFrame) -> Column:
+        op = e.op
+        if op in ("||", "&&"):
+            l, r = self.expr(e.left, df), self.expr(e.right, df)
+            return (l | r) if op == "||" else (l & r)
+        if op == "IN":
+            items = e.right
+            num = any(_is_numeric_expr(i) for i in items) or _is_numeric_expr(e.left)
+            l = self.expr(e.left, df, numeric=num)
+            return l.isin([self.expr(i, df, numeric=num) for i in items])
+        if op in ("+", "-", "*", "/"):
+            l = self.expr(e.left, df, numeric=True)
+            r = self.expr(e.right, df, numeric=True)
+            return {"+": l + r, "-": l - r, "*": l * r, "/": l / r}[op]
+        # comparisons: coerce both sides numeric if either side is numeric
+        num = _is_numeric_expr(e.left) or _is_numeric_expr(e.right)
+        l = self.expr(e.left, df, numeric=num)
+        r = self.expr(e.right, df, numeric=num)
+        return {
+            "=": l == r, "!=": l != r,
+            "<": l < r, "<=": l <= r, ">": l > r, ">=": l >= r,
+        }[op]
+
+    def _func(self, e: A.FuncCall, df: DataFrame) -> Column:
+        name, args = e.name, e.args
+        if name in _XSD_CASTS:
+            return self.expr(args[0], df).cast(_XSD_CASTS[name])
+        if name == "regex":
+            pat = args[1].value if isinstance(args[1], A.Lit) else None
+            if pat is None:
+                raise ValueError("SPARQL regex: pattern must be a literal")
+            if len(args) == 3 and isinstance(args[2], A.Lit) and "i" in str(args[2].value):
+                pat = "(?i)" + pat
+            return self.expr(args[0], df).rlike(pat)
+        if name == "bound":
+            return self.expr(args[0], df).isNotNull()
+        if name == "str":
+            return self.expr(args[0], df).cast("string")
+        if name == "strlen":
+            return F.length(self.expr(args[0], df)).cast("long")
+        if name == "contains":
+            return F.contains(self.expr(args[0], df), self.expr(args[1], df))
+        if name == "strstarts":
+            return F.startswith(self.expr(args[0], df), self.expr(args[1], df))
+        if name == "strends":
+            return F.endswith(self.expr(args[0], df), self.expr(args[1], df))
+        if name == "ucase":
+            return F.upper(self.expr(args[0], df))
+        if name == "lcase":
+            return F.lower(self.expr(args[0], df))
+        if name == "concat":
+            return F.concat(*(self.expr(a, df) for a in args))
+        if name == "abs":
+            return F.abs(self.expr(args[0], df, numeric=True))
+        if name == "coalesce":
+            return F.coalesce(*(self.expr(a, df) for a in args))
+        if name == "if":
+            return F.when(self.expr(args[0], df), self.expr(args[1], df)).otherwise(
+                self.expr(args[2], df)
+            )
+        if name == "sameterm":
+            return self.expr(args[0], df) == self.expr(args[1], df)
+        if name == "replace":
+            return F.regexp_replace(
+                self.expr(args[0], df),
+                args[1].value if isinstance(args[1], A.Lit) else self.expr(args[1], df),
+                args[2].value if isinstance(args[2], A.Lit) else self.expr(args[2], df),
+            )
+        raise ValueError(f"SPARQL: unsupported function {name}")

@@ -13,4 +13,5 @@ from d_sparq_spark.queries import (  # noqa: F401
     relational_scan,
     relational_setops,
     relational_windows,
+    sparql_queries,
 )

@@ -1,0 +1,158 @@
+"""End-to-end SPARQL queries through the full engine (parse -> plan ->
+DataFrame), oracle-checked: each SPARQL text runs over the derived triples
+view and must hash-match the equivalent relational SQL in DuckDB — i.e.
+the engine's answers are verified against what the original relational
+data says, not against itself.
+
+Note the oracle for ex:acctbal mirrors the lexical round-trip
+(printf -> string -> double) so both engines see bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from d_sparq_spark.engine import SparqlEngine
+from d_sparq_spark.registry import register
+from d_sparq_spark.sources.derived_rdf import derive_triples
+
+_BAL = "CAST(printf('%.2f', c_acctbal) AS DOUBLE)"
+
+
+def _run(spark: SparkSession, sf_dir: str, sparql: str) -> DataFrame:
+    return SparqlEngine(derive_triples(spark, sf_dir)).query(sparql)
+
+
+def _q(name: str, sparql: str, oracle: str) -> None:
+    @register(name, oracle=oracle)
+    def runner(spark: SparkSession, sf_dir: str, _s=sparql) -> DataFrame:
+        return _run(spark, sf_dir, _s)
+
+    runner.__doc__ = f"SPARQL:\n{sparql}"
+
+
+_q(
+    "q_sparql_star",
+    'SELECT ?c ?name ?bal WHERE { ?c foaf:name ?name ; ex:acctbal ?bal ; '
+    'ex:mktsegment "BUILDING" }',
+    """
+    SELECT 'c:' || c_custkey AS c, c_name AS name, printf('%.2f', c_acctbal) AS bal
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+
+_q(
+    "q_sparql_path",
+    'SELECT ?c ?cname ?r WHERE { ?c ex:nation ?n ; foaf:name ?cname . '
+    '?n ex:region ?r . ?r foaf:name "ASIA" }',
+    """
+    SELECT 'c:' || c_custkey AS c, c_name AS cname, 'r:' || r_regionkey AS r
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    """,
+)
+
+_q(
+    "q_sparql_optional",
+    'SELECT ?c ?seg ?big WHERE { ?c ex:mktsegment ?seg '
+    "OPTIONAL { ?c ex:acctbal ?big FILTER(?big > 9000) } }",
+    f"""
+    SELECT 'c:' || c_custkey AS c, c_mktsegment AS seg,
+           CASE WHEN {_BAL} > 9000 THEN printf('%.2f', c_acctbal) END AS big
+    FROM customer
+    """,
+)
+
+_q(
+    "q_sparql_union",
+    'SELECT ?name WHERE { { ?n rdf:type "Nation" . ?n foaf:name ?name } '
+    'UNION { ?r rdf:type "Region" . ?r foaf:name ?name } }',
+    """
+    SELECT n_name AS name FROM nation
+    UNION ALL
+    SELECT r_name AS name FROM region
+    """,
+)
+
+_q(
+    "q_sparql_agg",
+    "SELECT ?n (COUNT(*) AS ?n_cust) (AVG(?bal) AS ?avg_bal) "
+    "WHERE { ?c ex:nation ?n ; ex:acctbal ?bal } GROUP BY ?n "
+    "HAVING (?n_cust >= 5)",
+    f"""
+    SELECT 'n:' || c_nationkey AS n, COUNT(*) AS n_cust,
+           CAST(SUM(CAST({_BAL} AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_bal
+    FROM customer GROUP BY c_nationkey HAVING COUNT(*) >= 5
+    """,
+)
+
+_q(
+    "q_sparql_order_limit",
+    "SELECT ?name ?bal WHERE { ?c foaf:name ?name ; ex:acctbal ?bal } "
+    "ORDER BY DESC(xsd:double(?bal)) ?name LIMIT 10",
+    f"""
+    SELECT c_name AS name, printf('%.2f', c_acctbal) AS bal
+    FROM customer ORDER BY {_BAL} DESC, c_name LIMIT 10
+    """,
+)
+
+_q(
+    "q_sparql_minus",
+    'SELECT ?c WHERE { ?c rdf:type "Customer" MINUS { ?c ex:mktsegment "BUILDING" } }',
+    """
+    SELECT 'c:' || c_custkey AS c FROM customer WHERE c_mktsegment <> 'BUILDING'
+    """,
+)
+
+_q(
+    "q_sparql_not_exists",
+    'SELECT ?c WHERE { ?c rdf:type "Customer" '
+    'FILTER NOT EXISTS { ?c ex:mktsegment "BUILDING" } }',
+    """
+    SELECT 'c:' || c_custkey AS c FROM customer WHERE c_mktsegment <> 'BUILDING'
+    """,
+)
+
+_q(
+    "q_sparql_bind",
+    "SELECT ?c ?lseg WHERE { ?c ex:mktsegment ?seg . BIND(LCASE(?seg) AS ?lseg) "
+    'FILTER(STRSTARTS(?seg, "B")) }',
+    """
+    SELECT 'c:' || c_custkey AS c, lower(c_mktsegment) AS lseg
+    FROM customer WHERE c_mktsegment LIKE 'B%'
+    """,
+)
+
+_q(
+    "q_sparql_values",
+    'SELECT ?c ?seg WHERE { VALUES ?seg { "BUILDING" "MACHINERY" } '
+    "?c ex:mktsegment ?seg }",
+    """
+    SELECT 'c:' || c_custkey AS c, c_mktsegment AS seg
+    FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    """,
+)
+
+_q(
+    "q_sparql_distinct",
+    "SELECT DISTINCT ?seg WHERE { ?c ex:mktsegment ?seg }",
+    "SELECT DISTINCT c_mktsegment AS seg FROM customer",
+)
+
+_q(
+    "q_sparql_ask",
+    'ASK { ?c ex:mktsegment "BUILDING" }',
+    "SELECT EXISTS(SELECT 1 FROM customer WHERE c_mktsegment = 'BUILDING') AS ask",
+)
+
+_q(
+    "q_sparql_expr",
+    "SELECT ?c ((?bal * 0.1) AS ?fee) WHERE { ?c ex:acctbal ?bal "
+    "FILTER(?bal >= 1000 && ?bal < 2000) }",
+    f"""
+    SELECT 'c:' || c_custkey AS c, {_BAL} * 0.1 AS fee
+    FROM customer WHERE {_BAL} >= 1000 AND {_BAL} < 2000
+    """,
+)

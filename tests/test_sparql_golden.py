@@ -1,0 +1,218 @@
+"""SPARQL golden tests: tiny in-code graph, hand-verified expected bindings
+(FIXTURES.md §3). One test per SURVEY.md §2.B construct, including the
+MINUS vs NOT-EXISTS divergence on disjoint variable domains.
+"""
+
+import pytest
+
+from d_sparq_spark.engine import SparqlEngine
+
+TRIPLES = [
+    ("p:alice", "rdf:type", "Person"), ("p:alice", "ex:name", "Alice"),
+    ("p:alice", "ex:age", "30"), ("p:alice", "ex:city", "Paris"),
+    ("p:alice", "ex:knows", "p:bob"), ("p:alice", "ex:knows", "p:carol"),
+    ("p:bob", "rdf:type", "Person"), ("p:bob", "ex:name", "Bob"),
+    ("p:bob", "ex:age", "25"), ("p:bob", "ex:city", "London"),
+    ("p:bob", "ex:knows", "p:carol"),
+    ("p:carol", "rdf:type", "Person"), ("p:carol", "ex:name", "Carol"),
+    ("p:carol", "ex:age", "35"),
+    ("p:dave", "rdf:type", "Person"), ("p:dave", "ex:name", "Dave"),
+    ("p:dave", "ex:age", "25"), ("p:dave", "ex:city", "Paris"),
+    ("p:eve", "rdf:type", "Person"), ("p:eve", "ex:name", "Eve"),
+    ("p:eve", "ex:city", "Berlin"),
+]
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    triples = spark.createDataFrame(TRIPLES, "s string, p string, o string")
+    return SparqlEngine(triples)
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_star_pattern(engine):
+    out = engine.query(
+        'SELECT ?n ?c WHERE { ?x ex:name ?n ; ex:city ?c . ?x ex:age "25" }'
+    )
+    assert rows(out) == [("Bob", "London"), ("Dave", "Paris")]
+
+
+def test_path_two_hop(engine):
+    out = engine.query(
+        "SELECT ?xn ?zn WHERE { ?x ex:knows ?y . ?y ex:knows ?z . "
+        "?x ex:name ?xn . ?z ex:name ?zn }"
+    )
+    assert rows(out) == [("Alice", "Carol")]
+
+
+def test_type_shorthand_a(engine):
+    out = engine.query("SELECT ?x WHERE { ?x a Person . ?x ex:city \"Paris\" }")
+    assert rows(out) == [("p:alice",), ("p:dave",)]
+
+
+def test_optional_unbound(engine):
+    out = engine.query(
+        "SELECT ?n ?age WHERE { ?x ex:name ?n OPTIONAL { ?x ex:age ?age } }"
+    )
+    got = dict(rows(out))
+    assert got["Eve"] is None and got["Alice"] == "30"
+    assert len(got) == 5
+
+
+def test_union(engine):
+    out = engine.query(
+        'SELECT ?v WHERE { { ?x ex:city ?v } UNION { ?x ex:age ?v } }'
+    )
+    vals = [r[0] for r in out.collect()]
+    assert sorted(vals) == sorted(["Paris", "London", "Paris", "Berlin", "30", "25", "35", "25"])
+
+
+def test_filter_numeric(engine):
+    out = engine.query(
+        "SELECT ?n WHERE { ?x ex:name ?n ; ex:age ?a FILTER(?a > 26) }"
+    )
+    assert rows(out) == [("Alice",), ("Carol",)]
+
+
+def test_filter_regex_and_logic(engine):
+    out = engine.query(
+        'SELECT ?n WHERE { ?x ex:name ?n ; ex:age ?a '
+        'FILTER(regex(?n, "^[AB]") && ?a >= 25 && ?a <= 30) }'
+    )
+    assert rows(out) == [("Alice",), ("Bob",)]
+
+
+def test_filter_in(engine):
+    out = engine.query(
+        'SELECT ?n WHERE { ?x ex:name ?n ; ex:city ?c FILTER(?c IN ("Paris", "Berlin")) }'
+    )
+    assert rows(out) == [("Alice",), ("Dave",), ("Eve",)]
+
+
+def test_distinct(engine):
+    out = engine.query("SELECT DISTINCT ?c WHERE { ?x ex:city ?c }")
+    assert rows(out) == [("Berlin",), ("London",), ("Paris",)]
+
+
+def test_order_limit_offset(engine):
+    out = engine.query(
+        "SELECT ?n WHERE { ?x ex:name ?n } ORDER BY ?n LIMIT 2 OFFSET 1"
+    )
+    assert [r[0] for r in out.collect()] == ["Bob", "Carol"]
+
+
+def test_order_desc_numeric(engine):
+    out = engine.query(
+        "SELECT ?n WHERE { ?x ex:name ?n ; ex:age ?a } "
+        "ORDER BY DESC(xsd:double(?a)) ?n LIMIT 2"
+    )
+    assert [r[0] for r in out.collect()] == ["Carol", "Alice"]
+
+
+def test_group_by_aggregates(engine):
+    out = engine.query(
+        "SELECT ?c (COUNT(*) AS ?n) (AVG(?a) AS ?avg_age) "
+        "WHERE { ?x ex:city ?c ; ex:age ?a } GROUP BY ?c"
+    )
+    got = {r["c"]: (r["n"], r["avg_age"]) for r in out.collect()}
+    assert got == {"Paris": (2, 27.5), "London": (1, 25.0)}
+
+
+def test_group_concat_and_sample(engine):
+    out = engine.query(
+        'SELECT ?c (GROUP_CONCAT(?n; SEPARATOR=",") AS ?names) '
+        "WHERE { ?x ex:city ?c ; ex:name ?n } GROUP BY ?c"
+    )
+    got = {r["c"]: r["names"] for r in out.collect()}
+    assert got["Paris"] == "Alice,Dave"
+
+
+def test_having(engine):
+    out = engine.query(
+        "SELECT ?c (COUNT(*) AS ?n) WHERE { ?x ex:city ?c } "
+        "GROUP BY ?c HAVING (?n > 1)"
+    )
+    assert rows(out) == [("Paris", 2)]
+
+
+def test_global_aggregate_no_group(engine):
+    out = engine.query("SELECT (SUM(?a) AS ?total) WHERE { ?x ex:age ?a }")
+    assert out.collect()[0]["total"] == 115.0
+
+
+def test_bind(engine):
+    out = engine.query(
+        "SELECT ?u WHERE { ?x ex:name ?n . BIND(UCASE(?n) AS ?u) "
+        'FILTER(STRSTARTS(?n, "A")) }'
+    )
+    assert rows(out) == [("ALICE",)]
+
+
+def test_values(engine):
+    out = engine.query(
+        'SELECT ?n WHERE { VALUES ?c { "Paris" "London" } ?x ex:city ?c ; ex:name ?n }'
+    )
+    assert rows(out) == [("Alice",), ("Bob",), ("Dave",)]
+
+
+def test_minus_vs_not_exists_divergence(engine):
+    """MINUS with disjoint variable domains removes NOTHING; FILTER NOT
+    EXISTS with a satisfiable pattern removes EVERYTHING. The classic
+    SPARQL 1.1 semantics divergence (spec §8.3.3)."""
+    minus = engine.query(
+        'SELECT ?x WHERE { ?x ex:city "Paris" MINUS { ?y ex:age "25" } }'
+    )
+    assert rows(minus) == [("p:alice",), ("p:dave",)]
+    ne = engine.query(
+        'SELECT ?x WHERE { ?x ex:city "Paris" FILTER NOT EXISTS { ?y ex:age "25" } }'
+    )
+    assert rows(ne) == []
+
+
+def test_minus_shared_var(engine):
+    out = engine.query(
+        'SELECT ?x WHERE { ?x ex:city "Paris" MINUS { ?x ex:age "25" } }'
+    )
+    assert rows(out) == [("p:alice",)]
+
+
+def test_not_exists_shared_var(engine):
+    out = engine.query(
+        "SELECT ?n WHERE { ?x ex:name ?n FILTER NOT EXISTS { ?x ex:city ?c } }"
+    )
+    assert rows(out) == [("Carol",)]
+
+
+def test_exists(engine):
+    out = engine.query(
+        "SELECT ?n WHERE { ?x ex:name ?n FILTER EXISTS { ?x ex:knows ?y } }"
+    )
+    assert rows(out) == [("Alice",), ("Bob",)]
+
+
+def test_ask(engine):
+    assert engine.query('ASK { ?x ex:city "Paris" }').collect()[0]["ask"] is True
+    assert engine.query('ASK { ?x ex:city "Tokyo" }').collect()[0]["ask"] is False
+
+
+def test_select_expression(engine):
+    out = engine.query(
+        "SELECT ?n ((?a * 2) AS ?double_age) WHERE { ?x ex:name ?n ; ex:age ?a }"
+    )
+    got = dict(rows(out))
+    assert got["Alice"] == 60.0
+
+
+def test_unknown_prefix_expansion(engine):
+    out = engine.query(
+        "PREFIX foo: <ex:> SELECT ?n WHERE { ?x foo:name ?n } ORDER BY ?n LIMIT 1"
+    )
+    assert [r[0] for r in out.collect()] == ["Alice"]
+
+
+def test_parse_error_raises(engine):
+    with pytest.raises(SyntaxError):
+        engine.query("SELECT ?x WHERE { ?x ex:name }")
