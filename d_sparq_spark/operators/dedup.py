@@ -1,0 +1,158 @@
+"""Deduplication operators (SURVEY §2.C LLM-pipeline ops): exact,
+MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the whole point of these at 100 TB):
+- exact dedup is a single hash groupBy on a 64-hex digest — shuffle keyed
+  on the digest, never on the document text;
+- MinHash/LSH: signature computation is a linear scan (xxhash64 per
+  (seed, shingle), all JVM-side); banding explodes each doc into
+  n_bands rows and self-joins on (band_idx, band_hash) — candidate
+  pairs ~ true-dup pairs, not n^2; the final Jaccard verification touches
+  candidates only. This is the standard shingle->minhash->band->bucket
+  pipeline (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch.3);
+- SimHash: 64-bit sign-aggregated token hashes; near-dups = equal
+  simhash (or small Hamming distance via band-rotation);
+- n-gram Jaccard: exact pairwise within a blocking key — quadratic per
+  block, use only after LSH-style blocking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct text; deterministic representative = min id.
+    Returns (id_col, text_col, n_copies)."""
+    return (
+        docs.groupBy(text_col)
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .select(id_col, text_col, "n_copies")
+    )
+
+
+def sha_digest(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stable 256-bit content digest — dedup/shuffle key for 100 TB corpora
+    (64-byte key instead of full documents)."""
+    return docs.withColumn("digest", F.sha2(F.col(text_col), 256))
+
+
+def shingles(text: F.Column, k: int = 3) -> F.Column:
+    """Word k-shingles as strings ('a b c'). Sliding window via transform
+    over token indices — JVM-side, no UDF."""
+    toks = F.split(text, " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n >= k, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+def minhash_signature(docs: DataFrame, text_col: str = "text", num_hashes: int = 32, shingle_k: int = 3) -> DataFrame:
+    """Adds 'signature': array of num_hashes minima of xxhash64(seed, shingle).
+
+    xxhash64 is deterministic across runs/executors (unlike F.hash's
+    murmur3? — murmur3 is also deterministic, but xxhash64 gives 64-bit
+    range). One pass, no shuffle."""
+    sh = shingles(F.col(text_col), shingle_k)
+
+    def seeded_hash(seed: int):
+        # factory closure — NOT a default-arg lambda, which pyspark would
+        # misread as the two-arg (element, index) HOF form.
+        return lambda s: F.xxhash64(F.lit(seed), s)
+
+    sig = F.array(
+        *[F.array_min(F.transform(sh, seeded_hash(i))) for i in range(num_hashes)]
+    )
+    return docs.withColumn("signature", sig)
+
+
+def lsh_candidate_pairs(
+    with_sig: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Band the signature, bucket-join on (band, band_hash): returns
+    candidate (a, b) id pairs with a < b. Shuffle is keyed on band hashes —
+    cardinality ~ n_docs * num_bands, never n^2."""
+    banded = with_sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b"))
+        .distinct()
+    )
+
+
+def jaccard_tokens(left_text: F.Column, right_text: F.Column) -> F.Column:
+    """Exact token-set Jaccard similarity (engine-agnostic arithmetic)."""
+    lt = F.array_distinct(F.split(left_text, " "))
+    rt = F.array_distinct(F.split(right_text, " "))
+    inter = F.size(F.array_intersect(lt, rt)).cast("double")
+    union = F.size(F.array_union(lt, rt)).cast("double")
+    return inter / union
+
+
+def minhash_near_dups(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+) -> DataFrame:
+    """Full pipeline: signatures -> LSH candidates -> exact Jaccard verify.
+    Returns (a, b, jaccard) pairs with jaccard >= threshold."""
+    with_sig = minhash_signature(docs, text_col, num_hashes)
+    pairs = lsh_candidate_pairs(with_sig, id_col, num_bands, num_hashes // num_bands)
+    lt = docs.select(F.col(id_col).alias("a"), F.col(text_col).alias("_ta"))
+    rt = docs.select(F.col(id_col).alias("b"), F.col(text_col).alias("_tb"))
+    return (
+        pairs.join(lt, "a")
+        .join(rt, "b")
+        .withColumn("jaccard", jaccard_tokens(F.col("_ta"), F.col("_tb")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash(text: F.Column, bits: int = 64) -> F.Column:
+    """Sign-aggregated token-hash fingerprint: bit i of the result is 1 iff
+    the sum over tokens of sign(bit i of xxhash64(token)) is positive.
+    Near-duplicate bags of tokens get small Hamming distances."""
+    toks = F.array_distinct(F.split(text, " "))
+
+    def vote(bit_idx: int):
+        return lambda a, t: a + F.when(
+            F.shiftright(F.xxhash64(t), bit_idx).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        votes = F.aggregate(toks, F.lit(0).cast("long"), vote(i))
+        bit = F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        out = out.bitwiseOR(F.shiftleft(bit, i))
+    return out

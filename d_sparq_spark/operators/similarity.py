@@ -1,0 +1,164 @@
+"""Similarity search over embedding columns (SURVEY §2.C): brute-force
+cosine top-k as the exact baseline, random-hyperplane LSH bucketing as the
+scale path (IVF-style candidate pruning without an index build).
+
+All vector math uses higher-order functions (zip_with / aggregate /
+transform) on array<float|double> — JVM-side, no UDF, no collect. The
+cross join in brute force is bounded by the QUERY side (broadcast k
+queries against n candidates = one linear scan); the LSH variant buckets
+both sides so only matching buckets pair up.
+
+Cross-engine determinism note: float dot products are order-sensitive, so
+the ORACLE-facing variant (scaled_int_cosine_topk) quantizes elements to
+1e-6 fixed-point BIGINTs first — integer dot products are exact in any
+order, and DuckDB reproduces them bit-for-bit. The float variant
+(cosine_topk) is the real API for users; its top-k agrees with the
+quantized one except for ~1e-6-close ties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query row: broadcast queries, one linear
+    scan over candidates, per-query row_number. Returns (qid, cid, cos, rn)."""
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    c = embeddings.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return scored.withColumn("rn", F.row_number().over(w).cast("long")).filter(
+        F.col("rn") <= k
+    )
+
+
+def quantize(vec: Column, scale: int = 1_000_000) -> Column:
+    """array<float> -> array<long> fixed-point (see module docstring)."""
+    return F.transform(vec, lambda x: F.round(x.cast("double") * scale, 0).cast("long"))
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def scaled_int_cosine_topk(
+    embeddings: DataFrame, query_pred: Column, k: int = 3, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Oracle-exact cosine top-k over quantized vectors (integer dot/norm,
+    double only for the final sqrt/divide — identical in any engine)."""
+    base = embeddings.select(
+        F.col(id_col), quantize(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", int_dot(F.col("v"), F.col("v")))
+    q = base.filter(query_pred).select(
+        F.col(id_col).alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(base.select(F.col(id_col).alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")))
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            (
+                int_dot(F.col("qv"), F.col("cv")).cast("double")
+                / (F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("cn").cast("double")))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return scored.withColumn("rn", F.row_number().over(w).cast("long")).filter(F.col("rn") <= k)
+
+
+def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
+    """Random-hyperplane LSH bucket id: bit j = sign(<v, h_j>) where h_j is
+    a deterministic pseudo-random hyperplane derived from xxhash64(j, i).
+    Cosine-similar vectors collide with high probability."""
+    def plane_component(plane: int):
+        # factory closure (a default-arg lambda would be misread as the
+        # two-arg (element, index) HOF form)
+        return lambda i: F.when(
+            F.xxhash64(F.lit(plane), i).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)
+        ).otherwise(F.lit(-1.0))
+
+    out = F.lit(0).cast("long")
+    for j in range(n_planes):
+        # deterministic +-1 hyperplane component per (plane j, dim i)
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), plane_component(j)),
+                lambda x, h: (x * h).cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        out = out.bitwiseOR(F.shiftleft(bit, j))
+    return out
+
+
+def ann_cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate NN: bucket both sides by hyperplane signature, score only
+    same-bucket pairs. At 100 TB this turns the n*q cross join into
+    sum-over-buckets — the standard LSH recall/cost dial (more planes =
+    smaller buckets = faster + lower recall)."""
+    dim = 64
+    c = embeddings.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return scored.withColumn("rn", F.row_number().over(w).cast("long")).filter(F.col("rn") <= k)

@@ -25,7 +25,7 @@ from d_sparq_spark.operators.rdf_patterns import (
     star_join,
 )
 from d_sparq_spark.plans import ast as A
-from d_sparq_spark.queries.helpers import DEC
+from d_sparq_spark.functions.numeric import DEC
 
 _XSD_CASTS = {
     "xsd:double": "double",

@@ -5,7 +5,9 @@ queries at import time via @register).
 """
 
 from d_sparq_spark.queries import (  # noqa: F401
+    events_windows,
     flagship,
+    llm_ops,
     rdf_core,
     relational_aggs,
     relational_joins,

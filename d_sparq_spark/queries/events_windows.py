@@ -1,0 +1,120 @@
+"""Event-time windowing harness queries (SURVEY §2.C streaming rows), in
+batch mode with exact DuckDB oracles — window starts as epoch-microsecond
+bigints so every boundary is integer arithmetic on both engines — plus a
+real Structured Streaming run (rows-only) of the same tumbling logic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from d_sparq_spark.queries.helpers import sql_dsum
+from d_sparq_spark.registry import register
+from d_sparq_spark.sources.tables import load_table
+from d_sparq_spark.streaming.windows import (
+    HOUR_US,
+    Q_HOUR_US,
+    run_stream_to_batch,
+    session_30m,
+    sliding_hourly,
+    stream_events,
+    tumbling_hourly,
+)
+
+_TS_US = "epoch_us(date_trunc('microseconds', ts))"
+
+# --- tumbling -----------------------------------------------------------------
+
+_ORACLE_TUMBLING = f"""
+SELECT ({_TS_US} // {HOUR_US}) * {HOUR_US} AS win_start_us,
+       event_type,
+       COUNT(*) AS n,
+       {sql_dsum('value')} AS total
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("q_window_tumbling", oracle=_ORACLE_TUMBLING)
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_hourly(load_table(spark, sf_dir, "events"))
+
+
+# --- sliding ------------------------------------------------------------------
+
+_ORACLE_SLIDING = f"""
+WITH ex AS (
+  SELECT (({_TS_US} // {Q_HOUR_US}) - j) * {Q_HOUR_US} AS win_start_us, value
+  FROM events, range(0, 4) t(j)
+)
+SELECT win_start_us, COUNT(*) AS n, {sql_dsum('value')} AS total
+FROM ex GROUP BY 1
+"""
+
+
+@register("q_window_sliding", oracle=_ORACLE_SLIDING)
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_hourly(load_table(spark, sf_dir, "events"))
+
+
+# --- session ------------------------------------------------------------------
+
+_ORACLE_SESSION = f"""
+WITH e AS (
+  SELECT user_id, {_TS_US} AS ts_us FROM events
+),
+flagged AS (
+  SELECT user_id, ts_us,
+         CASE WHEN ts_us - lag(ts_us) OVER w >= 1800000000 OR
+                   lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+),
+sessions AS (
+  SELECT user_id, ts_us,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+)
+SELECT user_id, MIN(ts_us) AS sess_start_us, COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, sess_id
+"""
+
+
+@register("q_window_session", oracle=_ORACLE_SESSION)
+def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_30m(load_table(spark, sf_dir, "events"))
+
+
+# --- stateful dedup (batch equivalent) -------------------------------------------
+
+_ORACLE_DEDUP_EVENTS = """
+SELECT user_id, event_type, MIN(event_id) AS first_event_id, COUNT(*) AS n
+FROM events GROUP BY user_id, event_type
+"""
+
+
+@register("q_dedup_events", oracle=_ORACLE_DEDUP_EVENTS)
+def q_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of stateful keep-first dedup on (user_id, event_type);
+    the streaming form is dropDuplicatesWithinWatermark (rows-only smoke
+    in tests/test_streaming.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id"), F.count(F.lit(1)).alias("n")
+    )
+
+
+# --- real Structured Streaming run (rows-only) -------------------------------------
+
+
+@register("q_stream_tumbling", oracle=None)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same tumbling aggregation executed through readStream +
+    watermark + availableNow trigger into a memory sink. Finite input and
+    complete-mode output make it deterministic; equality with the batch
+    q_window_tumbling is asserted in tests/test_streaming.py."""
+    name = "stream_tumbling_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    stream = stream_events(spark, sf_dir)
+    return run_stream_to_batch(stream, tumbling_hourly, name)

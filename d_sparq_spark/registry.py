@@ -39,7 +39,19 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        _REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # ship the package to executor Python workers once per session —
+            # UDF closures pickle by module reference and the harness may
+            # drive from any cwd (session.ship_package docstring).
+            from d_sparq_spark.session import ship_package
+
+            ship_package(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        _REGISTRY[name] = Query(name=name, fn=wrapped, oracle=oracle, doc=fn.__doc__ or "")
         return fn
 
     return deco

@@ -52,6 +52,34 @@ def build_session(
     return builder.getOrCreate()
 
 
+def ship_package(spark: SparkSession) -> None:
+    """Make d_sparq_spark importable on executor Python workers.
+
+    Functions referenced by Python UDFs (mapInPandas/applyInPandas) are
+    cloudpickled BY REFERENCE to their module; if the driver process was
+    started outside the repo (the harness does this), workers raise
+    ModuleNotFoundError. Zipping the package once per session and
+    addPyFile-ing it fixes every such path, local or cluster."""
+    sc = spark.sparkContext
+    if getattr(sc, "_d_sparq_shipped", False):
+        return
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join("/tmp", "d_sparq_spark_pkg.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join(
+                        "d_sparq_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    sc._d_sparq_shipped = True
+
+
 def get_or_create(spark: SparkSession | None = None) -> SparkSession:
     """Reuse an active session when one exists (the driver passes its own)."""
     if spark is not None:

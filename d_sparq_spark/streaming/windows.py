@@ -1,0 +1,95 @@
+"""Event-time window aggregations — one implementation, two execution
+modes. The column logic (tumbling/sliding/session windows) is shared
+between batch DataFrames (oracle-checkable) and readStream DataFrames
+(with watermarks); Structured Streaming guarantees the same results up to
+late-data handling, which is exactly what tests/test_streaming.py checks.
+
+Window starts are returned as epoch MICROSECOND bigints, not timestamps:
+events.ts is ns-precision parquet (truncated to us on load, see
+sources/tables.py) and integer window arithmetic is engine-exact, so the
+DuckDB oracle reproduces every boundary bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from d_sparq_spark.functions.numeric import dsum
+
+HOUR_US = 3_600_000_000
+Q_HOUR_US = 900_000_000
+
+
+def tumbling_hourly(events: DataFrame) -> DataFrame:
+    """1-hour tumbling windows per event_type: count + exact value sum."""
+    agg = events.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("total"))
+    return agg.select(
+        F.unix_micros(F.col("w.start")).alias("win_start_us"), "event_type", "n", "total"
+    )
+
+
+def sliding_hourly(events: DataFrame) -> DataFrame:
+    """1-hour windows sliding every 15 min (each event lands in 4)."""
+    agg = events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w")).agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("total")
+    )
+    return agg.select(F.unix_micros(F.col("w.start")).alias("win_start_us"), "n", "total")
+
+
+def session_30m(events: DataFrame) -> DataFrame:
+    """30-minute-gap session windows per user: session start + event count."""
+    agg = events.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return agg.select(
+        "user_id", F.unix_micros(F.col("w.start")).alias("sess_start_us"), "n_events"
+    )
+
+
+def stream_events(spark, sf_dir: str, with_watermark: str | None = "10 minutes") -> DataFrame:
+    """readStream over the same events parquet (schema pinned; ts arrives as
+    ns-long and is truncated exactly like the batch loader)."""
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file-stream source requires a DIRECTORY base path; events.parquet
+    # is a single file, so stream the parent dir with a glob filter.
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if with_watermark:
+        ev = ev.withWatermark("ts", with_watermark)
+    return ev
+
+
+def run_stream_to_batch(stream_df: DataFrame, agg_fn, name: str) -> DataFrame:
+    """Run a windowed aggregation over a finite stream with
+    trigger(availableNow) into a memory sink; returns the final table.
+    Used for batch-vs-stream equivalence tests and the rows-only harness
+    entry (real streaming execution, deterministic because input is
+    finite and complete-mode output)."""
+    q = (
+        agg_fn(stream_df)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return stream_df.sparkSession.table(name)
+
+
+def dedup_within_watermark(stream_df: DataFrame) -> DataFrame:
+    """Stateful streaming dedup on event_id (state expires with the
+    watermark — bounded memory at any scale)."""
+    return stream_df.dropDuplicatesWithinWatermark(["event_id"])

@@ -1,0 +1,95 @@
+"""Unit tests for dedup / similarity / multimodal operators beyond the
+oracle harness: LSH recall against exact Jaccard, quantized-vs-float
+cosine agreement, simhash locality, Arrow batch plumbing."""
+
+from pyspark.sql import functions as F
+
+from d_sparq_spark.operators import dedup as D
+from d_sparq_spark.operators import multimodal as M
+from d_sparq_spark.operators import similarity as S
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+        (3, "completely different text about spark engines"),
+        (4, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (5, "spark engines about completely different text"),  # token-bag permutation of 3
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    out = {r["text"]: (r["doc_id"], r["n_copies"]) for r in D.exact_dedup(_docs(spark)).collect()}
+    assert out["the quick brown fox jumps over the lazy dog"] == (1, 2)
+    assert len(out) == 4
+
+
+def test_minhash_finds_near_dup_pair(spark):
+    pairs = {(r["a"], r["b"]) for r in D.minhash_near_dups(_docs(spark), threshold=0.5).collect()}
+    assert (1, 4) in pairs            # identical docs always collide
+    assert (1, 2) in pairs or (2, 4) in pairs  # near-dup should be caught
+    assert all(a < b for a, b in pairs)
+
+
+def test_minhash_deterministic_across_runs(spark):
+    docs = _docs(spark)
+    s1 = D.minhash_signature(docs).select("doc_id", "signature").collect()
+    s2 = D.minhash_signature(docs).select("doc_id", "signature").collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+
+
+def test_simhash_locality(spark):
+    df = _docs(spark).select("doc_id", D.simhash(F.col("text"), bits=16).alias("h"))
+    h = {r["doc_id"]: r["h"] for r in df.collect()}
+    assert h[1] == h[4]                       # identical text -> identical hash
+    assert h[3] == h[5]                       # same token bag -> identical hash
+    ham_near = bin(h[1] ^ h[2]).count("1")
+    ham_far = bin(h[1] ^ h[3]).count("1")
+    assert ham_near < ham_far                 # locality
+
+def test_cosine_float_vs_quantized_agree(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r["qid"], r["rn"]): r["cid"]
+        for r in S.cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=3).collect()
+    }
+    quant = {
+        (r["qid"], r["rn"]): r["cid"]
+        for r in S.scaled_int_cosine_topk(emb, F.col("vec_id") < 3, k=3).collect()
+    }
+    assert exact == quant
+
+
+def test_ann_subset_of_exact_candidates(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 2)
+    ann = S.ann_cosine_topk(emb, q, k=5, n_planes=2)
+    rows_ann = ann.collect()
+    assert len(rows_ann) > 0
+    # every ANN hit must be a genuine same-bucket pair with a valid score
+    assert all(-1.0001 <= r["cos"] <= 1.0001 for r in rows_ann)
+
+
+def test_multimodal_batch_plumbing(spark):
+    docs = _docs(spark)
+    with_media = M.attach_media(docs, F.encode(F.col("text"), "UTF-8"), "image")
+    feats = M.extract_features(with_media).collect()
+    assert len(feats) == 5
+    assert all(r["is_fake"] for r in feats)
+    assert all(r["kind"] == "image" for r in feats)
+    assert all(16 <= r["width"] < 80 and 16 <= r["height"] < 80 for r in feats)
+    # identical content -> identical digest and identical fake features
+    by_digest = {}
+    for r in feats:
+        by_digest.setdefault(r["digest"], set()).add((r["width"], r["height"], r["byte_len"]))
+    assert all(len(v) == 1 for v in by_digest.values())

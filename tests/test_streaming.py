@@ -1,0 +1,51 @@
+"""Streaming semantics: the streamed aggregation must equal its batch
+form on finite input (FIXTURES.md §4), and stateful dedup must hold."""
+
+from pyspark.sql import functions as F
+
+from d_sparq_spark.sources.tables import load_table
+from d_sparq_spark.streaming.windows import (
+    dedup_within_watermark,
+    run_stream_to_batch,
+    stream_events,
+    tumbling_hourly,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_stream_equals_batch_tumbling(spark):
+    batch = tumbling_hourly(load_table(spark, SF, "events"))
+    streamed = run_stream_to_batch(
+        stream_events(spark, SF), tumbling_hourly, "t_stream_eq_batch"
+    )
+    assert _sorted_rows(streamed) == _sorted_rows(batch)
+
+
+def test_stream_dedup_within_watermark(spark):
+    stream = stream_events(spark, SF)
+    deduped = dedup_within_watermark(stream)
+    q = (
+        deduped.groupBy("event_type")
+        .count()
+        .writeStream.format("memory")
+        .queryName("t_stream_dedup")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["event_type"]: r["count"] for r in spark.table("t_stream_dedup").collect()}
+    batch = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # event_ids are unique in the fixture, so dedup must be a no-op
+    assert got == batch
