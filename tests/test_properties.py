@@ -1,0 +1,73 @@
+"""Property-based tests (SURVEY.md §5.3, hypothesis):
+
+- dictionary encode -> decode is the identity for arbitrary term sets,
+- N-Triples format -> parse is the identity for arbitrary term content,
+- BGP results are invariant under pattern permutation (the optimizer may
+  reorder patterns freely — A7 — without changing semantics).
+
+One shared SparkSession; hypothesis drives the data, Spark the engine.
+Deadlines disabled: Spark job latency is not the property under test.
+"""
+
+import string
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from d_sparq_spark.operators.dictionary import build_dictionary, decode_triples, encode_triples
+from d_sparq_spark.operators.rdf_patterns import TriplePattern, star_join
+from d_sparq_spark.sources.ntriples import format_ntriples, parse_ntriples
+
+SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# printable, no control chars; literals may contain quotes/backslashes
+_term_chars = string.ascii_letters + string.digits + " .:#/\\\"'-_"
+terms = st.text(_term_chars, min_size=1, max_size=24).map(str.strip).filter(bool)
+iri_terms = st.from_regex(r"[a-z]{1,5}:[A-Za-z0-9_]{1,10}", fullmatch=True)
+triple_lists = st.lists(
+    st.tuples(iri_terms, iri_terms, st.one_of(terms, iri_terms)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@SETTINGS
+@given(data=triple_lists)
+def test_dict_roundtrip_identity(spark, data):
+    triples = spark.createDataFrame(data, "s string, p string, o string").distinct()
+    d = build_dictionary(triples)
+    back = decode_triples(encode_triples(triples, d), d)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, triples.collect()))
+
+
+@SETTINGS
+@given(data=triple_lists)
+def test_ntriples_roundtrip_identity(spark, data):
+    triples = spark.createDataFrame(data, "s string, p string, o string")
+    back = parse_ntriples(format_ntriples(triples))
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, triples.collect()))
+
+
+@SETTINGS
+@given(perm=st.permutations([0, 1, 2]))
+def test_bgp_pattern_order_invariance(spark, perm):
+    rows = [
+        ("a", "p1", "x"), ("a", "p2", "y"), ("a", "p3", "z"),
+        ("b", "p1", "x"), ("b", "p2", "y2"), ("b", "p3", "z"),
+        ("c", "p1", "x2"), ("c", "p2", "y"), ("c", "p3", "z"),
+    ]
+    triples = spark.createDataFrame(rows, "s string, p string, o string")
+    patterns = [
+        TriplePattern("?s", "p1", "?a"),
+        TriplePattern("?s", "p2", "?b"),
+        TriplePattern("?s", "p3", "z"),
+    ]
+    permuted = [patterns[i] for i in perm]
+    base = star_join(triples, patterns)
+    out = star_join(triples, permuted)
+    key = lambda df: sorted(tuple(r[c] for c in sorted(df.columns)) for r in df.collect())
+    assert key(out) == key(base)
