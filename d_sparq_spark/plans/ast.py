@@ -63,9 +63,20 @@ class Aggregate:
 # ---------------- algebra nodes ----------------
 
 
+@dataclass(frozen=True)
+class PathPattern:
+    """Property-path pattern: s (p+|p*) o. Sequence paths are expanded to
+    plain patterns with fresh variables at parse time."""
+
+    s: object
+    op: str  # '+' or '*'
+    p: object
+    o: object
+
+
 @dataclass
 class BGP:
-    patterns: list[TriplePattern] = field(default_factory=list)
+    patterns: list = field(default_factory=list)  # TriplePattern | PathPattern
 
 
 @dataclass
@@ -146,6 +157,12 @@ class Slice:
 
 @dataclass
 class Ask:
+    child: object
+
+
+@dataclass
+class Construct:
+    template: list[TriplePattern]
     child: object
 
 

@@ -93,6 +93,11 @@ class Parser:
         self.toks = tokenize(text)
         self.i = 0
         self.prefixes: dict[str, str] = {}
+        self._fresh = 0  # fresh-variable counter for sequence paths
+
+    def fresh_var(self) -> str:
+        self._fresh += 1
+        return f"?__p{self._fresh}"
 
     # ---- token helpers ----
     def peek(self, k: int = 0) -> Token:
@@ -136,10 +141,29 @@ class Parser:
             if self.peek().kind != "EOF":
                 raise SyntaxError(f"SPARQL: trailing tokens at {self.peek()}")
             return A.Ask(group)
+        if self.at_kw("construct"):
+            return self.parse_construct()
         return self.parse_select()
 
+    def parse_construct(self) -> A.Construct:
+        self.eat_kw("construct")
+        self.eat_op("{")
+        template: list[TriplePattern] = []
+        while not self.at_op("}"):
+            if self.at_op("."):
+                self.next()
+                continue
+            self.parse_triples_same_subject(template)
+        self.eat_op("}")
+        if self.at_kw("where"):
+            self.next()
+        child = self.parse_group()
+        if self.peek().kind != "EOF":
+            raise SyntaxError(f"SPARQL: trailing tokens at {self.peek()}")
+        return A.Construct(template, child)
+
     # ---- SELECT ----
-    def parse_select(self) -> A.SelectQuery:
+    def parse_select(self, subquery: bool = False) -> A.SelectQuery:
         self.eat_kw("select")
         distinct = False
         if self.at_kw("distinct", "reduced"):
@@ -217,22 +241,31 @@ class Parser:
             elif self.at_kw("offset"):
                 self.next()
                 offset = int(self.next().text)
-        if self.peek().kind != "EOF":
+        if not subquery and self.peek().kind != "EOF":
             raise SyntaxError(f"SPARQL: trailing tokens at {self.peek()}")
 
         if aggs or group_keys is not None:
             root = A.Group(keys=group_keys or [], aggs=aggs, child=root)
             if having is not None:
                 root = A.Filter(having, root)
+        # SPARQL evaluation order (spec §18.2.4): extend with SELECT
+        # expressions, ORDER BY (may reference non-projected vars), project,
+        # DISTINCT, slice. With DISTINCT, ordering is re-applied after the
+        # dedup shuffle (sort keys must then be projected — documented
+        # subset restriction).
+        for name, e in proj_exprs:
+            root = A.Bind(e, name, root)
+        if order_keys and not distinct:
+            root = A.OrderBy(order_keys, root)
         root = A.Project(
             vars=proj_vars if not select_all else [],
-            exprs=proj_exprs,
+            exprs=[],
             child=root,
         )
         if distinct:
             root = A.Distinct(root)
-        if order_keys:
-            root = A.OrderBy(order_keys, root)
+            if order_keys:
+                root = A.OrderBy(order_keys, root)
         if offset or limit is not None:
             root = A.Slice(offset, limit, root)
         return A.SelectQuery(root=root)
@@ -276,6 +309,13 @@ class Parser:
                 elements.append(("values", *self.parse_values()))
             elif self.at_op("{"):
                 flush_triples()
+                # subquery: { SELECT ... }
+                if self.peek(1).kind == "KEYWORD" and self.peek(1).text.lower() == "select":
+                    self.next()
+                    sub = self.parse_select(subquery=True)
+                    self.eat_op("}")
+                    elements.append(("group", sub.root))
+                    continue
                 g = self.parse_group()
                 while self.at_kw("union"):
                     self.next()
@@ -314,13 +354,13 @@ class Parser:
         return node
 
     # ---- triples ----
-    def parse_triples_same_subject(self, out: list[TriplePattern]) -> None:
+    def parse_triples_same_subject(self, out: list) -> None:
         s = self.parse_term()
         while True:
             p = self.parse_verb()
             while True:
                 o = self.parse_term()
-                out.append(TriplePattern(s, p, o))
+                self._emit_pattern(out, s, p, o)
                 if self.at_op(","):
                     self.next()
                     continue
@@ -332,11 +372,38 @@ class Parser:
                 continue
             break
 
+    def _emit_pattern(self, out: list, s, p, o) -> None:
+        if isinstance(p, tuple) and p[0] == "seq":
+            # p1/p2/... -> chain through fresh variables
+            cur = s
+            for step in p[1][:-1]:
+                v = self.fresh_var()
+                self._emit_pattern(out, cur, step, v)
+                cur = v
+            self._emit_pattern(out, cur, p[1][-1], o)
+        elif isinstance(p, tuple) and p[0] in ("+", "*"):
+            out.append(A.PathPattern(s, p[0], p[1], o))
+        else:
+            out.append(TriplePattern(s, p, o))
+
     def parse_verb(self):
         if self.at_kw("a"):  # rdf:type shorthand
             self.next()
             return "rdf:type"
-        return self.parse_term()
+        t = self.parse_term()
+        if self.at_op("/"):
+            parts = [t]
+            while self.at_op("/"):
+                self.next()
+                parts.append(self.parse_term())
+            return ("seq", parts)
+        if self.at_op("+"):
+            self.next()
+            return ("+", t)
+        if self.at_op("*"):
+            self.next()
+            return ("*", t)
+        return t
 
     def parse_term(self):
         t = self.next()

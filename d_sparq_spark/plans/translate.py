@@ -119,7 +119,27 @@ class Translator:
             return self.spark.createDataFrame([(exists,)], "ask boolean")
         if isinstance(node, A.SelectQuery):
             return self.eval(node.root)
+        if isinstance(node, A.Construct):
+            return self._construct(node)
         raise TypeError(f"SPARQL translate: unknown node {type(node).__name__}")
+
+    def _construct(self, node: A.Construct) -> DataFrame:
+        """CONSTRUCT: instantiate each template pattern against the
+        bindings, union, dedup (a graph is a set of triples)."""
+        child = self.eval(node.child)
+
+        def term_col(term):
+            if isinstance(term, str) and term.startswith("?"):
+                return F.col(term[1:])
+            return F.lit(term)
+
+        parts = [
+            child.select(
+                term_col(tp.s).alias("s"), term_col(tp.p).alias("p"), term_col(tp.o).alias("o")
+            )
+            for tp in node.template
+        ]
+        return reduce(lambda a, b: a.unionByName(b), parts).dropDuplicates()
 
     # ------------- BGP: star decomposition + greedy star chaining -------------
 
@@ -127,8 +147,12 @@ class Translator:
         if not node.patterns:
             # unit table: one row, zero columns
             return self.spark.range(1).select()
+        paths = [p for p in node.patterns if isinstance(p, A.PathPattern)]
+        plain = [p for p in node.patterns if not isinstance(p, A.PathPattern)]
+        if not plain:
+            return reduce(join_bindings, (self._path(p) for p in paths))
         by_subject: dict[object, list[TriplePattern]] = {}
-        for tp in node.patterns:
+        for tp in plain:
             by_subject.setdefault(tp.s, []).append(tp)
         stars = list(by_subject.values())
 
@@ -145,10 +169,28 @@ class Translator:
             st = stars.pop(idx)
             ordered.append(st)
             bound |= set().union(*(set(tp.variables()) for tp in st))
-        return reduce(
+        base = reduce(
             join_bindings,
             (star_join(self.triples, star, self.stats) for star in ordered),
         )
+        for p in paths:  # property paths join in after the plain BGP
+            base = join_bindings(base, self._path(p))
+        return base
+
+    def _path(self, p: A.PathPattern) -> DataFrame:
+        """Evaluate s (p+|p*) o: transitive closure of the predicate's edge
+        set (operators/paths.py), then bind/filter the endpoints."""
+        from d_sparq_spark.operators.paths import path_plus, path_star
+
+        closure = path_plus(self.triples, p.p) if p.op == "+" else path_star(self.triples, p.p)
+        df = closure
+        cols = []
+        for endpoint, col in ((p.s, "src"), (p.o, "dst")):
+            if isinstance(endpoint, str) and endpoint.startswith("?"):
+                cols.append(F.col(col).alias(endpoint[1:]))
+            else:
+                df = df.filter(F.col(col) == F.lit(endpoint))
+        return df.select(*cols) if cols else df.select()
 
     # ------------- FILTER (incl. EXISTS / NOT EXISTS) -------------
 

@@ -15,5 +15,6 @@ from d_sparq_spark.queries import (  # noqa: F401
     relational_scan,
     relational_setops,
     relational_windows,
+    sparql_paths,
     sparql_queries,
 )

@@ -1,0 +1,61 @@
+"""Harness queries for property paths, CONSTRUCT, subqueries (SURVEY §2.B
+B14/B15/B16) over the derived triples view. The ex:next successor chain on
+nation keys makes p+ exactly the i<j key pairs — an exact SQL oracle for a
+fixpoint computation."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from d_sparq_spark.engine import SparqlEngine
+from d_sparq_spark.registry import register
+from d_sparq_spark.sources.derived_rdf import derive_triples
+
+
+def _q(name: str, sparql: str, oracle: str) -> None:
+    @register(name, oracle=oracle)
+    def runner(spark: SparkSession, sf_dir: str, _s=sparql) -> DataFrame:
+        return SparqlEngine(derive_triples(spark, sf_dir)).query(_s)
+
+    runner.__doc__ = f"SPARQL:\n{sparql}"
+
+
+_q(
+    "q_sparql_path_plus",
+    "SELECT ?x ?y WHERE { ?x ex:next+ ?y }",
+    """
+    SELECT 'n:' || a.n_nationkey AS x, 'n:' || b.n_nationkey AS y
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    """,
+)
+
+_q(
+    "q_sparql_path_seq",
+    "SELECT ?c ?r WHERE { ?c ex:nation/ex:region ?r }",
+    """
+    SELECT 'c:' || c_custkey AS c, 'r:' || n_regionkey AS r
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+
+_q(
+    "q_sparql_construct",
+    "CONSTRUCT { ?c ex:inSegment ?seg } WHERE { ?c ex:mktsegment ?seg }",
+    """
+    SELECT DISTINCT 'c:' || c_custkey AS s, 'ex:inSegment' AS p, c_mktsegment AS o
+    FROM customer
+    """,
+)
+
+_q(
+    "q_sparql_subquery",
+    "SELECT ?c ?name WHERE { ?c foaf:name ?name . "
+    "{ SELECT ?c WHERE { ?c ex:acctbal ?b } "
+    "ORDER BY DESC(xsd:double(?b)) ?c LIMIT 5 } }",
+    """
+    SELECT 'c:' || c_custkey AS c, c_name AS name
+    FROM customer
+    ORDER BY CAST(printf('%.2f', c_acctbal) AS DOUBLE) DESC, 'c:' || c_custkey
+    LIMIT 5
+    """,
+)

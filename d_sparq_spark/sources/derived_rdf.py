@@ -37,6 +37,11 @@ SELECT 'n:' || n_nationkey, 'foaf:name', n_name FROM nation
 UNION ALL
 SELECT 'n:' || n_nationkey, 'ex:region', 'r:' || n_regionkey FROM nation
 UNION ALL
+-- successor chain over nation keys: the multi-hop graph for property-path
+-- (p+) tests; its transitive closure is exactly the i<j key pairs.
+SELECT 'n:' || n_nationkey, 'ex:next', 'n:' || (n_nationkey + 1)
+FROM nation WHERE n_nationkey + 1 IN (SELECT n_nationkey FROM nation)
+UNION ALL
 SELECT 'r:' || r_regionkey, 'rdf:type', 'Region' FROM region
 UNION ALL
 SELECT 'r:' || r_regionkey, 'foaf:name', r_name FROM region
@@ -76,6 +81,21 @@ def derive_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tr")
     )
+    succ = n.select((F.col("n_nationkey") - 1).alias("_prev"))
+    nxt = (
+        n.join(succ, n.n_nationkey == succ._prev, "left_semi")
+        .select(
+            F.explode(
+                F.array(
+                    t(
+                        n_s,
+                        F.lit("ex:next"),
+                        F.concat(F.lit("n:"), (F.col("n_nationkey") + 1).cast("string")),
+                    )
+                )
+            ).alias("tr")
+        )
+    )
     reg = r.select(
         F.explode(
             F.array(
@@ -84,4 +104,6 @@ def derive_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tr")
     )
-    return cust.unionByName(nat).unionByName(reg).select("tr.s", "tr.p", "tr.o")
+    return (
+        cust.unionByName(nat).unionByName(nxt).unionByName(reg).select("tr.s", "tr.p", "tr.o")
+    )

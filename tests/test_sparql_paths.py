@@ -1,0 +1,90 @@
+"""Golden tests for property paths, CONSTRUCT, and subqueries (the §2.B
+rows added after Phase 3: B14/B15/B16)."""
+
+import pytest
+
+from d_sparq_spark.engine import SparqlEngine
+from d_sparq_spark.operators.paths import transitive_closure
+
+CHAIN = [
+    ("n:1", "ex:next", "n:2"),
+    ("n:2", "ex:next", "n:3"),
+    ("n:3", "ex:next", "n:4"),
+    ("n:1", "ex:name", "one"),
+    ("n:4", "ex:name", "four"),
+    # a separate cycle: termination check
+    ("c:a", "ex:loop", "c:b"),
+    ("c:b", "ex:loop", "c:a"),
+]
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    triples = spark.createDataFrame(CHAIN, "s string, p string, o string")
+    return SparqlEngine(triples)
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_path_plus(engine):
+    out = engine.query("SELECT ?x ?y WHERE { ?x ex:next+ ?y }")
+    assert rows(out) == sorted(
+        [("n:1", "n:2"), ("n:1", "n:3"), ("n:1", "n:4"),
+         ("n:2", "n:3"), ("n:2", "n:4"), ("n:3", "n:4")]
+    )
+
+
+def test_path_plus_bound_endpoint(engine):
+    out = engine.query('SELECT ?y WHERE { n:2 ex:next+ ?y }')
+    assert rows(out) == [("n:3",), ("n:4",)]
+
+
+def test_path_plus_joined_with_bgp(engine):
+    out = engine.query(
+        "SELECT ?yn WHERE { ?x ex:name \"one\" . ?x ex:next+ ?y . ?y ex:name ?yn }"
+    )
+    assert rows(out) == [("four",)]
+
+
+def test_path_star_includes_zero_length(engine):
+    out = engine.query("SELECT ?y WHERE { n:3 ex:next* ?y }")
+    assert rows(out) == [("n:3",), ("n:4",)]
+
+
+def test_path_on_cycle_terminates(engine):
+    out = engine.query("SELECT ?x ?y WHERE { ?x ex:loop+ ?y }")
+    assert rows(out) == sorted(
+        [("c:a", "c:b"), ("c:a", "c:a"), ("c:b", "c:a"), ("c:b", "c:b")]
+    )
+
+
+def test_sequence_path(engine):
+    out = engine.query("SELECT ?z WHERE { n:1 ex:next/ex:next ?z }")
+    assert rows(out) == [("n:3",)]
+
+
+def test_construct(engine):
+    out = engine.query(
+        'CONSTRUCT { ?y ex:prev ?x } WHERE { ?x ex:next ?y }'
+    )
+    assert rows(out) == sorted(
+        [("n:2", "ex:prev", "n:1"), ("n:3", "ex:prev", "n:2"), ("n:4", "ex:prev", "n:3")]
+    )
+
+
+def test_subquery(engine):
+    out = engine.query(
+        "SELECT ?x ?n WHERE { ?x ex:name ?n . "
+        "{ SELECT DISTINCT ?x WHERE { ?x ex:next+ ?y } } }"
+    )
+    assert rows(out) == [("n:1", "one")]
+
+
+def test_transitive_closure_operator_directly(spark):
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "src long, dst long"
+    )
+    out = transitive_closure(edges)
+    assert out.count() == 20 * 21 // 2
