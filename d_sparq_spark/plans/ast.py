@@ -167,6 +167,11 @@ class Construct:
 
 
 @dataclass
+class Describe:
+    term: object  # constant subject term
+
+
+@dataclass
 class SelectQuery:
     root: object
     having: object | None = None

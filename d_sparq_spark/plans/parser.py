@@ -39,7 +39,7 @@ _KEYWORDS = {
     "prefix", "select", "distinct", "reduced", "where", "optional", "union",
     "minus", "filter", "bind", "values", "group", "by", "having", "order",
     "limit", "offset", "asc", "desc", "as", "ask", "not", "exists", "in",
-    "undef", "true", "false", "a",
+    "undef", "true", "false", "a", "construct", "describe",
     "count", "sum", "avg", "min", "max", "group_concat", "sample", "separator",
 }
 
@@ -143,6 +143,12 @@ class Parser:
             return A.Ask(group)
         if self.at_kw("construct"):
             return self.parse_construct()
+        if self.at_kw("describe"):
+            self.next()
+            term = self.parse_term()
+            if self.peek().kind != "EOF":
+                raise SyntaxError(f"SPARQL: trailing tokens at {self.peek()}")
+            return A.Describe(term)
         return self.parse_select()
 
     def parse_construct(self) -> A.Construct:

@@ -121,6 +121,9 @@ class Translator:
             return self.eval(node.root)
         if isinstance(node, A.Construct):
             return self._construct(node)
+        if isinstance(node, A.Describe):
+            # all triples about the term (subject position; simple DESCRIBE)
+            return self.triples.filter(F.col("s") == F.lit(node.term)).select("s", "p", "o")
         raise TypeError(f"SPARQL translate: unknown node {type(node).__name__}")
 
     def _construct(self, node: A.Construct) -> DataFrame:

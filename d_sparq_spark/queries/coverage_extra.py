@@ -1,0 +1,160 @@
+"""Inventory-completing harness queries (SURVEY §2.C rows not yet covered
+elsewhere): all-table scans, CSV/JSON sources, map functions, grouping
+sets, TF-IDF, DESCRIBE."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from d_sparq_spark import TABLES
+from d_sparq_spark.engine import SparqlEngine
+from d_sparq_spark.functions.numeric import dsum, sql_dsum
+from d_sparq_spark.registry import register
+from d_sparq_spark.sources.derived_rdf import derive_triples_cached
+from d_sparq_spark.sources.tables import load_table
+
+# --- q_scan_counts: every table scans ------------------------------------------
+
+_ORACLE_SCANS = "\nUNION ALL\n".join(
+    f"SELECT '{t}' AS tbl, COUNT(*) AS n FROM {t}" for t in TABLES
+)
+
+
+@register("q_scan_counts", oracle=_ORACLE_SCANS)
+def q_scan_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = [
+        load_table(spark, sf_dir, t).select(
+            F.lit(t).alias("tbl"), F.lit(1).alias("_one")
+        )
+        for t in TABLES
+    ]
+    all_rows = parts[0]
+    for p in parts[1:]:
+        all_rows = all_rows.unionByName(p)
+    return all_rows.groupBy("tbl").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- q_csv_source / q_json_source: non-parquet sources roundtrip ------------------
+
+_ORACLE_NATION = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
+
+@register("q_csv_source", oracle=_ORACLE_NATION)
+def q_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write nation out as CSV, read it back with an explicit schema —
+    exercises the header/schema path of the CSV source."""
+    path = os.path.join("/tmp", "d_sparq_csv_cache", os.path.basename(sf_dir.rstrip("/")))
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.schema("n_nationkey int, n_name string, n_regionkey int").option(
+        "header", True
+    ).csv(path)
+
+
+_ORACLE_SUPPLIER = "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"
+
+
+@register("q_json_source", oracle=_ORACLE_SUPPLIER)
+def q_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink -> source roundtrip (doubles survive via shortest-
+    roundtrip formatting)."""
+    path = os.path.join("/tmp", "d_sparq_json_cache", os.path.basename(sf_dir.rstrip("/")))
+    load_table(spark, sf_dir, "supplier").write.mode("overwrite").json(path)
+    return spark.read.schema(
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
+    ).json(path)
+
+
+# --- q_scalar_map: MapType surface ------------------------------------------------
+
+_ORACLE_MAP = """
+SELECT event_id,
+       array_to_string(json_keys(props), ',') AS keys_csv,
+       CAST(props->>'k' AS BIGINT) AS k_val,
+       CAST(len(json_keys(props)) AS BIGINT) AS n_keys
+FROM events
+"""
+
+
+@register("q_scalar_map", oracle=_ORACLE_MAP)
+def q_scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.concat_ws(",", F.map_keys(m)).alias("keys_csv"),
+        F.element_at(m, "k").alias("k_val"),
+        F.size(F.map_keys(m)).cast("long").alias("n_keys"),
+    )
+
+
+# --- q_agg_grouping_sets -----------------------------------------------------------
+
+_GS = """
+SELECT c_mktsegment, c_nationkey, COUNT(*) AS n, {S} AS bal
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), ())
+"""
+
+
+@register("q_agg_grouping_sets", oracle=_GS.format(S=sql_dsum("c_acctbal")))
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        _GS.format(S="CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)")
+    )
+
+
+# --- q_tfidf: classic TF-IDF via pure DataFrame ops --------------------------------
+# ln() can differ by 1 ulp across engines; round(,6) absorbs it (the judge-
+# facing exact variants avoid transcendentals entirely — this one documents
+# the accepted tolerance).
+
+_ORACLE_TFIDF = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
+df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.tok,
+       round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+FROM tf JOIN df USING (tok) CROSS JOIN n
+WHERE df.df < (SELECT n_docs FROM n)
+"""
+
+
+@register("q_tfidf", oracle=_ORACLE_TFIDF)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # driver-side scalar: one number, not data
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        tf.join(df, "tok")
+        .filter(F.col("df") < n_docs)
+        .select(
+            "doc_id",
+            "tok",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+
+
+# --- q_sparql_describe --------------------------------------------------------------
+
+_ORACLE_DESCRIBE = """
+SELECT 'n:3' AS s, 'rdf:type' AS p, 'Nation' AS o
+UNION ALL SELECT 'n:3', 'foaf:name', n_name FROM nation WHERE n_nationkey = 3
+UNION ALL SELECT 'n:3', 'ex:region', 'r:' || n_regionkey FROM nation WHERE n_nationkey = 3
+UNION ALL SELECT 'n:3', 'ex:next', 'n:4' WHERE 4 IN (SELECT n_nationkey FROM nation)
+"""
+
+
+@register("q_sparql_describe", oracle=_ORACLE_DESCRIBE)
+def q_sparql_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = SparqlEngine(derive_triples_cached(spark, sf_dir), collect_stats=False)
+    return eng.query("DESCRIBE n:3")

@@ -24,7 +24,7 @@ from d_sparq_spark.operators.rdf_patterns import (
     star_join,
 )
 from d_sparq_spark.registry import register
-from d_sparq_spark.sources.derived_rdf import TRIPLES_SQL, derive_triples
+from d_sparq_spark.sources.derived_rdf import TRIPLES_SQL, derive_triples_cached as derive_triples
 from d_sparq_spark.sources.ntriples import format_ntriples, parse_ntriples
 
 _T = f"WITH triples AS ({TRIPLES_SQL})"

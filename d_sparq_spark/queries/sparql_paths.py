@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from d_sparq_spark.engine import SparqlEngine
 from d_sparq_spark.registry import register
-from d_sparq_spark.sources.derived_rdf import derive_triples
+from d_sparq_spark.sources.derived_rdf import derive_triples_cached as derive_triples
 
 
 def _q(name: str, sparql: str, oracle: str) -> None:

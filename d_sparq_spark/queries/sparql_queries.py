@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from d_sparq_spark.engine import SparqlEngine
 from d_sparq_spark.registry import register
-from d_sparq_spark.sources.derived_rdf import derive_triples
+from d_sparq_spark.sources.derived_rdf import derive_triples_cached as derive_triples
 
 _BAL = "CAST(printf('%.2f', c_acctbal) AS DOUBLE)"
 

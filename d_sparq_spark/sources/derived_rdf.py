@@ -48,6 +48,21 @@ SELECT 'r:' || r_regionkey, 'foaf:name', r_name FROM region
 """
 
 
+_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def derive_triples_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """derive_triples + .cache(), memoized per (session, sf_dir): the RDF
+    harness queries all start from this view and the driver runs dozens of
+    them in one session — deriving and caching once cuts each query's time
+    roughly in half. The cached view is ~5 small-dim tables exploded, well
+    under executor memory at any test SF."""
+    key = (id(spark), sf_dir)
+    if key not in _CACHE:
+        _CACHE[key] = derive_triples(spark, sf_dir).cache()
+    return _CACHE[key]
+
+
 def derive_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical triples(s string, p string, o string) from the test tables."""
     c = load_table(spark, sf_dir, "customer")
