@@ -33,6 +33,8 @@ HEADLINE = [
     "q_dedup_near",        # MinHash + LSH + verify
     "q_cosine_topk",       # similarity top-k
     "q_window_tumbling",   # event-time windows
+    "q_sparql_path_plus",  # iterative fixpoint (property path)
+    "q_tfidf",             # explode + double groupBy + join
 ]
 
 

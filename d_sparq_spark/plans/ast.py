@@ -172,6 +172,16 @@ class Describe:
 
 
 @dataclass
+class Graph:
+    """GRAPH term { pattern } — evaluate the inner pattern against one
+    named graph (constant) or every named graph with ?g bound (variable).
+    Requires a quad store (g column)."""
+
+    term: object  # constant graph name or '?var'
+    child: object
+
+
+@dataclass
 class SelectQuery:
     root: object
     having: object | None = None

@@ -289,7 +289,12 @@ class Parser:
                 triples.clear()
 
         while not self.at_op("}"):
-            if self.at_kw("optional"):
+            if self.at_kw("graph"):
+                self.next()
+                term = self.parse_term()
+                flush_triples()
+                elements.append(("graph", term, self.parse_group()))
+            elif self.at_kw("optional"):
                 self.next()
                 flush_triples()
                 elements.append(("optional", self.parse_group()))
@@ -353,6 +358,8 @@ class Parser:
                 node = A.Bind(el[1], el[2], node if node is not None else A.BGP([]))
             elif el[0] == "values":
                 node = A.Values(el[1], el[2], node)
+            elif el[0] == "graph":
+                node = join(node, A.Graph(el[1], el[2]))
         if node is None:
             node = A.BGP([])
         for f in filters:  # SPARQL: FILTER scopes to the whole group

@@ -124,7 +124,34 @@ class Translator:
         if isinstance(node, A.Describe):
             # all triples about the term (subject position; simple DESCRIBE)
             return self.triples.filter(F.col("s") == F.lit(node.term)).select("s", "p", "o")
+        if isinstance(node, A.Graph):
+            return self._graph(node)
         raise TypeError(f"SPARQL translate: unknown node {type(node).__name__}")
+
+    def _graph(self, node: A.Graph) -> DataFrame:
+        """GRAPH over a quad store (B17). Constant graph: evaluate the
+        inner pattern over that graph's slice. Variable graph: one
+        evaluation per named graph with the variable bound — the distinct
+        graph list is metadata-scale (like a partition listing), so the
+        driver-side collect is bounded by |graphs|, never by data."""
+        if "g" not in self.triples.columns:
+            raise ValueError("SPARQL GRAPH requires a quad store (g column)")
+        term = node.term
+        if isinstance(term, str) and term.startswith("?"):
+            gvals = sorted(
+                r["g"] for r in self.triples.select("g").distinct().collect()
+            )
+            parts = []
+            for gv in gvals:
+                sub = Translator(
+                    self.triples.filter(F.col("g") == gv).drop("g"), self.stats
+                )
+                parts.append(sub.eval(node.child).withColumn(term[1:], F.lit(gv)))
+            return reduce(
+                lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+            )
+        sub = Translator(self.triples.filter(F.col("g") == F.lit(term)).drop("g"), self.stats)
+        return sub.eval(node.child)
 
     def _construct(self, node: A.Construct) -> DataFrame:
         """CONSTRUCT: instantiate each template pattern against the

@@ -325,3 +325,28 @@ def q_pandas_udf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.groupBy("c_nationkey").applyInPandas(
         center, "c_custkey long, delta_mu double"
     )
+
+
+# --- q_doc_stats: per-corpus-slice document statistics ---------------------------
+
+_ORACLE_DOC_STATS = f"""
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       {sql_dsum('CAST(n_chars AS DOUBLE)')} AS sum_chars,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS sum_tokens
+FROM documents GROUP BY lang, source
+"""
+
+
+@register("q_doc_stats", oracle=_ORACLE_DOC_STATS)
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        dsum(F.col("n_chars").cast("double")).alias("sum_chars"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).cast("long").alias("sum_tokens"),
+    )

@@ -59,3 +59,30 @@ _q(
     LIMIT 5
     """,
 )
+
+
+def _q_quads(name: str, sparql: str, oracle: str) -> None:
+    from d_sparq_spark.sources.derived_rdf import derive_quads
+
+    @register(name, oracle=oracle)
+    def runner(spark: SparkSession, sf_dir: str, _s=sparql) -> DataFrame:
+        return SparqlEngine(derive_quads(spark, sf_dir), collect_stats=False).query(_s)
+
+    runner.__doc__ = f"SPARQL (quad store):\n{sparql}"
+
+
+_q_quads(
+    "q_sparql_graph",
+    'SELECT ?name WHERE { GRAPH "g:nation" { ?n foaf:name ?name } }',
+    "SELECT n_name AS name FROM nation",
+)
+
+_q_quads(
+    "q_sparql_graph_var",
+    "SELECT ?g (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?s foaf:name ?o } } GROUP BY ?g",
+    """
+    SELECT 'g:customer' AS g, COUNT(*) AS n FROM customer
+    UNION ALL SELECT 'g:nation', COUNT(*) FROM nation
+    UNION ALL SELECT 'g:region', COUNT(*) FROM region
+    """,
+)

@@ -48,6 +48,19 @@ SELECT 'r:' || r_regionkey, 'foaf:name', r_name FROM region
 """
 
 
+def derive_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quad view for named-graph tests (SPARQL GRAPH, B17): each triple is
+    assigned to a named graph by its source entity — g:customer / g:nation
+    / g:region."""
+    t = derive_triples(spark, sf_dir)
+    g = (
+        F.when(F.col("s").startswith("c:"), "g:customer")
+        .when(F.col("s").startswith("n:"), "g:nation")
+        .otherwise("g:region")
+    )
+    return t.withColumn("g", g)
+
+
 _CACHE: dict[tuple[int, str], DataFrame] = {}
 
 

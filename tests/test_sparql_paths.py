@@ -88,3 +88,40 @@ def test_transitive_closure_operator_directly(spark):
     )
     out = transitive_closure(edges)
     assert out.count() == 20 * 21 // 2
+
+
+QUADS = [
+    ("g1", "p:a", "ex:name", "Alice"),
+    ("g1", "p:b", "ex:name", "Bob"),
+    ("g2", "p:a", "ex:name", "Alicia"),
+    ("g2", "p:c", "ex:age", "9"),
+]
+
+
+def test_graph_constant(spark):
+    from d_sparq_spark.engine import SparqlEngine
+
+    quads = spark.createDataFrame(QUADS, "g string, s string, p string, o string")
+    eng = SparqlEngine(quads, collect_stats=False)
+    out = eng.query('SELECT ?n WHERE { GRAPH "g2" { ?x ex:name ?n } }')
+    assert rows(out) == [("Alicia",)]
+
+
+def test_graph_variable(spark):
+    from d_sparq_spark.engine import SparqlEngine
+
+    quads = spark.createDataFrame(QUADS, "g string, s string, p string, o string")
+    eng = SparqlEngine(quads, collect_stats=False)
+    out = eng.query("SELECT ?g ?n WHERE { GRAPH ?g { p:a ex:name ?n } }")
+    assert rows(out) == [("g1", "Alice"), ("g2", "Alicia")]
+
+
+def test_graph_requires_quads(spark):
+    import pytest as _pytest
+
+    from d_sparq_spark.engine import SparqlEngine
+
+    triples = spark.createDataFrame(CHAIN, "s string, p string, o string")
+    eng = SparqlEngine(triples, collect_stats=False)
+    with _pytest.raises(ValueError, match="quad store"):
+        eng.query('SELECT ?n WHERE { GRAPH "g1" { ?x ex:name ?n } }').collect()
