@@ -1,0 +1,230 @@
+"""EncodedSparqlEngine — SPARQL over the dictionary-encoded triple store.
+
+This mirrors D-SPARQ's actual execution model (SURVEY.md §3 entry 2): the
+store holds 64-bit IDs, queries are rewritten term->ID up front, all joins
+run on longs (at 100 TB: 8-byte shuffle keys instead of strings — smaller
+exchanges, faster hashing), and only the final bindings are decoded.
+
+Execution plan per query:
+1. parse (shared parser),
+2. collect the query's constant terms (bounded by QUERY size, not data)
+   and look up their IDs with one filtered dict scan,
+3. rewrite pattern/path constants to IDs; a constant absent from the
+   dictionary means zero matches — replaced by an impossible ID,
+4. evaluate the structural algebra (BGP/joins/OPTIONAL/UNION/MINUS/paths)
+   over the encoded store,
+5. decode binding columns via broadcast dict joins,
+6. apply value-level operations (FILTER expressions, BIND, aggregates,
+   ORDER BY, projection expressions) on the DECODED values — so literal
+   comparisons/regex behave exactly as in the lexical engine.
+
+Step 6's split is computed from the algebra tree: the structural prefix
+(patterns/joins) runs encoded; the first value-level node becomes the
+decode boundary. Queries that are pure structure (SELECT of variables
+over a BGP) therefore never touch a string until the final decode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from d_sparq_spark.operators.rdf_patterns import TriplePattern, predicate_stats
+from d_sparq_spark.plans import ast as A
+from d_sparq_spark.plans.parser import parse_sparql
+from d_sparq_spark.plans.translate import Translator
+
+_MISSING_ID = -(2**62)  # never assigned by the dictionary (ids are >= 1)
+
+_STRUCTURAL = (A.BGP, A.Join, A.LeftJoin, A.Union, A.Minus, A.Values)
+
+
+def _is_var(t: object) -> bool:
+    return isinstance(t, str) and t.startswith("?")
+
+
+class EncodedSparqlEngine:
+    def __init__(self, triples_enc: DataFrame, dictionary: DataFrame, collect_stats: bool = True):
+        """triples_enc: (s,p,o) LONG columns; dictionary: (id, term[, kind])."""
+        self.triples = triples_enc
+        self.dict = dictionary.select("id", "term")
+        stats = None
+        if collect_stats:
+            stats = {
+                r["p"]: r["cnt"]
+                for r in predicate_stats(triples_enc).select("p", "cnt").collect()
+            }
+        self._stats = stats
+
+    # -- term -> id rewriting ------------------------------------------------
+
+    def _collect_constants(self, node, out: set) -> None:
+        if isinstance(node, A.BGP):
+            for tp in node.patterns:
+                for t in (tp.s, tp.p, tp.o):
+                    if not _is_var(t):
+                        out.add(t)
+        if isinstance(node, A.Values):
+            for row in node.rows:
+                out.update(v for v in row if v is not None)
+        for attr in ("left", "right", "child"):
+            sub = getattr(node, attr, None)
+            if sub is not None and not isinstance(sub, (str, list, tuple)):
+                self._collect_constants(sub, out)
+        if isinstance(node, A.Filter) and isinstance(node.expr, A.ExistsExpr):
+            self._collect_constants(node.expr.group, out)
+
+    def _rewrite(self, node, ids: dict):
+        def rid(t):
+            return t if _is_var(t) else ids.get(t, _MISSING_ID)
+
+        if isinstance(node, A.BGP):
+            pats = []
+            for tp in node.patterns:
+                if isinstance(tp, A.PathPattern):
+                    pats.append(A.PathPattern(rid(tp.s), tp.op, rid(tp.p), rid(tp.o)))
+                else:
+                    pats.append(TriplePattern(rid(tp.s), rid(tp.p), rid(tp.o)))
+            return A.BGP(pats)
+        if isinstance(node, A.Values):
+            node.rows = [
+                tuple(None if v is None else ids.get(v, _MISSING_ID) for v in row)
+                for row in node.rows
+            ]
+        for attr in ("left", "right", "child"):
+            sub = getattr(node, attr, None)
+            if sub is not None and not isinstance(sub, (str, list, tuple)):
+                setattr(node, attr, self._rewrite(sub, ids))
+        if isinstance(node, A.Filter) and isinstance(node.expr, A.ExistsExpr):
+            node.expr = A.ExistsExpr(self._rewrite(node.expr.group, ids), node.expr.negated)
+        return node
+
+    def _check_structural(self, node) -> None:
+        """The encoded path evaluates the structural subtree over IDs; a
+        value-level node buried inside it (FILTER expr under OPTIONAL,
+        aggregate in a subquery, BIND in a group) would compare encoded
+        longs against lexical literals. Reject those shapes explicitly —
+        the lexical SparqlEngine handles them; D-SPARQ's own surface (BGP
+        + top-level filters) is fully inside the supported subset."""
+        if isinstance(node, A.Filter) and not isinstance(node.expr, A.ExistsExpr):
+            raise NotImplementedError(
+                "EncodedSparqlEngine: FILTER expressions nested inside "
+                "OPTIONAL/UNION/MINUS are not supported on the encoded "
+                "store — use SparqlEngine (lexical) for this query"
+            )
+        if isinstance(node, (A.Bind, A.Group)):
+            raise NotImplementedError(
+                "EncodedSparqlEngine: BIND/aggregates nested inside the "
+                "structural pattern are not supported on the encoded store"
+            )
+        for attr in ("left", "right", "child"):
+            sub = getattr(node, attr, None)
+            if sub is not None and not isinstance(sub, (str, list, tuple)):
+                self._check_structural(sub)
+        if isinstance(node, A.Filter) and isinstance(node.expr, A.ExistsExpr):
+            self._check_structural(node.expr.group)
+
+    # -- structural/value split ----------------------------------------------
+
+    def _split(self, node):
+        """Return (structural_root, wrappers) where wrappers is the list of
+        value-level nodes (outermost first) to re-apply after decode."""
+        wrappers = []
+        while True:
+            if isinstance(node, _STRUCTURAL) or (
+                isinstance(node, A.Filter) and isinstance(node.expr, A.ExistsExpr)
+            ):
+                return node, wrappers
+            if not hasattr(node, "child"):
+                return node, wrappers
+            wrappers.append(node)
+            node = node.child
+
+    def query(self, sparql: str) -> DataFrame:
+        tree = parse_sparql(sparql)
+        if isinstance(tree, A.SelectQuery):
+            root = tree.root
+        elif isinstance(tree, (A.Ask, A.Construct)):
+            root = tree
+        else:
+            root = tree
+
+        consts: set = set()
+        self._collect_constants(root, consts)
+        ids = {}
+        if consts:
+            ids = {
+                r["term"]: r["id"]
+                for r in self.dict.filter(F.col("term").isin(*consts)).collect()
+            }
+
+        if isinstance(root, (A.Ask, A.Construct)):
+            # structural queries: rewrite whole tree, evaluate encoded,
+            # decode output columns
+            rewritten = self._rewrite(root.child if isinstance(root, A.Ask) else root.child, ids)
+            tr = Translator(self.triples, self._stats)
+            if isinstance(root, A.Ask):
+                return tr.eval(A.Ask(rewritten))
+            df = tr.eval(A.Construct(self._rewrite_template(root.template, ids), rewritten))
+            return self._decode(df, df.columns)
+
+        structural, wrappers = self._split(root)
+        if isinstance(structural, (A.LeftJoin, A.Union, A.Minus, A.Join)):
+            for attr in ("left", "right"):
+                self._check_structural(getattr(structural, attr))
+        structural = self._rewrite(structural, ids)
+        tr = Translator(self.triples, self._stats)
+        bound = tr.eval(structural)
+        decoded = self._decode(bound, bound.columns)
+        # re-apply value-level nodes over the decoded (lexical) bindings
+        lex = Translator(decoded.sparkSession.createDataFrame([], "s string, p string, o string"))
+        node_df = decoded
+        for w in reversed(wrappers):
+            w_shallow = _shallow_with_child(w, _Precomputed(node_df))
+            node_df = _eval_with_precomputed(lex, w_shallow)
+        return node_df
+
+    def _rewrite_template(self, template, ids):
+        return template  # CONSTRUCT templates stay lexical; bindings decode
+
+    def _decode(self, df: DataFrame, cols) -> DataFrame:
+        d = F.broadcast(self.dict)
+        out = df
+        for c in cols:
+            if dict(out.dtypes).get(c) == "bigint":
+                out = (
+                    out.join(d, out[c] == d.id, "left")
+                    .drop(c, "id")
+                    .withColumnRenamed("term", c)
+                )
+        return out.select(*df.columns)
+
+
+class _Precomputed:
+    """Algebra leaf wrapping an already-computed DataFrame."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+
+def _shallow_with_child(node, child):
+    import copy
+
+    n = copy.copy(node)
+    n.child = child
+    return n
+
+
+def _eval_with_precomputed(tr: Translator, node) -> DataFrame:
+    orig_eval = tr.eval
+
+    def eval_hook(n):
+        if isinstance(n, _Precomputed):
+            return n.df
+        return orig_eval(n)
+
+    tr.eval = eval_hook  # type: ignore[method-assign]
+    try:
+        return tr.eval(node)
+    finally:
+        tr.eval = orig_eval  # type: ignore[method-assign]

@@ -277,7 +277,11 @@ class Translator:
     def expr(self, e, df: DataFrame, numeric: bool = False) -> Column:
         if isinstance(e, A.Var):
             c = F.col(e.name)
-            return c.cast("double") if numeric else c
+            # try_cast, not cast: under ANSI mode a pushed-down numeric
+            # predicate may evaluate over non-numeric terms (e.g. pushed
+            # into a dictionary-decode join) — SPARQL type errors must
+            # yield unbound/false, never abort the query.
+            return c.try_cast("double") if numeric else c
         if isinstance(e, A.Lit):
             if isinstance(e.value, bool):
                 return F.lit(e.value)
@@ -324,7 +328,7 @@ class Translator:
     def _func(self, e: A.FuncCall, df: DataFrame) -> Column:
         name, args = e.name, e.args
         if name in _XSD_CASTS:
-            return self.expr(args[0], df).cast(_XSD_CASTS[name])
+            return self.expr(args[0], df).try_cast(_XSD_CASTS[name])
         if name == "regex":
             pat = args[1].value if isinstance(args[1], A.Lit) else None
             if pat is None:

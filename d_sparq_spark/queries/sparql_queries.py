@@ -156,3 +156,39 @@ _q(
     FROM customer WHERE {_BAL} >= 1000 AND {_BAL} < 2000
     """,
 )
+
+
+def _q_encoded(name: str, sparql: str, oracle: str) -> None:
+    """Same SPARQL text, executed by EncodedSparqlEngine over the
+    dictionary-encoded store (ID joins, decode at the edge) — D-SPARQ's
+    actual execution model, end-to-end."""
+    from d_sparq_spark.encoded_engine import EncodedSparqlEngine
+    from d_sparq_spark.sources.derived_rdf import encoded_store_cached
+
+    @register(name, oracle=oracle)
+    def runner(spark: SparkSession, sf_dir: str, _s=sparql) -> DataFrame:
+        enc, d = encoded_store_cached(spark, sf_dir)
+        return EncodedSparqlEngine(enc, d).query(_s)
+
+    runner.__doc__ = f"SPARQL (encoded store):\n{sparql}"
+
+
+_q_encoded(
+    "q_sparql_encoded_star",
+    'SELECT ?c ?name ?bal WHERE { ?c foaf:name ?name ; ex:acctbal ?bal ; '
+    'ex:mktsegment "BUILDING" }',
+    """
+    SELECT 'c:' || c_custkey AS c, c_name AS name, printf('%.2f', c_acctbal) AS bal
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+
+_q_encoded(
+    "q_sparql_encoded_filter",
+    "SELECT ?c ?bal WHERE { ?c ex:acctbal ?bal ; rdf:type \"Customer\" "
+    "FILTER(?bal > 9000) }",
+    """
+    SELECT 'c:' || c_custkey AS c, printf('%.2f', c_acctbal) AS bal
+    FROM customer WHERE CAST(printf('%.2f', c_acctbal) AS DOUBLE) > 9000
+    """,
+)

@@ -135,3 +135,21 @@ def derive_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.unionByName(nat).unionByName(nxt).unionByName(reg).select("tr.s", "tr.p", "tr.o")
     )
+
+
+_ENC_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def encoded_store_cached(spark: SparkSession, sf_dir: str):
+    """(triples_enc, dictionary), dictionary-encoded from the derived view,
+    cached per (session, sf_dir) — the encoded engine's harness queries
+    share one encode pass the way a real deployment shares one load."""
+    key = (id(spark), sf_dir)
+    if key not in _ENC_CACHE:
+        from d_sparq_spark.operators.dictionary import build_dictionary, encode_triples
+
+        triples = derive_triples_cached(spark, sf_dir)
+        d = build_dictionary(triples).cache()
+        enc = encode_triples(triples, d).cache()
+        _ENC_CACHE[key] = (enc, d)
+    return _ENC_CACHE[key]

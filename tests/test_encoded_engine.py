@@ -1,0 +1,65 @@
+"""EncodedSparqlEngine: SPARQL over the dictionary-encoded store must give
+byte-identical answers to the lexical engine (after decode)."""
+
+import pytest
+
+from d_sparq_spark.encoded_engine import EncodedSparqlEngine
+from d_sparq_spark.engine import SparqlEngine
+from d_sparq_spark.operators.dictionary import build_dictionary, encode_triples
+from tests.test_sparql_golden import TRIPLES
+
+
+@pytest.fixture(scope="module")
+def engines(spark):
+    triples = spark.createDataFrame(TRIPLES, "s string, p string, o string")
+    d = build_dictionary(triples).cache()
+    enc = encode_triples(triples, d).cache()
+    return SparqlEngine(triples), EncodedSparqlEngine(enc, d)
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+QUERIES = [
+    'SELECT ?n ?c WHERE { ?x ex:name ?n ; ex:city ?c . ?x ex:age "25" }',
+    "SELECT ?xn ?zn WHERE { ?x ex:knows ?y . ?y ex:knows ?z . "
+    "?x ex:name ?xn . ?z ex:name ?zn }",
+    "SELECT ?n ?age WHERE { ?x ex:name ?n OPTIONAL { ?x ex:age ?age } }",
+    'SELECT ?v WHERE { { ?x ex:city ?v } UNION { ?x ex:age ?v } }',
+    'SELECT ?x WHERE { ?x ex:city "Paris" MINUS { ?x ex:age "25" } }',
+    "SELECT ?n WHERE { ?x ex:name ?n FILTER EXISTS { ?x ex:knows ?y } }",
+    # top-level value filter: runs after decode
+    "SELECT ?n WHERE { ?x ex:name ?n ; ex:age ?a FILTER(?a > 26) }",
+    "SELECT DISTINCT ?c WHERE { ?x ex:city ?c }",
+    "SELECT ?n WHERE { ?x ex:name ?n } ORDER BY ?n LIMIT 2 OFFSET 1",
+    'SELECT ?n WHERE { VALUES ?c { "Paris" "London" } ?x ex:city ?c ; ex:name ?n }',
+    'ASK { ?x ex:city "Paris" }',
+    "SELECT ?c (COUNT(*) AS ?n) WHERE { ?x ex:city ?c } GROUP BY ?c",
+]
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_encoded_matches_lexical(engines, q):
+    lexical, encoded = engines
+    assert rows(encoded.query(q)) == rows(lexical.query(q))
+
+
+def test_unknown_constant_yields_empty(engines):
+    _, encoded = engines
+    assert encoded.query('SELECT ?x WHERE { ?x ex:city "Atlantis" }').count() == 0
+
+
+def test_nested_value_filter_rejected(engines):
+    _, encoded = engines
+    with pytest.raises(NotImplementedError, match="encoded store"):
+        encoded.query(
+            "SELECT ?n WHERE { ?x ex:name ?n OPTIONAL { ?x ex:age ?a FILTER(?a > 26) } }"
+        )
+
+
+def test_join_keys_stay_long_until_decode(engines, spark):
+    _, encoded = engines
+    df = encoded.query('SELECT ?x WHERE { ?x ex:city "Paris" }')
+    # output decoded to strings
+    assert dict(df.dtypes)["x"] == "string"
