@@ -47,6 +47,10 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
             from d_sparq_spark.session import ship_package
 
             ship_package(spark)
+            # date_trunc/unix_timestamp are session-timezone dependent and
+            # every oracle assumes UTC; pin it (container default is UTC,
+            # this guards against a non-UTC harness session).
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
             return fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__
