@@ -96,3 +96,11 @@ def test_match_pattern_repeated_variable(spark):
     )
     out = match_pattern(triples, TriplePattern("?x", "p", "?x")).collect()
     assert [r["x"] for r in out] == ["a"]
+
+
+def test_ntriples_blank_nodes_roundtrip(spark):
+    lines = spark.createDataFrame(
+        [("_:b1 <ex:knows> _:b2 .",), ('_:b1 <ex:name> "Anon" .',)], "value string"
+    )
+    out = parse_ntriples(lines).collect()
+    assert sorted(map(tuple, out)) == [("_:b1", "ex:knows", "_:b2"), ("_:b1", "ex:name", "Anon")]

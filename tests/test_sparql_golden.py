@@ -216,3 +216,35 @@ def test_unknown_prefix_expansion(engine):
 def test_parse_error_raises(engine):
     with pytest.raises(SyntaxError):
         engine.query("SELECT ?x WHERE { ?x ex:name }")
+
+
+def test_filter_negative_number(engine):
+    out = engine.query(
+        "SELECT ?n WHERE { ?x ex:name ?n ; ex:age ?a FILTER(?a - 30 > -3) }"
+    )
+    assert rows(out) == [("Alice",), ("Carol",)]
+
+
+def test_comments_in_query(engine):
+    out = engine.query(
+        "# leading comment\nSELECT ?n # trailing\nWHERE { ?x ex:name ?n . # mid\n ?x ex:age \"35\" }"
+    )
+    assert rows(out) == [("Carol",)]
+
+
+def test_coalesce_and_if(engine):
+    out = engine.query(
+        "SELECT ?n ?o WHERE { ?x ex:name ?n OPTIONAL { ?x ex:age ?a } "
+        'BIND(COALESCE(?a, "none") AS ?o) }'
+    )
+    got = dict(rows(out))
+    assert got["Eve"] == "none" and got["Alice"] == "30"
+
+
+def test_strlen_and_if_expr(engine):
+    out = engine.query(
+        'SELECT ?n (IF(STRLEN(?n) > 4, "long", "short") AS ?len_class) '
+        "WHERE { ?x ex:name ?n }"
+    )
+    got = dict(rows(out))
+    assert got["Alice"] == "long" and got["Bob"] == "short"
