@@ -122,3 +122,32 @@ def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price_band"),
         F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
     )
+
+
+# --- q_filter_nullsafe: null-safe equality (<=>) ------------------------------
+
+_ORACLE_NULLSAFE = """
+WITH t AS (
+  SELECT o_orderkey, nullif(o_orderstatus, 'O') AS st FROM orders
+)
+SELECT a.o_orderkey AS k1, b.o_orderkey AS k2
+FROM t a JOIN t b
+  ON a.st IS NOT DISTINCT FROM b.st
+ AND a.o_orderkey < b.o_orderkey AND a.o_orderkey <= 50 AND b.o_orderkey <= 50
+"""
+
+
+@register("q_filter_nullsafe", oracle=_ORACLE_NULLSAFE)
+def q_filter_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL <=> NULL
+    is TRUE — the orderstatus 'O' rows are nulled out and must still pair."""
+    orders = load_table(spark, sf_dir, "orders")
+    t = orders.select(
+        "o_orderkey", F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("st")
+    ).filter(F.col("o_orderkey") <= 50)
+    a = t.select(F.col("o_orderkey").alias("k1"), F.col("st").alias("s1"))
+    b = t.select(F.col("o_orderkey").alias("k2"), F.col("st").alias("s2"))
+    return (
+        a.join(b, a.s1.eqNullSafe(b.s2) & (a.k1 < b.k2))
+        .select("k1", "k2")
+    )
