@@ -1,0 +1,75 @@
+"""Bulk-load pipeline — D-SPARQ's offline entry point, Spark-first
+(SURVEY.md §3 entry 1).
+
+The reference runs: MapReduce job 1 (term extraction + dictionary), MR
+job 2 (triple rewriting), METIS partitioning + boundary replication, and
+per-node MongoDB bulk inserts with predicate indexes and count stats.
+
+Here the whole thing is ONE linear Spark lineage plus two writes:
+
+    N-Triples text ──parse──> triples(s,p,o)
+        ├─ build_dictionary (range-partitioned global-rank IDs)
+        ├─ encode_triples (broadcast dict joins)
+        ├─ write by_p/  (partitionBy(p) — vertical partitioning; a bound
+        │                predicate prunes to one directory, SURVEY §1.2)
+        ├─ write dict/  (parquet)
+        └─ write stats/ (per-predicate counts for the A7 optimizer)
+
+No METIS, no replication: bucketing/broadcast/AQE subsume placement
+(SURVEY §4). Every step is linear-scan + one bounded shuffle; nothing
+driver-side scales with data.
+
+`open_store` reopens a loaded store and hands back an EncodedSparqlEngine
+— the complete lifecycle (load once, query many) in two calls:
+
+    bulk_load(spark, "dump.nt", "/store")
+    engine = open_store(spark, "/store")
+    engine.query("SELECT ?s WHERE { ?s <ex:p> ?o }")
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from d_sparq_spark.encoded_engine import EncodedSparqlEngine
+from d_sparq_spark.operators.dictionary import build_dictionary, encode_triples
+from d_sparq_spark.operators.rdf_patterns import predicate_stats
+from d_sparq_spark.sources.ntriples import parse_ntriples
+
+
+def bulk_load(spark: SparkSession, nt_path: str, store_path: str) -> dict:
+    """Parse, encode, and lay out a triple store. Returns load statistics
+    (small driver-side summary, not data)."""
+    triples = parse_ntriples(spark.read.text(nt_path))
+    dictionary = build_dictionary(triples).persist()
+    enc = encode_triples(triples, dictionary, broadcast_dict=True)
+
+    dictionary.write.mode("overwrite").parquet(os.path.join(store_path, "dict"))
+    # vertical partitioning: one directory per predicate id
+    enc.write.mode("overwrite").partitionBy("p").parquet(os.path.join(store_path, "by_p"))
+    stats = predicate_stats(enc)
+    stats.write.mode("overwrite").parquet(os.path.join(store_path, "stats"))
+
+    n_terms = dictionary.count()
+    n_triples_row = stats.agg(F.sum("cnt").alias("n")).collect()[0]["n"]
+    dictionary.unpersist()
+    return {"n_terms": int(n_terms), "n_triples": int(n_triples_row or 0)}
+
+
+def open_store(spark: SparkSession, store_path: str) -> EncodedSparqlEngine:
+    """Reopen a bulk-loaded store as a queryable encoded engine. The
+    stats parquet feeds the A7 selectivity ordering without rescanning."""
+    enc = spark.read.parquet(os.path.join(store_path, "by_p"))
+    dictionary = spark.read.parquet(os.path.join(store_path, "dict"))
+    engine = EncodedSparqlEngine(enc, dictionary, collect_stats=False)
+    stats_df = spark.read.parquet(os.path.join(store_path, "stats"))
+    engine._stats = {r["p"]: r["cnt"] for r in stats_df.select("p", "cnt").collect()}
+    return engine
+
+
+def store_triples(spark: SparkSession, store_path: str) -> DataFrame:
+    """The raw encoded triples relation of a loaded store."""
+    return spark.read.parquet(os.path.join(store_path, "by_p"))
