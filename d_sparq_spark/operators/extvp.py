@@ -1,0 +1,96 @@
+"""ExtVP — extended vertical partitioning (S2RDF, VLDB 2016; SURVEY.md §4
+names this as the only contemplated post-v1 optimizer addition).
+
+Idea: for a pair of predicates (p1, p2) that co-occur in query shapes,
+pre-materialize the SEMI-JOIN REDUCTION of p1's triples against p2:
+
+    SS:  triples(p1) where subject also occurs as subject of p2
+         (what a subject-star query over {p1, p2} will actually touch)
+    OS:  triples(p1) where object  also occurs as subject of p2
+         (what a path join p1 -> p2 will actually touch)
+
+At query time a star/path over {p1, p2} scans the reduction instead of
+the full VP slice — the selectivity factor (reduction size / slice size)
+is often 0.01-0.3 on real RDF, which is the whole S2RDF speedup. The
+reductions are plain DataFrames/parquet — no Catalyst rules, exactly the
+"plain jobs, not rules" stance of SURVEY §4.
+
+Correctness invariant (tested): star/path join over the reduction ==
+over the full store, because semi-join reduction never removes a row
+that has a join partner.
+"""
+
+from __future__ import annotations
+
+import os
+from itertools import permutations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def ss_reduction(triples: DataFrame, p1: object, p2: object) -> DataFrame:
+    """Subject-subject reduction: p1-triples whose subject also has p2."""
+    left = triples.filter(F.col("p") == F.lit(p1))
+    right = triples.filter(F.col("p") == F.lit(p2)).select("s").distinct()
+    return left.join(right, "s", "left_semi")
+
+
+def os_reduction(triples: DataFrame, p1: object, p2: object) -> DataFrame:
+    """Object-subject reduction: p1-triples whose object is a p2 subject."""
+    left = triples.filter(F.col("p") == F.lit(p1))
+    right = (
+        triples.filter(F.col("p") == F.lit(p2))
+        .select(F.col("s").alias("o"))
+        .distinct()
+    )
+    return left.join(right, "o", "left_semi")
+
+
+def materialize_extvp(
+    triples: DataFrame,
+    store_path: str,
+    predicates: list | None = None,
+    min_selectivity: float = 0.9,
+) -> dict:
+    """Materialize SS/OS reductions for every ordered predicate pair,
+    keeping only genuinely-reducing ones (size ratio < min_selectivity —
+    a reduction that keeps ~everything is wasted storage; S2RDF uses the
+    same threshold idea). Returns {(kind, p1, p2): ratio} for what was
+    written. Pair count is |P|^2 — RDF predicate vocabularies are small
+    (SURVEY §1.2), and each reduction is one semi-join job."""
+    if predicates is None:
+        predicates = [r["p"] for r in triples.select("p").distinct().collect()]
+    sizes = {
+        r["p"]: r["n"]
+        for r in triples.groupBy("p").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    written: dict = {}
+    for p1, p2 in permutations(predicates, 2):
+        for kind, fn in (("ss", ss_reduction), ("os", os_reduction)):
+            red = fn(triples, p1, p2)
+            n = red.count()
+            ratio = n / sizes[p1] if sizes[p1] else 0.0
+            if 0 < n and ratio < min_selectivity:
+                red.write.mode("overwrite").parquet(
+                    _red_path(store_path, kind, p1, p2)
+                )
+                written[(kind, p1, p2)] = round(ratio, 4)
+    return written
+
+
+def _red_path(store_path: str, kind: str, p1: object, p2: object) -> str:
+    def safe(x):
+        return str(x).replace(":", "_").replace("/", "_")
+
+    return os.path.join(store_path, "extvp", kind, f"{safe(p1)}__{safe(p2)}")
+
+
+def read_reduction(
+    spark: SparkSession, store_path: str, kind: str, p1: object, p2: object
+) -> DataFrame | None:
+    path = _red_path(store_path, kind, p1, p2)
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None  # not materialized -> caller falls back to full slice
