@@ -78,3 +78,43 @@ def extract_features(df: DataFrame, batch_size_hint: int = 64) -> DataFrame:
             )
 
     return df.select("content", "media").mapInPandas(batches, out_schema)
+
+
+def resize_stub(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Resize plumbing: mapInPandas pass that would hold the decoded image;
+    the stub re-digests content + records the target geometry. Output
+    schema is what a PIL-backed implementation returns."""
+    schema = "digest string, width long, height long, resized_bytes long"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "digest": [m["digest"] for m in pdf["media"]],
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                    # fake: 3 bytes/pixel; a real impl returns len(out_bytes)
+                    "resized_bytes": [width * height * 3] * len(pdf),
+                }
+            )
+
+    return df.select("media").mapInPandas(batches, schema)
+
+
+def frame_sample_stub(df: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled frame
+    (explode-shaped mapInPandas — the batch contract a PyAV decoder needs).
+    Frame count is derived deterministically from content length."""
+    schema = "digest string, frame_idx long"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            digests, idxs = [], []
+            for m in pdf["media"]:
+                n_frames = max(1, int(m["byte_len"]) % 300)
+                for i in range(0, n_frames, every_n):
+                    digests.append(m["digest"])
+                    idxs.append(i)
+            yield pd.DataFrame({"digest": digests, "frame_idx": idxs})
+
+    return df.select("media").mapInPandas(batches, schema)

@@ -162,3 +162,96 @@ def ann_cosine_topk(
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
     return scored.withColumn("rn", F.row_number().over(w).cast("long")).filter(F.col("rn") <= k)
+
+
+# ---- IVF (inverted-file) ANN: k-means coarse quantizer -------------------------
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic mini k-means for the IVF coarse quantizer: seeds are
+    the k lowest-id vectors (no RNG — reruns/retries converge identically),
+    Lloyd iterations are groupBy means. Centroid count is metadata-scale,
+    so the per-iteration crossJoin broadcasts k rows against the data —
+    one linear scan per iteration. Returns (cid, centroid array<double>)."""
+    base = embeddings.select(
+        F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
+    )
+    cents = (
+        base.orderBy(id_col).limit(k)
+        .select(F.row_number().over(Window.orderBy(id_col)).alias("cid"), F.col("v").alias("c"))
+    )
+    for _ in range(iters):
+        assigned = (
+            base.crossJoin(F.broadcast(cents))
+            .withColumn("d", _sq_dist(F.col("v"), F.col("c")))
+            .withColumn(
+                "rn",
+                F.row_number().over(Window.partitionBy(id_col).orderBy("d", "cid")),
+            )
+            .filter(F.col("rn") == 1)
+        )
+        dim = 64
+        cents = assigned.groupBy("cid").agg(
+            F.array(
+                *[F.avg(F.col("v")[i]) for i in range(dim)]
+            ).alias("c")
+        )
+    return cents
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: assign every vector to its nearest centroid (the inverted
+    file); a query scores only vectors in its n_probe nearest cells. At
+    scale: centroids broadcast, the candidate join is keyed on cid —
+    cost ~ n_probe/n_centroids of brute force, recall rises with n_probe."""
+    cents = kmeans_centroids(embeddings, n_centroids, id_col=id_col, vec_col=vec_col)
+
+    def assign(df, n_cells, out):
+        return (
+            df.crossJoin(F.broadcast(cents))
+            .withColumn("d", _sq_dist(F.col("v"), F.col("c")))
+            .withColumn("rn", F.row_number().over(Window.partitionBy(df["_id"]).orderBy("d", "cid")))
+            .filter(F.col("rn") <= n_cells)
+            .select(df["_id"].alias(out), "cid", "v")
+        )
+
+    base = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    inverted = assign(base, 1, "cid_id").withColumnRenamed("v", "cv")
+    qbase = queries.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    probes = assign(qbase, n_probe, "qid").withColumnRenamed("v", "qv")
+    scored = (
+        probes.join(inverted, "cid")
+        .filter(F.col("qid") != F.col("cid_id"))
+        .select("qid", F.col("cid_id").alias("cid"), cosine(F.col("qv"), F.col("cv")).alias("cos"))
+        .dropDuplicates(["qid", "cid"])
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return scored.withColumn("rn", F.row_number().over(w).cast("long")).filter(F.col("rn") <= k)

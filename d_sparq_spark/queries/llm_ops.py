@@ -350,3 +350,13 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").cast("long").alias("max_chars"),
         F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).cast("long").alias("sum_tokens"),
     )
+
+
+@register("q_cosine_ivf", oracle=None)
+def q_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k-means coarse quantizer, deterministic seeds): the second
+    scale path for similarity search. rows-only (approximate); probe-all
+    equivalence with brute force is unit-tested."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.ivf_cosine_topk(emb, queries, k=3, n_centroids=8, n_probe=2)

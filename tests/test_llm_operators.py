@@ -93,3 +93,31 @@ def test_multimodal_batch_plumbing(spark):
     for r in feats:
         by_digest.setdefault(r["digest"], set()).add((r["width"], r["height"], r["byte_len"]))
     assert all(len(v) == 1 for v in by_digest.values())
+
+
+def test_ivf_ann_agrees_with_brute_force_on_probe_all(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 2)
+    # probing ALL cells makes IVF exact -> must equal brute force
+    ivf = {
+        (r["qid"], r["rn"]): r["cid"]
+        for r in S.ivf_cosine_topk(emb, q, k=3, n_centroids=4, n_probe=4).collect()
+    }
+    exact = {
+        (r["qid"], r["rn"]): r["cid"]
+        for r in S.cosine_topk(emb, q, k=3).collect()
+    }
+    assert ivf == exact
+
+
+def test_multimodal_resize_and_frame_sample_stubs(spark):
+    docs = _docs(spark)
+    with_media = M.attach_media(docs, F.encode(F.col("text"), "UTF-8"), "video")
+    resized = M.resize_stub(with_media).collect()
+    assert len(resized) == 5 and all(r["resized_bytes"] == 64 * 64 * 3 for r in resized)
+    frames = M.frame_sample_stub(with_media, every_n=10).collect()
+    assert len(frames) >= 5 and all(r["frame_idx"] % 10 == 0 for r in frames)
