@@ -164,6 +164,74 @@ def ann_cosine_topk(
     return scored.withColumn("rn", F.row_number().over(w).cast("long")).filter(F.col("rn") <= k)
 
 
+# ---- embedding-cosine near-duplicate pairs ------------------------------------
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (a < b, cos >= threshold) over
+    1e-6 fixed-point quantized vectors — integer dots are order-exact, so a
+    SQL oracle reproduces every value bit-for-bit. All-pairs is quadratic:
+    this is the small-N / verification path; embedding_near_dups_lsh is the
+    blocked scale path. Returns (a, b, cos)."""
+    base = embeddings.select(
+        F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", int_dot(F.col("v"), F.col("v")))
+    a = base.select(F.col("id").alias("a"), F.col("v").alias("av"), F.col("nrm").alias("an"))
+    b = base.select(F.col("id").alias("b"), F.col("v").alias("bv"), F.col("nrm").alias("bn"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            (
+                int_dot(F.col("av"), F.col("bv")).cast("double")
+                / (F.sqrt(F.col("an").cast("double")) * F.sqrt(F.col("bn").cast("double")))
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def embedding_near_dups_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Blocked embedding near-dup: hyperplane-LSH bucket both sides, pair
+    only within a bucket, verify with exact quantized cosine. With B
+    balanced buckets the pair count drops ~B-fold vs all-pairs — the shape
+    that survives 100 TB (bucket key is the shuffle key; no cross join).
+    n_planes=0 degenerates to one bucket == the exact operator (unit-tested)."""
+    dim = 64
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        quantize(F.col(vec_col)).alias("v"),
+        hyperplane_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    ).withColumn("nrm", int_dot(F.col("v"), F.col("v")))
+    a = base.select(F.col("id").alias("a"), F.col("v").alias("av"), F.col("nrm").alias("an"), "bucket")
+    b = base.select(F.col("id").alias("b"), F.col("v").alias("bv"), F.col("nrm").alias("bn"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            (
+                int_dot(F.col("av"), F.col("bv")).cast("double")
+                / (F.sqrt(F.col("an").cast("double")) * F.sqrt(F.col("bn").cast("double")))
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 # ---- IVF (inverted-file) ANN: k-means coarse quantizer -------------------------
 
 

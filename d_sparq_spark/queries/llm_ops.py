@@ -352,6 +352,42 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ORACLE_DEDUP_EMBED = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+n AS (SELECT vec_id, v,
+             CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nrm FROM e),
+p AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         CAST(CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS BIGINT) AS DOUBLE)
+         / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cos
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT a, b, cos FROM p WHERE cos >= 0.4
+"""
+
+
+@register("q_dedup_embed", oracle=_ORACLE_DEDUP_EMBED)
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, quantized — engine-
+    exact values). The all-pairs verification path; the LSH-blocked scale
+    path is q_dedup_embed_lsh."""
+    return S.embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@register("q_dedup_embed_lsh", oracle=None)
+def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked embedding near-dup (bucket join, exact verify). Bucket
+    membership is xxhash64-derived -> rows-only; subset-of-exact and
+    n_planes=0 == exact are unit-tested."""
+    return S.embedding_near_dups_lsh(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=4
+    )
+
+
 @register("q_cosine_ivf", oracle=None)
 def q_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (k-means coarse quantizer, deterministic seeds): the second

@@ -121,3 +121,32 @@ def test_multimodal_resize_and_frame_sample_stubs(spark):
     assert len(resized) == 5 and all(r["resized_bytes"] == 64 * 64 * 3 for r in resized)
     frames = M.frame_sample_stub(with_media, every_n=10).collect()
     assert len(frames) >= 5 and all(r["frame_idx"] % 10 == 0 for r in frames)
+
+
+def _emb(spark, n=40, dim=64, seed=7):
+    import random
+
+    rng = random.Random(seed)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)]
+    # plant a near-duplicate of vector 0
+    rows.append((n, [x + rng.uniform(-0.01, 0.01) for x in rows[0][1]]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_embedding_near_dup_finds_planted_pair(spark):
+    emb = _emb(spark)
+    pairs = {(r["a"], r["b"]) for r in S.embedding_near_dup_pairs(emb, threshold=0.95).collect()}
+    assert (0, 40) in pairs and all(a < b for a, b in pairs)
+
+
+def test_embedding_lsh_subset_and_degenerate_equality(spark):
+    emb = _emb(spark)
+    exact = {(r["a"], r["b"]) for r in S.embedding_near_dup_pairs(emb, threshold=0.3).collect()}
+    lsh = {(r["a"], r["b"]) for r in S.embedding_near_dups_lsh(emb, threshold=0.3, n_planes=3).collect()}
+    assert lsh <= exact
+    one_bucket = {
+        (r["a"], r["b"]) for r in S.embedding_near_dups_lsh(emb, threshold=0.3, n_planes=0).collect()
+    }
+    assert one_bucket == exact
+    # the planted near-identical pair must survive LSH blocking
+    assert (0, 40) in lsh
