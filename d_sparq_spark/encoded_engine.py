@@ -61,7 +61,15 @@ class EncodedSparqlEngine:
     def _collect_constants(self, node, out: set) -> None:
         if isinstance(node, A.BGP):
             for tp in node.patterns:
-                for t in (tp.s, tp.p, tp.o):
+                if isinstance(tp, A.PropSetPattern):
+                    terms = (tp.s, *tp.preds, tp.o)
+                elif isinstance(tp, A.AltPath):
+                    terms = (tp.s, tp.o)
+                    for br in tp.branches:
+                        self._collect_constants(A.BGP(list(br)), out)
+                else:
+                    terms = (tp.s, tp.p, tp.o)
+                for t in terms:
                     if not _is_var(t):
                         out.add(t)
         if isinstance(node, A.Values):
@@ -83,6 +91,18 @@ class EncodedSparqlEngine:
             for tp in node.patterns:
                 if isinstance(tp, A.PathPattern):
                     pats.append(A.PathPattern(rid(tp.s), tp.op, rid(tp.p), rid(tp.o)))
+                elif isinstance(tp, A.PropSetPattern):
+                    # positive: a member absent from the dict can never match
+                    # -> drop it (empty set = empty scan). negated: an absent
+                    # member never occurs in data -> dropping it is identity.
+                    kept = tuple(ids[m] for m in tp.preds if m in ids)
+                    pats.append(A.PropSetPattern(rid(tp.s), kept, rid(tp.o), tp.negated))
+                elif isinstance(tp, A.AltPath):
+                    branches = tuple(
+                        tuple(self._rewrite(A.BGP(list(br)), ids).patterns)
+                        for br in tp.branches
+                    )
+                    pats.append(A.AltPath(rid(tp.s), branches, rid(tp.o)))
                 else:
                     pats.append(TriplePattern(rid(tp.s), rid(tp.p), rid(tp.o)))
             return A.BGP(pats)

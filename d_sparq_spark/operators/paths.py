@@ -67,11 +67,27 @@ def path_star(triples: DataFrame, predicate: object) -> DataFrame:
     the predicate's domain/range — full spec semantics would include every
     term in the graph)."""
     plus = path_plus(triples, predicate)
+    zero = _zero_length(triples, predicate)
+    return plus.unionByName(zero).distinct()
+
+
+def _zero_length(triples: DataFrame, predicate: object) -> DataFrame:
+    """Zero-length path pairs (x, x) over the predicate's domain/range
+    (see path_star docstring for the restriction rationale)."""
     edges = triples.filter(F.col("p") == F.lit(predicate))
     nodes = (
         edges.select(F.col("s").alias("n"))
         .unionByName(edges.select(F.col("o").alias("n")))
         .distinct()
     )
-    zero = nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
-    return plus.unionByName(zero).distinct()
+    return nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
+
+
+def path_opt(triples: DataFrame, predicate: object) -> DataFrame:
+    """p? (zero-or-one, SPARQL ZeroOrOnePath): direct edges UNION zero-
+    length paths; duplicate-free per spec. One filter scan + one distinct —
+    no fixpoint needed."""
+    edges = triples.filter(F.col("p") == F.lit(predicate)).select(
+        F.col("s").alias("src"), F.col("o").alias("dst")
+    )
+    return edges.unionByName(_zero_length(triples, predicate)).distinct()

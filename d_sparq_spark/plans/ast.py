@@ -65,12 +65,38 @@ class Aggregate:
 
 @dataclass(frozen=True)
 class PathPattern:
-    """Property-path pattern: s (p+|p*) o. Sequence paths are expanded to
-    plain patterns with fresh variables at parse time."""
+    """Property-path pattern: s (p+ | p* | p?) o. Sequence paths are
+    expanded to plain patterns with fresh variables at parse time; inverse
+    paths (^p) are emitted with swapped endpoints."""
 
     s: object
-    op: str  # '+' or '*'
+    op: str  # '+', '*' or '?'
     p: object
+    o: object
+
+
+@dataclass(frozen=True)
+class PropSetPattern:
+    """Property-set pattern: alternatives of plain IRIs (s (p1|p2) o) or a
+    negated property set (s !p / !(p1|p2) o). Both are a single predicate-
+    set membership scan — bag-exact vs the UNION expansion because each
+    triple matches at most one member."""
+
+    s: object
+    preds: tuple
+    o: object
+    negated: bool
+
+
+@dataclass(frozen=True)
+class AltPath:
+    """General path alternative s (path1|path2) o where at least one branch
+    is not a plain IRI (e.g. p|q/r). Each branch is pre-emitted at parse
+    time into a pattern list sharing the s/o endpoints (fresh intermediate
+    vars are branch-local); evaluation is the bag union of branch BGPs."""
+
+    s: object
+    branches: tuple  # tuple[tuple[TriplePattern|PathPattern|PropSetPattern, ...], ...]
     o: object
 
 

@@ -30,7 +30,7 @@ _TOKEN_RE = re.compile(
   | (?P<PNAME>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_][A-Za-z0-9_.-]*)
   | (?P<NS>[A-Za-z_][A-Za-z0-9_-]*:)
   | (?P<KEYWORD>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<OP><=|>=|!=|\|\||&&|[=<>!*/+\-(){},.;a])
+  | (?P<OP><=|>=|!=|\|\||&&|[=<>!*/+\-(){},.;a|^?])
     """,
     re.VERBOSE,
 )
@@ -394,29 +394,94 @@ class Parser:
                 self._emit_pattern(out, cur, step, v)
                 cur = v
             self._emit_pattern(out, cur, p[1][-1], o)
-        elif isinstance(p, tuple) and p[0] in ("+", "*"):
+        elif isinstance(p, tuple) and p[0] == "inv":
+            # ^path == path with swapped endpoints (holds for ANY inner path)
+            self._emit_pattern(out, o, p[1], s)
+        elif isinstance(p, tuple) and p[0] == "alt":
+            if all(isinstance(m, str) for m in p[1]):
+                out.append(A.PropSetPattern(s, tuple(p[1]), o, negated=False))
+            else:  # complex branches -> pre-emit each into its own list
+                branches = []
+                for member in p[1]:
+                    branch: list = []
+                    self._emit_pattern(branch, s, member, o)
+                    branches.append(tuple(branch))
+                out.append(A.AltPath(s, tuple(branches), o))
+        elif isinstance(p, tuple) and p[0] == "neg":
+            out.append(A.PropSetPattern(s, tuple(p[1]), o, negated=True))
+        elif isinstance(p, tuple) and p[0] in ("+", "*", "?"):
+            if not isinstance(p[1], str):
+                raise NotImplementedError(
+                    "property-path closure (+/*/?) over a composite path is "
+                    "not supported; apply it to a single IRI"
+                )
             out.append(A.PathPattern(s, p[0], p[1], o))
         else:
             out.append(TriplePattern(s, p, o))
 
+    # SPARQL 1.1 path grammar (subset):
+    #   Path      := Seq ('|' Seq)*
+    #   Seq       := EltOrInv ('/' EltOrInv)*
+    #   EltOrInv  := '^'? Elt
+    #   Elt       := Primary ('+'|'*'|'?')?
+    #   Primary   := IRI | 'a' | '!' (IRI | '(' IRI ('|' IRI)* ')') | '(' Path ')'
     def parse_verb(self):
+        parts = [self._parse_path_seq()]
+        while self.at_op("|"):
+            self.next()
+            parts.append(self._parse_path_seq())
+        return parts[0] if len(parts) == 1 else ("alt", parts)
+
+    def _parse_path_seq(self):
+        parts = [self._parse_path_elt()]
+        while self.at_op("/"):
+            self.next()
+            parts.append(self._parse_path_elt())
+        return parts[0] if len(parts) == 1 else ("seq", parts)
+
+    def _parse_path_elt(self):
+        if self.at_op("^"):
+            self.next()
+            return ("inv", self._parse_path_elt())
+        t = self._parse_path_primary()
+        for mod in ("+", "*", "?"):
+            if self.at_op(mod):
+                self.next()
+                return (mod, t)
+        return t
+
+    def _parse_path_primary(self):
         if self.at_kw("a"):  # rdf:type shorthand
             self.next()
             return "rdf:type"
-        t = self.parse_term()
-        if self.at_op("/"):
-            parts = [t]
-            while self.at_op("/"):
+        if self.at_op("!"):
+            self.next()
+            members = []
+            if self.at_op("("):
                 self.next()
-                parts.append(self.parse_term())
-            return ("seq", parts)
-        if self.at_op("+"):
+                members.append(self._parse_neg_member())
+                while self.at_op("|"):
+                    self.next()
+                    members.append(self._parse_neg_member())
+                self.eat_op(")")
+            else:
+                members.append(self._parse_neg_member())
+            return ("neg", members)
+        if self.at_op("("):
             self.next()
-            return ("+", t)
-        if self.at_op("*"):
+            inner = self.parse_verb()
+            self.eat_op(")")
+            return inner
+        return self.parse_term()
+
+    def _parse_neg_member(self):
+        if self.at_kw("a"):
             self.next()
-            return ("*", t)
-        return t
+            return "rdf:type"
+        m = self.parse_term()
+        if not isinstance(m, str):
+            raise NotImplementedError("negated property sets contain only IRIs")
+        return m
 
     def parse_term(self):
         t = self.next()

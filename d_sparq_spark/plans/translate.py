@@ -177,8 +177,9 @@ class Translator:
         if not node.patterns:
             # unit table: one row, zero columns
             return self.spark.range(1).select()
-        paths = [p for p in node.patterns if isinstance(p, A.PathPattern)]
-        plain = [p for p in node.patterns if not isinstance(p, A.PathPattern)]
+        _pathlike = (A.PathPattern, A.PropSetPattern, A.AltPath)
+        paths = [p for p in node.patterns if isinstance(p, _pathlike)]
+        plain = [p for p in node.patterns if not isinstance(p, _pathlike)]
         if not plain:
             return reduce(join_bindings, (self._path(p) for p in paths))
         by_subject: dict[object, list[TriplePattern]] = {}
@@ -207,15 +208,44 @@ class Translator:
             base = join_bindings(base, self._path(p))
         return base
 
-    def _path(self, p: A.PathPattern) -> DataFrame:
-        """Evaluate s (p+|p*) o: transitive closure of the predicate's edge
-        set (operators/paths.py), then bind/filter the endpoints."""
-        from d_sparq_spark.operators.paths import path_plus, path_star
+    def _path(self, p) -> DataFrame:
+        """Evaluate a path-like pattern to a bindings DataFrame."""
+        if isinstance(p, A.PropSetPattern):
+            return self._propset(p)
+        if isinstance(p, A.AltPath):
+            return self._altpath(p)
+        from d_sparq_spark.operators.paths import path_opt, path_plus, path_star
 
-        closure = path_plus(self.triples, p.p) if p.op == "+" else path_star(self.triples, p.p)
-        df = closure
+        op_fn = {"+": path_plus, "*": path_star, "?": path_opt}[p.op]
+        return self._bind_endpoints(op_fn(self.triples, p.p), p.s, p.o, "src", "dst")
+
+    def _propset(self, p: A.PropSetPattern) -> DataFrame:
+        """s (p1|p2) o / s !(p1|p2) o: one predicate-set membership scan.
+        At scale the positive form partition-prunes on the VP store's p
+        directories; the negated form is a full scan by necessity."""
+        member = F.col("p").isin(list(p.preds))
+        df = self.triples.filter(~member if p.negated else member)
+        return self._bind_endpoints(df, p.s, p.o, "s", "o")
+
+    def _altpath(self, p: A.AltPath) -> DataFrame:
+        """General path alternative: bag union of the branch BGPs, projected
+        to the shared endpoint variables."""
+        out_vars = [t[1:] for t in (p.s, p.o) if isinstance(t, str) and t.startswith("?")]
+        branches = [self._bgp(A.BGP(list(br))).select(*out_vars) for br in p.branches]
+        from functools import reduce as _reduce
+
+        return _reduce(lambda a, b: a.unionByName(b), branches)
+
+    def _bind_endpoints(self, df: DataFrame, s, o, s_col: str, o_col: str) -> DataFrame:
+        """Bind/filter the two endpoint terms of a pair-producing operator;
+        handles constants and the repeated-variable case (?x p+ ?x)."""
+        if (
+            isinstance(s, str) and s.startswith("?")
+            and s == o
+        ):
+            return df.filter(F.col(s_col) == F.col(o_col)).select(F.col(s_col).alias(s[1:]))
         cols = []
-        for endpoint, col in ((p.s, "src"), (p.o, "dst")):
+        for endpoint, col in ((s, s_col), (o, o_col)):
             if isinstance(endpoint, str) and endpoint.startswith("?"):
                 cols.append(F.col(col).alias(endpoint[1:]))
             else:

@@ -39,6 +39,61 @@ _q(
 )
 
 _q(
+    "q_sparql_path_alt",
+    "SELECT ?s ?o WHERE { ?s (ex:mktsegment|ex:region) ?o }",
+    """
+    SELECT 'c:' || c_custkey AS s, c_mktsegment AS o FROM customer
+    UNION ALL
+    SELECT 'n:' || n_nationkey, 'r:' || n_regionkey FROM nation
+    """,
+)
+
+_q(
+    "q_sparql_path_inv",
+    "SELECT ?n ?cname WHERE { ?n ^ex:nation ?c . ?c foaf:name ?cname }",
+    "SELECT 'n:' || c_nationkey AS n, c_name AS cname FROM customer",
+)
+
+_q(
+    "q_sparql_path_neg",
+    "SELECT ?s ?o WHERE { ?s !(rdf:type|foaf:name|ex:nation|ex:acctbal|ex:mktsegment) ?o }",
+    """
+    SELECT 'n:' || n_nationkey AS s, 'r:' || n_regionkey AS o FROM nation
+    UNION ALL
+    SELECT 'n:' || n_nationkey, 'n:' || (n_nationkey + 1) FROM nation
+    WHERE n_nationkey + 1 IN (SELECT n_nationkey FROM nation)
+    """,
+)
+
+_q(
+    "q_sparql_path_opt",
+    "SELECT ?x ?y WHERE { ?x ex:next? ?y }",
+    """
+    WITH e AS (
+      SELECT 'n:' || n_nationkey AS src, 'n:' || (n_nationkey + 1) AS dst
+      FROM nation WHERE n_nationkey + 1 IN (SELECT n_nationkey FROM nation)
+    ),
+    nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e)
+    SELECT x, y FROM (
+      SELECT src AS x, dst AS y FROM e
+      UNION
+      SELECT n, n FROM nodes
+    )
+    """,
+)
+
+_q(
+    "q_sparql_path_altcomplex",
+    "SELECT ?c ?n WHERE { ?c (foaf:name|ex:nation/foaf:name) ?n . ?c rdf:type Customer }",
+    """
+    SELECT 'c:' || c_custkey AS c, c_name AS n FROM customer
+    UNION ALL
+    SELECT 'c:' || c_custkey, n_name
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+
+_q(
     "q_sparql_construct",
     "CONSTRUCT { ?c ex:inSegment ?seg } WHERE { ?c ex:mktsegment ?seg }",
     """

@@ -36,6 +36,12 @@ QUERIES = [
     'SELECT ?n WHERE { VALUES ?c { "Paris" "London" } ?x ex:city ?c ; ex:name ?n }',
     'ASK { ?x ex:city "Paris" }',
     "SELECT ?c (COUNT(*) AS ?n) WHERE { ?x ex:city ?c } GROUP BY ?c",
+    # SPARQL 1.1 path forms
+    "SELECT ?n WHERE { p:alice (ex:knows|ex:name) ?n }",
+    "SELECT ?x WHERE { p:carol ^ex:knows ?x }",
+    "SELECT ?o WHERE { p:eve !(rdf:type|ex:name) ?o }",
+    "SELECT ?y WHERE { p:alice ex:knows? ?y }",
+    "SELECT DISTINCT ?n WHERE { p:alice (ex:name|ex:knows/ex:name) ?n }",
 ]
 
 

@@ -248,3 +248,41 @@ def test_strlen_and_if_expr(engine):
     )
     got = dict(rows(out))
     assert got["Alice"] == "long" and got["Bob"] == "short"
+
+
+# ---- SPARQL 1.1 path forms: alternative, inverse, negated set, zero-or-one ----
+
+
+def test_path_alternative_propset(engine):
+    out = engine.query("SELECT ?n WHERE { p:alice (ex:knows|ex:name) ?n }")
+    assert rows(out) == [("Alice",), ("p:bob",), ("p:carol",)]
+
+
+def test_path_inverse(engine):
+    out = engine.query("SELECT ?x WHERE { p:carol ^ex:knows ?x }")
+    assert rows(out) == [("p:alice",), ("p:bob",)]
+
+
+def test_path_negated_propset(engine):
+    out = engine.query("SELECT ?o WHERE { p:eve !(rdf:type|ex:name) ?o }")
+    assert rows(out) == [("Berlin",)]
+
+
+def test_path_zero_or_one(engine):
+    out = engine.query("SELECT ?y WHERE { p:alice ex:knows? ?y }")
+    assert rows(out) == [("p:alice",), ("p:bob",), ("p:carol",)]
+
+
+def test_path_inverse_in_sequence(engine):
+    out = engine.query("SELECT DISTINCT ?x ?y WHERE { ?x ex:knows/^ex:knows ?y }")
+    assert rows(out) == [
+        ("p:alice", "p:alice"), ("p:alice", "p:bob"),
+        ("p:bob", "p:alice"), ("p:bob", "p:bob"),
+    ]
+
+
+def test_path_alternative_complex_branches(engine):
+    out = engine.query(
+        "SELECT DISTINCT ?n WHERE { p:alice (ex:name|ex:knows/ex:name) ?n }"
+    )
+    assert rows(out) == [("Alice",), ("Bob",), ("Carol",)]
