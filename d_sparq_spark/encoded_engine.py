@@ -36,7 +36,7 @@ from d_sparq_spark.plans.translate import Translator
 
 _MISSING_ID = -(2**62)  # never assigned by the dictionary (ids are >= 1)
 
-_STRUCTURAL = (A.BGP, A.Join, A.LeftJoin, A.Union, A.Minus, A.Values)
+_STRUCTURAL = (A.BGP, A.Join, A.LeftJoin, A.Union, A.Minus, A.Values, A.Graph)
 
 
 def _is_var(t: object) -> bool:
@@ -75,6 +75,8 @@ class EncodedSparqlEngine:
         if isinstance(node, A.Values):
             for row in node.rows:
                 out.update(v for v in row if v is not None)
+        if isinstance(node, A.Graph) and not _is_var(node.term):
+            out.add(node.term)
         for attr in ("left", "right", "child"):
             sub = getattr(node, attr, None)
             if sub is not None and not isinstance(sub, (str, list, tuple)):
@@ -111,6 +113,8 @@ class EncodedSparqlEngine:
                 tuple(None if v is None else ids.get(v, _MISSING_ID) for v in row)
                 for row in node.rows
             ]
+        if isinstance(node, A.Graph) and not _is_var(node.term):
+            node.term = ids.get(node.term, _MISSING_ID)
         for attr in ("left", "right", "child"):
             sub = getattr(node, attr, None)
             if sub is not None and not isinstance(sub, (str, list, tuple)):

@@ -57,12 +57,19 @@ def assign_ids(terms: DataFrame, col: str = "term", num_partitions: int | None =
     )
 
 
+def _positions(df: DataFrame) -> list[str]:
+    """Term-carrying columns: s/p/o, plus g for quad stores (B17)."""
+    return [c for c in ("s", "p", "o", "g") if c in df.columns]
+
+
 def build_dictionary(triples: DataFrame) -> DataFrame:
-    """All distinct terms across s/p/o positions -> dict(id, term, kind)."""
-    terms = (
-        triples.select(F.col("s").alias("term"))
-        .unionByName(triples.select(F.col("p").alias("term")))
-        .unionByName(triples.select(F.col("o").alias("term")))
+    """All distinct terms across s/p/o (and g, for quads) -> dict(id, term, kind)."""
+    from functools import reduce
+
+    cols = _positions(triples)
+    terms = reduce(
+        lambda a, b: a.unionByName(b),
+        (triples.select(F.col(c).alias("term")) for c in cols),
     )
     with_ids = assign_ids(terms)
     return with_ids.withColumn(
@@ -71,33 +78,35 @@ def build_dictionary(triples: DataFrame) -> DataFrame:
 
 
 def encode_triples(triples: DataFrame, dictionary: DataFrame, broadcast_dict: bool = True) -> DataFrame:
-    """triples(s,p,o string) -> triples_enc(s,p,o long) via three dict joins."""
+    """triples(s,p,o[,g] string) -> encoded longs via per-position dict joins."""
     d = dictionary.select("id", "term")
     if broadcast_dict:
         d = F.broadcast(d)
+    cols = _positions(triples)
     enc = triples
-    for pos in ("s", "p", "o"):
+    for pos in cols:
         enc = (
             enc.join(d, enc[pos] == d.term)
             .drop(pos, "term")
             .withColumnRenamed("id", pos)
         )
-    return enc.select("s", "p", "o")
+    return enc.select(*cols)
 
 
 def decode_triples(enc: DataFrame, dictionary: DataFrame, broadcast_dict: bool = True) -> DataFrame:
-    """triples_enc(s,p,o long) -> lexical triples(s,p,o string)."""
+    """encoded (s,p,o[,g] long) -> lexical strings."""
     d = dictionary.select("id", "term")
     if broadcast_dict:
         d = F.broadcast(d)
+    cols = _positions(enc)
     dec = enc
-    for pos in ("s", "p", "o"):
+    for pos in cols:
         dec = (
             dec.join(d, dec[pos] == d.id)
             .drop(pos, "id")
             .withColumnRenamed("term", pos)
         )
-    return dec.select("s", "p", "o")
+    return dec.select(*cols)
 
 
 def decode_columns(df: DataFrame, dictionary: DataFrame, columns: list[str]) -> DataFrame:

@@ -138,6 +138,7 @@ class Translator:
             raise ValueError("SPARQL GRAPH requires a quad store (g column)")
         term = node.term
         if isinstance(term, str) and term.startswith("?"):
+            g_type = dict(self.triples.dtypes)["g"]  # keep lit dtype == store dtype
             gvals = sorted(
                 r["g"] for r in self.triples.select("g").distinct().collect()
             )
@@ -146,7 +147,9 @@ class Translator:
                 sub = Translator(
                     self.triples.filter(F.col("g") == gv).drop("g"), self.stats
                 )
-                parts.append(sub.eval(node.child).withColumn(term[1:], F.lit(gv)))
+                parts.append(
+                    sub.eval(node.child).withColumn(term[1:], F.lit(gv).cast(g_type))
+                )
             return reduce(
                 lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
             )

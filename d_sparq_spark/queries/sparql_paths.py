@@ -126,6 +126,35 @@ def _q_quads(name: str, sparql: str, oracle: str) -> None:
     runner.__doc__ = f"SPARQL (quad store):\n{sparql}"
 
 
+def _q_quads_enc(name: str, sparql: str, oracle: str) -> None:
+    from d_sparq_spark.encoded_engine import EncodedSparqlEngine
+    from d_sparq_spark.sources.derived_rdf import encoded_quad_store_cached
+
+    @register(name, oracle=oracle)
+    def runner(spark: SparkSession, sf_dir: str, _s=sparql) -> DataFrame:
+        enc, d = encoded_quad_store_cached(spark, sf_dir)
+        return EncodedSparqlEngine(enc, d, collect_stats=False).query(_s)
+
+    runner.__doc__ = f"SPARQL (encoded quad store):\n{sparql}"
+
+
+_q_quads_enc(
+    "q_sparql_graph_enc",
+    'SELECT ?name WHERE { GRAPH "g:nation" { ?n foaf:name ?name } }',
+    "SELECT n_name AS name FROM nation",
+)
+
+_q_quads_enc(
+    "q_sparql_graph_var_enc",
+    "SELECT ?g (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?s foaf:name ?o } } GROUP BY ?g",
+    """
+    SELECT 'g:customer' AS g, COUNT(*) AS n FROM customer
+    UNION ALL SELECT 'g:nation', COUNT(*) FROM nation
+    UNION ALL SELECT 'g:region', COUNT(*) FROM region
+    """,
+)
+
+
 _q_quads(
     "q_sparql_graph",
     'SELECT ?name WHERE { GRAPH "g:nation" { ?n foaf:name ?name } }',

@@ -76,6 +76,25 @@ def derive_triples_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _CACHE[key]
 
 
+_ENC_QUAD_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def encoded_quad_store_cached(spark: SparkSession, sf_dir: str):
+    """(quads_enc, dictionary) for GRAPH-over-encoded-store queries (B17):
+    graph names are dictionary terms like any other, so GRAPH slicing is an
+    equality filter on a long — partition-prunable if the store is written
+    partitionBy('g')."""
+    key = (id(spark), sf_dir)
+    if key not in _ENC_QUAD_CACHE:
+        from d_sparq_spark.operators.dictionary import build_dictionary, encode_triples
+
+        quads = derive_quads(spark, sf_dir)
+        d = build_dictionary(quads).cache()
+        enc = encode_triples(quads, d).cache()
+        _ENC_QUAD_CACHE[key] = (enc, d)
+    return _ENC_QUAD_CACHE[key]
+
+
 def derive_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical triples(s string, p string, o string) from the test tables."""
     c = load_table(spark, sf_dir, "customer")

@@ -69,3 +69,35 @@ def test_join_keys_stay_long_until_decode(engines, spark):
     df = encoded.query('SELECT ?x WHERE { ?x ex:city "Paris" }')
     # output decoded to strings
     assert dict(df.dtypes)["x"] == "string"
+
+
+# ---- GRAPH over the encoded quad store (B17, encoded path) ----
+
+
+@pytest.fixture(scope="module")
+def quad_engines(spark):
+    quads = spark.createDataFrame(
+        [(s, p, o, "g:a" if s in ("p:alice", "p:bob") else "g:b") for s, p, o in TRIPLES],
+        "s string, p string, o string, g string",
+    )
+    d = build_dictionary(quads).cache()
+    enc = encode_triples(quads, d).cache()
+    return SparqlEngine(quads, collect_stats=False), EncodedSparqlEngine(enc, d, collect_stats=False)
+
+
+QUAD_QUERIES = [
+    'SELECT ?n WHERE { GRAPH "g:a" { ?x ex:name ?n } }',
+    "SELECT ?g ?n WHERE { GRAPH ?g { ?x ex:name ?n } }",
+    'ASK { GRAPH "g:b" { ?x ex:city "Paris" } }',
+]
+
+
+@pytest.mark.parametrize("q", QUAD_QUERIES)
+def test_encoded_graph_matches_lexical(quad_engines, q):
+    lexical, encoded = quad_engines
+    assert rows(encoded.query(q)) == rows(lexical.query(q))
+
+
+def test_encoded_graph_unknown_graph_empty(quad_engines):
+    _, encoded = quad_engines
+    assert encoded.query('SELECT ?x WHERE { GRAPH "g:none" { ?x ex:name ?n } }').count() == 0
