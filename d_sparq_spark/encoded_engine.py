@@ -77,6 +77,8 @@ class EncodedSparqlEngine:
                 out.update(v for v in row if v is not None)
         if isinstance(node, A.Graph) and not _is_var(node.term):
             out.add(node.term)
+        if isinstance(node, A.Describe):
+            out.update(t for t in node.terms if not _is_var(t))
         for attr in ("left", "right", "child"):
             sub = getattr(node, attr, None)
             if sub is not None and not isinstance(sub, (str, list, tuple)):
@@ -182,6 +184,13 @@ class EncodedSparqlEngine:
                 for r in self.dict.filter(F.col("term").isin(*consts)).collect()
             }
 
+        if isinstance(root, A.Describe):
+            child = self._rewrite(root.child, ids) if root.child is not None else None
+            terms = tuple(
+                t if _is_var(t) else ids.get(t, _MISSING_ID) for t in root.terms
+            )
+            df = Translator(self.triples, self._stats).eval(A.Describe(terms, child))
+            return self._decode(df, df.columns)
         if isinstance(root, (A.Ask, A.Construct)):
             # structural queries: rewrite whole tree, evaluate encoded,
             # decode output columns

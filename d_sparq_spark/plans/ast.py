@@ -194,7 +194,13 @@ class Construct:
 
 @dataclass
 class Describe:
-    term: object  # constant subject term
+    """DESCRIBE term+ [WHERE group]: CBD (Concise Bounded Description) of
+    each resource — its subject triples, transitively expanded through
+    blank-node objects ('_:' prefix). Variables are resolved against the
+    WHERE group's bindings."""
+
+    terms: tuple  # constant terms and/or '?vars'
+    child: object = None  # optional WHERE group
 
 
 @dataclass

@@ -145,10 +145,19 @@ class Parser:
             return self.parse_construct()
         if self.at_kw("describe"):
             self.next()
-            term = self.parse_term()
+            terms = [self.parse_term()]
+            while self.peek().kind in ("VAR", "IRIREF", "PNAME") or (
+                self.peek().kind == "KEYWORD" and not self.at_kw("where")
+            ):
+                terms.append(self.parse_term())
+            child = None
+            if self.at_kw("where") or self.at_op("{"):
+                if self.at_kw("where"):
+                    self.next()
+                child = self.parse_group()
             if self.peek().kind != "EOF":
                 raise SyntaxError(f"SPARQL: trailing tokens at {self.peek()}")
-            return A.Describe(term)
+            return A.Describe(tuple(terms), child)
         return self.parse_select()
 
     def parse_construct(self) -> A.Construct:

@@ -122,11 +122,51 @@ class Translator:
         if isinstance(node, A.Construct):
             return self._construct(node)
         if isinstance(node, A.Describe):
-            # all triples about the term (subject position; simple DESCRIBE)
-            return self.triples.filter(F.col("s") == F.lit(node.term)).select("s", "p", "o")
+            return self._describe(node)
         if isinstance(node, A.Graph):
             return self._graph(node)
         raise TypeError(f"SPARQL translate: unknown node {type(node).__name__}")
+
+    def _describe(self, node: A.Describe) -> DataFrame:
+        """DESCRIBE term+ [WHERE group] -> CBD triples (s, p, o).
+
+        Resources = constant terms UNION the WHERE bindings of each
+        described variable. Description = their subject triples, then a
+        fixpoint pulling in triples of blank-node objects ('_:') already
+        described — SPARQL 1.1 leaves DESCRIBE's extent to the service; CBD
+        is the de-facto standard (Stickler, W3C CBD submission). The
+        expansion loop is bounded by bnode-chain depth, each round one
+        semi-join; stores without blank nodes exit after round 0's probe."""
+        var_terms = [t for t in node.terms if isinstance(t, str) and t.startswith("?")]
+        consts = [t for t in node.terms if not (isinstance(t, str) and t.startswith("?"))]
+        subjects = None
+        if node.child is not None and var_terms:
+            bindings = self.eval(node.child)
+            parts = [bindings.select(F.col(v[1:]).alias("n")) for v in var_terms]
+            subjects = reduce(lambda a, b: a.unionByName(b), parts)
+        if consts:
+            s_type = dict(self.triples.dtypes)["s"]
+            cdf = self.spark.createDataFrame([(c,) for c in consts]).toDF("n").select(
+                F.col("n").cast(s_type).alias("n")
+            )
+            subjects = cdf if subjects is None else subjects.unionByName(cdf)
+        if subjects is None:
+            return self.triples.filter(F.lit(False)).select("s", "p", "o")
+        subjects = subjects.distinct()
+        store = self.triples.select("s", "p", "o")
+        result = store.join(subjects, store["s"] == subjects["n"], "left_semi")
+        if dict(self.triples.dtypes)["s"] != "string":
+            return result  # encoded store: bnode lexical forms not visible
+        for _ in range(16):
+            bnodes = result.filter(F.col("o").startswith("_:")).select(F.col("o").alias("n"))
+            missing = bnodes.join(
+                result.select(F.col("s").alias("n")), "n", "left_anti"
+            ).distinct()
+            add = store.join(missing, store["s"] == missing["n"], "left_semi")
+            if not add.take(1):
+                return result
+            result = result.unionByName(add).distinct().localCheckpoint()
+        raise RuntimeError("DESCRIBE: blank-node chain deeper than 16 levels")
 
     def _graph(self, node: A.Graph) -> DataFrame:
         """GRAPH over a quad store (B17). Constant graph: evaluate the

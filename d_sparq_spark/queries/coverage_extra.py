@@ -158,3 +158,21 @@ UNION ALL SELECT 'n:3', 'ex:next', 'n:4' WHERE 4 IN (SELECT n_nationkey FROM nat
 def q_sparql_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = SparqlEngine(derive_triples_cached(spark, sf_dir), collect_stats=False)
     return eng.query("DESCRIBE n:3")
+
+
+_ORACLE_DESCRIBE_WHERE = """
+SELECT 'n:' || n_nationkey AS s, 'rdf:type' AS p, 'Nation' AS o FROM nation WHERE n_regionkey = 1
+UNION ALL SELECT 'n:' || n_nationkey, 'foaf:name', n_name FROM nation WHERE n_regionkey = 1
+UNION ALL SELECT 'n:' || n_nationkey, 'ex:region', 'r:1' FROM nation WHERE n_regionkey = 1
+UNION ALL SELECT 'n:' || n_nationkey, 'ex:next', 'n:' || (n_nationkey + 1)
+          FROM nation WHERE n_regionkey = 1
+          AND n_nationkey + 1 IN (SELECT n_nationkey FROM nation)
+"""
+
+
+@register("q_sparql_describe_where", oracle=_ORACLE_DESCRIBE_WHERE)
+def q_sparql_describe_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE ?var WHERE — description set driven by bindings (CBD; the
+    bnode expansion is exercised in goldens, the derived view has none)."""
+    eng = SparqlEngine(derive_triples_cached(spark, sf_dir), collect_stats=False)
+    return eng.query("DESCRIBE ?n WHERE { ?n ex:region r:1 }")

@@ -101,3 +101,15 @@ def test_encoded_graph_matches_lexical(quad_engines, q):
 def test_encoded_graph_unknown_graph_empty(quad_engines):
     _, encoded = quad_engines
     assert encoded.query('SELECT ?x WHERE { GRAPH "g:none" { ?x ex:name ?n } }').count() == 0
+
+
+def test_encoded_describe_matches_lexical(engines):
+    lexical, encoded = engines
+    q = "DESCRIBE p:alice p:eve"
+    assert rows(encoded.query(q)) == rows(lexical.query(q))
+
+
+def test_encoded_describe_var_where(engines):
+    lexical, encoded = engines
+    q = 'DESCRIBE ?x WHERE { ?x ex:city "Paris" }'
+    assert rows(encoded.query(q)) == rows(lexical.query(q))

@@ -286,3 +286,38 @@ def test_path_alternative_complex_branches(engine):
         "SELECT DISTINCT ?n WHERE { p:alice (ex:name|ex:knows/ex:name) ?n }"
     )
     assert rows(out) == [("Alice",), ("Bob",), ("Carol",)]
+
+
+# ---- DESCRIBE: CBD, multi-term, DESCRIBE ?var WHERE ----
+
+
+def test_describe_cbd_follows_blank_nodes(spark):
+    triples = spark.createDataFrame(
+        [
+            ("p:a", "ex:name", "Ann"), ("p:a", "ex:addr", "_:b1"),
+            ("_:b1", "ex:city", "Paris"), ("_:b1", "ex:geo", "_:b2"),
+            ("_:b2", "ex:lat", "48.85"),
+            ("p:x", "ex:addr", "_:b9"), ("_:b9", "ex:city", "Oslo"),
+        ],
+        "s string, p string, o string",
+    )
+    out = rows(SparqlEngine(triples, collect_stats=False).query("DESCRIBE p:a"))
+    assert out == [
+        ("_:b1", "ex:city", "Paris"), ("_:b1", "ex:geo", "_:b2"),
+        ("_:b2", "ex:lat", "48.85"),
+        ("p:a", "ex:addr", "_:b1"), ("p:a", "ex:name", "Ann"),
+    ]  # _:b9 belongs to p:x's description only
+
+
+def test_describe_multiple_terms(engine):
+    out = rows(engine.query("DESCRIBE p:eve p:carol"))
+    assert ("p:eve", "ex:city", "Berlin") in out
+    assert ("p:carol", "ex:age", "35") in out
+    assert all(r[0] in ("p:eve", "p:carol") for r in out)
+
+
+def test_describe_var_where(engine):
+    out = rows(engine.query('DESCRIBE ?x WHERE { ?x ex:city "Paris" }'))
+    subjects = {r[0] for r in out}
+    assert subjects == {"p:alice", "p:dave"}
+    assert ("p:alice", "ex:knows", "p:bob") in out
