@@ -46,6 +46,9 @@ _KEYWORDS = {
 _FUNCS = {
     "regex", "bound", "str", "strlen", "contains", "strstarts", "strends",
     "ucase", "lcase", "concat", "abs", "coalesce", "if", "sameterm", "replace",
+    "substr", "strbefore", "strafter", "round", "floor", "ceil",
+    "isiri", "isuri", "isblank", "isliteral", "lang", "datatype",
+    "md5", "sha1", "sha256", "encode_for_uri",
 }
 
 

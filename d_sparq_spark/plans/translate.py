@@ -38,8 +38,12 @@ _XSD_CASTS = {
     "xsd:boolean": "boolean",
 }
 
-_NUMERIC_FUNCS = {"strlen", "abs", "xsd:double", "xsd:decimal", "xsd:float",
+_NUMERIC_FUNCS = {"strlen", "abs", "round", "floor", "ceil",
+                  "xsd:double", "xsd:decimal", "xsd:float",
                   "xsd:integer", "xsd:int", "xsd:long"}
+
+# Same shape the dictionary uses to classify terms (operators/dictionary.py)
+_IRI_LIKE = r"^[A-Za-z][A-Za-z0-9+.-]*:"
 
 
 def _is_numeric_expr(e: object) -> bool:
@@ -443,4 +447,54 @@ class Translator:
                 args[1].value if isinstance(args[1], A.Lit) else self.expr(args[1], df),
                 args[2].value if isinstance(args[2], A.Lit) else self.expr(args[2], df),
             )
+        if name == "substr":  # SPARQL SUBSTR is 1-based, length optional
+            s = self.expr(args[0], df)
+            start = self.expr(args[1], df, numeric=True).cast("int")
+            length = (
+                self.expr(args[2], df, numeric=True).cast("int")
+                if len(args) > 2
+                else F.length(s)
+            )
+            return s.substr(start, length)
+        if name in ("strbefore", "strafter"):
+            s = self.expr(args[0], df)
+            if not isinstance(args[1], A.Lit):
+                raise ValueError(f"SPARQL {name}: needle must be a literal")
+            needle = str(args[1].value)
+            if name == "strbefore":  # '' when absent, per spec
+                hit = F.substring_index(s, needle, 1)
+            else:
+                pos = F.locate(needle, s)
+                hit = s.substr(pos + len(needle), F.length(s))
+            return F.when(F.contains(s, F.lit(needle)), hit).otherwise(F.lit(""))
+        if name == "round":
+            return F.round(self.expr(args[0], df, numeric=True), 0)
+        if name == "floor":
+            return F.floor(self.expr(args[0], df, numeric=True)).cast("double")
+        if name == "ceil":
+            return F.ceil(self.expr(args[0], df, numeric=True)).cast("double")
+        if name in ("isiri", "isuri"):
+            t = self.expr(args[0], df)
+            return t.rlike(_IRI_LIKE) & ~t.startswith("_:")
+        if name == "isblank":
+            return self.expr(args[0], df).startswith("_:")
+        if name == "isliteral":
+            t = self.expr(args[0], df)
+            return ~t.rlike(_IRI_LIKE) & ~t.startswith("_:")
+        if name == "lang":  # lexical model carries no language tags
+            return F.lit("")
+        if name == "datatype":  # literals are plain strings in this model
+            t = self.expr(args[0], df)
+            return F.when(
+                ~t.rlike(_IRI_LIKE) & ~t.startswith("_:"), F.lit("xsd:string")
+            )
+        if name == "md5":
+            return F.md5(self.expr(args[0], df))
+        if name == "sha1":
+            return F.sha1(self.expr(args[0], df))
+        if name == "sha256":
+            return F.sha2(self.expr(args[0], df), 256)
+        if name == "encode_for_uri":
+            # url_encode form-encodes space as '+'; SPARQL wants %20
+            return F.replace(F.url_encode(self.expr(args[0], df)), F.lit("+"), F.lit("%20"))
         raise ValueError(f"SPARQL: unsupported function {name}")

@@ -94,6 +94,17 @@ _q(
 )
 
 _q(
+    "q_sparql_expr_fns",
+    "SELECT ?c ?sub ?h WHERE { ?c ex:mktsegment ?seg . "
+    'BIND(SUBSTR(?seg, 1, 3) AS ?sub) BIND(MD5(?seg) AS ?h) }',
+    """
+    SELECT 'c:' || c_custkey AS c, substr(c_mktsegment, 1, 3) AS sub,
+           md5(c_mktsegment) AS h
+    FROM customer
+    """,
+)
+
+_q(
     "q_sparql_construct",
     "CONSTRUCT { ?c ex:inSegment ?seg } WHERE { ?c ex:mktsegment ?seg }",
     """

@@ -321,3 +321,54 @@ def test_describe_var_where(engine):
     subjects = {r[0] for r in out}
     assert subjects == {"p:alice", "p:dave"}
     assert ("p:alice", "ex:knows", "p:bob") in out
+
+
+# ---- expression function surface (B4 widening) ----
+
+
+def test_func_substr_strbefore_strafter(engine):
+    out = engine.query(
+        'SELECT ?s ?b ?a WHERE { p:alice ex:city ?c . '
+        'BIND(SUBSTR(?c, 2, 3) AS ?s) BIND(STRBEFORE(?c, "r") AS ?b) '
+        'BIND(STRAFTER(?c, "a") AS ?a) }'
+    )
+    assert rows(out) == [("ari", "Pa", "ris")]
+
+
+def test_func_strbefore_absent_is_empty(engine):
+    out = engine.query(
+        'SELECT ?b WHERE { p:alice ex:city ?c . BIND(STRBEFORE(?c, "zz") AS ?b) }'
+    )
+    assert rows(out) == [("",)]
+
+
+def test_func_term_kind_predicates(engine):
+    out = engine.query(
+        "SELECT ?x WHERE { ?x ex:knows ?y . FILTER(isIRI(?y)) }"
+    )
+    assert rows(out) == [("p:alice",), ("p:alice",), ("p:bob",)]
+    out2 = engine.query(
+        "SELECT ?n WHERE { ?x ex:name ?n . FILTER(isLiteral(?n)) }"
+    )
+    assert len(rows(out2)) == 5
+
+
+def test_func_numeric_round_floor_ceil(engine):
+    out = engine.query(
+        'SELECT ?r ?f ?c WHERE { p:alice ex:age ?a . '
+        "BIND(ROUND(xsd:double(?a) / 7) AS ?r) "
+        "BIND(FLOOR(xsd:double(?a) / 7) AS ?f) "
+        "BIND(CEIL(xsd:double(?a) / 7) AS ?c) }"
+    )
+    assert rows(out) == [(4.0, 4.0, 5.0)]
+
+
+def test_func_hash_and_misc(engine):
+    import hashlib
+
+    out = engine.query(
+        'SELECT ?m ?l ?d WHERE { p:alice ex:name ?n . '
+        "BIND(MD5(?n) AS ?m) BIND(LANG(?n) AS ?l) BIND(DATATYPE(?n) AS ?d) }"
+    )
+    r = rows(out)[0]
+    assert r == (hashlib.md5(b"Alice").hexdigest(), "", "xsd:string")
