@@ -66,6 +66,15 @@ def minhash_signature(
     combine) shrinks the shuffle to one row of num_hashes longs per doc
     regardless of document length — the right shape at 100 TB too.
     xxhash64 is deterministic across runs/executors/engines."""
+    return docs.join(_signatures(docs, text_col, num_hashes, shingle_k, id_col), id_col)
+
+
+def _signatures(
+    docs: DataFrame, text_col: str, num_hashes: int, shingle_k: int, id_col: str
+) -> DataFrame:
+    """(id, signature) only — no join back to the document row. The LSH
+    banding stage needs nothing else, so the near-dup pipeline never
+    shuffles document bodies."""
     sh = docs.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), shingle_k)).alias("_sh")
     )
@@ -73,7 +82,7 @@ def minhash_signature(
         F.min(F.xxhash64(F.lit(i), F.col("_sh"))).alias(f"_h{i}")
         for i in range(num_hashes)
     ]
-    sig = (
+    return (
         sh.groupBy(id_col)
         .agg(*aggs)
         .select(
@@ -81,7 +90,6 @@ def minhash_signature(
             F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("signature"),
         )
     )
-    return docs.join(sig, id_col)
 
 
 def lsh_candidate_pairs(
@@ -142,8 +150,8 @@ def minhash_near_dups(
 ) -> DataFrame:
     """Full pipeline: signatures -> LSH candidates -> exact Jaccard verify.
     Returns (a, b, jaccard) pairs with jaccard >= threshold."""
-    with_sig = minhash_signature(docs, text_col, num_hashes)
-    pairs = lsh_candidate_pairs(with_sig, id_col, num_bands, num_hashes // num_bands)
+    sig = _signatures(docs, text_col, num_hashes, 3, id_col)
+    pairs = lsh_candidate_pairs(sig, id_col, num_bands, num_hashes // num_bands)
     lt = docs.select(F.col(id_col).alias("a"), F.col(text_col).alias("_ta"))
     rt = docs.select(F.col(id_col).alias("b"), F.col(text_col).alias("_tb"))
     return (

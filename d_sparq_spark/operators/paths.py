@@ -36,17 +36,22 @@ def transitive_closure(edges: DataFrame, max_iter: int = 48) -> DataFrame:
     lineage so Catalyst analysis stays O(1) per round. max_iter=48 covers
     diameters beyond 2^47 — hitting it means runaway growth, so raise."""
     closure = edges.select("src", "dst").distinct().localCheckpoint()
+    n = closure.count()
     for _ in range(max_iter):
         doubled = (
             closure.alias("l")
             .join(closure.alias("r"), F.col("l.dst") == F.col("r.src"))
             .select(F.col("l.src").alias("src"), F.col("r.dst").alias("dst"))
-            .distinct()
         )
-        new_pairs = doubled.join(closure, on=["src", "dst"], how="left_anti").localCheckpoint()
-        if not new_pairs.take(1):
+        # ONE shuffle+materialization per round (union->distinct->checkpoint),
+        # fixpoint detected by count of the checkpointed result — cheaper than
+        # a separate anti-join + probe round-trip, and the count scans data
+        # already pinned by the checkpoint.
+        nxt = closure.unionByName(doubled).distinct().localCheckpoint()
+        n2 = nxt.count()
+        if n2 == n:
             return closure
-        closure = closure.unionByName(new_pairs).distinct().localCheckpoint()
+        closure, n = nxt, n2
     raise RuntimeError(
         f"transitive_closure: no fixpoint within {max_iter} doubling rounds"
     )
