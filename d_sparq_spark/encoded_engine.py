@@ -79,6 +79,12 @@ class EncodedSparqlEngine:
             out.add(node.term)
         if isinstance(node, A.Describe):
             out.update(t for t in node.terms if not _is_var(t))
+        if isinstance(node, A.Service):
+            raise NotImplementedError(
+                "EncodedSparqlEngine: SERVICE federates lexical stores — "
+                "endpoint stores have their own dictionaries; use "
+                "SparqlEngine (lexical) for federated queries"
+            )
         for attr in ("left", "right", "child"):
             sub = getattr(node, attr, None)
             if sub is not None and not isinstance(sub, (str, list, tuple)):

@@ -20,10 +20,16 @@ from d_sparq_spark.plans.translate import Translator
 
 
 class SparqlEngine:
-    def __init__(self, triples: DataFrame, collect_stats: bool = True):
+    def __init__(
+        self,
+        triples: DataFrame,
+        collect_stats: bool = True,
+        services: dict[str, DataFrame] | None = None,
+    ):
         """triples: DataFrame with columns (s, p, o). collect_stats runs one
         small aggregation up front (A11) so BGP planning can order patterns
-        by selectivity (A7) without re-scanning per query."""
+        by selectivity (A7) without re-scanning per query. services maps
+        SERVICE endpoint names to their triples DataFrames (federation)."""
         self.triples = triples
         stats = None
         if collect_stats:
@@ -31,7 +37,7 @@ class SparqlEngine:
                 r["p"]: r["cnt"]
                 for r in predicate_stats(triples).select("p", "cnt").collect()
             }
-        self._translator = Translator(triples, stats)
+        self._translator = Translator(triples, stats, services=services)
 
     def query(self, sparql: str) -> DataFrame:
         """Parse and plan a SPARQL query; returns the lazily-evaluated

@@ -204,6 +204,20 @@ class Describe:
 
 
 @dataclass
+class Service:
+    """SERVICE [SILENT] <endpoint> { pattern } — federation resolved
+    against a registry of named stores (endpoint name -> triples
+    DataFrame). Spark-first federation: a remote endpoint's data is just
+    another DataFrame (a different catalog table, parquet path, or JDBC
+    source); the federated join is then a plain Catalyst join. SILENT +
+    unknown endpoint yields the unit solution per spec instead of failing."""
+
+    endpoint: object
+    child: object
+    silent: bool = False
+
+
+@dataclass
 class Graph:
     """GRAPH term { pattern } — evaluate the inner pattern against one
     named graph (constant) or every named graph with ?g bound (variable).

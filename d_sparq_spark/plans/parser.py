@@ -39,7 +39,7 @@ _KEYWORDS = {
     "prefix", "select", "distinct", "reduced", "where", "optional", "union",
     "minus", "filter", "bind", "values", "group", "by", "having", "order",
     "limit", "offset", "asc", "desc", "as", "ask", "not", "exists", "in",
-    "undef", "true", "false", "a", "construct", "describe",
+    "undef", "true", "false", "a", "construct", "describe", "service", "silent",
     "count", "sum", "avg", "min", "max", "group_concat", "sample", "separator",
 }
 
@@ -306,6 +306,15 @@ class Parser:
                 term = self.parse_term()
                 flush_triples()
                 elements.append(("graph", term, self.parse_group()))
+            elif self.at_kw("service"):
+                self.next()
+                silent = False
+                if self.at_kw("silent"):
+                    self.next()
+                    silent = True
+                term = self.parse_term()
+                flush_triples()
+                elements.append(("service", term, self.parse_group(), silent))
             elif self.at_kw("optional"):
                 self.next()
                 flush_triples()
@@ -372,6 +381,8 @@ class Parser:
                 node = A.Values(el[1], el[2], node)
             elif el[0] == "graph":
                 node = join(node, A.Graph(el[1], el[2]))
+            elif el[0] == "service":
+                node = join(node, A.Service(el[1], el[2], el[3]))
         if node is None:
             node = A.BGP([])
         for f in filters:  # SPARQL: FILTER scopes to the whole group

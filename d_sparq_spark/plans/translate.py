@@ -59,9 +59,15 @@ def _is_numeric_expr(e: object) -> bool:
 
 
 class Translator:
-    def __init__(self, triples: DataFrame, stats: dict | None = None):
+    def __init__(
+        self,
+        triples: DataFrame,
+        stats: dict | None = None,
+        services: dict | None = None,
+    ):
         self.triples = triples
         self.stats = stats
+        self.services = services or {}
         self.spark = triples.sparkSession
 
     # ------------- algebra -------------
@@ -129,6 +135,8 @@ class Translator:
             return self._describe(node)
         if isinstance(node, A.Graph):
             return self._graph(node)
+        if isinstance(node, A.Service):
+            return self._service(node)
         raise TypeError(f"SPARQL translate: unknown node {type(node).__name__}")
 
     def _describe(self, node: A.Describe) -> DataFrame:
@@ -171,6 +179,19 @@ class Translator:
                 return result
             result = result.unionByName(add).distinct().localCheckpoint()
         raise RuntimeError("DESCRIBE: blank-node chain deeper than 16 levels")
+
+    def _service(self, node: A.Service) -> DataFrame:
+        """SERVICE: evaluate the inner pattern against the registered
+        endpoint store; the result joins into the outer group like any
+        bindings table (Catalyst then picks broadcast vs shuffle). Unknown
+        endpoint: SILENT -> unit solution (join no-op) per spec, else error."""
+        store = self.services.get(node.endpoint)
+        if store is None:
+            if node.silent:
+                return self.spark.range(1).select()
+            raise ValueError(f"SPARQL SERVICE: unknown endpoint {node.endpoint!r}")
+        sub = Translator(store, services=self.services)
+        return sub.eval(node.child)
 
     def _graph(self, node: A.Graph) -> DataFrame:
         """GRAPH over a quad store (B17). Constant graph: evaluate the

@@ -127,6 +127,46 @@ _q(
 )
 
 
+_ORACLE_SERVICE = """
+SELECT s_name AS sname
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_regionkey = 1
+"""
+
+
+@register("q_sparql_service", oracle=_ORACLE_SERVICE)
+def q_sparql_service(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVICE federation: the supplier store is a separate 'endpoint'
+    registered under ex:suppliers; the federated join is a Catalyst join
+    between the two stores' bindings."""
+    from pyspark.sql import functions as F
+
+    from d_sparq_spark.sources.tables import load_table
+
+    sup = load_table(spark, sf_dir, "supplier")
+    s_s = F.concat(F.lit("s:"), F.col("s_suppkey").cast("string"))
+    remote = sup.select(
+        F.explode(
+            F.array(
+                F.struct(s_s.alias("s"), F.lit("foaf:name").alias("p"), F.col("s_name").alias("o")),
+                F.struct(
+                    s_s.alias("s"),
+                    F.lit("ex:nation").alias("p"),
+                    F.concat(F.lit("n:"), F.col("s_nationkey").cast("string")).alias("o"),
+                ),
+            )
+        ).alias("tr")
+    ).select("tr.s", "tr.p", "tr.o")
+    eng = SparqlEngine(
+        derive_triples(spark, sf_dir), collect_stats=False,
+        services={"ex:suppliers": remote},
+    )
+    return eng.query(
+        "SELECT ?sname WHERE { ?n ex:region r:1 . "
+        "SERVICE ex:suppliers { ?s ex:nation ?n . ?s foaf:name ?sname } }"
+    )
+
+
 def _q_quads(name: str, sparql: str, oracle: str) -> None:
     from d_sparq_spark.sources.derived_rdf import derive_quads
 

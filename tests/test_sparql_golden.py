@@ -372,3 +372,40 @@ def test_func_hash_and_misc(engine):
     )
     r = rows(out)[0]
     assert r == (hashlib.md5(b"Alice").hexdigest(), "", "xsd:string")
+
+
+# ---- SERVICE federation (registry-backed) ----
+
+
+REMOTE_TRIPLES = [
+    ("p:alice", "ex:salary", "100"), ("p:bob", "ex:salary", "80"),
+    ("p:zed", "ex:salary", "70"),
+]
+
+
+@pytest.fixture(scope="module")
+def fed_engine(spark):
+    local = spark.createDataFrame(TRIPLES, "s string, p string, o string")
+    remote = spark.createDataFrame(REMOTE_TRIPLES, "s string, p string, o string")
+    return SparqlEngine(local, collect_stats=False, services={"ex:hr": remote})
+
+
+def test_service_join(fed_engine):
+    out = fed_engine.query(
+        "SELECT ?n ?sal WHERE { ?x ex:name ?n . SERVICE ex:hr { ?x ex:salary ?sal } }"
+    )
+    assert rows(out) == [("Alice", "100"), ("Bob", "80")]
+
+
+def test_service_unknown_endpoint_raises(fed_engine):
+    with pytest.raises(ValueError):
+        fed_engine.query(
+            "SELECT ?n WHERE { ?x ex:name ?n . SERVICE ex:nope { ?x ex:salary ?s } }"
+        ).collect()
+
+
+def test_service_silent_unknown_is_noop(fed_engine):
+    out = fed_engine.query(
+        "SELECT ?n WHERE { p:eve ex:name ?n . SERVICE SILENT ex:nope { ?x ex:salary ?s } }"
+    )
+    assert rows(out) == [("Eve",)]
