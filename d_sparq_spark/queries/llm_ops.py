@@ -396,3 +396,108 @@ def q_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return S.ivf_cosine_topk(emb, queries, k=3, n_centroids=8, n_probe=2)
+
+
+# --- corpus-preparation ops: chunking, sampling, mixing, redaction -------------
+
+
+def chunk_text(text: F.Column, size: int = 200, stride: int = 150) -> F.Column:
+    """array<struct<chunk_idx, chunk>>: fixed-size char windows with
+    size-stride overlap — the standard pre-tokenization chunker. Pure
+    higher-order functions (JVM-side); one row in, ~len/stride out after
+    posexplode, so output scales with corpus size, not row count."""
+    n_chunks = F.floor((F.length(text) - 1) / stride).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(0))),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            text.substr(i * stride + 1, F.lit(size)).alias("chunk"),
+        ),
+    )
+
+
+_ORACLE_CHUNKS = """
+WITH idx AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, greatest((length(text) - 1) // 150, 0))) AS chunk_idx
+  FROM documents
+)
+SELECT doc_id, chunk_idx,
+       substr(text, CAST(chunk_idx * 150 + 1 AS INT), 200) AS chunk
+FROM idx
+"""
+
+
+@register("q_doc_chunks", oracle=_ORACLE_CHUNKS)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(chunk_text(F.col("text"))).alias("c")
+    ).select("doc_id", F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.chunk").alias("chunk"))
+
+
+_ORACLE_SAMPLE = """
+SELECT doc_id, lang FROM documents WHERE substr(md5(text), 1, 1) IN ('0', '1')
+"""
+
+
+@register("q_sample_hash", oracle=_ORACLE_SAMPLE)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sampling (~2/16 of the corpus): the
+    reproducible alternative to rand()-sampling — stable across engines,
+    reruns, and partitionings, so sample membership is itself testable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(
+        F.substring(F.md5(F.col("text")), 1, 1).isin("0", "1")
+    ).select("doc_id", "lang")
+
+
+_ORACLE_MIX = """
+SELECT doc_id, lang, 'en_half' AS bucket FROM documents
+WHERE lang = 'en' AND substr(md5(text), 1, 1) IN ('0','1','2','3','4','5','6','7')
+UNION ALL
+SELECT doc_id, lang, 'other_quarter' FROM documents
+WHERE lang <> 'en' AND substr(md5(text), 1, 1) IN ('0','1','2','3')
+"""
+
+
+@register("q_mix_weighted", oracle=_ORACLE_MIX)
+def q_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted dataset mixing: ~50% of English + ~25% of the rest, each
+    stratum selected by content hash (deterministic 'sampling weights' for
+    corpus blending; at scale each stratum is one pushed-down filter scan,
+    no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    first = F.substring(F.md5(F.col("text")), 1, 1)
+    en = docs.filter(
+        (F.col("lang") == "en") & first.isin(*"01234567")
+    ).select("doc_id", "lang", F.lit("en_half").alias("bucket"))
+    rest = docs.filter(
+        (F.col("lang") != "en") & first.isin(*"0123")
+    ).select("doc_id", "lang", F.lit("other_quarter").alias("bucket"))
+    return en.unionByName(rest)
+
+
+_PII_PATTERN = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+
+_ORACLE_REDACT = f"""
+SELECT doc_id,
+       regexp_replace('user' || CAST(doc_id AS VARCHAR) || '@example.com ' || substr(text, 1, 50),
+                      '{_PII_PATTERN}', '<EMAIL>', 'g') AS redacted
+FROM documents
+"""
+
+
+@register("q_pii_redact", oracle=_ORACLE_REDACT)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing shape: regexp_replace over a synthesized contact line
+    (the corpus itself is synthetic word soup; the planted email proves the
+    redaction path end-to-end). JVM regex, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    contact = F.concat(
+        F.lit("user"), F.col("doc_id").cast("string"), F.lit("@example.com "),
+        F.substring(F.col("text"), 1, 50),
+    )
+    return docs.select(
+        "doc_id", F.regexp_replace(contact, _PII_PATTERN, "<EMAIL>").alias("redacted")
+    )

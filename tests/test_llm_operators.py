@@ -150,3 +150,23 @@ def test_embedding_lsh_subset_and_degenerate_equality(spark):
     assert one_bucket == exact
     # the planted near-identical pair must survive LSH blocking
     assert (0, 40) in lsh
+
+
+def test_chunk_text_edges(spark):
+    from d_sparq_spark.queries.llm_ops import chunk_text
+
+    rows_in = [(1, "x" * 10), (2, "y" * 200), (3, "z" * 201), (4, "w" * 350)]
+    df = spark.createDataFrame(rows_in, "doc_id long, text string")
+    out = (
+        df.select("doc_id", F.explode(chunk_text(F.col("text"))).alias("c"))
+        .select("doc_id", "c.chunk_idx", "c.chunk")
+        .collect()
+    )
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_idx"], len(r["chunk"])))
+    assert by_doc[1] == [(0, 10)]          # short doc -> one whole chunk
+    assert by_doc[2] == [(0, 200)]         # exactly size -> one chunk
+    assert by_doc[3] == [(0, 200), (1, 51)]   # one char past -> overlap tail
+    assert by_doc[4] == [(0, 200), (1, 200), (2, 50)]
+    # overlap: chunk1 of doc 4 starts at stride 150 < 200 = size
