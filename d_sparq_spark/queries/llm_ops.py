@@ -406,9 +406,11 @@ def chunk_text(text: F.Column, size: int = 200, stride: int = 150) -> F.Column:
     size-stride overlap — the standard pre-tokenization chunker. Pure
     higher-order functions (JVM-side); one row in, ~len/stride out after
     posexplode, so output scales with corpus size, not row count."""
-    n_chunks = F.floor((F.length(text) - 1) / stride).cast("int")
+    # last index = ceil((len-size)/stride): the final window starts before
+    # len and is never fully contained in the previous one
+    last_idx = F.ceil((F.length(text) - size) / F.lit(float(stride))).cast("int")
     return F.transform(
-        F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(0))),
+        F.sequence(F.lit(0), F.greatest(last_idx, F.lit(0))),
         lambda i: F.struct(
             i.cast("long").alias("chunk_idx"),
             text.substr(i * stride + 1, F.lit(size)).alias("chunk"),
@@ -419,7 +421,9 @@ def chunk_text(text: F.Column, size: int = 200, stride: int = 150) -> F.Column:
 _ORACLE_CHUNKS = """
 WITH idx AS (
   SELECT doc_id, text,
-         unnest(generate_series(0, greatest((length(text) - 1) // 150, 0))) AS chunk_idx
+         unnest(generate_series(
+           0, greatest(CAST(ceil((length(text) - 200) / 150.0) AS BIGINT), 0)
+         )) AS chunk_idx
   FROM documents
 )
 SELECT doc_id, chunk_idx,

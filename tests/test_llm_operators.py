@@ -166,7 +166,6 @@ def test_chunk_text_edges(spark):
     for r in out:
         by_doc.setdefault(r["doc_id"], []).append((r["chunk_idx"], len(r["chunk"])))
     assert by_doc[1] == [(0, 10)]          # short doc -> one whole chunk
-    assert by_doc[2] == [(0, 200)]         # exactly size -> one chunk
+    assert by_doc[2] == [(0, 200)]         # exactly size -> one chunk, no tail
     assert by_doc[3] == [(0, 200), (1, 51)]   # one char past -> overlap tail
-    assert by_doc[4] == [(0, 200), (1, 200), (2, 50)]
-    # overlap: chunk1 of doc 4 starts at stride 150 < 200 = size
+    assert by_doc[4] == [(0, 200), (1, 200)]  # window 1 covers 151..350
