@@ -67,6 +67,9 @@ class EncodedSparqlEngine:
                     terms = (tp.s, tp.o)
                     for br in tp.branches:
                         self._collect_constants(A.BGP(list(br)), out)
+                elif isinstance(tp, A.ClosurePattern):
+                    terms = (tp.s, tp.o)
+                    self._collect_constants(A.BGP(list(tp.patterns)), out)
                 else:
                     terms = (tp.s, tp.p, tp.o)
                 for t in terms:
@@ -113,6 +116,15 @@ class EncodedSparqlEngine:
                         for br in tp.branches
                     )
                     pats.append(A.AltPath(rid(tp.s), branches, rid(tp.o)))
+                elif isinstance(tp, A.ClosurePattern):
+                    inner = tuple(
+                        self._rewrite(A.BGP(list(tp.patterns)), ids).patterns
+                    )
+                    pats.append(
+                        A.ClosurePattern(
+                            rid(tp.s), tp.op, inner, tp.src_var, tp.dst_var, rid(tp.o)
+                        )
+                    )
                 else:
                     pats.append(TriplePattern(rid(tp.s), rid(tp.p), rid(tp.o)))
             return A.BGP(pats)

@@ -89,6 +89,21 @@ class PropSetPattern:
 
 
 @dataclass(frozen=True)
+class ClosurePattern:
+    """Closure (+ / * / ?) over a COMPOSITE path, e.g. (p/q)+ or (p|q)*.
+    The inner path is pre-emitted at parse time as a pattern list binding
+    two fresh endpoint variables; evaluation computes that BGP once as the
+    edge set, then runs the fixpoint over it."""
+
+    s: object
+    op: str  # '+', '*' or '?'
+    patterns: tuple  # inner path as patterns over (src_var, dst_var)
+    src_var: str
+    dst_var: str
+    o: object
+
+
+@dataclass(frozen=True)
 class AltPath:
     """General path alternative s (path1|path2) o where at least one branch
     is not a plain IRI (e.g. p|q/r). Each branch is pre-emitted at parse

@@ -433,12 +433,15 @@ class Parser:
         elif isinstance(p, tuple) and p[0] == "neg":
             out.append(A.PropSetPattern(s, tuple(p[1]), o, negated=True))
         elif isinstance(p, tuple) and p[0] in ("+", "*", "?"):
-            if not isinstance(p[1], str):
-                raise NotImplementedError(
-                    "property-path closure (+/*/?) over a composite path is "
-                    "not supported; apply it to a single IRI"
+            if isinstance(p[1], str):
+                out.append(A.PathPattern(s, p[0], p[1], o))
+            else:  # composite inner path: pre-emit its edge-set BGP
+                src, dst = self.fresh_var(), self.fresh_var()
+                inner: list = []
+                self._emit_pattern(inner, src, p[1], dst)
+                out.append(
+                    A.ClosurePattern(s, p[0], tuple(inner), src[1:], dst[1:], o)
                 )
-            out.append(A.PathPattern(s, p[0], p[1], o))
         else:
             out.append(TriplePattern(s, p, o))
 

@@ -245,7 +245,7 @@ class Translator:
         if not node.patterns:
             # unit table: one row, zero columns
             return self.spark.range(1).select()
-        _pathlike = (A.PathPattern, A.PropSetPattern, A.AltPath)
+        _pathlike = (A.PathPattern, A.PropSetPattern, A.AltPath, A.ClosurePattern)
         paths = [p for p in node.patterns if isinstance(p, _pathlike)]
         plain = [p for p in node.patterns if not isinstance(p, _pathlike)]
         if not plain:
@@ -282,10 +282,35 @@ class Translator:
             return self._propset(p)
         if isinstance(p, A.AltPath):
             return self._altpath(p)
+        if isinstance(p, A.ClosurePattern):
+            return self._closure(p)
         from d_sparq_spark.operators.paths import path_opt, path_plus, path_star
 
         op_fn = {"+": path_plus, "*": path_star, "?": path_opt}[p.op]
         return self._bind_endpoints(op_fn(self.triples, p.p), p.s, p.o, "src", "dst")
+
+    def _closure(self, p: A.ClosurePattern) -> DataFrame:
+        """Closure over a composite path: the inner path's BGP (evaluated
+        once) IS the edge set; +/*/? then reuse the same fixpoint machinery
+        as single-predicate paths. Zero-length paths are restricted to the
+        edge set's domain/range, consistent with path_star."""
+        from d_sparq_spark.operators.paths import transitive_closure
+
+        edges = self._bgp(A.BGP(list(p.patterns))).select(
+            F.col(p.src_var).alias("src"), F.col(p.dst_var).alias("dst")
+        )
+        if p.op == "+":
+            pairs = transitive_closure(edges)
+        else:
+            nodes = (
+                edges.select(F.col("src").alias("n"))
+                .unionByName(edges.select(F.col("dst").alias("n")))
+                .distinct()
+            )
+            zero = nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
+            one = transitive_closure(edges) if p.op == "*" else edges
+            pairs = one.unionByName(zero).distinct()
+        return self._bind_endpoints(pairs, p.s, p.o, "src", "dst")
 
     def _propset(self, p: A.PropSetPattern) -> DataFrame:
         """s (p1|p2) o / s !(p1|p2) o: one predicate-set membership scan.

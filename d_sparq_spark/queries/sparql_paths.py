@@ -94,6 +94,17 @@ _q(
 )
 
 _q(
+    "q_sparql_path_closure_seq",
+    "SELECT ?x ?y WHERE { ?x (ex:next/ex:next)+ ?y }",
+    """
+    SELECT 'n:' || a.n_nationkey AS x, 'n:' || b.n_nationkey AS y
+    FROM nation a JOIN nation b
+      ON b.n_nationkey > a.n_nationkey
+     AND (b.n_nationkey - a.n_nationkey) % 2 = 0
+    """,
+)
+
+_q(
     "q_sparql_expr_fns",
     "SELECT ?c ?sub ?h WHERE { ?c ex:mktsegment ?seg . "
     'BIND(SUBSTR(?seg, 1, 3) AS ?sub) BIND(MD5(?seg) AS ?h) }',

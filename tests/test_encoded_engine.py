@@ -113,3 +113,16 @@ def test_encoded_describe_var_where(engines):
     lexical, encoded = engines
     q = 'DESCRIBE ?x WHERE { ?x ex:city "Paris" }'
     assert rows(encoded.query(q)) == rows(lexical.query(q))
+
+
+def test_encoded_composite_closure(spark):
+    triples = spark.createDataFrame(
+        [("a", "ex:p", "b"), ("b", "ex:q", "c"), ("c", "ex:p", "d"), ("d", "ex:q", "e")],
+        "s string, p string, o string",
+    )
+    d = build_dictionary(triples).cache()
+    enc = encode_triples(triples, d).cache()
+    q = "SELECT ?x ?y WHERE { ?x (ex:p/ex:q)+ ?y }"
+    lex = SparqlEngine(triples, collect_stats=False)
+    enc_e = EncodedSparqlEngine(enc, d, collect_stats=False)
+    assert rows(enc_e.query(q)) == rows(lex.query(q)) == [("a", "c"), ("a", "e"), ("c", "e")]

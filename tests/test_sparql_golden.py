@@ -409,3 +409,38 @@ def test_service_silent_unknown_is_noop(fed_engine):
         "SELECT ?n WHERE { p:eve ex:name ?n . SERVICE SILENT ex:nope { ?x ex:salary ?s } }"
     )
     assert rows(out) == [("Eve",)]
+
+
+# ---- closures over composite paths: (p/q)+, (p|q)*, (p/q)? ----
+
+
+@pytest.fixture(scope="module")
+def chain_engine(spark):
+    # two alternating-predicate chains: a -p-> b -q-> c -p-> d -q-> e
+    triples = spark.createDataFrame(
+        [
+            ("a", "ex:p", "b"), ("b", "ex:q", "c"),
+            ("c", "ex:p", "d"), ("d", "ex:q", "e"),
+            ("x", "ex:p", "y"),
+        ],
+        "s string, p string, o string",
+    )
+    return SparqlEngine(triples, collect_stats=False)
+
+
+def test_closure_plus_over_sequence(chain_engine):
+    # (p/q)+ edges: a->c, c->e (plus transitive a->e)
+    out = chain_engine.query("SELECT ?x ?y WHERE { ?x (ex:p/ex:q)+ ?y }")
+    assert rows(out) == [("a", "c"), ("a", "e"), ("c", "e")]
+
+
+def test_closure_star_over_alternative(chain_engine):
+    # (p|q) edges = all five; * adds identity on their nodes
+    out = chain_engine.query("SELECT ?x ?y WHERE { ?x (ex:p|ex:q)* ?y . ?x ex:p b }")
+    # ?x is 'a' (only a has p->b): a* reaches a (zero), b, c, d, e
+    assert rows(out) == [("a", "a"), ("a", "b"), ("a", "c"), ("a", "d"), ("a", "e")]
+
+
+def test_closure_opt_over_sequence(chain_engine):
+    out = chain_engine.query("SELECT ?y WHERE { a (ex:p/ex:q)? ?y }")
+    assert rows(out) == [("a",), ("c",)]
