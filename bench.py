@@ -35,6 +35,8 @@ HEADLINE = [
     "q_window_tumbling",   # event-time windows
     "q_sparql_path_plus",  # iterative fixpoint (property path)
     "q_tfidf",             # explode + double groupBy + join
+    "q_dedup_embed_lsh",   # embedding near-dup, LSH-blocked scale path
+    "q_doc_chunks",        # corpus chunking (row-explosive HOF)
 ]
 
 

@@ -104,26 +104,31 @@ def scaled_int_cosine_topk(
     return scored.withColumn("rn", F.row_number().over(w).cast("long")).filter(F.col("rn") <= k)
 
 
-def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
-    """Random-hyperplane LSH bucket id: bit j = sign(<v, h_j>) where h_j is
-    a deterministic pseudo-random hyperplane derived from xxhash64(j, i).
-    Cosine-similar vectors collide with high probability."""
-    def plane_component(plane: int):
-        # factory closure (a default-arg lambda would be misread as the
-        # two-arg (element, index) HOF form)
-        return lambda i: F.when(
-            F.xxhash64(F.lit(plane), i).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)
-        ).otherwise(F.lit(-1.0))
+def _plane_vectors(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic +-1 hyperplanes from md5(plane,i) — computed ONCE on
+    the driver and shipped as literal arrays, so per row the bucket costs
+    only the dot products (the previous per-row hash-derived planes made
+    every row re-derive the constant matrix)."""
+    import hashlib
 
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{j},{i}".encode()).hexdigest()[:8], 16) & 1 else -1.0
+            for i in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
+    """Random-hyperplane LSH bucket id: bit j = sign(<v, h_j>) for fixed
+    deterministic hyperplanes h_j (driver-side constants). Cosine-similar
+    vectors collide with high probability."""
     out = F.lit(0).cast("long")
-    for j in range(n_planes):
-        # deterministic +-1 hyperplane component per (plane j, dim i)
+    for j, comps in enumerate(_plane_vectors(n_planes, dim)):
+        plane = F.array(*[F.lit(c) for c in comps])
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), plane_component(j)),
-                lambda x, h: (x * h).cast("double"),
-            ),
+            F.zip_with(vec, plane, lambda x, h: (x * h).cast("double")),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
