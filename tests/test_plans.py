@@ -72,3 +72,28 @@ def test_sparql_engine_plan_pushes_predicate_constants(spark):
     # constant positions must become real filters, not post-hoc selection
     assert "BUILDING" in plan
     assert "Filter" in plan
+
+
+def test_propset_scan_partition_prunes_vp_store(spark, tmp_path):
+    """A positive property-set scan (p IN (...)) over the partitionBy('p')
+    VP store must prune to the named predicate directories — the Spark
+    equivalent of D-SPARQ's MongoDB predicate index."""
+    from pyspark.sql import functions as F
+
+    from d_sparq_spark.operators.dictionary import build_dictionary, encode_triples
+    from d_sparq_spark.sources.triple_store import read_vp, write_vp
+
+    triples = spark.createDataFrame(
+        [("a", "ex:p", "b"), ("a", "ex:q", "c"), ("b", "ex:r", "d")],
+        "s string, p string, o string",
+    )
+    d = build_dictionary(triples)
+    enc = encode_triples(triples, d)
+    path = str(tmp_path / "vp")
+    write_vp(enc, path)
+    ids = [r["id"] for r in d.filter(F.col("term").isin("ex:p", "ex:q")).collect()]
+    df = read_vp(spark, path).filter(F.col("p").isin(*ids))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "p#" in pf and "IN" in pf.upper()
