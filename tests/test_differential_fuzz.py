@@ -57,6 +57,42 @@ def _query(rng: random.Random) -> str:
     return f"SELECT {distinct}{sel} WHERE {{ {body}{filt} }}"
 
 
+def _path_query(rng: random.Random) -> str:
+    """Random property-path pattern over ex:knows (the only s->s predicate):
+    exercises + * ? ^ | ! and composite closures on both engines."""
+    form = rng.choice(
+        [
+            "?x ex:knows+ ?y",
+            "?x ex:knows* ?y",
+            "?x ex:knows? ?y",
+            "?x ^ex:knows ?y",
+            "?x (ex:knows|ex:city) ?y",
+            "?x !(ex:age|ex:level) ?y",
+            "?x (ex:knows/ex:knows)+ ?y",
+            "?x (ex:knows/ex:city) ?y",
+            "?x (ex:city|ex:knows/ex:city) ?y",
+        ]
+    )
+    distinct = "DISTINCT " if rng.random() < 0.5 else ""
+    return f"SELECT {distinct}?x ?y WHERE {{ {form} }}"
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_lexical_vs_encoded_agree_on_paths(spark, seed):
+    rng = random.Random(1000 + seed)
+    graph = _graph(rng)
+    triples = spark.createDataFrame(graph, "s string, p string, o string")
+    d = build_dictionary(triples)
+    enc = encode_triples(triples, d)
+    lexical = SparqlEngine(triples, collect_stats=False)
+    encoded = EncodedSparqlEngine(enc, d, collect_stats=False)
+    for _ in range(2):
+        q = _path_query(rng)
+        a = sorted(tuple(r) for r in lexical.query(q).collect())
+        b = sorted(tuple(r) for r in encoded.query(q).collect())
+        assert a == b, f"seed={seed} divergence on:\n{q}\nlexical={a[:5]}\nencoded={b[:5]}"
+
+
 @pytest.mark.parametrize("seed", range(12))
 def test_lexical_vs_encoded_agree(spark, seed):
     rng = random.Random(seed)
