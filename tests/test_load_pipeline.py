@@ -46,3 +46,14 @@ def test_vp_store_prunes_by_predicate(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(p" in plan, plan
     assert pruned.count() > 0
+
+
+def test_orc_sink_source_roundtrip(spark, tmp_path):
+    """ORC is the other columnar format Spark ships natively; the engine's
+    IO layer must round-trip it (schema + values) like parquet."""
+    src = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    path = str(tmp_path / "nation_orc")
+    src.write.orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
