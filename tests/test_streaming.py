@@ -49,3 +49,27 @@ def test_stream_dedup_within_watermark(spark):
     }
     # event_ids are unique in the fixture, so dedup must be a no-op
     assert got == batch
+
+
+def test_stream_static_join_equals_batch(spark):
+    """Stream-static join (enrichment): the streamed events join a static
+    dim (user_id % 25 -> nation) and aggregate; must equal the batch form.
+    The static side broadcasts — the standard streaming-enrichment shape."""
+    nation = load_table(spark, SF, "nation").select(
+        F.col("n_nationkey").alias("nk"), "n_name"
+    )
+
+    def enrich_and_count(events):
+        return (
+            events.withColumn("nk", F.col("user_id") % 25)
+            .join(F.broadcast(nation), "nk")
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    batch = enrich_and_count(load_table(spark, SF, "events"))
+    streamed = run_stream_to_batch(
+        stream_events(spark, SF, with_watermark=None), enrich_and_count,
+        "t_stream_static_join",
+    )
+    assert _sorted_rows(streamed) == _sorted_rows(batch)
