@@ -226,10 +226,37 @@ class EncodedSparqlEngine:
         structural = self._rewrite(structural, ids)
         tr = Translator(self.triples, self._stats)
         bound = tr.eval(structural)
-        decoded = self._decode(bound, bound.columns)
-        # re-apply value-level nodes over the decoded (lexical) bindings
-        lex = Translator(decoded.sparkSession.createDataFrame([], "s string, p string, o string"))
-        node_df = decoded
+        lex = Translator(bound.sparkSession.createDataFrame([], "s string, p string, o string"))
+
+        # Aggregate-BEFORE-decode: when the innermost value wrapper is a
+        # GROUP BY whose aggregates are COUNT (IDs are a bijection of terms
+        # -> same groups, same counts) or MIN/MAX over a plain variable
+        # (IDs are the lexicographic rank of terms -> order-preserving, so
+        # decode(min(id)) == min(term)), aggregate over the encoded longs
+        # and decode only the group keys + min/max outputs. At scale this
+        # shrinks the decode join from |bindings| rows to |groups| rows.
+        g = wrappers[-1] if wrappers else None
+        if (
+            isinstance(g, A.Group)
+            and g.keys
+            and all(k in bound.columns for k in g.keys)
+            and all(
+                a.func in ("count", "min", "max")
+                and (a.arg is None or isinstance(a.arg, A.Var))
+                for _, a in g.aggs
+            )
+        ):
+            g_shallow = _shallow_with_child(g, _Precomputed(bound))
+            agg_enc = _eval_with_precomputed(lex, g_shallow)
+            decode_cols = list(g.keys) + [
+                v for v, a in g.aggs if a.func in ("min", "max")
+            ]
+            node_df = self._decode(agg_enc, decode_cols)
+            wrappers = wrappers[:-1]
+        else:
+            node_df = self._decode(bound, bound.columns)
+
+        # re-apply remaining value-level nodes over the lexical bindings
         for w in reversed(wrappers):
             w_shallow = _shallow_with_child(w, _Precomputed(node_df))
             node_df = _eval_with_precomputed(lex, w_shallow)

@@ -36,6 +36,12 @@ QUERIES = [
     'SELECT ?n WHERE { VALUES ?c { "Paris" "London" } ?x ex:city ?c ; ex:name ?n }',
     'ASK { ?x ex:city "Paris" }',
     "SELECT ?c (COUNT(*) AS ?n) WHERE { ?x ex:city ?c } GROUP BY ?c",
+    # aggregate-before-decode path: COUNT / MIN / MAX group-bys
+    "SELECT ?c (COUNT(DISTINCT ?x) AS ?n) WHERE { ?x ex:city ?c } GROUP BY ?c",
+    "SELECT ?x (MIN(?n) AS ?lo) (MAX(?n) AS ?hi) (COUNT(*) AS ?c) "
+    "WHERE { ?x ex:knows ?y . ?y ex:name ?n } GROUP BY ?x",
+    "SELECT ?c (COUNT(*) AS ?n) WHERE { ?x ex:city ?c } GROUP BY ?c "
+    "HAVING (?n > 1) ORDER BY ?c",
     # SPARQL 1.1 path forms
     "SELECT ?n WHERE { p:alice (ex:knows|ex:name) ?n }",
     "SELECT ?x WHERE { p:carol ^ex:knows ?x }",
