@@ -228,33 +228,40 @@ class EncodedSparqlEngine:
         bound = tr.eval(structural)
         lex = Translator(bound.sparkSession.createDataFrame([], "s string, p string, o string"))
 
-        # Aggregate-BEFORE-decode: when the innermost value wrapper is a
-        # GROUP BY whose aggregates are COUNT (IDs are a bijection of terms
-        # -> same groups, same counts) or MIN/MAX over a plain variable
-        # (IDs are the lexicographic rank of terms -> order-preserving, so
-        # decode(min(id)) == min(term)), aggregate over the encoded longs
-        # and decode only the group keys + min/max outputs. At scale this
-        # shrinks the decode join from |bindings| rows to |groups| rows.
-        g = wrappers[-1] if wrappers else None
-        if (
-            isinstance(g, A.Group)
-            and g.keys
-            and all(k in bound.columns for k in g.keys)
-            and all(
-                a.func in ("count", "min", "max")
-                and (a.arg is None or isinstance(a.arg, A.Var))
-                for _, a in g.aggs
-            )
-        ):
-            g_shallow = _shallow_with_child(g, _Precomputed(bound))
-            agg_enc = _eval_with_precomputed(lex, g_shallow)
-            decode_cols = list(g.keys) + [
-                v for v, a in g.aggs if a.func in ("min", "max")
-            ]
-            node_df = self._decode(agg_enc, decode_cols)
-            wrappers = wrappers[:-1]
-        else:
-            node_df = self._decode(bound, bound.columns)
+        # Decode as LATE as possible: wrappers that are ID-safe run over the
+        # encoded longs first, so the decode join touches the smallest
+        # possible row set (groups / distinct rows / projected columns
+        # instead of raw bindings). ID-safe because the dictionary is a
+        # bijection (DISTINCT, COUNT, plain projection) and rank-ordered
+        # (decode(min(id)) == min(term) for MIN/MAX).
+        def _apply_enc(df, w):
+            return _eval_with_precomputed(lex, _shallow_with_child(w, _Precomputed(df)))
+
+        node_df, decoded_cols = bound, None
+        while wrappers:
+            w = wrappers[-1]
+            if isinstance(w, A.Distinct) or (
+                isinstance(w, A.Project) and not w.exprs
+            ):
+                node_df = _apply_enc(node_df, wrappers.pop())
+                continue
+            if (
+                isinstance(w, A.Group)
+                and w.keys
+                and all(k in node_df.columns for k in w.keys)
+                and all(
+                    a.func in ("count", "min", "max")
+                    and (a.arg is None or isinstance(a.arg, A.Var))
+                    for _, a in w.aggs
+                )
+            ):
+                node_df = _apply_enc(node_df, wrappers.pop())
+                # counts stay plain longs; only keys and min/max are IDs
+                decoded_cols = list(w.keys) + [
+                    v for v, a in w.aggs if a.func in ("min", "max")
+                ]
+            break
+        node_df = self._decode(node_df, decoded_cols or node_df.columns)
 
         # re-apply remaining value-level nodes over the lexical bindings
         for w in reversed(wrappers):
