@@ -125,3 +125,36 @@ def predicate_stats(triples: DataFrame) -> DataFrame:
         F.countDistinct("s").alias("ndv_s"),
         F.countDistinct("o").alias("ndv_o"),
     )
+
+
+def property_table(triples: DataFrame, predicates: list) -> DataFrame:
+    """Materialize a PROPERTY TABLE: one row per subject, one column per
+    predicate in `predicates` (column name = str(predicate)). The closest
+    Spark analog of D-SPARQ's subject-grouped MongoDB documents (SURVEY
+    §1.2): a subject star over these predicates becomes a single-table
+    scan + filter — ZERO joins, fully pushdown-able when persisted as
+    parquet. Only valid for functional (single-valued) predicates; for
+    multi-valued ones the pivot keeps an arbitrary-but-deterministic
+    min value, so restrict `predicates` accordingly."""
+    return (
+        triples.filter(F.col("p").isin(list(predicates)))
+        .groupBy("s")
+        .pivot("p", [str(p) for p in predicates])
+        .agg(F.min("o"))
+    )
+
+
+def star_over_property_table(
+    pt: DataFrame, bindings: dict, subject_var: str = "s"
+) -> DataFrame:
+    """Answer a subject star from a property table: `bindings` maps
+    predicate column -> '?var' (project) or constant (filter)."""
+    out = pt
+    cols = [F.col("s").alias(subject_var)]
+    for pred, target in bindings.items():
+        if isinstance(target, str) and target.startswith("?"):
+            cols.append(F.col(pred).alias(target[1:]))
+            out = out.filter(F.col(pred).isNotNull())
+        else:
+            out = out.filter(F.col(pred) == F.lit(target))
+    return out.select(*cols)

@@ -192,3 +192,41 @@ _q_encoded(
     FROM customer WHERE CAST(printf('%.2f', c_acctbal) AS DOUBLE) > 9000
     """,
 )
+
+
+_q_encoded(
+    "q_sparql_encoded_agg",
+    "SELECT ?seg (COUNT(*) AS ?n) (MIN(?name) AS ?first) "
+    "WHERE { ?c ex:mktsegment ?seg ; foaf:name ?name } GROUP BY ?seg",
+    """
+    SELECT c_mktsegment AS seg, COUNT(*) AS n, MIN(c_name) AS first
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+
+
+_ORACLE_PT_STAR = """
+SELECT 'c:' || c_custkey AS c, c_name AS name, printf('%.2f', c_acctbal) AS bal
+FROM customer WHERE c_mktsegment = 'BUILDING'
+"""
+
+
+@register("q_star_property_table", oracle=_ORACLE_PT_STAR)
+def q_star_property_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subject star answered from a materialized PROPERTY TABLE
+    (groupBy(s).pivot(p) — the Spark analog of D-SPARQ's subject-grouped
+    documents): zero joins, one scan + filter. Same results as the
+    join-chain star (q_star_join)."""
+    from d_sparq_spark.operators.rdf_patterns import (
+        property_table,
+        star_over_property_table,
+    )
+    from d_sparq_spark.sources.derived_rdf import derive_triples_cached
+
+    pt = property_table(
+        derive_triples_cached(spark, sf_dir),
+        ["foaf:name", "ex:mktsegment", "ex:acctbal"],
+    )
+    return star_over_property_table(
+        pt, {"foaf:name": "?name", "ex:acctbal": "?bal", "ex:mktsegment": "BUILDING"}, "c"
+    )

@@ -104,3 +104,32 @@ def test_ntriples_blank_nodes_roundtrip(spark):
     )
     out = parse_ntriples(lines).collect()
     assert sorted(map(tuple, out)) == [("_:b1", "ex:knows", "_:b2"), ("_:b1", "ex:name", "Anon")]
+
+
+def test_property_table_star_equals_star_join(spark):
+    """A star answered from the property table must equal the join-chain
+    star (for functional predicates)."""
+    from d_sparq_spark.operators.rdf_patterns import (
+        TriplePattern,
+        property_table,
+        star_join,
+        star_over_property_table,
+    )
+    from d_sparq_spark.sources.derived_rdf import derive_triples
+
+    triples = derive_triples(spark, "/root/testdata/sf0.001")
+    pt = property_table(triples, ["foaf:name", "ex:mktsegment", "ex:acctbal"])
+    via_pt = star_over_property_table(
+        pt, {"foaf:name": "?n", "ex:acctbal": "?b", "ex:mktsegment": "BUILDING"}, "c"
+    )
+    via_join = star_join(
+        triples,
+        [
+            TriplePattern("?c", "foaf:name", "?n"),
+            TriplePattern("?c", "ex:acctbal", "?b"),
+            TriplePattern("?c", "ex:mktsegment", "BUILDING"),
+        ],
+    ).select("c", "n", "b")
+    a = sorted(tuple(r) for r in via_pt.select("c", "n", "b").collect())
+    b = sorted(tuple(r) for r in via_join.collect())
+    assert a == b and len(a) > 0
