@@ -1,0 +1,97 @@
+"""Connected components over an undirected edge set — the missing piece of
+a production dedup pipeline: pairwise near-dup detection (MinHash/SimHash/
+Jaccard — operators/dedup.py) emits EDGES, but what the pipeline keeps or
+drops is decided per duplicate CLUSTER (keep one representative per
+component). No counterpart in the reference (batch BGP engine only [A]);
+this is a driver-mandated extension op (SURVEY.md §2.C, dedup group).
+
+Algorithm: hash-min label propagation with pointer jumping.
+
+- label(v) starts as v; each round takes the min over the node's own label
+  and its neighbors' labels (one shuffle: edges ⋈ labels, groupBy min),
+  then pointer-jumps label(v) <- label(label(v)) (a second join), which
+  short-circuits chains so convergence is O(log diameter) rounds rather
+  than O(diameter) — the same doubling idea as operators/paths.py but over
+  labels (O(V) state) instead of reachability pairs (O(V^2) worst case).
+  That distinction is what makes this the 100 TB-safe formulation: state
+  never exceeds one row per node, and each round is two equi-joins + one
+  aggregation, all on the node-id key.
+- convergence detected by the monotone invariant: labels only ever
+  decrease, so sum(label) is strictly decreasing until fixpoint; one
+  cheap agg per round replaces a subtract/anti-join probe.
+- localCheckpoint per round truncates lineage (iterative-plan blowup
+  guard, same rationale as transitive_closure).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 48
+) -> DataFrame:
+    """nodes(node) ∪ edges(u, v) -> (node, component); component is the
+    minimum node id in the component (deterministic representative).
+    Isolated nodes (in ``nodes`` but no edge) form singleton components.
+    Node/edge ids must be a totally ordered type (use LONG at scale)."""
+    sym = (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionByName(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .distinct()
+    )
+    labels = (
+        nodes.select("node")
+        .unionByName(sym.select("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint()
+    )
+    total = labels.agg(F.sum("comp")).collect()[0][0] or 0
+    for _ in range(max_iter):
+        # hash-min: comp(v) <- min(comp(v), min over neighbors comp(u))
+        nbr_min = (
+            sym.join(labels.select(F.col("node").alias("nbr"), "comp"), "nbr")
+            .groupBy("node")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        stepped = (
+            labels.join(nbr_min, "node", "left")
+            .select("node", F.least("comp", "nbr_comp").alias("comp"))
+        )
+        # pointer jump: comp(v) <- comp(comp(v)) — halves label-tree depth
+        jumped = (
+            stepped.alias("l")
+            .join(
+                stepped.select(F.col("node").alias("comp"), F.col("comp").alias("jc")).alias("r"),
+                "comp",
+                "left",
+            )
+            .select(F.col("l.node").alias("node"), F.coalesce("jc", "comp").alias("comp"))
+            .localCheckpoint()
+        )
+        t2 = jumped.agg(F.sum("comp")).collect()[0][0] or 0
+        if t2 == total:
+            return labels.select("node", "comp")
+        labels, total = jumped, t2
+    raise RuntimeError(f"connected_components: no fixpoint within {max_iter} rounds")
+
+
+def dedup_clusters(
+    docs: DataFrame, edges: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Assign every document to its duplicate cluster given near-dup edges
+    (a, b). Returns (doc_id, component, cluster_size) — the keep/drop
+    decision at scale is then a trivial filter (keep doc_id == component,
+    i.e. the minimum-id representative)."""
+    cc = connected_components(
+        docs.select(F.col(id_col).alias("node")),
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v")),
+    )
+    sizes = cc.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(sizes, "comp").select(
+        F.col("node").alias(id_col),
+        F.col("comp").alias("component"),
+        "cluster_size",
+    )

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from d_sparq_spark.queries.helpers import sql_dsum
@@ -118,3 +118,63 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "stream_tumbling_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     stream = stream_events(spark, sf_dir)
     return run_stream_to_batch(stream, tumbling_hourly, name)
+
+
+# --- gap-fill / resample (time-series regularization) ------------------------------
+
+_ORACLE_GAP_FILL = """
+WITH h AS (
+  SELECT user_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour,
+         (CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(value)) AS v
+  FROM events GROUP BY 1, 2
+),
+spans AS (
+  SELECT user_id, unnest(generate_series(min(hour), max(hour), 3600)) AS hour
+  FROM h GROUP BY user_id
+),
+j AS (SELECT s.user_id, s.hour, h.v FROM spans s LEFT JOIN h USING (user_id, hour))
+SELECT user_id, hour,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+FROM j
+"""
+
+
+@register("q_gap_fill", oracle=_ORACLE_GAP_FILL)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward fill: hourly per-user average,
+    missing hours materialized over each user's [min, max] span
+    (F.sequence + explode — distributed, one row group per user, no
+    driver-side calendar), gaps carried forward with last(ignorenulls)
+    over an ordered window. Hours are epoch-second BIGINTs (integer
+    arithmetic on both engines). At scale the explode output is bounded
+    by users x span-hours, partitioned by user_id — no skewed global
+    state; the window is per-user and Spark spills it."""
+    from d_sparq_spark.queries.helpers import davg
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "user_id",
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour"),
+        )
+        .agg(davg(F.col("value")).alias("v"))
+    )
+    spans = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("hour"),
+        )
+    )
+    j = spans.join(hourly, ["user_id", "hour"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id", "hour", F.last("v", ignorenulls=True).over(w).alias("value_filled")
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from d_sparq_spark.functions import text as T
 from d_sparq_spark.operators import dedup as D
+from d_sparq_spark.operators import graph as G
 from d_sparq_spark.operators import multimodal as M
 from d_sparq_spark.operators import similarity as S
 from d_sparq_spark.queries.helpers import dsum, sql_dsum
@@ -76,20 +77,59 @@ SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.5
 """
 
 
-@register("q_ngram_jaccard", oracle=_ORACLE_JACCARD)
-def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard >= 0.5 within a lang block (blocked
-    pairwise — quadratic per block, so ALWAYS behind a blocking key at
-    scale; LSH (q_dedup_near) is the unblocked path)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+def _jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """(a, b, jaccard) pairs with token-set Jaccard >= threshold, blocked by
+    lang, a < b. Quadratic per block — always behind a blocking key at
+    scale; LSH (q_dedup_near) is the unblocked path."""
+    docs = docs.select("doc_id", "lang", "text")
     a = docs.select(F.col("doc_id").alias("a"), F.col("lang").alias("l1"), F.col("text").alias("t1"))
     b = docs.select(F.col("doc_id").alias("b"), F.col("lang").alias("l2"), F.col("text").alias("t2"))
     return (
         a.join(b, (F.col("l1") == F.col("l2")) & (F.col("a") < F.col("b")))
         .withColumn("jaccard", D.jaccard_tokens(F.col("t1"), F.col("t2")))
-        .filter(F.col("jaccard") >= 0.5)
+        .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+
+
+@register("q_ngram_jaccard", oracle=_ORACLE_JACCARD)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard >= 0.5 within a lang block (see
+    _jaccard_pairs for the blocking rationale)."""
+    return _jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_DUP_CLUSTERS = """
+WITH RECURSIVE
+t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.5
+),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs),
+reach(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node
+),
+cc AS (SELECT node AS doc_id, min(comp) AS component FROM reach GROUP BY node)
+SELECT cc.doc_id, cc.component, sz.cluster_size
+FROM cc JOIN (SELECT component, COUNT(*) AS cluster_size FROM cc GROUP BY component) sz
+     USING (component)
+"""
+
+
+@register("q_dup_clusters", oracle=_ORACLE_DUP_CLUSTERS)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTER assignment: near-dup edges (exact Jaccard >= 0.5)
+    -> connected components (hash-min + pointer jumping, operators/graph.py)
+    -> (doc_id, component, cluster_size). The keep-one-per-cluster decision
+    a production dedup pipeline actually executes; oracle is a DuckDB
+    recursive CTE over the same edge set."""
+    docs = load_table(spark, sf_dir, "documents")
+    return G.dedup_clusters(docs, _jaccard_pairs(docs))
 
 
 @register("q_simhash", oracle=None)

@@ -169,3 +169,38 @@ def test_chunk_text_edges(spark):
     assert by_doc[2] == [(0, 200)]         # exactly size -> one chunk, no tail
     assert by_doc[3] == [(0, 200), (1, 51)]   # one char past -> overlap tail
     assert by_doc[4] == [(0, 200), (1, 200)]  # window 1 covers 151..350
+
+
+# --- connected components / duplicate clusters (operators/graph.py) -----------
+
+
+def test_connected_components_chain_and_singleton(spark):
+    # chain 1-2-3-4 (diameter 3, exercises >1 round), pair 10-11, isolated 99
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 10, 11, 99)], "node long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "u long, v long"
+    )
+    from d_sparq_spark.operators.graph import connected_components
+
+    got = {r["node"]: r["comp"] for r in connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_connected_components_cycle_and_reversed_edges(spark):
+    # cycle with edges in arbitrary orientation; labels must still converge
+    nodes = spark.createDataFrame([(i,) for i in (5, 6, 7, 8)], "node long")
+    edges = spark.createDataFrame([(6, 5), (7, 6), (5, 8), (8, 7)], "u long, v long")
+    from d_sparq_spark.operators.graph import connected_components
+
+    got = {r["node"]: r["comp"] for r in connected_components(nodes, edges).collect()}
+    assert got == {5: 5, 6: 5, 7: 5, 8: 5}
+
+
+def test_dedup_clusters_sizes(spark):
+    from d_sparq_spark.operators.graph import dedup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5)], "doc_id long")
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    rows = {r["doc_id"]: (r["component"], r["cluster_size"])
+            for r in dedup_clusters(docs, edges).collect()}
+    assert rows == {1: (1, 3), 2: (1, 3), 3: (1, 3), 4: (4, 1), 5: (5, 1)}
