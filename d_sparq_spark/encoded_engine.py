@@ -220,9 +220,12 @@ class EncodedSparqlEngine:
             return self._decode(df, df.columns)
 
         structural, wrappers = self._split(root)
-        if isinstance(structural, (A.LeftJoin, A.Union, A.Minus, A.Join)):
-            for attr in ("left", "right"):
-                self._check_structural(getattr(structural, attr))
+        # Check the WHOLE structural subtree, not just binary roots: a
+        # value-level FILTER nested under a unary root (GRAPH {...} or an
+        # EXISTS group) would otherwise be evaluated over encoded longs
+        # against lexical literals — silent wrong results. _check_structural
+        # tolerates a Filter(EXISTS)/BGP root and recurses left/right/child.
+        self._check_structural(structural)
         structural = self._rewrite(structural, ids)
         tr = Translator(self.triples, self._stats)
         bound = tr.eval(structural)

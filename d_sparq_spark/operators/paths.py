@@ -57,6 +57,52 @@ def transitive_closure(edges: DataFrame, max_iter: int = 48) -> DataFrame:
     )
 
 
+def seeded_closure(
+    edges: DataFrame, seeds: DataFrame, bfs_rounds: int = 128
+) -> DataFrame:
+    """Reachability FROM a seed set: all (src, dst) with src in seeds(n)
+    and dst reachable via >= 1 edge. For `<x> p+ ?y` (or a p+ whose source
+    variable the BGP already bound) the full transitive closure is
+    O(reachable-pairs) state for the WHOLE graph to answer a handful of
+    sources — this frontier BFS keeps state O(pairs reachable from seeds),
+    the thing that actually fits at 100 TB.
+
+    Frontier iteration: one join frontier x edges + anti-join vs reached
+    per round; the anti-join guarantees termination on cycles. Rounds =
+    graph diameter (not log-diameter like the doubling loop) — the right
+    trade when |seeds| << |nodes|; a pathological >128-hop chain falls
+    back to the doubling closure semi-joined to the seeds rather than
+    erroring."""
+    edges = edges.select("src", "dst").distinct().localCheckpoint()
+    seeds = seeds.select(F.col(seeds.columns[0]).alias("n")).distinct()
+    frontier = (
+        seeds.join(edges, seeds["n"] == edges["src"])
+        .select(F.col("n").alias("src"), F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    reached = frontier
+    if not frontier.take(1):
+        return reached
+    for _ in range(bfs_rounds):
+        step = (
+            frontier.alias("f")
+            .join(edges.alias("e"), F.col("f.dst") == F.col("e.src"))
+            .select(F.col("f.src").alias("src"), F.col("e.dst").alias("dst"))
+        )
+        frontier = (
+            step.join(reached, ["src", "dst"], "left_anti").distinct().localCheckpoint()
+        )
+        if not frontier.take(1):
+            return reached
+        reached = reached.unionByName(frontier).localCheckpoint()
+    # diameter exceeded the BFS budget: finish with the log-rounds doubling
+    # loop, restricted to the seed sources at the end (correct, just not
+    # frontier-sized — only reachable on >128-hop-diameter graphs).
+    full = transitive_closure(edges)
+    return full.join(seeds, full["src"] == seeds["n"], "left_semi")
+
+
 def path_plus(triples: DataFrame, predicate: object) -> DataFrame:
     """p+ over a triples store: closure of the predicate's edge set.
     Returns bindings (src, dst)."""

@@ -83,12 +83,14 @@ def tokenize(s: str) -> list[Token]:
     return out
 
 
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
+            '"': '"', "'": "'", "\\": "\\"}
+
+
 def _unquote(text: str) -> str:
-    body = text[1:-1]
-    return (
-        body.replace('\\"', '"').replace("\\'", "'").replace("\\n", "\n")
-        .replace("\\t", "\t").replace("\\\\", "\\")
-    )
+    # single-pass unescape: sequential str.replace corrupts \\n (escaped
+    # backslash + n) by rewriting the tail before the guard applies.
+    return re.sub(r"\\(.)", lambda m: _ESCAPES.get(m.group(1), m.group(1)), text[1:-1])
 
 
 class Parser:
@@ -263,6 +265,12 @@ class Parser:
             raise SyntaxError(f"SPARQL: trailing tokens at {self.peek()}")
 
         if aggs or group_keys is not None:
+            if having is not None:
+                # spec-form HAVING (COUNT(?x) > 5): aggregates cannot run
+                # inside DataFrame.filter — lift each into the Group as a
+                # hidden __h column (reused when the SELECT list already
+                # computes the same aggregate) and filter on the column.
+                having = self._lift_having_aggs(having, aggs)
             root = A.Group(keys=group_keys or [], aggs=aggs, child=root)
             if having is not None:
                 root = A.Filter(having, root)
@@ -287,6 +295,32 @@ class Parser:
         if offset or limit is not None:
             root = A.Slice(offset, limit, root)
         return A.SelectQuery(root=root)
+
+    def _lift_having_aggs(self, e, aggs: list):
+        """Rewrite aggregates inside a HAVING expression to variable
+        references over the Group's output, appending hidden (__h-prefixed,
+        never projected) aggregate columns for ones not already selected."""
+        if isinstance(e, A.Aggregate):
+            for name, a in aggs:
+                if a == e:
+                    return A.Var(name)
+            name = f"__h{len(aggs)}"
+            aggs.append((name, e))
+            return A.Var(name)
+        if isinstance(e, A.BinOp):
+            right = (
+                tuple(self._lift_having_aggs(i, aggs) for i in e.right)
+                if isinstance(e.right, tuple)
+                else self._lift_having_aggs(e.right, aggs)
+            )
+            return A.BinOp(e.op, self._lift_having_aggs(e.left, aggs), right)
+        if isinstance(e, A.UnOp):
+            return A.UnOp(e.op, self._lift_having_aggs(e.operand, aggs))
+        if isinstance(e, A.FuncCall):
+            return A.FuncCall(
+                e.name, tuple(self._lift_having_aggs(a, aggs) for a in e.args)
+            )
+        return e
 
     # ---- group graph pattern ----
     def parse_group(self):

@@ -109,7 +109,13 @@ class Translator:
             child = self.eval(node.child)
             for name, e in node.exprs:
                 child = child.withColumn(name, self.expr(e, child))
-            return child.select(*node.vars) if node.vars else child
+            if node.vars:
+                return child.select(*node.vars)
+            # SELECT *: drop reserved internal columns (__-prefixed) —
+            # parser-synthesized fresh vars from sequence-path desugaring
+            # and hidden HAVING aggregates are not user-visible bindings.
+            keep = [c for c in child.columns if not c.startswith("__")]
+            return child.select(*keep) if keep != child.columns else child
         if isinstance(node, A.Distinct):
             return self.eval(node.child).dropDuplicates()
         if isinstance(node, A.OrderBy):
@@ -249,7 +255,11 @@ class Translator:
         paths = [p for p in node.patterns if isinstance(p, _pathlike)]
         plain = [p for p in node.patterns if not isinstance(p, _pathlike)]
         if not plain:
-            return reduce(join_bindings, (self._path(p) for p in paths))
+            base = None
+            for p in paths:  # later paths seed from earlier paths' bindings
+                pdf = self._path(p, base)
+                base = pdf if base is None else join_bindings(base, pdf)
+            return base
         by_subject: dict[object, list[TriplePattern]] = {}
         for tp in plain:
             by_subject.setdefault(tp.s, []).append(tp)
@@ -272,45 +282,99 @@ class Translator:
             join_bindings,
             (star_join(self.triples, star, self.stats) for star in ordered),
         )
-        for p in paths:  # property paths join in after the plain BGP
-            base = join_bindings(base, self._path(p))
+        for p in paths:  # property paths join in after the plain BGP,
+            # seeding closures from the already-bound variables
+            base = join_bindings(base, self._path(p, base))
         return base
 
-    def _path(self, p) -> DataFrame:
-        """Evaluate a path-like pattern to a bindings DataFrame."""
+    def _path(self, p, bound: DataFrame | None = None) -> DataFrame:
+        """Evaluate a path-like pattern to a bindings DataFrame. ``bound``
+        is the bindings accumulated so far — closure paths whose endpoint
+        is constant or already bound seed their fixpoint from it."""
         if isinstance(p, A.PropSetPattern):
             return self._propset(p)
         if isinstance(p, A.AltPath):
             return self._altpath(p)
         if isinstance(p, A.ClosurePattern):
-            return self._closure(p)
-        from d_sparq_spark.operators.paths import path_opt, path_plus, path_star
+            return self._closure(p, bound)
+        if p.op == "?":
+            from d_sparq_spark.operators.paths import path_opt
 
-        op_fn = {"+": path_plus, "*": path_star, "?": path_opt}[p.op]
-        return self._bind_endpoints(op_fn(self.triples, p.p), p.s, p.o, "src", "dst")
+            return self._bind_endpoints(path_opt(self.triples, p.p), p.s, p.o, "src", "dst")
+        edges = self.triples.filter(F.col("p") == F.lit(p.p)).select(
+            F.col("s").alias("src"), F.col("o").alias("dst")
+        )
+        pairs = self._closure_pairs(edges, p.op, p.s, p.o, bound)
+        return self._bind_endpoints(pairs, p.s, p.o, "src", "dst")
 
-    def _closure(self, p: A.ClosurePattern) -> DataFrame:
+    def _closure(self, p: A.ClosurePattern, bound: DataFrame | None = None) -> DataFrame:
         """Closure over a composite path: the inner path's BGP (evaluated
         once) IS the edge set; +/*/? then reuse the same fixpoint machinery
         as single-predicate paths. Zero-length paths are restricted to the
         edge set's domain/range, consistent with path_star."""
-        from d_sparq_spark.operators.paths import transitive_closure
-
         edges = self._bgp(A.BGP(list(p.patterns))).select(
             F.col(p.src_var).alias("src"), F.col(p.dst_var).alias("dst")
         )
-        if p.op == "+":
-            pairs = transitive_closure(edges)
-        else:
+        if p.op == "?":
             nodes = (
                 edges.select(F.col("src").alias("n"))
                 .unionByName(edges.select(F.col("dst").alias("n")))
                 .distinct()
             )
             zero = nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
-            one = transitive_closure(edges) if p.op == "*" else edges
-            pairs = one.unionByName(zero).distinct()
+            pairs = edges.unionByName(zero).distinct()
+        else:
+            pairs = self._closure_pairs(edges, p.op, p.s, p.o, bound)
         return self._bind_endpoints(pairs, p.s, p.o, "src", "dst")
+
+    def _seed_df(self, term, bound: DataFrame | None) -> DataFrame | None:
+        """Seed set for one closure endpoint: a constant term -> 1-row df;
+        a variable the BGP already bound -> its distinct values (stays a
+        DataFrame — no driver collect); else None (no seeding)."""
+        if isinstance(term, str) and term.startswith("?"):
+            if bound is not None and term[1:] in bound.columns:
+                return bound.select(F.col(term[1:]).alias("n")).distinct()
+            return None
+        dt = dict(self.triples.dtypes)["s"]  # lexical: string; encoded: bigint
+        return self.spark.createDataFrame([(term,)], f"n {dt}")
+
+    def _closure_pairs(
+        self, edges: DataFrame, op: str, s, o, bound: DataFrame | None
+    ) -> DataFrame:
+        """+/* reachability pairs over an edge set, seeded from a bound
+        endpoint when one exists: `<x> p+ ?y` iterates a frontier from x
+        (state = pairs reachable from the seeds) instead of closing the
+        whole graph and filtering — the O(all reachable pairs) vs
+        O(frontier) difference at 100 TB (paths.seeded_closure)."""
+        from d_sparq_spark.operators.paths import seeded_closure, transitive_closure
+
+        fwd = self._seed_df(s, bound)
+        rev = None if fwd is not None else self._seed_df(o, bound)
+        if fwd is not None:
+            pairs = seeded_closure(edges, fwd)
+            zero_nodes = fwd
+        elif rev is not None:
+            rev_pairs = seeded_closure(
+                edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")), rev
+            )
+            pairs = rev_pairs.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+            zero_nodes = rev
+        else:
+            pairs = transitive_closure(edges)
+            zero_nodes = None
+        if op == "*":
+            nodes = (
+                edges.select(F.col("src").alias("n"))
+                .unionByName(edges.select(F.col("dst").alias("n")))
+                .distinct()
+            )
+            if zero_nodes is not None:  # only seed nodes can appear as src
+                nodes = nodes.join(zero_nodes.select("n"), "n", "left_semi")
+            zero = nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
+            pairs = pairs.unionByName(zero).distinct()
+        return pairs
 
     def _propset(self, p: A.PropSetPattern) -> DataFrame:
         """s (p1|p2) o / s !(p1|p2) o: one predicate-set membership scan.
@@ -383,6 +447,8 @@ class Translator:
             return (F.sum_distinct(d) if a.distinct else F.sum(d)).cast("double")
         if a.func == "avg":
             # exact decimal sum / count — order-insensitive (helpers.py)
+            if a.distinct:
+                return F.sum_distinct(c.cast(DEC)).cast("double") / F.count_distinct(c)
             return (F.sum(c.cast(DEC)).cast("double") / F.count(c))
         if a.func == "min":
             return F.min(c)
@@ -390,7 +456,8 @@ class Translator:
             return F.max(c)
         if a.func == "group_concat":
             # SPARQL leaves element order undefined; we sort for determinism
-            return F.concat_ws(a.separator, F.array_sort(F.collect_list(c)))
+            coll = F.collect_set(c) if a.distinct else F.collect_list(c)
+            return F.concat_ws(a.separator, F.array_sort(coll))
         if a.func == "sample":
             return F.min(c)  # deterministic SAMPLE
         raise ValueError(f"SPARQL: unsupported aggregate {a.func}")

@@ -132,3 +132,22 @@ def test_encoded_composite_closure(spark):
     lex = SparqlEngine(triples, collect_stats=False)
     enc_e = EncodedSparqlEngine(enc, d, collect_stats=False)
     assert rows(enc_e.query(q)) == rows(lex.query(q)) == [("a", "c"), ("a", "e"), ("c", "e")]
+
+
+def test_graph_nested_value_filter_rejected(quad_engines):
+    # ADVICE r1 (high): unary structural root (GRAPH) must not skip the
+    # structural check — encoded eval would compare long IDs to literals.
+    _, encoded = quad_engines
+    with pytest.raises(NotImplementedError, match="encoded store"):
+        encoded.query(
+            'SELECT ?x WHERE { GRAPH "g:a" { ?x ex:age ?a FILTER(?a > 26) } }'
+        )
+
+
+def test_exists_nested_value_filter_rejected(engines):
+    _, encoded = engines
+    with pytest.raises(NotImplementedError, match="encoded store"):
+        encoded.query(
+            "SELECT ?n WHERE { ?x ex:name ?n "
+            "FILTER EXISTS { ?x ex:age ?a FILTER(?a > 26) } }"
+        )

@@ -444,3 +444,53 @@ def test_closure_star_over_alternative(chain_engine):
 def test_closure_opt_over_sequence(chain_engine):
     out = chain_engine.query("SELECT ?y WHERE { a (ex:p/ex:q)? ?y }")
     assert rows(out) == [("a",), ("c",)]
+
+
+# ---- round-2 regressions (ADVICE.md) ----
+
+
+def test_avg_distinct(engine):
+    # ages 30, 25, 35, 25 -> distinct mean (30+25+35)/3, not 28.75
+    out = engine.query("SELECT (AVG(DISTINCT ?a) AS ?m) WHERE { ?x ex:age ?a }")
+    assert rows(out) == [(30.0,)]
+
+
+def test_group_concat_distinct(engine):
+    out = engine.query(
+        'SELECT (GROUP_CONCAT(DISTINCT ?c; SEPARATOR=",") AS ?cs) '
+        "WHERE { ?x ex:city ?c }"
+    )
+    assert rows(out) == [("Berlin,London,Paris",)]
+
+
+def test_select_star_hides_fresh_path_vars(engine):
+    # sequence-path desugaring introduces ?__p1; SELECT * must not expose it
+    out = engine.query("SELECT * WHERE { ?x ex:knows/ex:name ?n }")
+    assert set(out.columns) == {"x", "n"}
+
+
+def test_having_inline_aggregate(engine):
+    # spec form: the aggregate appears in HAVING, not in the SELECT list
+    out = engine.query(
+        "SELECT ?c WHERE { ?x ex:city ?c } GROUP BY ?c HAVING (COUNT(?x) > 1)"
+    )
+    assert out.columns == ["c"]
+    assert rows(out) == [("Paris",)]
+
+
+def test_having_inline_aggregate_reuses_selected(engine):
+    out = engine.query(
+        "SELECT ?c (COUNT(?x) AS ?n) WHERE { ?x ex:city ?c } "
+        "GROUP BY ?c HAVING (COUNT(?x) > 1)"
+    )
+    assert out.columns == ["c", "n"]
+    assert rows(out) == [("Paris", 2)]
+
+
+def test_string_escape_escaped_backslash():
+    from d_sparq_spark.plans.parser import _unquote
+
+    # \\n is an escaped backslash followed by 'n', NOT a newline
+    assert _unquote('"a\\\\nb"') == "a\\nb"
+    assert _unquote('"a\\nb"') == "a\nb"
+    assert _unquote('"q\\"x\\"y"') == 'q"x"y'
