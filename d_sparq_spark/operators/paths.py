@@ -73,11 +73,19 @@ def seeded_closure(
     trade when |seeds| << |nodes|; a pathological >128-hop chain falls
     back to the doubling closure semi-joined to the seeds rather than
     erroring."""
-    edges = edges.select("src", "dst").distinct().localCheckpoint()
+    # collision-free internal names: the per-round plan joins the same
+    # checkpointed edge relation repeatedly; sharing output names with the
+    # frontier trips the analyzer's attribute dedup (key-not-found) when
+    # the checkpoint's exprIds recur under distinct.
+    edges = (
+        edges.select(F.col("src").alias("_esrc"), F.col("dst").alias("_edst"))
+        .distinct()
+        .localCheckpoint()
+    )
     seeds = seeds.select(F.col(seeds.columns[0]).alias("n")).distinct()
     frontier = (
-        seeds.join(edges, seeds["n"] == edges["src"])
-        .select(F.col("n").alias("src"), F.col("dst"))
+        seeds.join(edges, F.col("n") == F.col("_esrc"))
+        .select(F.col("n").alias("src"), F.col("_edst").alias("dst"))
         .distinct()
         .localCheckpoint()
     )
@@ -85,10 +93,8 @@ def seeded_closure(
     if not frontier.take(1):
         return reached
     for _ in range(bfs_rounds):
-        step = (
-            frontier.alias("f")
-            .join(edges.alias("e"), F.col("f.dst") == F.col("e.src"))
-            .select(F.col("f.src").alias("src"), F.col("e.dst").alias("dst"))
+        step = frontier.join(edges, F.col("dst") == F.col("_esrc")).select(
+            F.col("src"), F.col("_edst").alias("dst")
         )
         frontier = (
             step.join(reached, ["src", "dst"], "left_anti").distinct().localCheckpoint()
@@ -99,7 +105,9 @@ def seeded_closure(
     # diameter exceeded the BFS budget: finish with the log-rounds doubling
     # loop, restricted to the seed sources at the end (correct, just not
     # frontier-sized — only reachable on >128-hop-diameter graphs).
-    full = transitive_closure(edges)
+    full = transitive_closure(
+        edges.select(F.col("_esrc").alias("src"), F.col("_edst").alias("dst"))
+    )
     return full.join(seeds, full["src"] == seeds["n"], "left_semi")
 
 

@@ -49,14 +49,23 @@ def _is_var(term: object) -> bool:
     return isinstance(term, str) and term.startswith("?")
 
 
-def match_pattern(triples: DataFrame, pattern: TriplePattern) -> DataFrame:
+def match_pattern(
+    triples: DataFrame, pattern: TriplePattern, graph_var: str | None = None
+) -> DataFrame:
     """Bindings of one pattern: filter constants, project variables.
 
     Repeated variables (e.g. (?x, p, ?x)) become an intra-row equality
-    filter, per SPARQL semantics."""
+    filter, per SPARQL semantics. With ``graph_var`` (GRAPH ?g over a quad
+    store) the g column is projected as one more binding — star joins then
+    naturally include g in their keys, keeping every pattern of the group
+    in the SAME named graph with one plan and zero driver-side graph
+    enumeration."""
     df = triples
+    positions = list(pattern.positions())
+    if graph_var is not None:
+        positions.append(("g", "?" + graph_var))
     proj, seen = [], {}
-    for pos, term in pattern.positions():
+    for pos, term in positions:
         if _is_var(term):
             var = term[1:]
             if var in seen:
@@ -100,11 +109,16 @@ def join_bindings(left: DataFrame, right: DataFrame, how: str = "inner") -> Data
 
 
 def star_join(
-    triples: DataFrame, patterns: list[TriplePattern], stats: DataFrame | dict | None = None
+    triples: DataFrame,
+    patterns: list[TriplePattern],
+    stats: DataFrame | dict | None = None,
+    graph_var: str | None = None,
 ) -> DataFrame:
     """Evaluate a subject-star (or any BGP fragment) as a join chain."""
     ordered = order_by_selectivity(patterns, stats)
-    return reduce(join_bindings, (match_pattern(triples, tp) for tp in ordered))
+    return reduce(
+        join_bindings, (match_pattern(triples, tp, graph_var) for tp in ordered)
+    )
 
 
 def bgp(

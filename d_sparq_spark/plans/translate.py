@@ -64,10 +64,12 @@ class Translator:
         triples: DataFrame,
         stats: dict | None = None,
         services: dict | None = None,
+        graph_var: str | None = None,
     ):
         self.triples = triples
         self.stats = stats
         self.services = services or {}
+        self.graph_var = graph_var  # GRAPH ?g: project g into every pattern
         self.spark = triples.sparkSession
 
     # ------------- algebra -------------
@@ -201,14 +203,24 @@ class Translator:
 
     def _graph(self, node: A.Graph) -> DataFrame:
         """GRAPH over a quad store (B17). Constant graph: evaluate the
-        inner pattern over that graph's slice. Variable graph: one
-        evaluation per named graph with the variable bound — the distinct
-        graph list is metadata-scale (like a partition listing), so the
-        driver-side collect is bounded by |graphs|, never by data."""
+        inner pattern over that graph's slice (partition-prunable when the
+        store is written partitionBy('g')). Variable graph: g is carried
+        as one more BINDING COLUMN through every pattern scan — a single
+        plan, no per-graph union, no driver-side graph enumeration (the
+        r1 scale fix: a store with 10k named graphs is one join plan, not
+        a 10k-branch union). Shapes whose leaves aren't plain triple
+        scans (property paths, nested GRAPH/SERVICE, pattern-free groups)
+        keep the per-graph loop — the graph list there is metadata-scale."""
         if "g" not in self.triples.columns:
             raise ValueError("SPARQL GRAPH requires a quad store (g column)")
         term = node.term
         if isinstance(term, str) and term.startswith("?"):
+            if self._graph_column_ok(node.child):
+                sub = Translator(
+                    self.triples, self.stats, services=self.services,
+                    graph_var=term[1:],
+                )
+                return sub.eval(node.child)
             g_type = dict(self.triples.dtypes)["g"]  # keep lit dtype == store dtype
             gvals = sorted(
                 r["g"] for r in self.triples.select("g").distinct().collect()
@@ -226,6 +238,36 @@ class Translator:
             )
         sub = Translator(self.triples.filter(F.col("g") == F.lit(term)).drop("g"), self.stats)
         return sub.eval(node.child)
+
+    @staticmethod
+    def _graph_column_ok(node) -> bool:
+        """True when every scan under GRAPH ?g is a plain triple pattern,
+        so g can ride through match_pattern as a binding column. Path
+        closures (whose fixpoint pairs drop g), nested GRAPH/SERVICE, and
+        groups with a pattern-free branch (nothing to bind g from) use the
+        per-graph fallback."""
+        _pathlike = (A.PathPattern, A.PropSetPattern, A.AltPath, A.ClosurePattern)
+        stack, saw_plain = [node], False
+        while stack:
+            n = stack.pop()
+            if isinstance(n, A.BGP):
+                if not n.patterns:
+                    return False
+                if any(isinstance(p, _pathlike) for p in n.patterns):
+                    return False
+                saw_plain = True
+                continue
+            if isinstance(n, (A.Graph, A.Service)):
+                return False
+            if isinstance(n, A.Values) and n.child is None:
+                return False  # pattern-free leaf: g would stay unbound
+            if isinstance(n, A.Filter) and isinstance(n.expr, A.ExistsExpr):
+                stack.append(n.expr.group)
+            for attr in ("left", "right", "child"):
+                sub = getattr(n, attr, None)
+                if sub is not None and not isinstance(sub, (str, list, tuple)):
+                    stack.append(sub)
+        return saw_plain
 
     def _construct(self, node: A.Construct) -> DataFrame:
         """CONSTRUCT: instantiate each template pattern against the
@@ -280,7 +322,10 @@ class Translator:
             bound |= set().union(*(set(tp.variables()) for tp in st))
         base = reduce(
             join_bindings,
-            (star_join(self.triples, star, self.stats) for star in ordered),
+            (
+                star_join(self.triples, star, self.stats, graph_var=self.graph_var)
+                for star in ordered
+            ),
         )
         for p in paths:  # property paths join in after the plain BGP,
             # seeding closures from the already-bound variables

@@ -132,6 +132,19 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.dedup_clusters(docs, _jaccard_pairs(docs))
 
 
+@register("q_dup_clusters_lsh", oracle=None)
+def q_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clustering composition that survives 100 TB: MinHash-LSH
+    candidate pairs (band-bucket join — candidates ~ true pairs, never
+    all-pairs) -> exact-Jaccard verify -> connected components. The
+    lang-blocked quadratic edge generator behind q_dup_clusters is the
+    small-N oracle shape only; THIS is the production entry point.
+    Hash-seeded candidates -> rows-only; the edges-subset-of-exact
+    property is unit-tested (test_llm_operators)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return G.dedup_clusters(docs, D.minhash_near_dups(docs, threshold=0.5))
+
+
 @register("q_simhash", oracle=None)
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document (xxhash64-based — not SQL-reproducible,

@@ -30,6 +30,44 @@ _q(
 )
 
 _q(
+    # bound-endpoint closure: evaluated by the SEEDED frontier fixpoint
+    # (paths.seeded_closure — state O(reachable-from-n:3), not the whole
+    # chain's closure); the oracle is a genuine recursive CTE, not the
+    # consecutive-keys shortcut, so it checks the fixpoint itself.
+    "q_sparql_path_plus_bound",
+    "SELECT ?y WHERE { n:3 ex:next+ ?y }",
+    """
+    WITH RECURSIVE edges AS (
+      SELECT n_nationkey AS src, n_nationkey + 1 AS dst FROM nation
+      WHERE n_nationkey + 1 IN (SELECT n_nationkey FROM nation)
+    ), reach(k) AS (
+      SELECT dst FROM edges WHERE src = 3
+      UNION
+      SELECT e.dst FROM reach r JOIN edges e ON e.src = r.k
+    )
+    SELECT 'n:' || k AS y FROM reach
+    """,
+)
+
+_q(
+    # reverse-bound closure: `?x p+ <const>` seeds the fixpoint from the
+    # OBJECT side over reversed edges.
+    "q_sparql_path_plus_bound_rev",
+    "SELECT ?x WHERE { ?x ex:next+ n:3 }",
+    """
+    WITH RECURSIVE edges AS (
+      SELECT n_nationkey AS src, n_nationkey + 1 AS dst FROM nation
+      WHERE n_nationkey + 1 IN (SELECT n_nationkey FROM nation)
+    ), reach(k) AS (
+      SELECT src FROM edges WHERE dst = 3
+      UNION
+      SELECT e.src FROM reach r JOIN edges e ON e.dst = r.k
+    )
+    SELECT 'n:' || k AS x FROM reach
+    """,
+)
+
+_q(
     "q_sparql_path_seq",
     "SELECT ?c ?r WHERE { ?c ex:nation/ex:region ?r }",
     """

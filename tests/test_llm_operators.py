@@ -204,3 +204,33 @@ def test_dedup_clusters_sizes(spark):
     rows = {r["doc_id"]: (r["component"], r["cluster_size"])
             for r in dedup_clusters(docs, edges).collect()}
     assert rows == {1: (1, 3), 2: (1, 3), 3: (1, 3), 4: (4, 1), 5: (5, 1)}
+
+
+def test_lsh_cluster_edges_subset_of_exact(spark):
+    """q_dup_clusters_lsh composition property: every LSH-verified edge is
+    a true exact-Jaccard edge (verify step guarantees precision; LSH only
+    affects recall), so LSH clusters only ever SPLIT exact clusters —
+    never merge documents an exact clustering would keep apart."""
+    from d_sparq_spark.operators import graph as G
+
+    docs = _docs(spark)
+    lsh_pairs = D.minhash_near_dups(docs, threshold=0.5)
+    got = {(r["a"], r["b"]) for r in lsh_pairs.collect()}
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    import itertools
+
+    def jac(x, y):
+        sx, sy = set(x.split()), set(y.split())
+        return len(sx & sy) / len(sx | sy)
+
+    exact = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(rows), 2)
+        if jac(rows[a], rows[b]) >= 0.5
+    }
+    assert got <= exact
+    assert (1, 4) in got  # exact dup must be recalled by LSH
+    cc = G.dedup_clusters(docs, lsh_pairs)
+    comp = {r["doc_id"]: r["component"] for r in cc.collect()}
+    assert comp[1] == comp[4]  # dup pair clustered together
+    assert comp[1] != comp[3]  # unrelated docs stay apart
