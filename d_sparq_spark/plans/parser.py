@@ -26,6 +26,7 @@ _TOKEN_RE = re.compile(
   | (?P<IRIREF><[^<>\s]*>)
   | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
   | (?P<STRING>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<LANGTAG>@[A-Za-z][A-Za-z0-9-]*)
   | (?P<NUMBER>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<PNAME>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_][A-Za-z0-9_.-]*)
   | (?P<NS>[A-Za-z_][A-Za-z0-9_-]*:)
@@ -48,7 +49,16 @@ _FUNCS = {
     "ucase", "lcase", "concat", "abs", "coalesce", "if", "sameterm", "replace",
     "substr", "strbefore", "strafter", "round", "floor", "ceil",
     "isiri", "isuri", "isblank", "isliteral", "lang", "datatype",
+    "langmatches", "strlang", "strdt",
     "md5", "sha1", "sha256", "encode_for_uri",
+}
+
+# numeric XSD datatypes: a typed literal of one of these becomes a numeric
+# expression literal (value comparison), per SPARQL operator mapping
+_NUMERIC_XSD = {
+    "xsd:integer", "xsd:int", "xsd:long", "xsd:short", "xsd:byte",
+    "xsd:decimal", "xsd:float", "xsd:double",
+    "xsd:nonNegativeInteger", "xsd:positiveInteger",
 }
 
 
@@ -555,7 +565,7 @@ class Parser:
         if t.kind == "IRIREF":
             return t.text[1:-1]
         if t.kind == "STRING":
-            return _unquote(t.text)
+            return self._literal_term(_unquote(t.text))
         if t.kind == "NUMBER":
             return t.text  # lexical form; stores are all-string
         if t.kind == "KEYWORD":
@@ -565,6 +575,25 @@ class Parser:
             # literals like "Person"); strict SPARQL would require an IRI.
             return t.text
         raise SyntaxError(f"SPARQL: unexpected term {t}")
+
+    def _literal_term(self, lex: str) -> str:
+        """Canonical term for a quoted literal, folding a following @lang /
+        ^^datatype into the store's inline syntax ('"x"@en',
+        '"5"^^xsd:int'). Plain literals — including explicit xsd:string,
+        per RDF 1.1 — stay as the bare lexical form."""
+        if self.peek().kind == "LANGTAG":
+            tag = self.next().text[1:]
+            return f'"{lex}"@{tag}'
+        if self.at_op("^") and self.peek(1).kind == "OP" and self.peek(1).text == "^":
+            self.next()
+            self.next()
+            dt = self.parse_term()
+            if not isinstance(dt, str) or dt.startswith("?"):
+                raise SyntaxError("SPARQL: datatype of a typed literal must be an IRI")
+            if dt == "xsd:string":
+                return lex
+            return f'"{lex}"^^{dt}'
+        return lex
 
     # ---- VALUES ----
     def parse_values(self):
@@ -700,7 +729,22 @@ class Parser:
             return A.Lit(float(t.text), is_numeric=True)
         if t.kind == "STRING":
             self.next()
-            return A.Lit(_unquote(t.text))
+            lex = _unquote(t.text)
+            if self.at_op("^") and self.peek(1).kind == "OP" and self.peek(1).text == "^":
+                # numeric typed literal -> numeric expression (SPARQL value
+                # comparison); other datatypes keep the inline term form.
+                self.next()
+                self.next()
+                dt = self.parse_term()
+                if dt in _NUMERIC_XSD:
+                    return A.Lit(float(lex), is_numeric=True)
+                if dt == "xsd:string":
+                    return A.Lit(lex)
+                return A.Lit(f'"{lex}"^^{dt}')
+            if self.peek().kind == "LANGTAG":
+                tag = self.next().text[1:]
+                return A.Lit(f'"{lex}"@{tag}')
+            return A.Lit(lex)
         if t.kind == "KEYWORD":
             low = t.text.lower()
             if low in ("true", "false"):
@@ -726,12 +770,19 @@ class Parser:
                 self.next()
                 self.eat_kw("exists")
                 return A.ExistsExpr(self.parse_group(), negated=True)
-        if t.kind == "PNAME" and t.text.lower() in ("xsd:double", "xsd:decimal", "xsd:integer", "xsd:float", "xsd:int", "xsd:long", "xsd:string", "xsd:boolean"):
+        if (
+            t.kind == "PNAME"
+            and t.text.lower() in ("xsd:double", "xsd:decimal", "xsd:integer", "xsd:float", "xsd:int", "xsd:long", "xsd:string", "xsd:boolean")
+            and self.peek(1).kind == "OP" and self.peek(1).text == "("
+        ):
             self.next()
             self.eat_op("(")
             arg = self.parse_expr()
             self.eat_op(")")
             return A.FuncCall(t.text.lower(), (arg,))
+        if t.kind in ("PNAME", "IRIREF"):  # IRI as expression constant,
+            # e.g. datatype(?x) = xsd:int or STRDT(?s, xsd:int)
+            return A.Lit(self.parse_term())
         raise SyntaxError(f"SPARQL: unexpected expression token {t}")
 
     def parse_aggregate(self):

@@ -45,6 +45,24 @@ _NUMERIC_FUNCS = {"strlen", "abs", "round", "floor", "ceil",
 # Same shape the dictionary uses to classify terms (operators/dictionary.py)
 _IRI_LIKE = r"^[A-Za-z][A-Za-z0-9+.-]*:"
 
+# Typed / language-tagged literal term syntax (SURVEY §1.2). The store
+# stays one lexical string column; non-plain literals carry their type
+# inline in canonical form — '"5"^^xsd:int', '"chat"@en' — while plain
+# literals remain unquoted ("Alice"). All term inspection is JVM regex
+# (whole-stage codegen), no UDFs.
+_TYPED_RE = r'^"(.*)"\^\^([^@]+)$'
+_LANGTAG_RE = r'^"(.*)"@([A-Za-z][A-Za-z0-9-]*)$'
+
+
+def _lex_form(c: Column) -> Column:
+    """Lexical form of a term: strips the quotes and ^^datatype/@lang of
+    typed/tagged literal syntax; plain terms (and IRIs) pass through."""
+    return (
+        F.when(c.rlike(_TYPED_RE), F.regexp_extract(c, _TYPED_RE, 1))
+        .when(c.rlike(_LANGTAG_RE), F.regexp_extract(c, _LANGTAG_RE, 1))
+        .otherwise(c)
+    )
+
 
 def _is_numeric_expr(e: object) -> bool:
     if isinstance(e, A.Lit):
@@ -122,10 +140,20 @@ class Translator:
             return self.eval(node.child).dropDuplicates()
         if isinstance(node, A.OrderBy):
             child = self.eval(node.child)
-            keys = [
-                self.expr(e, child).asc() if asc else self.expr(e, child).desc()
-                for e, asc in node.keys
-            ]
+            keys = []
+            for e, asc in node.keys:
+                c = self.expr(e, child)
+                # typed numeric literals ('"5"^^xsd:int') order by VALUE;
+                # plain terms keep lexical order (typed-value key is NULL
+                # for them, so the lexical key decides — unchanged
+                # behavior for untyped stores).
+                if isinstance(e, A.Var) and dict(child.dtypes).get(e.name) == "string":
+                    tv = F.when(
+                        c.rlike(_TYPED_RE),
+                        F.regexp_extract(c, _TYPED_RE, 1).try_cast("double"),
+                    )
+                    keys.append(tv.asc() if asc else tv.desc())
+                keys.append(c.asc() if asc else c.desc())
             return child.orderBy(*keys)
         if isinstance(node, A.Slice):
             child = self.eval(node.child)
@@ -515,8 +543,9 @@ class Translator:
             # try_cast, not cast: under ANSI mode a pushed-down numeric
             # predicate may evaluate over non-numeric terms (e.g. pushed
             # into a dictionary-decode join) — SPARQL type errors must
-            # yield unbound/false, never abort the query.
-            return c.try_cast("double") if numeric else c
+            # yield unbound/false, never abort the query. _lex_form first
+            # so '"5"^^xsd:int' coerces by its lexical value.
+            return _lex_form(c).try_cast("double") if numeric else c
         if isinstance(e, A.Lit):
             if isinstance(e.value, bool):
                 return F.lit(e.value)
@@ -573,8 +602,8 @@ class Translator:
             return self.expr(args[0], df).rlike(pat)
         if name == "bound":
             return self.expr(args[0], df).isNotNull()
-        if name == "str":
-            return self.expr(args[0], df).cast("string")
+        if name == "str":  # lexical form (typed/tagged literals stripped)
+            return _lex_form(self.expr(args[0], df).cast("string"))
         if name == "strlen":
             return F.length(self.expr(args[0], df)).cast("long")
         if name == "contains":
@@ -638,13 +667,30 @@ class Translator:
             return self.expr(args[0], df).startswith("_:")
         if name == "isliteral":
             t = self.expr(args[0], df)
-            return ~t.rlike(_IRI_LIKE) & ~t.startswith("_:")
-        if name == "lang":  # lexical model carries no language tags
-            return F.lit("")
-        if name == "datatype":  # literals are plain strings in this model
+            return t.startswith('"') | (~t.rlike(_IRI_LIKE) & ~t.startswith("_:"))
+        if name == "lang":  # '' for plain / typed literals, per spec
+            return F.regexp_extract(self.expr(args[0], df), _LANGTAG_RE, 2)
+        if name == "datatype":
             t = self.expr(args[0], df)
-            return F.when(
-                ~t.rlike(_IRI_LIKE) & ~t.startswith("_:"), F.lit("xsd:string")
+            return (
+                F.when(t.rlike(_TYPED_RE), F.regexp_extract(t, _TYPED_RE, 2))
+                .when(t.rlike(_LANGTAG_RE), F.lit("rdf:langString"))
+                .when(~t.rlike(_IRI_LIKE) & ~t.startswith("_:"), F.lit("xsd:string"))
+            )
+        if name == "langmatches":  # RFC 4647 basic filtering
+            tag = self.expr(args[0], df)
+            rng = self.expr(args[1], df)
+            exact = (F.lower(tag) == F.lower(rng)) | F.lower(tag).startswith(
+                F.concat(F.lower(rng), F.lit("-"))
+            )
+            return F.when(rng == "*", tag != "").otherwise(exact)
+        if name == "strlang":
+            return F.concat(
+                F.lit('"'), self.expr(args[0], df), F.lit('"@'), self.expr(args[1], df)
+            )
+        if name == "strdt":
+            return F.concat(
+                F.lit('"'), self.expr(args[0], df), F.lit('"^^'), self.expr(args[1], df)
             )
         if name == "md5":
             return F.md5(self.expr(args[0], df))

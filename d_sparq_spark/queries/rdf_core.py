@@ -50,6 +50,33 @@ def q_nt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_ntriples(spark.read.text(path))
 
 
+# --- q_nq_roundtrip: N-Quads sink -> file -> source ---------------------------
+
+_ORACLE_QUADS = f"""
+{_T}
+SELECT s, p, o,
+       CASE WHEN s LIKE 'c:%' THEN 'g:customer'
+            WHEN s LIKE 'n:%' THEN 'g:nation'
+            ELSE 'g:region' END AS g
+FROM triples
+"""
+
+
+@register("q_nq_roundtrip", oracle=_ORACLE_QUADS)
+def q_nq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serialize the derived quads as .nq text, read back with
+    spark.read.text, parse with the regexp quad parser — the named-graph
+    dataset load path (feeds the quad dictionary / GRAPH queries)."""
+    from d_sparq_spark.sources.derived_rdf import derive_quads
+    from d_sparq_spark.sources.ntriples import format_nquads, parse_nquads
+
+    path = os.path.join(
+        "/tmp", "d_sparq_nq_cache", os.path.basename(sf_dir.rstrip("/"))
+    )
+    format_nquads(derive_quads(spark, sf_dir)).write.mode("overwrite").text(path)
+    return parse_nquads(spark.read.text(path))
+
+
 # --- q_dict_encode: deterministic dictionary (A2) -----------------------------
 
 _ORACLE_DICT = f"""

@@ -230,3 +230,23 @@ def q_star_property_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return star_over_property_table(
         pt, {"foaf:name": "?name", "ex:acctbal": "?bal", "ex:mktsegment": "BUILDING"}, "c"
     )
+
+
+@register(
+    "q_sparql_typed",
+    oracle="""
+    SELECT 'c:' || c_custkey AS c, '"' || c_name || '"@en' AS n, c_name AS n_str
+    FROM customer WHERE CAST(printf('%.2f', c_acctbal) AS DOUBLE) > 5000
+    """,
+)
+def q_sparql_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed literals end-to-end (SURVEY §1.2): balances stored as
+    '"…"^^xsd:decimal', names as '"…"@en'; the FILTER mixes a typed
+    numeric comparison (value, not lexical) with LANG(); STR() strips the
+    tag back to the lexical form."""
+    from d_sparq_spark.sources.derived_rdf import derive_typed_triples
+
+    return SparqlEngine(derive_typed_triples(spark, sf_dir), collect_stats=False).query(
+        "SELECT ?c ?n (STR(?n) AS ?n_str) WHERE { ?c ex:bal ?b ; foaf:name ?n "
+        'FILTER(?b > "5000"^^xsd:decimal && LANG(?n) = "en") }'
+    )

@@ -156,6 +156,40 @@ def derive_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def derive_typed_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-literal variant of the derived view (SURVEY §1.2): customer
+    names as @en language-tagged literals, balances as ^^xsd:decimal typed
+    literals — the store's inline term syntax (plans/translate.py §typed),
+    so lang()/datatype()/typed comparisons are exercised against a
+    relational oracle."""
+    c = load_table(spark, sf_dir, "customer")
+    c_s = F.concat(F.lit("c:"), F.col("c_custkey").cast("string"))
+
+    def t(s, p, o):
+        return F.struct(s.alias("s"), p.alias("p"), o.alias("o"))
+
+    return c.select(
+        F.explode(
+            F.array(
+                t(
+                    c_s,
+                    F.lit("foaf:name"),
+                    F.concat(F.lit('"'), F.col("c_name"), F.lit('"@en')),
+                ),
+                t(
+                    c_s,
+                    F.lit("ex:bal"),
+                    F.concat(
+                        F.lit('"'),
+                        F.format_string("%.2f", F.col("c_acctbal")),
+                        F.lit('"^^xsd:decimal'),
+                    ),
+                ),
+            )
+        ).alias("tr")
+    ).select("tr.s", "tr.p", "tr.o")
+
+
 _ENC_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
 
 

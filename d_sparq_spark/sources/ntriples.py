@@ -20,10 +20,20 @@ from pyspark.sql import functions as F
 # none of them contain a lowercase-prefix + colon shape).
 _IRI_RE = r"^[A-Za-z][A-Za-z0-9+.-]*:"
 
-# one full N-Triples line: subject, predicate, object, dot.
+# one full N-Triples line: subject, predicate, object (optionally language-
+# tagged or datatyped literal), dot.
 _LINE_RE = (
-    r'^\s*(<[^>]*>|_:\S+)\s+(<[^>]*>)\s+(<[^>]*>|_:\S+|"(?:[^"\\]|\\.)*")\s*\.\s*$'
+    r'^\s*(<[^>]*>|_:\S+)\s+(<[^>]*>)\s+'
+    r'(<[^>]*>|_:\S+|"(?:[^"\\]|\\.)*"(?:@[A-Za-z][A-Za-z0-9-]*|\^\^<[^>]*>)?)'
+    r"\s*\.\s*$"
 )
+
+# serialized object forms (quoted lexical + tag), and the store's inline
+# term forms ('"5"^^xsd:int' / '"x"@en' — plans/translate.py §typed)
+_OBJ_TYPED_RE = r'^"((?:[^"\\]|\\.)*)"\^\^<([^>]*)>$'
+_OBJ_LANG_RE = r'^"((?:[^"\\]|\\.)*)"@([A-Za-z][A-Za-z0-9-]*)$'
+_TERM_TYPED_RE = r'^"(.*)"\^\^([^@]+)$'
+_TERM_LANG_RE = r'^"(.*)"@([A-Za-z][A-Za-z0-9-]*)$'
 
 
 def _escape_literal(c: Column) -> Column:
@@ -46,15 +56,43 @@ def _unescape_literal(c: Column) -> Column:
 
 
 def _format_term(c: Column) -> Column:
-    return F.when(c.rlike(_IRI_RE), F.concat(F.lit("<"), c, F.lit(">"))).otherwise(
-        F.concat(F.lit('"'), _escape_literal(c), F.lit('"'))
+    lex_t = F.regexp_extract(c, _TERM_TYPED_RE, 1)
+    dt = F.regexp_extract(c, _TERM_TYPED_RE, 2)
+    lex_l = F.regexp_extract(c, _TERM_LANG_RE, 1)
+    tag = F.regexp_extract(c, _TERM_LANG_RE, 2)
+    return (
+        F.when(
+            c.rlike(_TERM_TYPED_RE),
+            F.concat(F.lit('"'), _escape_literal(lex_t), F.lit('"^^<'), dt, F.lit(">")),
+        )
+        .when(
+            c.rlike(_TERM_LANG_RE),
+            F.concat(F.lit('"'), _escape_literal(lex_l), F.lit('"@'), tag),
+        )
+        .when(c.rlike(_IRI_RE), F.concat(F.lit("<"), c, F.lit(">")))
+        .otherwise(F.concat(F.lit('"'), _escape_literal(c), F.lit('"')))
     )
 
 
 def _parse_term(c: Column) -> Column:
     inner = F.substring(c, F.lit(2), F.length(c) - 2)
+    lex_t = F.regexp_extract(c, _OBJ_TYPED_RE, 1)
+    dt = F.regexp_extract(c, _OBJ_TYPED_RE, 2)
+    lex_l = F.regexp_extract(c, _OBJ_LANG_RE, 1)
+    tag = F.regexp_extract(c, _OBJ_LANG_RE, 2)
     return (
         F.when(c.startswith("<"), inner)
+        .when(
+            c.rlike(_OBJ_TYPED_RE),
+            # RDF 1.1: "x"^^xsd:string is the same term as plain "x"
+            F.when(dt == F.lit("xsd:string"), _unescape_literal(lex_t)).otherwise(
+                F.concat(F.lit('"'), _unescape_literal(lex_t), F.lit('"^^'), dt)
+            ),
+        )
+        .when(
+            c.rlike(_OBJ_LANG_RE),
+            F.concat(F.lit('"'), _unescape_literal(lex_l), F.lit('"@'), tag),
+        )
         .when(c.startswith('"'), _unescape_literal(inner))
         .otherwise(c)  # blank node label kept verbatim
     )
@@ -70,6 +108,51 @@ def format_ntriples(triples: DataFrame) -> DataFrame:
             _format_term(F.col("o")),
             F.lit("."),
         ).alias("value")
+    )
+
+
+# N-Quads: N-Triples + optional graph label before the dot (W3C N-Quads).
+_QUAD_LINE_RE = (
+    r'^\s*(<[^>]*>|_:\S+)\s+(<[^>]*>)\s+'
+    r'(<[^>]*>|_:\S+|"(?:[^"\\]|\\.)*"(?:@[A-Za-z][A-Za-z0-9-]*|\^\^<[^>]*>)?)'
+    r"(?:\s+(<[^>]*>|_:\S+))?\s*\.\s*$"
+)
+
+
+def format_nquads(quads: DataFrame) -> DataFrame:
+    """quads(s,p,o,g) -> single-column DataFrame of N-Quads lines."""
+    return quads.select(
+        F.concat_ws(
+            " ",
+            _format_term(F.col("s")),
+            _format_term(F.col("p")),
+            _format_term(F.col("o")),
+            _format_term(F.col("g")),
+            F.lit("."),
+        ).alias("value")
+    )
+
+
+def parse_nquads(
+    lines: DataFrame, column: str = "value", default_graph: str = "urn:x-default"
+) -> DataFrame:
+    """Raw text lines -> quads(s,p,o,g); statements without a graph label
+    land in ``default_graph`` per the N-Quads default-graph semantics.
+    Same scan shape as parse_ntriples: one regexp per term over
+    spark.read.text splits — linear, whole-stage-codegen'd."""
+    matched = lines.select(
+        F.regexp_extract(F.col(column), _QUAD_LINE_RE, 1).alias("s_raw"),
+        F.regexp_extract(F.col(column), _QUAD_LINE_RE, 2).alias("p_raw"),
+        F.regexp_extract(F.col(column), _QUAD_LINE_RE, 3).alias("o_raw"),
+        F.regexp_extract(F.col(column), _QUAD_LINE_RE, 4).alias("g_raw"),
+    ).filter(F.col("s_raw") != "")
+    return matched.select(
+        _parse_term(F.col("s_raw")).alias("s"),
+        _parse_term(F.col("p_raw")).alias("p"),
+        _parse_term(F.col("o_raw")).alias("o"),
+        F.when(F.col("g_raw") == "", F.lit(default_graph))
+        .otherwise(_parse_term(F.col("g_raw")))
+        .alias("g"),
     )
 
 

@@ -133,3 +133,21 @@ def test_property_table_star_equals_star_join(spark):
     a = sorted(tuple(r) for r in via_pt.select("c", "n", "b").collect())
     b = sorted(tuple(r) for r in via_join.collect())
     assert a == b and len(a) > 0
+
+
+def test_nquads_roundtrip_and_default_graph(spark):
+    from d_sparq_spark.sources.ntriples import format_nquads, parse_nquads
+
+    quads = spark.createDataFrame(
+        [("p:a", "ex:name", "Alice", "g:1"),
+         ("p:a", "ex:age", '"30"^^xsd:int', "g:2"),
+         ("p:b", "ex:note", '"hi"@en', "g:1")],
+        "s string, p string, o string, g string",
+    )
+    lines = format_nquads(quads)
+    back = parse_nquads(lines)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, quads.collect()))
+    # graph-less lines land in the default graph
+    nt = spark.createDataFrame([('<p:c> <ex:name> "Carol" .',)], "value string")
+    got = parse_nquads(nt, default_graph="g:default").collect()
+    assert [tuple(r) for r in got] == [("p:c", "ex:name", "Carol", "g:default")]

@@ -494,3 +494,94 @@ def test_string_escape_escaped_backslash():
     assert _unquote('"a\\\\nb"') == "a\\nb"
     assert _unquote('"a\\nb"') == "a\nb"
     assert _unquote('"q\\"x\\"y"') == 'q"x"y'
+
+
+# ---- typed literals / language tags (round 2, SURVEY §1.2) ----
+
+TYPED_TRIPLES = [
+    ("p:a", "ex:label", '"cat"@en'),
+    ("p:a", "ex:label", '"chat"@fr'),
+    ("p:a", "ex:age", '"30"^^xsd:int'),
+    ("p:b", "ex:label", "plain"),
+    ("p:b", "ex:age", '"9"^^xsd:int'),
+]
+
+
+@pytest.fixture(scope="module")
+def typed_engine(spark):
+    triples = spark.createDataFrame(TYPED_TRIPLES, "s string, p string, o string")
+    return SparqlEngine(triples, collect_stats=False)
+
+
+def test_filter_by_lang(typed_engine):
+    out = typed_engine.query(
+        "SELECT ?l WHERE { ?x ex:label ?l FILTER(LANG(?l) = \"en\") }"
+    )
+    assert rows(out) == [('"cat"@en',)]
+
+
+def test_langmatches_wildcard(typed_engine):
+    out = typed_engine.query(
+        "SELECT ?l WHERE { ?x ex:label ?l FILTER langmatches(LANG(?l), \"*\") }"
+    )
+    assert rows(out) == [('"cat"@en',), ('"chat"@fr',)]
+
+
+def test_typed_numeric_comparison_by_value(typed_engine):
+    # lexical compare would keep "9" ("9" > "10"); value compare must not
+    out = typed_engine.query(
+        'SELECT ?x WHERE { ?x ex:age ?a FILTER(?a > "10"^^xsd:int) }'
+    )
+    assert rows(out) == [("p:a",)]
+
+
+def test_typed_order_by_value(typed_engine):
+    out = typed_engine.query("SELECT ?a WHERE { ?x ex:age ?a } ORDER BY ?a")
+    assert [r["a"] for r in out.collect()] == ['"9"^^xsd:int', '"30"^^xsd:int']
+
+
+def test_datatype_and_str(typed_engine):
+    out = typed_engine.query(
+        "SELECT ?dt ?s WHERE { p:a ex:age ?a BIND(DATATYPE(?a) AS ?dt) "
+        "BIND(STR(?a) AS ?s) }"
+    )
+    assert rows(out) == [("xsd:int", "30")]
+
+
+def test_datatype_of_plain_and_tagged(typed_engine):
+    out = typed_engine.query(
+        "SELECT ?l (DATATYPE(?l) AS ?dt) WHERE { ?x ex:label ?l }"
+    )
+    assert rows(out) == sorted(
+        [('"cat"@en', "rdf:langString"), ('"chat"@fr', "rdf:langString"),
+         ("plain", "xsd:string")]
+    )
+
+
+def test_strlang_strdt_construct(typed_engine):
+    out = typed_engine.query(
+        'SELECT (STRLANG("hi", "en") AS ?a) (STRDT("5", xsd:int) AS ?b) '
+        "WHERE { p:b ex:label ?l }"
+    )
+    assert rows(out) == [('"hi"@en', '"5"^^xsd:int')]
+
+
+def test_lang_tagged_term_equality(typed_engine):
+    out = typed_engine.query('SELECT ?x WHERE { ?x ex:label "cat"@en }')
+    assert rows(out) == [("p:a",)]
+    # plain "cat" is a DIFFERENT term than "cat"@en
+    out2 = typed_engine.query('SELECT ?x WHERE { ?x ex:label "cat" }')
+    assert rows(out2) == []
+
+
+def test_ntriples_roundtrip_typed(spark):
+    from d_sparq_spark.sources.ntriples import format_ntriples, parse_ntriples
+
+    triples = spark.createDataFrame(TYPED_TRIPLES, "s string, p string, o string")
+    lines = format_ntriples(triples)
+    back = parse_ntriples(lines)
+    assert rows(back) == rows(triples)
+    # serialized forms are standard N-Triples
+    texts = {r["value"] for r in lines.collect()}
+    assert '<p:a> <ex:age> "30"^^<xsd:int> .' in texts
+    assert '<p:a> <ex:label> "cat"@en .' in texts
