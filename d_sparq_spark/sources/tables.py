@@ -31,20 +31,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    outright (PARQUET_TYPE_ILLEGAL). Read it as a raw ns long via the
-    legacy conf, then floor-truncate to microseconds — Spark's native
-    timestamp precision. Truncation is floor, so >=/< comparisons against
-    whole-microsecond literals agree with the untruncated ns values (the
-    DuckDB oracle side mirrors this with date_trunc('microseconds', ts)).
+    """Normalize events.ts to a session-tz TIMESTAMP regardless of how the
+    generator wrote it. Parquet TIMESTAMP(NANOS) is rejected outright by
+    Spark's reader (PARQUET_TYPE_ILLEGAL), so the nanosAsLong conf reads it
+    as a raw ns long which we floor-truncate to microseconds — Spark's
+    native precision (floor keeps >=/< against whole-microsecond literals
+    consistent with the DuckDB oracle). Micros-precision files arrive as
+    TIMESTAMP_NTZ under that same conf and just need the tz-flavor cast
+    (values are identical under the pinned UTC session).
     """
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))
-    # integer div (ns -> us) keeps full precision; a double division would
-    # lose bits above 2^53.
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
+        # integer div (ns -> us) keeps full precision; a double division
+        # would lose bits above 2^53.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type != "timestamp":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -50,13 +50,21 @@ def session_30m(events: DataFrame) -> DataFrame:
 
 
 def stream_events(spark, sf_dir: str, with_watermark: str | None = "10 minutes") -> DataFrame:
-    """readStream over the same events parquet (schema pinned; ts arrives as
-    ns-long and is truncated exactly like the batch loader)."""
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
+    """readStream over the same events parquet. The file stream source
+    needs a pinned schema, and the generator's ts physical type varies by
+    round (TIMESTAMP(NANOS) -> ns long under nanosAsLong, vs plain micros
+    TIMESTAMP), so probe the batch reader's dtype once and pin to match —
+    the normalization then mirrors sources/tables._load_events exactly."""
+    from d_sparq_spark.sources.tables import table_path
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_is_long = (
+        dict(spark.read.parquet(table_path(sf_dir, "events")).dtypes)["ts"] == "bigint"
+    )
+    schema = (
+        f"event_id long, ts {'long' if ts_is_long else 'timestamp'}, "
+        "user_id long, event_type string, value double, props string"
+    )
     # the file-stream source requires a DIRECTORY base path; events.parquet
     # is a single file, so stream the parent dir with a glob filter.
     raw = (
@@ -65,7 +73,9 @@ def stream_events(spark, sf_dir: str, with_watermark: str | None = "10 minutes")
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = raw
+    if ts_is_long:
+        ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if with_watermark:
         ev = ev.withWatermark("ts", with_watermark)
     return ev
