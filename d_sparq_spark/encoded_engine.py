@@ -44,10 +44,21 @@ def _is_var(t: object) -> bool:
 
 
 class EncodedSparqlEngine:
-    def __init__(self, triples_enc: DataFrame, dictionary: DataFrame, collect_stats: bool = True):
-        """triples_enc: (s,p,o) LONG columns; dictionary: (id, term[, kind])."""
+    def __init__(
+        self,
+        triples_enc: DataFrame,
+        dictionary: DataFrame,
+        collect_stats: bool = True,
+        catalog=None,
+    ):
+        """triples_enc: (s,p,o) LONG columns; dictionary: (id, term[, kind]).
+        catalog (plans/catalog.StoreCatalog) must be built over the SAME
+        encoded store — routing is term-type-agnostic (predicate keys are
+        the encoded longs, property-table columns are str(id)), so the
+        planner substitutions work identically to the lexical engine."""
         self.triples = triples_enc
         self.dict = dictionary.select("id", "term")
+        self.catalog = catalog
         stats = None
         if collect_stats:
             stats = {
@@ -207,13 +218,13 @@ class EncodedSparqlEngine:
             terms = tuple(
                 t if _is_var(t) else ids.get(t, _MISSING_ID) for t in root.terms
             )
-            df = Translator(self.triples, self._stats).eval(A.Describe(terms, child))
+            df = Translator(self.triples, self._stats, catalog=self.catalog).eval(A.Describe(terms, child))
             return self._decode(df, df.columns)
         if isinstance(root, (A.Ask, A.Construct)):
             # structural queries: rewrite whole tree, evaluate encoded,
             # decode output columns
             rewritten = self._rewrite(root.child if isinstance(root, A.Ask) else root.child, ids)
-            tr = Translator(self.triples, self._stats)
+            tr = Translator(self.triples, self._stats, catalog=self.catalog)
             if isinstance(root, A.Ask):
                 return tr.eval(A.Ask(rewritten))
             df = tr.eval(A.Construct(self._rewrite_template(root.template, ids), rewritten))
@@ -227,7 +238,7 @@ class EncodedSparqlEngine:
         # tolerates a Filter(EXISTS)/BGP root and recurses left/right/child.
         self._check_structural(structural)
         structural = self._rewrite(structural, ids)
-        tr = Translator(self.triples, self._stats)
+        tr = Translator(self.triples, self._stats, catalog=self.catalog)
         bound = tr.eval(structural)
         lex = Translator(bound.sparkSession.createDataFrame([], "s string, p string, o string"))
 

@@ -25,11 +25,15 @@ class SparqlEngine:
         triples: DataFrame,
         collect_stats: bool = True,
         services: dict[str, DataFrame] | None = None,
+        catalog=None,
     ):
         """triples: DataFrame with columns (s, p, o). collect_stats runs one
         small aggregation up front (A11) so BGP planning can order patterns
         by selectivity (A7) without re-scanning per query. services maps
-        SERVICE endpoint names to their triples DataFrames (federation)."""
+        SERVICE endpoint names to their triples DataFrames (federation).
+        catalog (plans/catalog.StoreCatalog) registers materialized
+        alternative layouts — property table, ExtVP reductions — that the
+        planner substitutes for full-store scans when a star qualifies."""
         self.triples = triples
         stats = None
         if collect_stats:
@@ -37,7 +41,7 @@ class SparqlEngine:
                 r["p"]: r["cnt"]
                 for r in predicate_stats(triples).select("p", "cnt").collect()
             }
-        self._translator = Translator(triples, stats, services=services)
+        self._translator = Translator(triples, stats, services=services, catalog=catalog)
 
     def query(self, sparql: str) -> DataFrame:
         """Parse and plan a SPARQL query; returns the lazily-evaluated

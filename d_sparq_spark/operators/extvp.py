@@ -22,6 +22,7 @@ that has a join partner.
 
 from __future__ import annotations
 
+import json
 import os
 from itertools import permutations
 
@@ -76,6 +77,18 @@ def materialize_extvp(
                     _red_path(store_path, kind, p1, p2)
                 )
                 written[(kind, p1, p2)] = round(ratio, 4)
+    # manifest so StoreCatalog.load_extvp can enumerate reductions (and
+    # their ratios, which drive smallest-first selection) without listing
+    # the object store.
+    os.makedirs(os.path.join(store_path, "extvp"), exist_ok=True)
+    with open(os.path.join(store_path, "extvp", "manifest.json"), "w") as f:
+        json.dump(
+            [
+                {"kind": k, "p1": p1, "p2": p2, "ratio": r}
+                for (k, p1, p2), r in written.items()
+            ],
+            f,
+        )
     return written
 
 

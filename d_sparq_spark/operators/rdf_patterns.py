@@ -113,11 +113,20 @@ def star_join(
     patterns: list[TriplePattern],
     stats: DataFrame | dict | None = None,
     graph_var: str | None = None,
+    source_for=None,
 ) -> DataFrame:
-    """Evaluate a subject-star (or any BGP fragment) as a join chain."""
+    """Evaluate a subject-star (or any BGP fragment) as a join chain.
+    ``source_for(tp) -> DataFrame | None`` lets the planner substitute a
+    cheaper relation for one pattern's scan (an ExtVP semi-join reduction,
+    plans/catalog.py) — None means scan ``triples``."""
     ordered = order_by_selectivity(patterns, stats)
+
+    def src(tp: TriplePattern) -> DataFrame:
+        alt = source_for(tp) if source_for is not None else None
+        return alt if alt is not None else triples
+
     return reduce(
-        join_bindings, (match_pattern(triples, tp, graph_var) for tp in ordered)
+        join_bindings, (match_pattern(src(tp), tp, graph_var) for tp in ordered)
     )
 
 

@@ -83,11 +83,13 @@ class Translator:
         stats: dict | None = None,
         services: dict | None = None,
         graph_var: str | None = None,
+        catalog=None,
     ):
         self.triples = triples
         self.stats = stats
         self.services = services or {}
         self.graph_var = graph_var  # GRAPH ?g: project g into every pattern
+        self.catalog = catalog  # StoreCatalog: property table + ExtVP routes
         self.spark = triples.sparkSession
 
     # ------------- algebra -------------
@@ -350,15 +352,43 @@ class Translator:
             bound |= set().union(*(set(tp.variables()) for tp in st))
         base = reduce(
             join_bindings,
-            (
-                star_join(self.triples, star, self.stats, graph_var=self.graph_var)
-                for star in ordered
-            ),
+            (self._star(star, ordered) for star in ordered),
         )
         for p in paths:  # property paths join in after the plain BGP,
             # seeding closures from the already-bound variables
             base = join_bindings(base, self._path(p, base))
         return base
+
+    def _star(self, star: list[TriplePattern], all_stars: list) -> DataFrame:
+        """One subject star, routed through the physical layout the catalog
+        says is cheapest: the PROPERTY TABLE (zero joins) when the star
+        qualifies, else the join chain over per-pattern sources where each
+        scan may be an ExtVP semi-join reduction instead of the full store
+        (SS for same-star siblings, OS when the pattern's object is another
+        star's subject variable). Both substitutions are answer-preserving
+        because stars and star-chains are inner joins — see plans/catalog.py."""
+        if self.catalog is None:
+            return star_join(self.triples, star, self.stats, graph_var=self.graph_var)
+        pt = self.catalog.star_from_property_table(star, self.graph_var)
+        if pt is not None:
+            return pt
+        const_preds_by_subject: dict[object, set] = {}
+        for st in all_stars:
+            preds = {tp.p for tp in st if not isinstance(tp.p, str) or not tp.p.startswith("?")}
+            const_preds_by_subject[st[0].s] = preds
+
+        def source_for(tp: TriplePattern) -> DataFrame | None:
+            if self.graph_var is not None:
+                return None  # reductions are triple-level; g must ride the scan
+            ss = {p for p in const_preds_by_subject.get(tp.s, set()) if p != tp.p}
+            os_peers = set()
+            if isinstance(tp.o, str) and tp.o.startswith("?"):
+                os_peers = const_preds_by_subject.get(tp.o, set())
+            return self.catalog.pattern_source(tp, ss, os_peers)
+
+        return star_join(
+            self.triples, star, self.stats, graph_var=self.graph_var, source_for=source_for
+        )
 
     def _path(self, p, bound: DataFrame | None = None) -> DataFrame:
         """Evaluate a path-like pattern to a bindings DataFrame. ``bound``

@@ -205,6 +205,67 @@ _q_encoded(
 )
 
 
+def _q_catalog(name: str, flavor: str, sparql: str, oracle: str) -> None:
+    """Same engine, but planned against a StoreCatalog (VERDICT #6/#7):
+    the translator routes qualifying stars through the materialized
+    property table (zero joins) or per-pattern ExtVP semi-join reductions
+    (smaller scans). Identical SPARQL text and oracle as the un-routed
+    twin — the answers must not depend on the physical layout."""
+
+    @register(name, oracle=oracle)
+    def runner(spark: SparkSession, sf_dir: str, _s=sparql, _f=flavor) -> DataFrame:
+        from d_sparq_spark.sources.derived_rdf import catalog_cached
+
+        return SparqlEngine(
+            derive_triples(spark, sf_dir), catalog=catalog_cached(spark, sf_dir, _f)
+        ).query(_s)
+
+    runner.__doc__ = f"SPARQL ({flavor}-routed):\n{sparql}"
+
+
+_STAR_SPARQL = (
+    'SELECT ?c ?name ?bal WHERE { ?c foaf:name ?name ; ex:acctbal ?bal ; '
+    'ex:mktsegment "BUILDING" }'
+)
+_STAR_ORACLE = """
+SELECT 'c:' || c_custkey AS c, c_name AS name, printf('%.2f', c_acctbal) AS bal
+FROM customer WHERE c_mktsegment = 'BUILDING'
+"""
+
+_q_catalog("q_sparql_star_pt", "pt", _STAR_SPARQL, _STAR_ORACLE)
+
+
+@register("q_sparql_encoded_star_pt", oracle=_STAR_ORACLE)
+def q_sparql_encoded_star_pt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full D-SPARQ execution model in one query: dictionary-encoded
+    store + property-table routing (str(id) pivot columns, long cells) —
+    the star is ONE encoded PT scan, then late decode at the edge."""
+    from d_sparq_spark.encoded_engine import EncodedSparqlEngine
+    from d_sparq_spark.sources.derived_rdf import (
+        encoded_catalog_cached,
+        encoded_store_cached,
+    )
+
+    enc, d = encoded_store_cached(spark, sf_dir)
+    return EncodedSparqlEngine(
+        enc, d, catalog=encoded_catalog_cached(spark, sf_dir)
+    ).query(_STAR_SPARQL)
+
+# The ExtVP demo star is over nations: SS(foaf:name, ex:region) keeps the
+# ~25 nation names out of the whole foaf:name slice (ratio ~0.0017 at
+# sf0.1) — a reduction that stays strong at every SF, unlike customer-star
+# reductions in this customer-dominated corpus (ratio -> 1 as SF grows).
+_q_catalog(
+    "q_sparql_star_extvp",
+    "extvp",
+    "SELECT ?n ?name ?r WHERE { ?n foaf:name ?name ; ex:region ?r }",
+    """
+    SELECT 'n:' || n_nationkey AS n, n_name AS name, 'r:' || n_regionkey AS r
+    FROM nation
+    """,
+)
+
+
 _ORACLE_PT_STAR = """
 SELECT 'c:' || c_custkey AS c, c_name AS name, printf('%.2f', c_acctbal) AS bal
 FROM customer WHERE c_mktsegment = 'BUILDING'

@@ -190,6 +190,54 @@ def derive_typed_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("tr.s", "tr.p", "tr.o")
 
 
+_CATALOG_CACHE: dict[tuple[int, str, str], object] = {}
+
+
+def catalog_cached(spark: SparkSession, sf_dir: str, flavor: str = "pt"):
+    """StoreCatalog (plans/catalog.py) per (session, sf_dir, flavor),
+    built over the derived store once and reused by every catalog-routed
+    query — materializing alternative layouts is load-time work, same as
+    the dictionary. Two flavors because the PT route shadows ExtVP for
+    qualifying stars, and the registry wants to demonstrate each:
+
+    - 'pt': property table over the store's functional predicates
+      (all of them, in this corpus) — qualifying stars run with 0 joins.
+    - 'extvp': in-memory SS/OS semi-join reductions over the customer-star
+      predicates — each star pattern scans a reduction instead of the
+      full store (e.g. SS(foaf:name, ex:mktsegment) drops the nation and
+      region names the join would discard anyway).
+    """
+    key = (id(spark), sf_dir, flavor)
+    if key not in _CATALOG_CACHE:
+        from d_sparq_spark.plans.catalog import StoreCatalog
+
+        t = derive_triples_cached(spark, sf_dir)
+        cat = StoreCatalog()
+        if flavor == "pt":
+            cat.add_property_table(t)
+        else:
+            cat.add_extvp(
+                t,
+                predicates=["foaf:name", "ex:acctbal", "ex:mktsegment", "ex:region"],
+            )
+        _CATALOG_CACHE[key] = cat
+    return _CATALOG_CACHE[key]
+
+
+def encoded_catalog_cached(spark: SparkSession, sf_dir: str):
+    """Property-table StoreCatalog over the ENCODED store: pivot columns
+    are str(predicate_id), cell values are object IDs (longs) — the same
+    zero-join star route as the lexical PT, but with 8-byte columns, and
+    decode stays at the edge as usual (encoded_engine.py)."""
+    key = (id(spark), sf_dir, "enc_pt")
+    if key not in _CATALOG_CACHE:
+        from d_sparq_spark.plans.catalog import StoreCatalog
+
+        enc, _d = encoded_store_cached(spark, sf_dir)
+        _CATALOG_CACHE[key] = StoreCatalog().add_property_table(enc)
+    return _CATALOG_CACHE[key]
+
+
 _ENC_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
 
 
