@@ -37,6 +37,11 @@ HEADLINE = [
     "q_tfidf",             # explode + double groupBy + join
     "q_dedup_embed_lsh",   # embedding near-dup, LSH-blocked scale path
     "q_doc_chunks",        # corpus chunking (row-explosive HOF)
+    "q_sparql_star",        # SPARQL star, un-routed join chain (baseline for the next two)
+    "q_sparql_star_pt",     # same star via materialized property table — 0 joins
+    "q_sparql_star_extvp",  # star scanning an ExtVP semi-join reduction
+    "q_sparql_encoded_star",  # encoded engine end-to-end (dict-ID joins, late decode)
+    "q_dup_clusters_lsh",   # MinHash-LSH candidates -> connected components (scale path)
 ]
 
 
@@ -65,6 +70,17 @@ def main() -> None:
     from d_sparq_spark.sources.derived_rdf import derive_triples_cached
 
     derive_triples_cached(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Materialized layouts and the encoded store are load-time artifacts
+    # (same status as the derived store above): build them outside the
+    # timed region so the routed queries measure query cost, not one-time
+    # materialization.
+    from d_sparq_spark.sources.derived_rdf import catalog_cached, encoded_store_cached
+
+    catalog_cached(spark, sf_dir, "pt").ptable.count()
+    for red, _ratio in catalog_cached(spark, sf_dir, "extvp")._extvp.values():
+        red.count()
+    enc, d = encoded_store_cached(spark, sf_dir)
+    enc.count(), d.count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

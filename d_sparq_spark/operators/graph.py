@@ -36,10 +36,15 @@ def connected_components(
     minimum node id in the component (deterministic representative).
     Isolated nodes (in ``nodes`` but no edge) form singleton components.
     Node/edge ids must be a totally ordered type (use LONG at scale)."""
+    # localCheckpoint the symmetrized edges ONCE: every round joins against
+    # sym, and without it the upstream edge generator (e.g. the MinHash-LSH
+    # candidate pipeline) would re-execute per iteration — measured 4x the
+    # whole query's cost at sf0.1 before this was eager.
     sym = (
         edges.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
         .unionByName(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
         .distinct()
+        .localCheckpoint()
     )
     labels = (
         nodes.select("node")
