@@ -5,6 +5,7 @@ queries at import time via @register).
 """
 
 from d_sparq_spark.queries import (  # noqa: F401
+    corpus_quality,
     coverage_extra,
     events_windows,
     flagship,

@@ -1,0 +1,216 @@
+"""Corpus-quality / decontamination ops for a training-data pipeline
+(SURVEY.md §2.C, LLM-pipeline group — driver-mandated extension surface;
+no counterpart in the reference [A]). All four are pure column-function
+plans (JVM-side, no UDFs) with exact-integer or exact-ratio outputs so
+the DuckDB oracle hash-matches bit-for-bit:
+
+- q_contamination: word-3-gram shingle overlap of every corpus document
+  against a benchmark holdout — THE eval-decontamination primitive.
+- q_dedup_norm: exact dedup after text normalization (case/punct/
+  whitespace folding) — catches trivially-mutated duplicates that byte
+  hashing misses.
+- q_repetition: per-document repetition/diversity ratios (top-token
+  share, distinct-token share) — the cheap quality gate that drops
+  degenerate boilerplate before expensive near-dup stages.
+- q_token_histogram: corpus sequence-length distribution — what a
+  packing/batching stage reads to pick context-window fill strategy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from d_sparq_spark.registry import register
+from d_sparq_spark.sources.tables import load_table
+
+
+def _tokens() -> F.Column:
+    return F.split(F.col("text"), " ")
+
+
+def shingles(tokens: F.Column, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles as an array column. Empty array for
+    docs shorter than n tokens (Spark's sequence() would count DOWN for
+    start > stop, so the when-guard is load-bearing)."""
+    idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(tokens, i + j) for j in range(n)]
+    )
+    return F.when(
+        F.size(tokens) >= n, F.array_distinct(F.transform(idx, gram))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# --- benchmark contamination --------------------------------------------------
+
+_ORACLE_CONTAMINATION = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+s AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(tk) - 1, 1)),
+           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+         ))) AS shingle
+  FROM t
+),
+bench AS (SELECT DISTINCT shingle FROM s WHERE doc_id % 50 = 0),
+ev AS (SELECT * FROM s WHERE doc_id % 50 <> 0),
+tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM ev GROUP BY doc_id),
+hit AS (SELECT ev.doc_id, COUNT(*) AS n_contaminated
+        FROM ev JOIN bench USING (shingle) GROUP BY ev.doc_id)
+SELECT tot.doc_id, n_shingles,
+       COALESCE(n_contaminated, 0) AS n_contaminated,
+       CAST(COALESCE(n_contaminated, 0) AS DOUBLE) / n_shingles AS contamination
+FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+"""
+
+
+@register("q_contamination", oracle=_ORACLE_CONTAMINATION)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: fraction of each document's distinct
+    word-3-gram shingles that appear anywhere in the benchmark holdout
+    (here: every 50th doc_id — stand-in for an eval suite). Scale shape:
+    the benchmark shingle set is BROADCAST (benchmarks are tiny by
+    definition), so the corpus side is one scan + map-side hash probe +
+    one groupBy on doc_id — no corpus-sized shuffle on the shingle key.
+    The ratio divides two exact counts -> bit-identical across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(shingles(_tokens())).alias("shingle")
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % 50 == 0).select("shingle").distinct()
+    )
+    ev = sh.filter(F.col("doc_id") % 50 != 0)
+    hits = (
+        ev.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        ev.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            (
+                F.coalesce("n_contaminated", F.lit(0)).cast("double")
+                / F.col("n_shingles")
+            ).alias("contamination"),
+        )
+    )
+
+
+# --- normalization dedup ------------------------------------------------------
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+_ORACLE_DEDUP_NORM = f"""
+SELECT sha256({_NORM_SQL}) AS norm_hash,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+@register("q_dedup_norm", oracle=_ORACLE_DEDUP_NORM)
+def q_dedup_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup AFTER normalization (lowercase, strip non-alphanumeric,
+    collapse whitespace): catches the near-verbatim mutations — casing,
+    punctuation, double spaces — that raw-byte hashing (q_dedup_sha)
+    misses. Same 100 TB shape as the SHA dedup: the shuffle key is the
+    64-hex digest of the NORMALIZED text, bodies never move."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return (
+        docs.select(F.sha2(norm, 256).alias("norm_hash"), "doc_id")
+        .groupBy("norm_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+# --- repetition / diversity quality gate --------------------------------------
+
+_ORACLE_REPETITION = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok)
+SELECT doc_id,
+       MAX(c) AS top_tok_count,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_distinct,
+       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS repetition,
+       CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS diversity
+FROM cnt GROUP BY doc_id
+"""
+
+
+@register("q_repetition", oracle=_ORACLE_REPETITION)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition gate: share of the most frequent token and
+    distinct-token share. Degenerate docs (keyboard mash, boilerplate
+    loops) score repetition->1 / diversity->0 and get dropped before the
+    expensive near-dup stages. Two partial-aggregating groupBys on
+    (doc_id, token) then doc_id — fully map-side-combinable; ratios are
+    exact-count divisions, so the oracle hash-matches."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return cnt.groupBy("doc_id").agg(
+        F.max("c").alias("top_tok_count"),
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (F.max("c").cast("double") / F.sum("c")).alias("repetition"),
+        (F.count(F.lit(1)).cast("double") / F.sum("c")).alias("diversity"),
+    )
+
+
+# --- sequence-length histogram ------------------------------------------------
+
+_ORACLE_TOKEN_HISTOGRAM = """
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+)
+SELECT CAST(n_tok // 16 AS BIGINT) * 16 AS bucket_lo,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+       MIN(n_tok) AS min_tokens,
+       MAX(n_tok) AS max_tokens
+FROM t GROUP BY 1
+"""
+
+
+@register("q_token_histogram", oracle=_ORACLE_TOKEN_HISTOGRAM)
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length distribution (16-token buckets): what a packing /
+    batching stage reads to choose context-window fill strategy. One
+    narrow scan + one tiny hash agg; at 100 TB this is the cheapest
+    whole-corpus statistic in the pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(_tokens()).cast("long")
+    return (
+        docs.select((F.floor(n_tok / 16) * 16).alias("bucket_lo"), n_tok.alias("n_tok"))
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tokens"),
+            F.min("n_tok").alias("min_tokens"),
+            F.max("n_tok").alias("max_tokens"),
+        )
+    )
