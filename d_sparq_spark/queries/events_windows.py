@@ -120,6 +120,19 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_batch(stream, tumbling_hourly, name)
 
 
+@register("q_stream_funnel", oracle=None)
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream interval join (signup -> purchase within 1 h):
+    two watermarked readStream sources, inner join with a time-range
+    bound (evictable state), append-mode memory sink. Rows-only by
+    design (streaming execution); equality with the batch q_join_range
+    shape is asserted in tests/test_streaming.py."""
+    from d_sparq_spark.streaming.joins import stream_stream_funnel
+
+    name = "stream_funnel_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    return stream_stream_funnel(spark, sf_dir, name)
+
+
 # --- gap-fill / resample (time-series regularization) ------------------------------
 
 _ORACLE_GAP_FILL = """

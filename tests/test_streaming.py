@@ -51,6 +51,22 @@ def test_stream_dedup_within_watermark(spark):
     assert got == batch
 
 
+def test_stream_stream_join_equals_batch(spark):
+    """Stream-stream interval join (two watermarked sources, append mode)
+    must emit exactly the batch join's rows on finite input."""
+    from d_sparq_spark.streaming.joins import (
+        funnel_join,
+        funnel_sides,
+        stream_stream_funnel,
+    )
+
+    s, p = funnel_sides(load_table(spark, SF, "events"))
+    batch = funnel_join(s, p)
+    streamed = stream_stream_funnel(spark, SF, "t_stream_stream_funnel")
+    assert _sorted_rows(streamed) == _sorted_rows(batch)
+    assert len(_sorted_rows(streamed)) > 0
+
+
 def test_stream_static_join_equals_batch(spark):
     """Stream-static join (enrichment): the streamed events join a static
     dim (user_id % 25 -> nation) and aggregate; must equal the batch form.
