@@ -50,7 +50,8 @@ _FUNCS = {
     "substr", "strbefore", "strafter", "round", "floor", "ceil",
     "isiri", "isuri", "isblank", "isliteral", "lang", "datatype",
     "langmatches", "strlang", "strdt",
-    "md5", "sha1", "sha256", "encode_for_uri",
+    "md5", "sha1", "sha256", "sha384", "sha512", "encode_for_uri",
+    "iri", "uri", "year", "month", "day", "hours", "minutes", "seconds", "tz",
 }
 
 # numeric XSD datatypes: a typed literal of one of these becomes a numeric

@@ -728,6 +728,27 @@ class Translator:
             return F.sha1(self.expr(args[0], df))
         if name == "sha256":
             return F.sha2(self.expr(args[0], df), 256)
+        if name in ("sha384", "sha512"):
+            return F.sha2(self.expr(args[0], df), int(name[3:]))
+        if name in ("iri", "uri"):
+            # the store keeps IRIs as plain strings (SURVEY §1.2) — IRI()
+            # over a string is the identity mapping into that convention
+            return _lex_form(self.expr(args[0], df).cast("string"))
+        if name in ("year", "month", "day", "hours", "minutes", "seconds"):
+            ts = _lex_form(self.expr(args[0], df).cast("string")).try_cast("timestamp")
+            if name == "seconds":  # spec returns xsd:decimal
+                return F.second(ts).cast("double")
+            fn = {
+                "year": F.year, "month": F.month, "day": F.dayofmonth,
+                "hours": F.hour, "minutes": F.minute,
+            }[name]
+            return fn(ts).cast("long")
+        if name == "tz":  # timezone designator from the LEXICAL form ('' if absent)
+            return F.regexp_extract(
+                _lex_form(self.expr(args[0], df).cast("string")),
+                r"([+-]\d{2}:\d{2}|Z)$",
+                1,
+            )
         if name == "encode_for_uri":
             # url_encode form-encodes space as '+'; SPARQL wants %20
             return F.replace(F.url_encode(self.expr(args[0], df)), F.lit("+"), F.lit("%20"))

@@ -340,6 +340,46 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(with_media)
 
 
+_ORACLE_MM_RESIZE = """
+SELECT sha256(text) AS digest,
+       CAST(64 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height,
+       CAST(64 * 64 * 3 AS BIGINT) AS resized_bytes
+FROM documents
+"""
+
+
+@register("q_multimodal_resize", oracle=_ORACLE_MM_RESIZE)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing through mapInPandas. The stub's output is a pure
+    function of the media struct, so unlike most UDF paths this one has
+    an EXACT oracle — the Arrow batch contract itself is value-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_media = M.attach_media(docs, F.encode(F.col("text"), "UTF-8"), "text")
+    return M.resize_stub(with_media, width=64, height=64)
+
+
+_ORACLE_MM_FRAMES = """
+WITH m AS (
+  SELECT sha256(text) AS digest,
+         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len
+  FROM documents
+)
+SELECT digest,
+       unnest(generate_series(0, greatest(byte_len % 300, 1) - 1, 30)) AS frame_idx
+FROM m
+"""
+
+
+@register("q_multimodal_frames", oracle=_ORACLE_MM_FRAMES)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (explode-shaped mapInPandas: one output row
+    per sampled frame). Frame counts derive deterministically from
+    byte_len, so the row-multiplying batch contract is oracle-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_media = M.attach_media(docs, F.encode(F.col("text"), "UTF-8"), "text")
+    return M.frame_sample_stub(with_media, every_n=30)
+
+
 # --- representative Pandas UDF (SURVEY §2.C UDF surface) ------------------------------
 
 _ORACLE_ZSCORE = """

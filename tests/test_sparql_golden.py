@@ -585,3 +585,49 @@ def test_ntriples_roundtrip_typed(spark):
     texts = {r["value"] for r in lines.collect()}
     assert '<p:a> <ex:age> "30"^^<xsd:int> .' in texts
     assert '<p:a> <ex:label> "cat"@en .' in texts
+
+
+DATETIME_TRIPLES = [
+    ("e:1", "ex:when", '"2024-03-15T14:45:13"^^xsd:dateTime'),
+    ("e:2", "ex:when", '"2023-12-01T09:05:59.250-05:00"^^xsd:dateTime'),
+    ("e:3", "ex:when", '"2022-07-04T00:00:00Z"^^xsd:dateTime'),
+]
+
+
+@pytest.fixture(scope="module")
+def dt_engine(spark):
+    triples = spark.createDataFrame(DATETIME_TRIPLES, "s string, p string, o string")
+    return SparqlEngine(triples, collect_stats=False)
+
+
+def test_datetime_accessors(dt_engine):
+    out = dt_engine.query(
+        "SELECT ?x (YEAR(?w) AS ?y) (MONTH(?w) AS ?m) (DAY(?w) AS ?d) "
+        "(HOURS(?w) AS ?h) (MINUTES(?w) AS ?mi) "
+        'WHERE { ?x ex:when ?w FILTER(YEAR(?w) >= 2023) }'
+    )
+    got = {r[0]: tuple(r[1:]) for r in out.collect()}
+    assert got["e:1"] == (2024, 3, 15, 14, 45)
+    # zoned lexical forms parse with their offset (session TZ is UTC)
+    assert got["e:2"][0] == 2023
+    assert "e:3" not in got
+
+
+def test_seconds_and_tz(dt_engine):
+    out = dt_engine.query(
+        "SELECT ?x (SECONDS(?w) AS ?s) (TZ(?w) AS ?tz) WHERE { ?x ex:when ?w }"
+    )
+    got = {r[0]: (r[1], r[2]) for r in out.collect()}
+    assert got["e:1"] == (13.0, "")
+    assert got["e:2"] == (59.0, "-05:00")
+    assert got["e:3"] == (0.0, "Z")
+
+
+def test_sha_and_iri_functions(engine):
+    out = engine.query(
+        'SELECT (SHA512("abc") AS ?h) (IRI("p:alice") AS ?i) '
+        "WHERE { p:alice ex:name ?n }"
+    )
+    import hashlib
+
+    assert rows(out) == [(hashlib.sha512(b"abc").hexdigest(), "p:alice")]
