@@ -181,6 +181,52 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- sequence packing ---------------------------------------------------------
+
+_ORACLE_PACK = """
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tok,
+         CAST(SUM(n_tok) OVER (
+           PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+         ) AS BIGINT) AS cum
+  FROM t
+)
+SELECT doc_id, lang, n_tok,
+       CAST((cum - n_tok) // 2048 AS BIGINT) AS bin
+FROM c
+"""
+
+
+@register("q_pack_sequences", oracle=_ORACLE_PACK)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential sequence packing: docs stream in doc_id order
+    within a lang stratum and each is assigned the 2048-token bin where
+    its first token lands (split-at-boundary packing — the streaming
+    analog of what a context-window packer does; exact first-fit needs
+    per-bin state and is deliberately not this operator). One partitioned
+    window per stratum — no global sort, scales with stratum count."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(_tokens()).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return docs.select("doc_id", "lang", n_tok.alias("n_tok")).select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 2048).alias("bin"),
+    )
+
+
 # --- sequence-length histogram ------------------------------------------------
 
 _ORACLE_TOKEN_HISTOGRAM = """

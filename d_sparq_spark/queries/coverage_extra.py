@@ -67,6 +67,68 @@ def q_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).json(path)
 
 
+_ORACLE_REGION = "SELECT r_regionkey, r_name FROM region"
+
+
+@register("q_orc_source", oracle=_ORACLE_REGION)
+def q_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink -> source roundtrip (the columnar alternative to parquet;
+    same pushdown/pruning machinery applies). Avro is NOT registered: the
+    external spark-avro module isn't deployable in this offline
+    environment — probed and gated, per the build mandate."""
+    path = os.path.join("/tmp", "d_sparq_orc_cache", os.path.basename(sf_dir.rstrip("/")))
+    load_table(spark, sf_dir, "region").select("r_regionkey", "r_name").write.mode(
+        "overwrite"
+    ).orc(path)
+    return spark.read.orc(path)
+
+
+@register("q_text_source", oracle="SELECT CAST(doc_id AS VARCHAR) || '\t' || lang AS value FROM documents")
+def q_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text sink -> source roundtrip: one string column named `value` per
+    line — the raw-line surface the N-Triples reader builds on."""
+    path = os.path.join("/tmp", "d_sparq_text_cache", os.path.basename(sf_dir.rstrip("/")))
+    load_table(spark, sf_dir, "documents").select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("lang")).alias("value")
+    ).write.mode("overwrite").text(path)
+    return spark.read.text(path)
+
+
+_ORACLE_BINARYFILE = """
+SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+       sha256(text) AS digest
+FROM documents WHERE doc_id < 20
+"""
+
+
+@register("q_binaryfile_source", oracle=_ORACLE_BINARYFILE)
+def q_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile source — how media blobs actually enter a multimodal
+    pipeline (one file per object, content as BINARY + path metadata).
+    Fixture: the first 20 documents are materialized as individual .bin
+    files (bounded driver-side write, load-phase work); the scan then
+    recovers doc_id from the file name and digests the content JVM-side."""
+    base = os.path.join(
+        "/tmp", "d_sparq_bin_cache", os.path.basename(sf_dir.rstrip("/"))
+    )
+    os.makedirs(base, exist_ok=True)
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id", "text")
+        .collect()
+    )
+    for r in rows:
+        with open(os.path.join(base, f"doc_{r['doc_id']}.bin"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    df = spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(base)
+    return df.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1).cast("long").alias("doc_id"),
+        F.col("length").alias("byte_len"),
+        F.sha2(F.col("content"), 256).alias("digest"),
+    )
+
+
 # --- q_scalar_map: MapType surface ------------------------------------------------
 
 _ORACLE_MAP = """
