@@ -48,6 +48,69 @@ class SparqlEngine:
         DataFrame (columns = projected variable names)."""
         return self._translator.eval(parse_sparql(sparql))
 
+    def update(self, sparql: str) -> DataFrame:
+        """SPARQL 1.1 Update subset (INSERT DATA / DELETE DATA /
+        DELETE WHERE / DELETE..INSERT..WHERE): FUNCTIONAL — returns the
+        new triples relation and leaves this engine's store untouched
+        (wrap the result in a new SparqlEngine, or persist it). That is
+        the Spark-idiomatic shape: at 100 TB the same delete/insert plans
+        drive a MERGE into a lakehouse table or a partition rewrite;
+        immutable DataFrames keep the update testable and retry-safe.
+        Graph-set semantics hold: inserting an existing triple or
+        deleting an absent one is a no-op (anti-join both ways, never a
+        full-store dropDuplicates)."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        from d_sparq_spark.plans import ast as A
+
+        tree = parse_sparql(sparql)
+        t = self.triples
+        spark = t.sparkSession
+        schema = ", ".join(f"{c} {dt}" for c, dt in t.dtypes)
+
+        def ground_df(triples):
+            return spark.createDataFrame(
+                [(tp.s, tp.p, tp.o) for tp in triples], schema
+            )
+
+        def instantiate(template, bindings: DataFrame) -> DataFrame:
+            def term_col(term):
+                if isinstance(term, str) and term.startswith("?"):
+                    return F.col(term[1:])
+                return F.lit(term)
+
+            parts = [
+                bindings.select(
+                    term_col(tp.s).alias("s"),
+                    term_col(tp.p).alias("p"),
+                    term_col(tp.o).alias("o"),
+                )
+                for tp in template
+            ]
+            # unbound variables (e.g. from OPTIONAL) instantiate nothing, per spec
+            return reduce(lambda a, b: a.unionByName(b), parts).na.drop().dropDuplicates()
+
+        on = ["s", "p", "o"]
+        if isinstance(tree, A.InsertData):
+            new = ground_df(tree.triples)
+            return t.unionByName(new.join(t, on, "left_anti"))
+        if isinstance(tree, A.DeleteData):
+            return t.join(F.broadcast(ground_df(tree.triples)), on, "left_anti")
+        if isinstance(tree, A.Modify):
+            bindings = self._translator.eval(tree.where)
+            out = t
+            if tree.delete_template:
+                out = out.join(
+                    instantiate(tree.delete_template, bindings), on, "left_anti"
+                )
+            if tree.insert_template:
+                ins = instantiate(tree.insert_template, bindings)
+                out = out.unionByName(ins.join(out, on, "left_anti"))
+            return out
+        raise ValueError("SparqlEngine.update: not an UPDATE request — use query()")
+
     def explain(self, sparql: str, mode: str = "formatted") -> str:
         import contextlib
         import io

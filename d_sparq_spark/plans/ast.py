@@ -246,3 +246,31 @@ class Graph:
 class SelectQuery:
     root: object
     having: object | None = None
+
+
+# ---------------- SPARQL 1.1 Update subset ----------------
+
+
+@dataclass
+class InsertData:
+    """INSERT DATA { constant triples } — ground triples, no variables."""
+
+    triples: list  # all-constant TriplePatterns
+
+
+@dataclass
+class DeleteData:
+    """DELETE DATA { constant triples }."""
+
+    triples: list
+
+
+@dataclass
+class Modify:
+    """DELETE {tmpl} INSERT {tmpl} WHERE {group} (either template may be
+    absent). DELETE WHERE {g} parses as delete_template = g's patterns
+    with where = g."""
+
+    delete_template: list | None
+    insert_template: list | None
+    where: object

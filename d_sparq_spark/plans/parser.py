@@ -42,6 +42,7 @@ _KEYWORDS = {
     "limit", "offset", "asc", "desc", "as", "ask", "not", "exists", "in",
     "undef", "true", "false", "a", "construct", "describe", "service", "silent",
     "count", "sum", "avg", "min", "max", "group_concat", "sample", "separator",
+    "insert", "delete", "data",
 }
 
 _FUNCS = {
@@ -157,6 +158,8 @@ class Parser:
             if self.peek().kind != "EOF":
                 raise SyntaxError(f"SPARQL: trailing tokens at {self.peek()}")
             return A.Ask(group)
+        if self.at_kw("insert", "delete"):
+            return self.parse_update()
         if self.at_kw("construct"):
             return self.parse_construct()
         if self.at_kw("describe"):
@@ -175,6 +178,68 @@ class Parser:
                 raise SyntaxError(f"SPARQL: trailing tokens at {self.peek()}")
             return A.Describe(tuple(terms), child)
         return self.parse_select()
+
+    # ---- SPARQL 1.1 Update subset ----
+
+    def _triple_block(self) -> list:
+        """{ triples } — shared by DATA forms and Modify templates."""
+        self.eat_op("{")
+        out: list = []
+        while not self.at_op("}"):
+            if self.at_op("."):
+                self.next()
+                continue
+            self.parse_triples_same_subject(out)
+        self.eat_op("}")
+        return out
+
+    def parse_update(self):
+        """INSERT DATA {t} | DELETE DATA {t} | DELETE WHERE {g} |
+        [DELETE {tmpl}] [INSERT {tmpl}] WHERE {g}. Named-graph (WITH /
+        GRAPH) update forms and LOAD/CLEAR management ops are not
+        supported — the engine is a query processor over DataFrames, not
+        a graph store manager."""
+        is_insert = self.at_kw("insert")
+        self.next()
+        if self.at_kw("data"):
+            self.next()
+            triples = self._triple_block()
+            bad = [tp for tp in triples for t in (tp.s, tp.p, tp.o)
+                   if isinstance(t, str) and t.startswith("?")]
+            if bad:
+                raise SyntaxError("SPARQL UPDATE: DATA forms take ground triples only")
+            node = A.InsertData(triples) if is_insert else A.DeleteData(triples)
+            if self.peek().kind != "EOF":
+                raise SyntaxError(f"SPARQL: trailing tokens at {self.peek()}")
+            return node
+        if is_insert:
+            ins = self._triple_block()
+            self.eat_kw("where")
+            group = self.parse_group()
+            node = A.Modify(None, ins, group)
+        elif self.at_kw("where"):
+            self.next()
+            group = self.parse_group()
+            if not isinstance(group, A.BGP) or any(
+                not isinstance(tp, TriplePattern) for tp in group.patterns
+            ):
+                raise SyntaxError(
+                    "SPARQL UPDATE: DELETE WHERE takes a plain BGP "
+                    "(property paths/filters have no deletable template form)"
+                )
+            node = A.Modify(list(group.patterns), None, group)
+        else:
+            del_tmpl = self._triple_block()
+            ins_tmpl = None
+            if self.at_kw("insert"):
+                self.next()
+                ins_tmpl = self._triple_block()
+            self.eat_kw("where")
+            group = self.parse_group()
+            node = A.Modify(del_tmpl, ins_tmpl, group)
+        if self.peek().kind != "EOF":
+            raise SyntaxError(f"SPARQL: trailing tokens at {self.peek()}")
+        return node
 
     def parse_construct(self) -> A.Construct:
         self.eat_kw("construct")

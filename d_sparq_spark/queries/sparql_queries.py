@@ -11,6 +11,7 @@ Note the oracle for ex:acctbal mirrors the lexical round-trip
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from d_sparq_spark.engine import SparqlEngine
 from d_sparq_spark.registry import register
@@ -264,6 +265,34 @@ _q_catalog(
     FROM nation
     """,
 )
+
+
+_ORACLE_UPDATE = """
+SELECT 'rdf:type' AS p, (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM nation)
+       + (SELECT COUNT(*) FROM region) AS n
+UNION ALL SELECT 'foaf:name', (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM nation)
+       + (SELECT COUNT(*) FROM region)
+UNION ALL SELECT 'ex:nation', (SELECT COUNT(*) FROM customer)
+UNION ALL SELECT 'ex:acctbal', (SELECT COUNT(*) FROM customer)
+UNION ALL SELECT 'ex:segment', (SELECT COUNT(*) FROM customer)
+UNION ALL SELECT 'ex:region', (SELECT COUNT(*) FROM nation)
+UNION ALL SELECT 'ex:next', (SELECT COUNT(*) FROM nation a
+  WHERE EXISTS (SELECT 1 FROM nation b WHERE b.n_nationkey = a.n_nationkey + 1))
+"""
+
+
+@register("q_sparql_update", oracle=_ORACLE_UPDATE)
+def q_sparql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 Update end-to-end: a DELETE/INSERT WHERE rename of
+    ex:mktsegment to ex:segment (functional update — new store DataFrame,
+    anti-join + union, no full-store dedup), validated by per-predicate
+    counts of the updated store against the relational source."""
+    eng = SparqlEngine(derive_triples(spark, sf_dir), collect_stats=False)
+    new = eng.update(
+        "DELETE { ?c ex:mktsegment ?s } INSERT { ?c ex:segment ?s } "
+        "WHERE { ?c ex:mktsegment ?s }"
+    )
+    return new.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
 
 
 _ORACLE_PT_STAR = """

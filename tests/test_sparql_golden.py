@@ -631,3 +631,62 @@ def test_sha_and_iri_functions(engine):
     import hashlib
 
     assert rows(out) == [(hashlib.sha512(b"abc").hexdigest(), "p:alice")]
+
+
+# ---------------- SPARQL 1.1 Update subset ----------------
+
+
+def test_update_insert_data(engine):
+    out = engine.update(
+        'INSERT DATA { p:frank rdf:type Person . p:frank ex:name "Frank" . '
+        'p:alice ex:name "Alice" }'  # existing triple: set no-op
+    )
+    eng2 = SparqlEngine(out, collect_stats=False)
+    assert rows(eng2.query("SELECT ?x WHERE { ?x ex:name \"Frank\" }")) == [("p:frank",)]
+    assert out.count() == len(TRIPLES) + 2  # duplicate insert didn't add
+
+
+def test_update_delete_data(engine):
+    out = engine.update(
+        'DELETE DATA { p:alice ex:city "Paris" . p:zz ex:city "Nowhere" }'
+    )
+    assert out.count() == len(TRIPLES) - 1  # absent triple: no-op
+    eng2 = SparqlEngine(out, collect_stats=False)
+    assert rows(eng2.query('SELECT ?x WHERE { ?x ex:city "Paris" }')) == [("p:dave",)]
+
+
+def test_update_delete_where(engine):
+    out = engine.update('DELETE WHERE { ?x ex:age ?a }')
+    eng2 = SparqlEngine(out, collect_stats=False)
+    assert rows(eng2.query("SELECT ?a WHERE { ?x ex:age ?a }")) == []
+    assert out.count() == len(TRIPLES) - 4
+
+
+def test_update_modify_rename_predicate(engine):
+    out = engine.update(
+        "DELETE { ?x ex:city ?c } INSERT { ?x ex:location ?c } "
+        "WHERE { ?x ex:city ?c }"
+    )
+    eng2 = SparqlEngine(out, collect_stats=False)
+    assert rows(eng2.query("SELECT ?c WHERE { ?x ex:city ?c }")) == []
+    assert rows(eng2.query("SELECT ?x WHERE { ?x ex:location \"Paris\" }")) == [
+        ("p:alice",), ("p:dave",)
+    ]
+    assert out.count() == len(TRIPLES)
+
+
+def test_update_insert_where_with_filter(engine):
+    out = engine.update(
+        'INSERT { ?x ex:senior "yes" } WHERE { ?x ex:age ?a FILTER(?a >= 30) }'
+    )
+    eng2 = SparqlEngine(out, collect_stats=False)
+    assert rows(eng2.query('SELECT ?x WHERE { ?x ex:senior "yes" }')) == [
+        ("p:alice",), ("p:carol",)
+    ]
+
+
+def test_update_rejects_vars_in_data_and_query_rejects_update(engine):
+    with pytest.raises(SyntaxError):
+        engine.update("INSERT DATA { ?x ex:name \"nope\" }")
+    with pytest.raises(ValueError):
+        engine.update("SELECT ?x WHERE { ?x ex:name ?n }")
