@@ -129,6 +129,58 @@ def q_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- skew-mitigation operators (operators/skew.py) --------------------------------
+
+_ORACLE_PRED_SALTED = """
+SELECT 'rdf:type' AS p, (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM nation)
+       + (SELECT COUNT(*) FROM region) AS cnt
+UNION ALL SELECT 'foaf:name', (SELECT COUNT(*) FROM customer) + (SELECT COUNT(*) FROM nation)
+       + (SELECT COUNT(*) FROM region)
+UNION ALL SELECT 'ex:nation', (SELECT COUNT(*) FROM customer)
+UNION ALL SELECT 'ex:acctbal', (SELECT COUNT(*) FROM customer)
+UNION ALL SELECT 'ex:mktsegment', (SELECT COUNT(*) FROM customer)
+UNION ALL SELECT 'ex:region', (SELECT COUNT(*) FROM nation)
+UNION ALL SELECT 'ex:next', (SELECT COUNT(*) FROM nation a
+  WHERE EXISTS (SELECT 1 FROM nation b WHERE b.n_nationkey = a.n_nationkey + 1))
+"""
+
+
+@register("q_pred_stats_salted", oracle=_ORACLE_PRED_SALTED)
+def q_pred_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate statistics via two-phase SALTED aggregation — the 100 TB
+    form of A11 (rdf:type-style hot keys spread over 32 salt buckets in
+    phase 1, tiny phase-2 merge). Result equals the plain groupBy."""
+    from d_sparq_spark.operators.skew import salted_count_by_key
+
+    return salted_count_by_key(derive_triples_cached(spark, sf_dir), ["p"])
+
+
+_ORACLE_JOIN_SALTED = """
+SELECT n_name, COUNT(*) AS n_cust, {S} AS bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""".format(S=sql_dsum("c_acctbal"))
+
+
+@register("q_join_salted", oracle=_ORACLE_JOIN_SALTED)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed-left join WITHOUT shuffling the big side: customer is salted
+    per row, nation replicated across the salt range and broadcast —
+    row multiplicity provably unchanged (oracle = the plain join)."""
+    from d_sparq_spark.operators.skew import salted_broadcast_left
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk"), "c_acctbal"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"), "n_name"
+    )
+    joined = salted_broadcast_left(cust, nat, "nk", salt_buckets=8)
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_cust"), dsum(F.col("c_acctbal")).alias("bal")
+    )
+
+
 # --- q_scalar_map: MapType surface ------------------------------------------------
 
 _ORACLE_MAP = """
