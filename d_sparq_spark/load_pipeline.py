@@ -40,9 +40,19 @@ from d_sparq_spark.operators.rdf_patterns import predicate_stats
 from d_sparq_spark.sources.ntriples import parse_ntriples
 
 
-def bulk_load(spark: SparkSession, nt_path: str, store_path: str) -> dict:
+def bulk_load(
+    spark: SparkSession,
+    nt_path: str,
+    store_path: str,
+    materialize: tuple = (),
+) -> dict:
     """Parse, encode, and lay out a triple store. Returns load statistics
-    (small driver-side summary, not data)."""
+    (small driver-side summary, not data). ``materialize`` opts into
+    alternative layouts persisted WITH the store — ('ptable',) writes the
+    property table over the store's functional predicates, ('extvp',)
+    the SS/OS semi-join reductions; open_store rehydrates them into a
+    StoreCatalog so the planner routes through them automatically. Paying
+    that cost once at load time is the whole point (S2RDF's model)."""
     triples = parse_ntriples(spark.read.text(nt_path))
     dictionary = build_dictionary(triples).persist()
     enc = encode_triples(triples, dictionary, broadcast_dict=True)
@@ -53,6 +63,15 @@ def bulk_load(spark: SparkSession, nt_path: str, store_path: str) -> dict:
     stats = predicate_stats(enc)
     stats.write.mode("overwrite").parquet(os.path.join(store_path, "stats"))
 
+    if "ptable" in materialize:
+        from d_sparq_spark.plans.catalog import StoreCatalog
+
+        StoreCatalog().add_property_table(enc).save_property_table(store_path)
+    if "extvp" in materialize:
+        from d_sparq_spark.operators.extvp import materialize_extvp
+
+        materialize_extvp(enc, store_path)
+
     n_terms = dictionary.count()
     n_triples_row = stats.agg(F.sum("cnt").alias("n")).collect()[0]["n"]
     dictionary.unpersist()
@@ -61,10 +80,21 @@ def bulk_load(spark: SparkSession, nt_path: str, store_path: str) -> dict:
 
 def open_store(spark: SparkSession, store_path: str) -> EncodedSparqlEngine:
     """Reopen a bulk-loaded store as a queryable encoded engine. The
-    stats parquet feeds the A7 selectivity ordering without rescanning."""
+    stats parquet feeds the A7 selectivity ordering without rescanning;
+    any layouts materialized at load time (ptable/, extvp/) come back as
+    a StoreCatalog, so qualifying stars scan those parquet artifacts
+    instead of the full store — no per-session rebuild."""
     enc = spark.read.parquet(os.path.join(store_path, "by_p"))
     dictionary = spark.read.parquet(os.path.join(store_path, "dict"))
-    engine = EncodedSparqlEngine(enc, dictionary, collect_stats=False)
+    catalog = None
+    from d_sparq_spark.plans.catalog import StoreCatalog
+
+    cat = StoreCatalog()
+    if os.path.exists(os.path.join(store_path, "ptable", "manifest.json")):
+        catalog = cat.load_property_table(spark, store_path)
+    if os.path.exists(os.path.join(store_path, "extvp", "manifest.json")):
+        catalog = cat.load_extvp(spark, store_path)
+    engine = EncodedSparqlEngine(enc, dictionary, collect_stats=False, catalog=catalog)
     stats_df = spark.read.parquet(os.path.join(store_path, "stats"))
     engine._stats = {r["p"]: r["cnt"] for r in stats_df.select("p", "cnt").collect()}
     return engine

@@ -108,6 +108,29 @@ class StoreCatalog:
                     self._extvp[(kind, p1, p2)] = (red.cache() if cache else red, ratio)
         return self
 
+    def save_property_table(self, store_path: str) -> "StoreCatalog":
+        """Persist the PT as parquet + a manifest of its predicates (types
+        preserved via JSON: encoded stores carry int predicate ids) — the
+        load-pipeline artifact open_store rehydrates the catalog from."""
+        if self.ptable is None:
+            raise ValueError("no property table materialized")
+        os.makedirs(os.path.join(store_path, "ptable"), exist_ok=True)
+        self.ptable.write.mode("overwrite").parquet(
+            os.path.join(store_path, "ptable", "data")
+        )
+        with open(os.path.join(store_path, "ptable", "manifest.json"), "w") as f:
+            json.dump(sorted(self.pt_preds, key=str), f)
+        return self
+
+    def load_property_table(self, spark: SparkSession, store_path: str) -> "StoreCatalog":
+        """Reopen a persisted PT: the star route then scans parquet
+        directly — pushdown-able filters, no re-pivot, no cache warmup."""
+        with open(os.path.join(store_path, "ptable", "manifest.json")) as f:
+            preds = json.load(f)
+        self.ptable = spark.read.parquet(os.path.join(store_path, "ptable", "data"))
+        self.pt_preds = frozenset(preds)
+        return self
+
     def load_extvp(self, spark: SparkSession, store_path: str) -> "StoreCatalog":
         """Load parquet reductions written by operators.extvp.
         materialize_extvp — the scale path: reductions are computed once at

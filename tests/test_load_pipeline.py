@@ -33,6 +33,36 @@ def test_bulk_load_roundtrip_and_query(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_bulk_load_with_materialized_layouts(spark, tmp_path):
+    """Load with ('ptable','extvp'): open_store rehydrates the catalog and
+    a qualifying star scans the persisted ptable parquet — visible in the
+    plan's file location — with answers equal to the catalog-less engine."""
+    triples = derive_triples(spark, SF)
+    nt_dir = str(tmp_path / "nt3")
+    format_ntriples(triples).write.mode("overwrite").text(nt_dir)
+    store = str(tmp_path / "store3")
+    bulk_load(spark, nt_dir, store, materialize=("ptable", "extvp"))
+
+    engine = open_store(spark, store)
+    assert engine.catalog is not None and engine.catalog.ptable is not None
+    # encoded stores carry int predicate ids; the manifest must round-trip them
+    assert all(isinstance(p, int) for p in engine.catalog.pt_preds)
+    q = ('SELECT ?c ?name ?bal WHERE { ?c foaf:name ?name ; ex:acctbal ?bal ; '
+         'ex:mktsegment "BUILDING" }')
+    got = engine.query(q)
+    # default metadata display truncates the scan path mid-directory —
+    # widen it so the ptable/ location is assertable
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert "ptable" in plan, f"PT parquet not scanned:\n{plan[:1500]}"
+    want = sorted(
+        tuple(r)
+        for r in SparqlEngine(triples, collect_stats=False).query(q).collect()
+    )
+    assert sorted(tuple(r) for r in got.collect()) == want and len(want) > 0
+
+
 def test_vp_store_prunes_by_predicate(spark, tmp_path):
     triples = derive_triples(spark, SF)
     nt_dir = str(tmp_path / "nt2")
