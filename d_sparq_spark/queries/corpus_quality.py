@@ -181,6 +181,38 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- sketch-based distinct counting -------------------------------------------
+
+_ORACLE_APPROX_DISTINCT = """
+SELECT lang, COUNT(DISTINCT text) AS exact_distinct, true AS within_5pct
+FROM documents GROUP BY lang
+"""
+
+
+@register("q_approx_distinct", oracle=_ORACLE_APPROX_DISTINCT)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL-sketch distinct counting with a SELF-CHECKING error band: the
+    query returns the exact count plus a boolean asserting the sketch
+    estimate landed within 5% of it — so the oracle can gate an
+    approximate operator exactly. At 100 TB the sketch is the only
+    affordable form (fixed-size state, no distinct shuffle); the exact
+    count here is the verification harness, not the production path."""
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.groupBy("lang").agg(
+        F.count_distinct("text").alias("exact_distinct"),
+        F.approx_count_distinct("text", 0.02).alias("approx"),
+    )
+    return agg.select(
+        "lang",
+        "exact_distinct",
+        (
+            F.abs(F.col("approx") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            <= 0.05
+        ).alias("within_5pct"),
+    )
+
+
 # --- sequence packing ---------------------------------------------------------
 
 _ORACLE_PACK = """

@@ -28,6 +28,9 @@ def _graph(rng: random.Random):
             triples.append((p, "ex:city", rng.choice(CITIES)))
         if rng.random() < 0.6:
             triples.append((p, "ex:knows", rng.choice(PEOPLE)))
+        if rng.random() < 0.3:  # second edge: ex:knows is MULTI-VALUED for
+            # some people, so the property-table route must exclude it
+            triples.append((p, "ex:knows", rng.choice(PEOPLE)))
         if rng.random() < 0.5:
             triples.append((p, "ex:level", str(rng.randint(0, 5))))
     return sorted(set(triples))
@@ -91,6 +94,31 @@ def test_lexical_vs_encoded_agree_on_paths(spark, seed):
         a = sorted(tuple(r) for r in lexical.query(q).collect())
         b = sorted(tuple(r) for r in encoded.query(q).collect())
         assert a == b, f"seed={seed} divergence on:\n{q}\nlexical={a[:5]}\nencoded={b[:5]}"
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_catalog_routed_agrees_with_plain(spark, seed):
+    """Physical-layout routing must never change answers: the same random
+    queries over the same graph through a StoreCatalog-routed engine
+    (property table + ExtVP reductions) and the plain engine. Graphs with
+    a multi-valued ex:knows force the PT disqualification path too."""
+    from d_sparq_spark.plans.catalog import StoreCatalog
+
+    rng = random.Random(2000 + seed)
+    graph = _graph(rng)
+    triples = spark.createDataFrame(graph, "s string, p string, o string")
+    cat = (
+        StoreCatalog()
+        .add_property_table(triples)
+        .add_extvp(triples, predicates=["ex:age", "ex:city"])
+    )
+    plain = SparqlEngine(triples, collect_stats=False)
+    routed = SparqlEngine(triples, collect_stats=False, catalog=cat)
+    for _ in range(3):
+        q = _query(rng)
+        a = sorted(tuple(r) for r in plain.query(q).collect())
+        b = sorted(tuple(r) for r in routed.query(q).collect())
+        assert a == b, f"seed={seed} routing divergence on:\n{q}\nplain={a[:5]}\nrouted={b[:5]}"
 
 
 @pytest.mark.parametrize("seed", range(12))
