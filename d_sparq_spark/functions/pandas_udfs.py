@@ -1,0 +1,23 @@
+"""Vectorized pandas UDF definitions (SCALAR + GROUPED_AGG).
+
+Kept in their own module WITHOUT ``from __future__ import annotations``:
+pandas_udf infers the eval type from the *resolved* type hints, and
+postponed evaluation turns them into strings it cannot resolve unless
+pandas is importable in the defining module's globals.
+"""
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+
+
+@pandas_udf("long")
+def tok_count(s: pd.Series) -> pd.Series:
+    """Whitespace token count per row — Arrow column batches in/out."""
+    return s.str.split(" ").str.len().astype("int64")
+
+
+@pandas_udf("long")
+def total_chars(v: pd.Series) -> int:
+    """GROUPED_AGG: one Arrow batch per group reduced to a scalar.
+    Integer sum — partial-aggregation order cannot perturb the result."""
+    return int(v.sum())

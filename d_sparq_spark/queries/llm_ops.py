@@ -382,6 +382,42 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- representative Pandas UDF (SURVEY §2.C UDF surface) ------------------------------
 
+_ORACLE_UDF_SCALAR = """
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+FROM documents
+"""
+
+
+@register("q_pandas_udf_scalar", oracle=_ORACLE_UDF_SCALAR)
+def q_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized SCALAR pandas_udf (Arrow column batches in, column out)
+    — token counting as the representative; integer output so the oracle
+    is exact. Completes the UDF matrix next to applyInPandas
+    (q_pandas_udf_zscore), mapInPandas (q_multimodal_features) and
+    applyInPandasWithState (streaming/sessions.py)."""
+    from d_sparq_spark.functions.pandas_udfs import tok_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", tok_count("text").alias("n_tok"))
+
+
+_ORACLE_UDF_GROUPED = """
+SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
+@register("q_pandas_udf_grouped_agg", oracle=_ORACLE_UDF_GROUPED)
+def q_pandas_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas_udf: one Arrow batch per group reduced to a
+    scalar — integer sum, so partial-aggregation order can't perturb the
+    result and the oracle matches exactly."""
+    from d_sparq_spark.functions.pandas_udfs import total_chars
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(total_chars("n_chars").alias("total_chars"))
+
+
 _ORACLE_ZSCORE = """
 WITH s AS (
   SELECT c_nationkey,

@@ -63,6 +63,30 @@ def test_no_accidental_cartesian(spark, name):
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian:\n{plan[:2000]}"
 
 
+def test_contamination_broadcasts_benchmark_side(spark):
+    # the benchmark shingle set must broadcast — a corpus-sized shuffle on
+    # the shingle key is the 100 TB failure mode this op is shaped to avoid
+    plan = plan_of(spark, "q_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_no_global_sort(spark):
+    # packing works per lang stratum: the window must hash-partition on
+    # lang, never a single-partition global sort
+    plan = plan_of(spark, "q_pack_sequences")
+    assert "hashpartitioning(lang" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_salted_join_no_shuffle_on_big_side(spark):
+    # the whole point of the salted broadcast join: customer never shuffles
+    plan = plan_of(spark, "q_join_salted")
+    assert "BroadcastHashJoin" in plan
+    before_agg = plan.split("HashAggregate")[-1]  # below the agg = the join
+    assert "Exchange hashpartitioning(nk" not in before_agg
+
+
 def test_sparql_engine_plan_pushes_predicate_constants(spark):
     from d_sparq_spark.engine import SparqlEngine
     from d_sparq_spark.sources.derived_rdf import derive_triples
