@@ -21,3 +21,17 @@ def total_chars(v: pd.Series) -> int:
     """GROUPED_AGG: one Arrow batch per group reduced to a scalar.
     Integer sum — partial-aggregation order cannot perturb the result."""
     return int(v.sum())
+
+
+from pyspark.sql.functions import udtf  # noqa: E402
+
+
+@udtf(returnType="chunk_idx int, chunk string")
+class ChunkUdtf:
+    """Python UDTF: non-overlapping 100-char chunks, one output row each.
+    Deterministic pure function of the input -> exactly oracle-checkable."""
+
+    def eval(self, text: str):
+        text = text or ""
+        for i in range(0, max(len(text), 1), 100):
+            yield i // 100, text[i : i + 100]

@@ -129,6 +129,82 @@ def q_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+_ORACLE_PIVOT = """
+SELECT c_nationkey,
+       COUNT(*) FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS "AUTOMOBILE",
+       COUNT(*) FILTER (WHERE c_mktsegment = 'BUILDING')   AS "BUILDING",
+       COUNT(*) FILTER (WHERE c_mktsegment = 'FURNITURE')  AS "FURNITURE",
+       COUNT(*) FILTER (WHERE c_mktsegment = 'HOUSEHOLD')  AS "HOUSEHOLD",
+       COUNT(*) FILTER (WHERE c_mktsegment = 'MACHINERY')  AS "MACHINERY"
+FROM customer GROUP BY c_nationkey
+"""
+
+
+@register("q_pivot", oracle=_ORACLE_PIVOT)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with EXPLICIT values — the explicit list matters
+    at scale: without it Spark runs a driver-side distinct collect over
+    the pivot column first. Missing combinations fill 0 (DuckDB's
+    filtered counts return 0, Spark's pivot nulls)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey")
+        .pivot("c_mktsegment", _SEGMENTS)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _SEGMENTS)
+    )
+
+
+_ORACLE_UNPIVOT = """
+SELECT s_suppkey, 'nationkey' AS metric, CAST(s_nationkey AS DOUBLE) AS val FROM supplier
+UNION ALL
+SELECT s_suppkey, 'acctbal', CAST(s_acctbal AS DOUBLE) FROM supplier
+"""
+
+
+@register("q_unpivot", oracle=_ORACLE_UNPIVOT)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot/melt: wide columns -> (metric, val) rows. Pure narrow
+    transformation — no shuffle at any scale."""
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.col("s_nationkey").cast("double").alias("nationkey"),
+        F.col("s_acctbal").cast("double").alias("acctbal"),
+    )
+    return sup.unpivot("s_suppkey", ["nationkey", "acctbal"], "metric", "val")
+
+
+_ORACLE_UDTF = """
+WITH idx AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, CAST((length(text) - 1) // 100 AS BIGINT))) AS chunk_idx
+  FROM documents
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       substr(text, CAST(chunk_idx * 100 + 1 AS INT), 100) AS chunk
+FROM idx
+"""
+
+
+@register("q_udtf_chunks", oracle=_ORACLE_UDTF)
+def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4): one input row -> many output rows through a
+    LATERAL join — the table-function surface SURVEY §2.C names. Chunking
+    as the representative (same semantics as the HOF-based q_doc_chunks
+    but stride == size, no overlap); the HOF form stays the scale
+    recommendation — this exercises the UDTF execution path."""
+    from d_sparq_spark.functions.pandas_udfs import ChunkUdtf
+
+    spark.udtf.register("chunk_udtf", ChunkUdtf)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf_src")
+    return spark.sql(
+        "SELECT s.doc_id, f.chunk_idx, f.chunk "
+        "FROM docs_udtf_src s, LATERAL chunk_udtf(s.text) f"
+    )
+
+
 # --- skew-mitigation operators (operators/skew.py) --------------------------------
 
 _ORACLE_PRED_SALTED = """
