@@ -51,6 +51,42 @@ def test_stream_dedup_within_watermark(spark):
     assert got == batch
 
 
+def test_stream_foreachbatch_sink(spark, tmp_path):
+    """foreachBatch — the escape hatch for sinks Structured Streaming has
+    no native writer for: every micro-batch arrives as a plain DataFrame
+    with a monotonic batch_id (the idempotence key a real sink would
+    dedupe re-deliveries on). Totals across batches must equal batch."""
+    out = str(tmp_path / "fb_out")
+    stream = stream_events(spark, SF, with_watermark=None)
+
+    def write_batch(df, batch_id):
+        (
+            df.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = stream.writeStream.foreachBatch(write_batch).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = {
+        r["event_type"]: r["total"]
+        for r in spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("total"))
+        .collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_stream_stream_join_equals_batch(spark):
     """Stream-stream interval join (two watermarked sources, append mode)
     must emit exactly the batch join's rows on finite input."""
