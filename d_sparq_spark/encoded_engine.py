@@ -236,7 +236,12 @@ class EncodedSparqlEngine:
         # EXISTS group) would otherwise be evaluated over encoded longs
         # against lexical literals — silent wrong results. _check_structural
         # tolerates a Filter(EXISTS)/BGP root and recurses left/right/child.
-        self._check_structural(structural)
+        # Shapes it rejects DEGRADE GRACEFULLY: decode the store first and
+        # run the lexical pipeline (correct, just without late decode).
+        try:
+            self._check_structural(structural)
+        except NotImplementedError:
+            return self._lexical_fallback(tree)
         structural = self._rewrite(structural, ids)
         tr = Translator(self.triples, self._stats, catalog=self.catalog)
         bound = tr.eval(structural)
@@ -282,6 +287,19 @@ class EncodedSparqlEngine:
             w_shallow = _shallow_with_child(w, _Precomputed(node_df))
             node_df = _eval_with_precomputed(lex, w_shallow)
         return node_df
+
+    def _lexical_fallback(self, tree) -> DataFrame:
+        """Early-decode fallback for shapes whose structural subtree embeds
+        value-level nodes (FILTER under OPTIONAL/GRAPH, inside EXISTS,
+        nested BIND/aggregates): decode the WHOLE store once (broadcast
+        dict joins) and evaluate the original lexical tree over it. Late
+        decode stays the fast path for everything else; this trades the
+        8-byte join keys for correctness on the long tail instead of
+        refusing the query. Stats/catalog are ID-keyed and don't apply."""
+        from d_sparq_spark.operators.dictionary import decode_triples
+
+        store = decode_triples(self.triples, self.dict)
+        return Translator(store).eval(tree)
 
     def _rewrite_template(self, template, ids):
         return template  # CONSTRUCT templates stay lexical; bindings decode

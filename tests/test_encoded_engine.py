@@ -62,12 +62,12 @@ def test_unknown_constant_yields_empty(engines):
     assert encoded.query('SELECT ?x WHERE { ?x ex:city "Atlantis" }').count() == 0
 
 
-def test_nested_value_filter_rejected(engines):
-    _, encoded = engines
-    with pytest.raises(NotImplementedError, match="encoded store"):
-        encoded.query(
-            "SELECT ?n WHERE { ?x ex:name ?n OPTIONAL { ?x ex:age ?a FILTER(?a > 26) } }"
-        )
+def test_nested_value_filter_falls_back_to_decode_early(engines):
+    # value FILTER inside OPTIONAL can't run over long IDs; the engine
+    # must decode the store early and still answer correctly
+    lexical, encoded = engines
+    q = "SELECT ?n ?a WHERE { ?x ex:name ?n OPTIONAL { ?x ex:age ?a FILTER(?a > 26) } }"
+    assert rows(encoded.query(q)) == rows(lexical.query(q))
 
 
 def test_join_keys_stay_long_until_decode(engines, spark):
@@ -134,20 +134,19 @@ def test_encoded_composite_closure(spark):
     assert rows(enc_e.query(q)) == rows(lex.query(q)) == [("a", "c"), ("a", "e"), ("c", "e")]
 
 
-def test_graph_nested_value_filter_rejected(quad_engines):
+def test_graph_nested_value_filter_falls_back(quad_engines):
     # ADVICE r1 (high): unary structural root (GRAPH) must not skip the
     # structural check — encoded eval would compare long IDs to literals.
-    _, encoded = quad_engines
-    with pytest.raises(NotImplementedError, match="encoded store"):
-        encoded.query(
-            'SELECT ?x WHERE { GRAPH "g:a" { ?x ex:age ?a FILTER(?a > 26) } }'
-        )
+    # With the decode-early fallback the answer must now EQUAL the lexical
+    # engine's instead of raising.
+    lexical, encoded = quad_engines
+    q = 'SELECT ?x WHERE { GRAPH "g:a" { ?x ex:age ?a FILTER(?a > 26) } }'
+    assert rows(encoded.query(q)) == rows(lexical.query(q))
+    assert len(rows(encoded.query(q))) > 0
 
 
-def test_exists_nested_value_filter_rejected(engines):
-    _, encoded = engines
-    with pytest.raises(NotImplementedError, match="encoded store"):
-        encoded.query(
-            "SELECT ?n WHERE { ?x ex:name ?n "
-            "FILTER EXISTS { ?x ex:age ?a FILTER(?a > 26) } }"
-        )
+def test_exists_nested_value_filter_falls_back(engines):
+    lexical, encoded = engines
+    q = ("SELECT ?n WHERE { ?x ex:name ?n "
+         "FILTER EXISTS { ?x ex:age ?a FILTER(?a > 26) } }")
+    assert rows(encoded.query(q)) == rows(lexical.query(q))
