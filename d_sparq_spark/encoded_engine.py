@@ -50,15 +50,20 @@ class EncodedSparqlEngine:
         dictionary: DataFrame,
         collect_stats: bool = True,
         catalog=None,
+        services: dict | None = None,
     ):
         """triples_enc: (s,p,o) LONG columns; dictionary: (id, term[, kind]).
         catalog (plans/catalog.StoreCatalog) must be built over the SAME
         encoded store — routing is term-type-agnostic (predicate keys are
         the encoded longs, property-table columns are str(id)), so the
-        planner substitutions work identically to the lexical engine."""
+        planner substitutions work identically to the lexical engine.
+        services maps SERVICE endpoint names to LEXICAL triples DataFrames;
+        federated queries take the decode-early fallback (endpoint stores
+        have their own dictionaries, so ID joins can't cross engines)."""
         self.triples = triples_enc
         self.dict = dictionary.select("id", "term")
         self.catalog = catalog
+        self.services = services or {}
         stats = None
         if collect_stats:
             stats = {
@@ -96,8 +101,8 @@ class EncodedSparqlEngine:
         if isinstance(node, A.Service):
             raise NotImplementedError(
                 "EncodedSparqlEngine: SERVICE federates lexical stores — "
-                "endpoint stores have their own dictionaries; use "
-                "SparqlEngine (lexical) for federated queries"
+                "endpoint stores have their own dictionaries (decode-early "
+                "fallback handles this internally)"
             )
         for attr in ("left", "right", "child"):
             sub = getattr(node, attr, None)
@@ -205,7 +210,10 @@ class EncodedSparqlEngine:
             root = tree
 
         consts: set = set()
-        self._collect_constants(root, consts)
+        try:
+            self._collect_constants(root, consts)
+        except NotImplementedError:  # SERVICE: federate over the decoded store
+            return self._lexical_fallback(tree)
         ids = {}
         if consts:
             ids = {
@@ -299,7 +307,7 @@ class EncodedSparqlEngine:
         from d_sparq_spark.operators.dictionary import decode_triples
 
         store = decode_triples(self.triples, self.dict)
-        return Translator(store).eval(tree)
+        return Translator(store, services=self.services).eval(tree)
 
     def _rewrite_template(self, template, ids):
         return template  # CONSTRUCT templates stay lexical; bindings decode

@@ -150,3 +150,21 @@ def test_exists_nested_value_filter_falls_back(engines):
     q = ("SELECT ?n WHERE { ?x ex:name ?n "
          "FILTER EXISTS { ?x ex:age ?a FILTER(?a > 26) } }")
     assert rows(encoded.query(q)) == rows(lexical.query(q))
+
+
+def test_service_falls_back_to_decode_early(engines, spark):
+    # federation over the encoded store: endpoint dictionaries are foreign,
+    # so the engine decodes early and federates lexically
+    lexical, encoded = engines
+    remote = spark.createDataFrame(
+        [("p:alice", "ex:team", "core"), ("p:bob", "ex:team", "infra")],
+        "s string, p string, o string",
+    )
+    encoded.services["remote"] = remote
+    lex_with = SparqlEngine(
+        lexical._translator.triples, collect_stats=False, services={"remote": remote}
+    )
+    q = ('SELECT ?x ?t WHERE { ?x ex:city "Paris" . '
+         "SERVICE <remote> { ?x ex:team ?t } }")
+    assert rows(encoded.query(q)) == rows(lex_with.query(q))
+    assert len(rows(encoded.query(q))) > 0
