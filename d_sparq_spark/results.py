@@ -1,0 +1,92 @@
+"""W3C SPARQL 1.1 query results serialization (JSON + CSV).
+
+A D-SPARQ user drives the engine through a SPARQL endpoint surface; the
+wire formats are standardized (SPARQL 1.1 Query Results JSON Format /
+CSV-TSV, W3C REC 2013-03-21). The engine's bindings DataFrames carry the
+store's lexical term convention (plans/translate.py): IRIs are plain
+strings, '_:'-prefixed blank nodes, '"..."@lang' / '"..."^^type' typed
+literals, anything else a plain literal — these serializers map that
+convention onto the spec's term objects.
+
+Driver-side by design: result SETS are user-facing query answers (LIMITed
+or small by construction), not data-scale relations. For data-scale
+output the parquet/ORC sinks are the path; these formats exist for
+endpoint compatibility.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from pyspark.sql import DataFrame
+
+_TYPED = re.compile(r'^"(.*)"\^\^(.+)$', re.DOTALL)
+_TAGGED = re.compile(r'^"(.*)"@([A-Za-z][A-Za-z0-9-]*)$', re.DOTALL)
+_IRI_LIKE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+
+
+def term_to_json(value: object) -> dict | None:
+    """One binding value -> a spec term object (None stays unbound)."""
+    if value is None:
+        return None
+    s = str(value)
+    m = _TYPED.match(s)
+    if m:
+        return {"type": "literal", "value": m.group(1), "datatype": m.group(2)}
+    m = _TAGGED.match(s)
+    if m:
+        return {"type": "literal", "value": m.group(1), "xml:lang": m.group(2)}
+    if s.startswith("_:"):
+        return {"type": "bnode", "value": s[2:]}
+    if _IRI_LIKE.match(s):
+        return {"type": "uri", "value": s}
+    return {"type": "literal", "value": s}
+
+
+def results_json(df: DataFrame, limit: int | None = None) -> str:
+    """SELECT bindings -> SPARQL 1.1 JSON results document (collects —
+    see module docstring for why that is correct here)."""
+    rows = df.limit(limit).collect() if limit is not None else df.collect()
+    cols = df.columns
+    bindings = []
+    for r in rows:
+        b = {}
+        for c in cols:
+            t = term_to_json(r[c])
+            if t is not None:
+                b[c] = t
+        bindings.append(b)
+    return json.dumps(
+        {"head": {"vars": cols}, "results": {"bindings": bindings}},
+        ensure_ascii=False,
+    )
+
+
+def ask_json(result: bool) -> str:
+    return json.dumps({"head": {}, "boolean": bool(result)})
+
+
+def results_csv(df: DataFrame, limit: int | None = None) -> str:
+    """CSV results per the spec: header of variable names, lexical forms
+    (typed/tagged literals reduced to their lexical value), unbound ->
+    empty field."""
+    import csv
+    import io
+
+    rows = df.limit(limit).collect() if limit is not None else df.collect()
+    buf = io.StringIO()
+    w = csv.writer(buf, lineterminator="\r\n")
+    w.writerow(df.columns)
+    for r in rows:
+        out = []
+        for c in df.columns:
+            v = r[c]
+            if v is None:
+                out.append("")
+                continue
+            s = str(v)
+            m = _TYPED.match(s) or _TAGGED.match(s)
+            out.append(m.group(1) if m else s)
+        w.writerow(out)
+    return buf.getvalue()

@@ -98,6 +98,26 @@ def test_sparql_engine_plan_pushes_predicate_constants(spark):
     assert "Filter" in plan
 
 
+def test_graph_const_prunes_partitioned_quad_store(spark, tmp_path):
+    """GRAPH <const> over a partitionBy('g') quad store must become a
+    PARTITION filter — the named-graph analog of the VP predicate index:
+    a 10k-graph store reads exactly one directory."""
+    from d_sparq_spark.engine import SparqlEngine
+    from d_sparq_spark.sources.derived_rdf import derive_quads
+
+    path = str(tmp_path / "quads_by_g")
+    derive_quads(spark, SF).write.partitionBy("g").parquet(path)
+    store = spark.read.parquet(path)
+    df = SparqlEngine(store, collect_stats=False).query(
+        'SELECT ?name WHERE { GRAPH "g:nation" { ?n foaf:name ?name } }'
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "g#" in pf and "g:nation" in pf, pf
+    assert df.count() == 25
+
+
 def test_propset_scan_partition_prunes_vp_store(spark, tmp_path):
     """A positive property-set scan (p IN (...)) over the partitionBy('p')
     VP store must prune to the named predicate directories — the Spark

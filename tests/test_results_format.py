@@ -1,0 +1,57 @@
+"""W3C SPARQL results serialization: term mapping per the store's lexical
+convention, JSON/CSV documents round-trip through standard parsers."""
+
+import csv
+import io
+import json
+
+from d_sparq_spark.engine import SparqlEngine
+from d_sparq_spark.results import ask_json, results_csv, results_json, term_to_json
+
+
+def test_term_mapping():
+    assert term_to_json("p:alice") == {"type": "uri", "value": "p:alice"}
+    assert term_to_json("http://example.org/x") == {
+        "type": "uri", "value": "http://example.org/x"
+    }
+    assert term_to_json("_:b0") == {"type": "bnode", "value": "b0"}
+    assert term_to_json('"cat"@en') == {
+        "type": "literal", "value": "cat", "xml:lang": "en"
+    }
+    assert term_to_json('"5"^^xsd:int') == {
+        "type": "literal", "value": "5", "datatype": "xsd:int"
+    }
+    assert term_to_json("plain words") == {"type": "literal", "value": "plain words"}
+    assert term_to_json(None) is None
+
+
+def test_results_json_and_csv_from_query(spark):
+    triples = spark.createDataFrame(
+        [
+            ("p:a", "ex:name", '"Ada"@en'),
+            ("p:a", "ex:age", '"36"^^xsd:int'),
+            ("p:b", "ex:name", "Bo"),
+        ],
+        "s string, p string, o string",
+    )
+    eng = SparqlEngine(triples, collect_stats=False)
+    df = eng.query(
+        "SELECT ?x ?n ?a WHERE { ?x ex:name ?n OPTIONAL { ?x ex:age ?a } } ORDER BY ?x"
+    )
+    doc = json.loads(results_json(df))
+    assert doc["head"]["vars"] == ["x", "n", "a"]
+    b0, b1 = doc["results"]["bindings"]
+    assert b0["x"] == {"type": "uri", "value": "p:a"}
+    assert b0["n"] == {"type": "literal", "value": "Ada", "xml:lang": "en"}
+    assert b0["a"] == {"type": "literal", "value": "36", "datatype": "xsd:int"}
+    assert "a" not in b1  # unbound variable omitted per spec
+
+    text = results_csv(df)
+    rows = list(csv.reader(io.StringIO(text)))
+    assert rows[0] == ["x", "n", "a"]
+    assert rows[1] == ["p:a", "Ada", "36"]  # lexical forms
+    assert rows[2] == ["p:b", "Bo", ""]
+
+
+def test_ask_json():
+    assert json.loads(ask_json(True)) == {"head": {}, "boolean": True}
