@@ -120,6 +120,59 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_batch(stream, tumbling_hourly, name)
 
 
+_ORACLE_OHLC = """
+WITH e AS (
+  SELECT date_trunc('hour', date_trunc('microseconds', ts)) AS h,
+         event_type, event_id, value,
+         date_trunc('microseconds', ts) AS tsu
+  FROM events
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY h, event_type
+                            ORDER BY tsu, event_id) AS rn,
+         row_number() OVER (PARTITION BY h, event_type
+                            ORDER BY tsu DESC, event_id DESC) AS rnd
+  FROM e
+)
+SELECT CAST(epoch_us(h) AS BIGINT) AS hour_us, event_type,
+       MAX(CASE WHEN rn = 1 THEN value END) AS open,
+       MAX(value) AS high, MIN(value) AS low,
+       MAX(CASE WHEN rnd = 1 THEN value END) AS close,
+       COUNT(*) AS n
+FROM r GROUP BY 1, 2
+"""
+
+
+@register("q_ohlc_hourly", oracle=_ORACLE_OHLC)
+def q_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling (time-series downsample): per hour and event_type,
+    the first/max/min/last value — open/close picked deterministically by
+    (ts, event_id). Partitioned windows only (hash on the bucket key);
+    at scale this is the standard candle/rollup shape with no global
+    sort anywhere."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        "event_type", "event_id", "value", "ts",
+    )
+    w_asc = Window.partitionBy("h", "event_type").orderBy("ts", "event_id")
+    w_desc = Window.partitionBy("h", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = e.withColumn("rn", F.row_number().over(w_asc)).withColumn(
+        "rnd", F.row_number().over(w_desc)
+    )
+    return r.groupBy(
+        F.unix_micros(F.col("h")).alias("hour_us"), "event_type"
+    ).agg(
+        F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rnd") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 @register("q_stream_funnel", oracle=None)
 def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL stream-stream interval join (signup -> purchase within 1 h):
