@@ -42,6 +42,7 @@ HEADLINE = [
     "q_sparql_star_extvp",  # star scanning an ExtVP semi-join reduction
     "q_sparql_encoded_star",  # encoded engine end-to-end (dict-ID joins, late decode)
     "q_dup_clusters_lsh",   # MinHash-LSH candidates -> connected components (scale path)
+    "q_tpch_q5",            # 6-table join, local-supplier correlation
 ]
 
 

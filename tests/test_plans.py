@@ -63,6 +63,13 @@ def test_no_accidental_cartesian(spark, name):
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian:\n{plan[:2000]}"
 
 
+def test_tpch_q5_broadcast_chain(spark):
+    plan = plan_of(spark, "q_tpch_q5")
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier/nation/region never shuffle the fact
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_contamination_broadcasts_benchmark_side(spark):
     # the benchmark shingle set must broadcast — a corpus-sized shuffle on
     # the shingle key is the 100 TB failure mode this op is shaped to avoid
