@@ -83,6 +83,51 @@ def connected_components(
     raise RuntimeError(f"connected_components: no fixpoint within {max_iter} rounds")
 
 
+def pagerank(
+    edges: DataFrame, n_iter: int = 10, damping_pct: int = 85
+) -> DataFrame:
+    """PageRank over edges(src, dst) -> (node, rank_ppt): ranks in
+    parts-per-trillion as BIGINTs, every step integer arithmetic — so the
+    result is deterministic across partitionings/engines (a double
+    summation is not associative; an int64 sum is). Per iteration: one
+    equi-join ranks⋈edges + one groupBy(dst) sum + one left join back —
+    O(V) state, localCheckpoint truncates lineage. Dangling-node mass is
+    dropped (not redistributed), the common large-graph simplification;
+    ranks then sum to <= SCALE. rank_ppt fits int64 for any graph
+    (per-node rank <= SCALE = 1e12)."""
+    SCALE = 10**12
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    base = SCALE * (100 - damping_pct) // 100 // n
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e = edges.join(deg, "src").localCheckpoint()
+    ranks = nodes.select("node", F.lit(SCALE // n).cast("long").alias("r"))
+    for _ in range(n_iter):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .select("dst", F.expr("r div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"coalesce(in_sum, 0L) * {damping_pct} div 100")
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.col("r").alias("rank_ppt"))
+
+
 def dedup_clusters(
     docs: DataFrame, edges: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -153,6 +153,55 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", D.simhash(F.col("text"), bits=16).alias("simhash"))
 
 
+def _pagerank_oracle(n_iter: int = 10) -> str:
+    """DuckDB oracle for the integer PageRank: recursive CTEs cannot
+    aggregate in the recursive term, so the fixpoint is UNROLLED into
+    n_iter chained CTE stages performing the same integer arithmetic."""
+    head = """
+WITH edges AS (
+  SELECT 'c:' || c_custkey AS src, 'n:' || c_nationkey AS dst FROM customer
+  UNION ALL
+  SELECT 'n:' || n_nationkey, 'r:' || n_regionkey FROM nation
+),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
+params AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+e AS (SELECT edges.src, edges.dst, deg.deg FROM edges JOIN deg USING (src)),
+r0 AS (SELECT node, CAST(1000000000000 // n AS BIGINT) AS r FROM nodes, params)"""
+    stages = []
+    for i in range(1, n_iter + 1):
+        stages.append(f"""
+c{i} AS (SELECT dst, CAST(SUM(r // deg) AS BIGINT) AS in_sum
+         FROM e JOIN r{i - 1} ON e.src = r{i - 1}.node GROUP BY dst),
+r{i} AS (SELECT node,
+              CAST(150000000000 // n + COALESCE(in_sum, 0) * 85 // 100 AS BIGINT) AS r
+         FROM nodes CROSS JOIN params LEFT JOIN c{i} ON node = c{i}.dst)""")
+    return (
+        head + "," + ",".join(stages)
+        + f"\nSELECT node, r AS rank_ppt FROM r{n_iter}"
+    )
+
+
+@register("q_pagerank", oracle=_pagerank_oracle())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank over the customer->nation->region graph.
+    The fixed-point arithmetic (parts-per-trillion BIGINTs) is what makes
+    an ITERATIVE operator oracle-checkable at all — the DuckDB side
+    unrolls the same 10 iterations as chained CTEs and must match every
+    rank bit-for-bit; float PageRank could never hash-match across
+    engines. Python-reference equality is unit-tested separately."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("n:"), F.col("c_nationkey").cast("string")).alias("dst"),
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.concat(F.lit("n:"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("r:"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    return G.pagerank(cust.unionByName(nat), n_iter=10)
+
+
 # --- similarity search --------------------------------------------------------
 
 _ORACLE_COSINE = """

@@ -234,3 +234,31 @@ def test_lsh_cluster_edges_subset_of_exact(spark):
     comp = {r["doc_id"]: r["component"] for r in cc.collect()}
     assert comp[1] == comp[4]  # dup pair clustered together
     assert comp[1] != comp[3]  # unrelated docs stay apart
+
+
+def test_pagerank_matches_integer_reference(spark):
+    """pagerank == a pure-Python reference doing the SAME integer
+    arithmetic — exact equality, no float tolerance."""
+    from d_sparq_spark.operators.graph import pagerank
+
+    EDGES = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")]
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {r["node"]: r["rank_ppt"] for r in pagerank(df, n_iter=10).collect()}
+
+    SCALE, D = 10**12, 85
+    nodes = sorted({x for e in EDGES for x in e})
+    n = len(nodes)
+    base = SCALE * (100 - D) // 100 // n
+    out = {u: [v for uu, v in EDGES if uu == u] for u in nodes}
+    r = {u: SCALE // n for u in nodes}
+    for _ in range(10):
+        in_sum = {u: 0 for u in nodes}
+        for u in nodes:
+            if out[u]:
+                c = r[u] // len(out[u])
+                for v in out[u]:
+                    in_sum[v] += c
+        r = {u: base + in_sum[u] * D // 100 for u in nodes}
+    assert got == r
+    # sink-heavy node c must outrank everything
+    assert max(r, key=r.get) == "c"
