@@ -71,3 +71,23 @@ def test_bgp_pattern_order_invariance(spark, perm):
     out = star_join(triples, permuted)
     key = lambda df: sorted(tuple(r[c] for c in sorted(df.columns)) for r in df.collect())
     assert key(out) == key(base)
+
+
+@SETTINGS
+@given(data=st.lists(st.tuples(iri_terms, iri_terms, iri_terms), min_size=1, max_size=12))
+def test_update_insert_then_delete_is_identity(spark, data):
+    """Graph-set semantics of UPDATE: INSERT DATA of arbitrary NEW ground
+    triples followed by DELETE DATA of the same triples returns exactly
+    the original store (anti-join both ways, no dedup side effects)."""
+    from d_sparq_spark.engine import SparqlEngine
+
+    base = [("b:s1", "b:p", "b:o1"), ("b:s2", "b:p", "b:o2")]
+    store = spark.createDataFrame(base, "s string, p string, o string")
+    eng = SparqlEngine(store, collect_stats=False)
+    block = " . ".join(f"{s} {p} {o}" for s, p, o in data)
+    inserted = eng.update(f"INSERT DATA {{ {block} }}")
+    after = SparqlEngine(inserted, collect_stats=False).update(
+        f"DELETE DATA {{ {block} }}"
+    )
+    want = sorted(set(base) - set(data))  # data may collide with base rows
+    assert sorted(tuple(r) for r in after.collect()) == want
