@@ -251,3 +251,50 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = region.select(F.col("r_name").alias("r1"))
     b = region.select(F.col("r_name").alias("r2"))
     return a.crossJoin(b).filter(F.col("r1") < F.col("r2"))
+
+
+# --- q_merge_upsert: lakehouse MERGE shape (full-outer-join upsert) ----------
+
+_ORACLE_MERGE = """
+WITH changes AS (
+  SELECT c_custkey AS k, c_acctbal + 100 AS bal
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 0.0 FROM customer WHERE c_custkey % 1000 = 1
+)
+SELECT COALESCE(ch.k, c.c_custkey) AS c_custkey,
+       COALESCE(ch.bal, c.c_acctbal) AS acctbal,
+       CASE WHEN c.c_custkey IS NULL THEN 'insert'
+            WHEN ch.k IS NULL THEN 'keep'
+            ELSE 'update' END AS action
+FROM customer c FULL OUTER JOIN changes ch ON ch.k = c.c_custkey
+"""
+
+
+@register("q_merge_upsert", oracle=_ORACLE_MERGE)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics as plain DataFrames: a changes batch (updates
+    + brand-new keys) full-outer-joined with the base table; matched rows
+    take the change, unmatched-by-source keep, unmatched-by-target
+    insert. This is exactly the join a lakehouse MERGE plans under the
+    hood — at scale the change batch is usually small, so AQE broadcasts
+    it and only the touched partitions rewrite."""
+    cust = load_table(spark, sf_dir, "customer")
+    changes = (
+        cust.filter(F.col("c_custkey") % 3 == 0)
+        .select(F.col("c_custkey").alias("k"), (F.col("c_acctbal") + 100).alias("bal"))
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 1000 == 1).select(
+                (F.col("c_custkey") + 1000000).alias("k"), F.lit(0.0).alias("bal")
+            )
+        )
+    )
+    base = cust.select("c_custkey", "c_acctbal")
+    return base.join(changes, base.c_custkey == changes.k, "full_outer").select(
+        F.coalesce(changes.k, base.c_custkey).alias("c_custkey"),
+        F.coalesce(changes.bal, base.c_acctbal).alias("acctbal"),
+        F.when(base.c_custkey.isNull(), "insert")
+        .when(changes.k.isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+    )
