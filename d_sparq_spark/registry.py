@@ -85,6 +85,9 @@ _ATTESTED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "q_nt_roundtrip", "q_dict_encode", "q_dict_roundtrip",
     "q_triple_pattern", "q_star_join", "q_star_join_enc", "q_path_join",
     "q_pred_stats", "q_load_pipeline", "q_agg_basic",
+    # round 3 builder: extend with CORRECTNESS_r02.json's key list so the
+    # driver's fixed-size prefix keeps covering least-recently-attested
+    # queries first.
 })
 
 
