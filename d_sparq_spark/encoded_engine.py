@@ -222,6 +222,11 @@ class EncodedSparqlEngine:
             }
 
         if isinstance(root, A.Describe):
+            if root.child is not None:
+                try:  # value-level nodes in the WHERE group: decode early
+                    self._check_structural(root.child)
+                except NotImplementedError:
+                    return self._lexical_fallback(tree)
             child = self._rewrite(root.child, ids) if root.child is not None else None
             terms = tuple(
                 t if _is_var(t) else ids.get(t, _MISSING_ID) for t in root.terms
@@ -230,7 +235,14 @@ class EncodedSparqlEngine:
             return self._decode(df, df.columns)
         if isinstance(root, (A.Ask, A.Construct)):
             # structural queries: rewrite whole tree, evaluate encoded,
-            # decode output columns
+            # decode output columns. Value-level FILTER/BIND in their group
+            # (incl. a TOP-LEVEL value filter — there is no wrapper-peeling
+            # here like the SELECT path has) would compare encoded longs to
+            # literals: decode early instead.
+            try:
+                self._check_structural(root.child)
+            except NotImplementedError:
+                return self._lexical_fallback(tree)
             rewritten = self._rewrite(root.child if isinstance(root, A.Ask) else root.child, ids)
             tr = Translator(self.triples, self._stats, catalog=self.catalog)
             if isinstance(root, A.Ask):

@@ -67,13 +67,21 @@ class SparqlEngine:
 
         tree = parse_sparql(sparql)
         t = self.triples
+        if "g" in t.columns:
+            raise ValueError(
+                "SparqlEngine.update: quad stores are not updatable — a "
+                "triple-level delete would silently hit EVERY named graph; "
+                "update a single graph's slice instead"
+            )
         spark = t.sparkSession
         schema = ", ".join(f"{c} {dt}" for c, dt in t.dtypes)
 
         def ground_df(triples):
+            # dedup: a triple repeated WITHIN one DATA block must still
+            # insert/delete once (graph-set semantics)
             return spark.createDataFrame(
                 [(tp.s, tp.p, tp.o) for tp in triples], schema
-            )
+            ).dropDuplicates()
 
         def instantiate(template, bindings: DataFrame) -> DataFrame:
             def term_col(term):

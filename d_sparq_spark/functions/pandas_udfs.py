@@ -12,8 +12,9 @@ from pyspark.sql.functions import pandas_udf
 
 @pandas_udf("long")
 def tok_count(s: pd.Series) -> pd.Series:
-    """Whitespace token count per row — Arrow column batches in/out."""
-    return s.str.split(" ").str.len().astype("int64")
+    """Whitespace token count per row — Arrow column batches in/out.
+    Nullable Int64: a NULL text stays NULL (int64 would raise on NaN)."""
+    return s.str.split(" ").str.len().astype("Int64")
 
 
 @pandas_udf("long")

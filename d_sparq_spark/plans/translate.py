@@ -50,8 +50,12 @@ _IRI_LIKE = r"^[A-Za-z][A-Za-z0-9+.-]*:"
 # inline in canonical form — '"5"^^xsd:int', '"chat"@en' — while plain
 # literals remain unquoted ("Alice"). All term inspection is JVM regex
 # (whole-stage codegen), no UDFs.
-_TYPED_RE = r'^"(.*)"\^\^([^@]+)$'
-_LANGTAG_RE = r'^"(.*)"@([A-Za-z][A-Za-z0-9-]*)$'
+# (?s): literals may contain real newlines (\n escapes in SPARQL/N-Triples
+# unescape to them) — without DOTALL a multiline tagged/typed literal would
+# silently classify as a plain term (and diverge from results.py, which
+# compiles the same patterns with re.DOTALL).
+_TYPED_RE = r'(?s)^"(.*)"\^\^([^@]+)$'
+_LANGTAG_RE = r'(?s)^"(.*)"@([A-Za-z][A-Za-z0-9-]*)$'
 
 
 def _lex_form(c: Column) -> Column:
@@ -288,6 +292,12 @@ class Translator:
                 saw_plain = True
                 continue
             if isinstance(n, (A.Graph, A.Service)):
+                return False
+            if isinstance(n, (A.Project, A.Group, A.Distinct, A.OrderBy, A.Slice)):
+                # subquery wrappers: a nested SELECT projects/aggregates g
+                # AWAY, so the inner block would match across ALL graphs
+                # instead of the active one — only the per-graph loop keeps
+                # the correlation for these shapes
                 return False
             if isinstance(n, A.Values) and n.child is None:
                 return False  # pattern-free leaf: g would stay unbound
@@ -719,8 +729,13 @@ class Translator:
                 F.lit('"'), self.expr(args[0], df), F.lit('"@'), self.expr(args[1], df)
             )
         if name == "strdt":
-            return F.concat(
-                F.lit('"'), self.expr(args[0], df), F.lit('"^^'), self.expr(args[1], df)
+            # xsd:string folds to the PLAIN lexical form — the store's
+            # canonical convention (parser and N-Triples reader do the
+            # same), so STRDT(?x, xsd:string) = "x" compares equal.
+            s = self.expr(args[0], df)
+            dt = self.expr(args[1], df)
+            return F.when(dt == "xsd:string", s).otherwise(
+                F.concat(F.lit('"'), s, F.lit('"^^'), dt)
             )
         if name == "md5":
             return F.md5(self.expr(args[0], df))
@@ -735,14 +750,18 @@ class Translator:
             # over a string is the identity mapping into that convention
             return _lex_form(self.expr(args[0], df).cast("string"))
         if name in ("year", "month", "day", "hours", "minutes", "seconds"):
-            ts = _lex_form(self.expr(args[0], df).cast("string")).try_cast("timestamp")
-            if name == "seconds":  # spec returns xsd:decimal
-                return F.second(ts).cast("double")
-            fn = {
-                "year": F.year, "month": F.month, "day": F.dayofmonth,
-                "hours": F.hour, "minutes": F.minute,
+            # XPath component semantics: extract from the literal's OWN
+            # lexical form (its own timezone), never the session-TZ value a
+            # timestamp cast would normalize to; SECONDS keeps the fraction
+            # (xsd:decimal per spec).
+            lex = _lex_form(self.expr(args[0], df).cast("string"))
+            _DT = r"^(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2}(?:\.\d+)?)"
+            grp = {
+                "year": 1, "month": 2, "day": 3,
+                "hours": 4, "minutes": 5, "seconds": 6,
             }[name]
-            return fn(ts).cast("long")
+            part = F.nullif(F.regexp_extract(lex, _DT, grp), F.lit(""))
+            return part.try_cast("double" if name == "seconds" else "long")
         if name == "tz":  # timezone designator from the LEXICAL form ('' if absent)
             return F.regexp_extract(
                 _lex_form(self.expr(args[0], df).cast("string")),

@@ -179,7 +179,9 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_UDTF = """
 WITH idx AS (
   SELECT doc_id, text,
-         unnest(generate_series(0, CAST((length(text) - 1) // 100 AS BIGINT))) AS chunk_idx
+         -- greatest(.., 0): empty text still yields ONE (empty) chunk,
+         -- matching the UDTF's max(len, 1) guard ((0-1)//100 floors to -1)
+         unnest(generate_series(0, greatest(CAST((length(text) - 1) // 100 AS BIGINT), 0))) AS chunk_idx
   FROM documents
 )
 SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,

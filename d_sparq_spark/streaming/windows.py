@@ -49,18 +49,27 @@ def session_30m(events: DataFrame) -> DataFrame:
     )
 
 
+_TS_IS_LONG_CACHE: dict[tuple[int, str], bool] = {}
+
+
 def stream_events(spark, sf_dir: str, with_watermark: str | None = "10 minutes") -> DataFrame:
     """readStream over the same events parquet. The file stream source
     needs a pinned schema, and the generator's ts physical type varies by
     round (TIMESTAMP(NANOS) -> ns long under nanosAsLong, vs plain micros
-    TIMESTAMP), so probe the batch reader's dtype once and pin to match —
-    the normalization then mirrors sources/tables._load_events exactly."""
+    TIMESTAMP), so probe the batch reader's dtype ONCE PER (session,
+    sf_dir) — a per-sf_dir constant; stream-stream queries build several
+    sources per run and must not re-read footers each time — and pin to
+    match; the normalization then mirrors sources/tables._load_events."""
     from d_sparq_spark.sources.tables import table_path
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ts_is_long = (
-        dict(spark.read.parquet(table_path(sf_dir, "events")).dtypes)["ts"] == "bigint"
-    )
+    key = (id(spark), sf_dir)
+    if key not in _TS_IS_LONG_CACHE:
+        _TS_IS_LONG_CACHE[key] = (
+            dict(spark.read.parquet(table_path(sf_dir, "events")).dtypes)["ts"]
+            == "bigint"
+        )
+    ts_is_long = _TS_IS_LONG_CACHE[key]
     schema = (
         f"event_id long, ts {'long' if ts_is_long else 'timestamp'}, "
         "user_id long, event_type string, value double, props string"

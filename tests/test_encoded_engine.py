@@ -168,3 +168,21 @@ def test_service_falls_back_to_decode_early(engines, spark):
          "SERVICE <remote> { ?x ex:team ?t } }")
     assert rows(encoded.query(q)) == rows(lex_with.query(q))
     assert len(rows(encoded.query(q))) > 0
+
+
+def test_encoded_ask_with_value_filter_falls_back(engines):
+    # ASK/CONSTRUCT have no wrapper-peeling: a value FILTER in their group
+    # must trigger the decode-early fallback, not compare IDs to literals
+    lexical, encoded = engines
+    q = "ASK { ?x ex:age ?a FILTER(?a > 26) }"
+    assert rows(encoded.query(q)) == rows(lexical.query(q))
+    q_false = "ASK { ?x ex:age ?a FILTER(?a > 1000) }"
+    assert rows(encoded.query(q_false)) == rows(lexical.query(q_false))
+
+
+def test_encoded_construct_with_value_filter_falls_back(engines):
+    lexical, encoded = engines
+    q = ('CONSTRUCT { ?x ex:grownup "yes" } '
+         "WHERE { ?x ex:age ?a FILTER(?a > 26) }")
+    assert rows(encoded.query(q)) == rows(lexical.query(q))
+    assert len(rows(encoded.query(q))) > 0

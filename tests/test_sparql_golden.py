@@ -608,8 +608,9 @@ def test_datetime_accessors(dt_engine):
     )
     got = {r[0]: tuple(r[1:]) for r in out.collect()}
     assert got["e:1"] == (2024, 3, 15, 14, 45)
-    # zoned lexical forms parse with their offset (session TZ is UTC)
-    assert got["e:2"][0] == 2023
+    # components come from the LEXICAL form (the literal's own timezone) —
+    # never normalized to the session TZ (which would make 09:05-05:00 -> 14)
+    assert got["e:2"] == (2023, 12, 1, 9, 5)
     assert "e:3" not in got
 
 
@@ -619,7 +620,7 @@ def test_seconds_and_tz(dt_engine):
     )
     got = {r[0]: (r[1], r[2]) for r in out.collect()}
     assert got["e:1"] == (13.0, "")
-    assert got["e:2"] == (59.0, "-05:00")
+    assert got["e:2"] == (59.25, "-05:00")  # fraction kept (xsd:decimal)
     assert got["e:3"] == (0.0, "Z")
 
 
@@ -639,6 +640,7 @@ def test_sha_and_iri_functions(engine):
 def test_update_insert_data(engine):
     out = engine.update(
         'INSERT DATA { p:frank rdf:type Person . p:frank ex:name "Frank" . '
+        'p:frank ex:name "Frank" . '  # repeated in-block: one insert
         'p:alice ex:name "Alice" }'  # existing triple: set no-op
     )
     eng2 = SparqlEngine(out, collect_stats=False)
@@ -690,3 +692,31 @@ def test_update_rejects_vars_in_data_and_query_rejects_update(engine):
         engine.update("INSERT DATA { ?x ex:name \"nope\" }")
     with pytest.raises(ValueError):
         engine.update("SELECT ?x WHERE { ?x ex:name ?n }")
+
+
+def test_graph_var_subquery_stays_graph_correlated(spark):
+    """A subquery under GRAPH ?g projects g away, so the column path must
+    NOT be taken — the per-graph loop keeps the correlation. x2 has a name
+    in g:a but its age lives only in g:b: it must not surface under g:a."""
+    quads = spark.createDataFrame(
+        [
+            ("x1", "ex:name", "One", "g:a"),
+            ("x1", "ex:age", "30", "g:a"),
+            ("x2", "ex:name", "Two", "g:a"),
+            ("x2", "ex:age", "40", "g:b"),
+        ],
+        "s string, p string, o string, g string",
+    )
+    eng = SparqlEngine(quads, collect_stats=False)
+    out = eng.query(
+        "SELECT ?g ?x WHERE { GRAPH ?g { ?x ex:name ?n "
+        "{ SELECT ?x WHERE { ?x ex:age ?a } } } }"
+    )
+    assert rows(out) == [("g:a", "x1")]
+
+
+def test_strdt_xsd_string_folds_to_plain(engine):
+    out = engine.query(
+        'SELECT ?x WHERE { ?x ex:name ?n FILTER(STRDT("Alice", xsd:string) = ?n) }'
+    )
+    assert rows(out) == [("p:alice",)]
