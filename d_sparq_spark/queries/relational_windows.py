@@ -153,3 +153,29 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+# --- q_window_dist: percent_rank + cume_dist + dense_rank ---------------------
+# Exact doubles: both functions divide small exact integers ((rank-1)/(n-1),
+# rows<=x/n), so the quotients are bit-identical across engines.
+
+_ORACLE_WINDOW_DIST = """
+SELECT c_custkey,
+       CAST(dense_rank() OVER w AS BIGINT) AS dr,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+"""
+
+
+@register("q_window_dist", oracle=_ORACLE_WINDOW_DIST)
+def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        F.dense_rank().over(w).cast("long").alias("dr"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
