@@ -85,7 +85,22 @@ _ATTESTED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "q_nt_roundtrip", "q_dict_encode", "q_dict_roundtrip",
     "q_triple_pattern", "q_star_join", "q_star_join_enc", "q_path_join",
     "q_pred_stats", "q_load_pipeline", "q_agg_basic",
-    # round 3 builder: extend with CORRECTNESS_r02.json's key list so the
+    # round 2 (CORRECTNESS_r02.json)
+    "q_contamination", "q_dedup_norm", "q_repetition", "q_approx_distinct",
+    "q_pack_sequences", "q_token_histogram", "q_orc_source", "q_text_source",
+    "q_binaryfile_source", "q_pivot", "q_unpivot", "q_udtf_chunks",
+    "q_pred_stats_salted", "q_join_salted", "q_ohlc_hourly",
+    "q_stream_funnel", "q_tpch_q5", "q_dup_clusters_lsh", "q_pagerank",
+    "q_multimodal_resize", "q_multimodal_frames", "q_pandas_udf_scalar",
+    "q_pandas_udf_grouped_agg", "q_nq_roundtrip", "q_agg_distinct",
+    "q_agg_having", "q_agg_rollup", "q_agg_cube", "q_agg_stats",
+    "q_agg_median", "q_agg_group_concat", "q_join_inner", "q_join_broadcast",
+    "q_join_outer", "q_join_full", "q_join_semi", "q_join_anti",
+    "q_join_range", "q_join_asof", "q_join_cross", "q_merge_upsert",
+    "q_scalar_string", "q_scalar_date", "q_scalar_math", "q_scalar_array",
+    "q_explode", "q_project", "q_filter_pred", "q_filter_rlike",
+    "q_json_extract",
+    # round 4 builder: extend with CORRECTNESS_r03.json's key list so the
     # driver's fixed-size prefix keeps covering least-recently-attested
     # queries first.
 })
