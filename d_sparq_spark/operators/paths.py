@@ -24,7 +24,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def transitive_closure(edges: DataFrame, max_iter: int = 48) -> DataFrame:
+def transitive_closure(
+    edges: DataFrame, max_iter: int = 48, group_col: str | None = None
+) -> DataFrame:
     """edges(src, dst) -> all (src, dst) pairs connected by a path of
     length >= 1. Columns must be named src/dst.
 
@@ -34,14 +36,28 @@ def transitive_closure(edges: DataFrame, max_iter: int = 48) -> DataFrame:
     driver iterations — the difference between usable and not at scale).
     Each round is one self-join of the closure; localCheckpoint truncates
     lineage so Catalyst analysis stays O(1) per round. max_iter=48 covers
-    diameters beyond 2^47 — hitting it means runaway growth, so raise."""
-    closure = edges.select("src", "dst").distinct().localCheckpoint()
+    diameters beyond 2^47 — hitting it means runaway growth, so raise.
+
+    ``group_col`` names an extra edge column that partitions the graph
+    into independent subgraphs (GRAPH ?g: one closure per named graph).
+    Pairs only compose within a group, the group rides every join key,
+    and ALL groups converge in one shared fixpoint loop — a 10k-graph
+    store is still one plan per round, not 10k driver branches."""
+    keys = [group_col] if group_col else []
+    closure = edges.select(*keys, "src", "dst").distinct().localCheckpoint()
     n = closure.count()
     for _ in range(max_iter):
+        cond = [F.col("l.dst") == F.col("r.src")] + [
+            F.col(f"l.{k}") == F.col(f"r.{k}") for k in keys
+        ]
         doubled = (
             closure.alias("l")
-            .join(closure.alias("r"), F.col("l.dst") == F.col("r.src"))
-            .select(F.col("l.src").alias("src"), F.col("r.dst").alias("dst"))
+            .join(closure.alias("r"), cond)
+            .select(
+                *[F.col(f"l.{k}").alias(k) for k in keys],
+                F.col("l.src").alias("src"),
+                F.col("r.dst").alias("dst"),
+            )
         )
         # ONE shuffle+materialization per round (union->distinct->checkpoint),
         # fixpoint detected by count of the checkpointed result — cheaper than
@@ -58,7 +74,10 @@ def transitive_closure(edges: DataFrame, max_iter: int = 48) -> DataFrame:
 
 
 def seeded_closure(
-    edges: DataFrame, seeds: DataFrame, bfs_rounds: int = 128
+    edges: DataFrame,
+    seeds: DataFrame,
+    bfs_rounds: int = 128,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Reachability FROM a seed set: all (src, dst) with src in seeds(n)
     and dst reachable via >= 1 edge. For `<x> p+ ?y` (or a p+ whose source
@@ -72,32 +91,63 @@ def seeded_closure(
     graph diameter (not log-diameter like the doubling loop) — the right
     trade when |seeds| << |nodes|; a pathological >128-hop chain falls
     back to the doubling closure semi-joined to the seeds rather than
-    erroring."""
+    erroring.
+
+    ``group_col`` (GRAPH ?g) partitions the edge set into independent
+    subgraphs: pairs compose only within a group and the output carries
+    the group column. Seeds WITHOUT the group column (a constant path
+    endpoint) seed every group they occur in; seeds WITH it (a variable
+    the BGP bound alongside g) seed only their own graph."""
     # collision-free internal names: the per-round plan joins the same
     # checkpointed edge relation repeatedly; sharing output names with the
     # frontier trips the analyzer's attribute dedup (key-not-found) when
     # the checkpoint's exprIds recur under distinct.
+    keys = [group_col] if group_col else []
     edges = (
-        edges.select(F.col("src").alias("_esrc"), F.col("dst").alias("_edst"))
+        edges.select(
+            *[F.col(k).alias(f"_ek_{k}") for k in keys],
+            F.col("src").alias("_esrc"),
+            F.col("dst").alias("_edst"),
+        )
         .distinct()
         .localCheckpoint()
     )
-    seeds = seeds.select(F.col(seeds.columns[0]).alias("n")).distinct()
+    seed_keyed = group_col is not None and group_col in seeds.columns
+    if seed_keyed:
+        vcol = next(c for c in seeds.columns if c != group_col)
+        seeds = seeds.select(
+            F.col(group_col).alias("_sk"), F.col(vcol).alias("n")
+        ).distinct()
+        seed_cond = [
+            F.col("n") == F.col("_esrc"),
+            F.col("_sk") == F.col(f"_ek_{group_col}"),
+        ]
+    else:
+        seeds = seeds.select(F.col(seeds.columns[0]).alias("n")).distinct()
+        seed_cond = [F.col("n") == F.col("_esrc")]
     frontier = (
-        seeds.join(edges, F.col("n") == F.col("_esrc"))
-        .select(F.col("n").alias("src"), F.col("_edst").alias("dst"))
+        seeds.join(edges, seed_cond)
+        .select(
+            *[F.col(f"_ek_{k}").alias(k) for k in keys],
+            F.col("n").alias("src"),
+            F.col("_edst").alias("dst"),
+        )
         .distinct()
         .localCheckpoint()
     )
     reached = frontier
     if not frontier.take(1):
         return reached
+    pair_cols = keys + ["src", "dst"]
     for _ in range(bfs_rounds):
-        step = frontier.join(edges, F.col("dst") == F.col("_esrc")).select(
-            F.col("src"), F.col("_edst").alias("dst")
+        step_cond = [F.col("dst") == F.col("_esrc")] + [
+            F.col(k) == F.col(f"_ek_{k}") for k in keys
+        ]
+        step = frontier.join(edges, step_cond).select(
+            *[F.col(k) for k in keys], F.col("src"), F.col("_edst").alias("dst")
         )
         frontier = (
-            step.join(reached, ["src", "dst"], "left_anti").distinct().localCheckpoint()
+            step.join(reached, pair_cols, "left_anti").distinct().localCheckpoint()
         )
         if not frontier.take(1):
             return reached
@@ -106,9 +156,17 @@ def seeded_closure(
     # loop, restricted to the seed sources at the end (correct, just not
     # frontier-sized — only reachable on >128-hop-diameter graphs).
     full = transitive_closure(
-        edges.select(F.col("_esrc").alias("src"), F.col("_edst").alias("dst"))
+        edges.select(
+            *[F.col(f"_ek_{k}").alias(k) for k in keys],
+            F.col("_esrc").alias("src"),
+            F.col("_edst").alias("dst"),
+        ),
+        group_col=group_col,
     )
-    return full.join(seeds, full["src"] == seeds["n"], "left_semi")
+    cond = [full["src"] == seeds["n"]] + (
+        [full[group_col] == seeds["_sk"]] if seed_keyed else []
+    )
+    return full.join(seeds, cond, "left_semi")
 
 
 def path_plus(triples: DataFrame, predicate: object) -> DataFrame:

@@ -242,9 +242,12 @@ class Translator:
         as one more BINDING COLUMN through every pattern scan — a single
         plan, no per-graph union, no driver-side graph enumeration (the
         r1 scale fix: a store with 10k named graphs is one join plan, not
-        a 10k-branch union). Shapes whose leaves aren't plain triple
-        scans (property paths, nested GRAPH/SERVICE, pattern-free groups)
-        keep the per-graph loop — the graph list there is metadata-scale."""
+        a 10k-branch union). Property paths ride the same route: closure
+        fixpoints take g as a group column (paths.py), so reachability is
+        per-graph inside one shared loop. Only nested GRAPH/SERVICE and
+        pattern-free groups (nothing to bind g from) keep the per-graph
+        loop — the graph list there is metadata-scale, and subquery
+        wrappers that project g away also fall back (see _graph_column_ok)."""
         if "g" not in self.triples.columns:
             raise ValueError("SPARQL GRAPH requires a quad store (g column)")
         term = node.term
@@ -275,21 +278,18 @@ class Translator:
 
     @staticmethod
     def _graph_column_ok(node) -> bool:
-        """True when every scan under GRAPH ?g is a plain triple pattern,
-        so g can ride through match_pattern as a binding column. Path
-        closures (whose fixpoint pairs drop g), nested GRAPH/SERVICE, and
+        """True when every scan under GRAPH ?g binds g as a column — plain
+        triple patterns (match_pattern) AND path shapes (closure fixpoints
+        carry g as a group column, paths.py). Nested GRAPH/SERVICE, and
         groups with a pattern-free branch (nothing to bind g from) use the
         per-graph fallback."""
-        _pathlike = (A.PathPattern, A.PropSetPattern, A.AltPath, A.ClosurePattern)
-        stack, saw_plain = [node], False
+        stack, saw_pattern = [node], False
         while stack:
             n = stack.pop()
             if isinstance(n, A.BGP):
                 if not n.patterns:
                     return False
-                if any(isinstance(p, _pathlike) for p in n.patterns):
-                    return False
-                saw_plain = True
+                saw_pattern = True
                 continue
             if isinstance(n, (A.Graph, A.Service)):
                 return False
@@ -307,7 +307,7 @@ class Translator:
                 sub = getattr(n, attr, None)
                 if sub is not None and not isinstance(sub, (str, list, tuple)):
                     stack.append(sub)
-        return saw_plain
+        return saw_pattern
 
     def _construct(self, node: A.Construct) -> DataFrame:
         """CONSTRUCT: instantiate each template pattern against the
@@ -400,6 +400,15 @@ class Translator:
             self.triples, star, self.stats, graph_var=self.graph_var, source_for=source_for
         )
 
+    def _pred_edges(self, pred) -> DataFrame:
+        """Edge set of one predicate; under GRAPH ?g the g column rides
+        along (aliased to the graph variable) so closures stay per-graph."""
+        base = self.triples.filter(F.col("p") == F.lit(pred))
+        cols = [F.col("s").alias("src"), F.col("o").alias("dst")]
+        if self.graph_var is not None:
+            cols = [F.col("g").alias(self.graph_var)] + cols
+        return base.select(*cols)
+
     def _path(self, p, bound: DataFrame | None = None) -> DataFrame:
         """Evaluate a path-like pattern to a bindings DataFrame. ``bound``
         is the bindings accumulated so far — closure paths whose endpoint
@@ -410,42 +419,56 @@ class Translator:
             return self._altpath(p)
         if isinstance(p, A.ClosurePattern):
             return self._closure(p, bound)
+        edges = self._pred_edges(p.p)
         if p.op == "?":
-            from d_sparq_spark.operators.paths import path_opt
-
-            return self._bind_endpoints(path_opt(self.triples, p.p), p.s, p.o, "src", "dst")
-        edges = self.triples.filter(F.col("p") == F.lit(p.p)).select(
-            F.col("s").alias("src"), F.col("o").alias("dst")
-        )
-        pairs = self._closure_pairs(edges, p.op, p.s, p.o, bound)
+            pairs = edges.unionByName(self._zero_pairs(edges)).distinct()
+        else:
+            pairs = self._closure_pairs(edges, p.op, p.s, p.o, bound)
         return self._bind_endpoints(pairs, p.s, p.o, "src", "dst")
 
     def _closure(self, p: A.ClosurePattern, bound: DataFrame | None = None) -> DataFrame:
         """Closure over a composite path: the inner path's BGP (evaluated
         once) IS the edge set; +/*/? then reuse the same fixpoint machinery
         as single-predicate paths. Zero-length paths are restricted to the
-        edge set's domain/range, consistent with path_star."""
-        edges = self._bgp(A.BGP(list(p.patterns))).select(
-            F.col(p.src_var).alias("src"), F.col(p.dst_var).alias("dst")
-        )
+        edge set's domain/range, consistent with path_star. Under GRAPH ?g
+        the inner BGP binds g on every scan, so the edge set — and hence
+        the fixpoint — is per-graph by construction."""
+        gv = self.graph_var
+        sel = ([F.col(gv)] if gv else []) + [
+            F.col(p.src_var).alias("src"),
+            F.col(p.dst_var).alias("dst"),
+        ]
+        edges = self._bgp(A.BGP(list(p.patterns))).select(*sel)
         if p.op == "?":
-            nodes = (
-                edges.select(F.col("src").alias("n"))
-                .unionByName(edges.select(F.col("dst").alias("n")))
-                .distinct()
-            )
-            zero = nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
-            pairs = edges.unionByName(zero).distinct()
+            pairs = edges.unionByName(self._zero_pairs(edges)).distinct()
         else:
             pairs = self._closure_pairs(edges, p.op, p.s, p.o, bound)
         return self._bind_endpoints(pairs, p.s, p.o, "src", "dst")
 
+    def _zero_pairs(self, edges: DataFrame) -> DataFrame:
+        """Zero-length (x, x) pairs over an edge set's domain/range,
+        keeping the graph column when one rides the edges."""
+        keys = [self.graph_var] if self.graph_var else []
+        nodes = (
+            edges.select(*keys, F.col("src").alias("n"))
+            .unionByName(edges.select(*keys, F.col("dst").alias("n")))
+            .distinct()
+        )
+        return nodes.select(*keys, F.col("n").alias("src"), F.col("n").alias("dst"))
+
     def _seed_df(self, term, bound: DataFrame | None) -> DataFrame | None:
         """Seed set for one closure endpoint: a constant term -> 1-row df;
         a variable the BGP already bound -> its distinct values (stays a
-        DataFrame — no driver collect); else None (no seeding)."""
+        DataFrame — no driver collect); else None (no seeding). Under
+        GRAPH ?g a bound variable's seeds carry the g they were bound in,
+        so seeding stays per-graph; a constant seeds every graph."""
         if isinstance(term, str) and term.startswith("?"):
             if bound is not None and term[1:] in bound.columns:
+                gv = self.graph_var
+                if gv is not None and gv in bound.columns and gv != term[1:]:
+                    return bound.select(
+                        F.col(gv), F.col(term[1:]).alias("n")
+                    ).distinct()
                 return bound.select(F.col(term[1:]).alias("n")).distinct()
             return None
         dt = dict(self.triples.dtypes)["s"]  # lexical: string; encoded: bigint
@@ -461,31 +484,40 @@ class Translator:
         O(frontier) difference at 100 TB (paths.seeded_closure)."""
         from d_sparq_spark.operators.paths import seeded_closure, transitive_closure
 
+        gv = self.graph_var
+        keys = [gv] if gv else []
         fwd = self._seed_df(s, bound)
         rev = None if fwd is not None else self._seed_df(o, bound)
         if fwd is not None:
-            pairs = seeded_closure(edges, fwd)
+            pairs = seeded_closure(edges, fwd, group_col=gv)
             zero_nodes = fwd
         elif rev is not None:
             rev_pairs = seeded_closure(
-                edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")), rev
+                edges.select(
+                    *keys, F.col("dst").alias("src"), F.col("src").alias("dst")
+                ),
+                rev,
+                group_col=gv,
             )
             pairs = rev_pairs.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
+                *keys, F.col("dst").alias("src"), F.col("src").alias("dst")
             )
             zero_nodes = rev
         else:
-            pairs = transitive_closure(edges)
+            pairs = transitive_closure(edges, group_col=gv)
             zero_nodes = None
         if op == "*":
             nodes = (
-                edges.select(F.col("src").alias("n"))
-                .unionByName(edges.select(F.col("dst").alias("n")))
+                edges.select(*keys, F.col("src").alias("n"))
+                .unionByName(edges.select(*keys, F.col("dst").alias("n")))
                 .distinct()
             )
             if zero_nodes is not None:  # only seed nodes can appear as src
-                nodes = nodes.join(zero_nodes.select("n"), "n", "left_semi")
-            zero = nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
+                on = ["n"] + [k for k in keys if k in zero_nodes.columns]
+                nodes = nodes.join(zero_nodes, on, "left_semi")
+            zero = nodes.select(
+                *keys, F.col("n").alias("src"), F.col("n").alias("dst")
+            )
             pairs = pairs.unionByName(zero).distinct()
         return pairs
 
@@ -495,12 +527,17 @@ class Translator:
         directories; the negated form is a full scan by necessity."""
         member = F.col("p").isin(list(p.preds))
         df = self.triples.filter(~member if p.negated else member)
+        if self.graph_var is not None:
+            df = df.withColumn(self.graph_var, F.col("g"))
         return self._bind_endpoints(df, p.s, p.o, "s", "o")
 
     def _altpath(self, p: A.AltPath) -> DataFrame:
         """General path alternative: bag union of the branch BGPs, projected
-        to the shared endpoint variables."""
+        to the shared endpoint variables (plus g under GRAPH ?g — every
+        branch binds it, so the union stays graph-correlated)."""
         out_vars = [t[1:] for t in (p.s, p.o) if isinstance(t, str) and t.startswith("?")]
+        if self.graph_var is not None and self.graph_var not in out_vars:
+            out_vars.append(self.graph_var)
         branches = [self._bgp(A.BGP(list(br))).select(*out_vars) for br in p.branches]
         from functools import reduce as _reduce
 
@@ -508,18 +545,25 @@ class Translator:
 
     def _bind_endpoints(self, df: DataFrame, s, o, s_col: str, o_col: str) -> DataFrame:
         """Bind/filter the two endpoint terms of a pair-producing operator;
-        handles constants and the repeated-variable case (?x p+ ?x)."""
+        handles constants and the repeated-variable case (?x p+ ?x). Under
+        GRAPH ?g the graph binding column is carried through."""
+        extra = []
+        if self.graph_var is not None and self.graph_var in df.columns:
+            extra = [F.col(self.graph_var)]
         if (
             isinstance(s, str) and s.startswith("?")
             and s == o
         ):
-            return df.filter(F.col(s_col) == F.col(o_col)).select(F.col(s_col).alias(s[1:]))
+            return df.filter(F.col(s_col) == F.col(o_col)).select(
+                F.col(s_col).alias(s[1:]), *extra
+            )
         cols = []
         for endpoint, col in ((s, s_col), (o, o_col)):
             if isinstance(endpoint, str) and endpoint.startswith("?"):
                 cols.append(F.col(col).alias(endpoint[1:]))
             else:
                 df = df.filter(F.col(col) == F.lit(endpoint))
+        cols += extra
         return df.select(*cols) if cols else df.select()
 
     # ------------- FILTER (incl. EXISTS / NOT EXISTS) -------------

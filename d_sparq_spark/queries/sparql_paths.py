@@ -262,6 +262,33 @@ _q_quads(
 )
 
 _q_quads(
+    # property path under GRAPH ?g: ONE plan — the closure fixpoint takes g
+    # as a group column (operators/paths.py), no per-graph driver loop. The
+    # ex:next chain lives entirely in g:nation, so the answer is that
+    # graph's closure; cross-graph non-composition is pinned by the
+    # two-graph golden in tests/test_sparql_paths.py.
+    "q_sparql_graph_path",
+    "SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x ex:next+ ?y } }",
+    """
+    SELECT 'g:nation' AS g, 'n:' || a.n_nationkey AS x, 'n:' || b.n_nationkey AS y
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    """,
+)
+
+_q_quads(
+    # seeded closure under GRAPH ?g: ?x is bound by the same-graph star
+    # first, so the fixpoint seeds are (g, x) PAIRS — reachability stays
+    # inside each seed's own graph (paths.seeded_closure group_col).
+    "q_sparql_graph_path_seeded",
+    "SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x ex:region r:1 . ?x ex:next+ ?y } }",
+    """
+    SELECT 'g:nation' AS g, 'n:' || a.n_nationkey AS x, 'n:' || b.n_nationkey AS y
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    WHERE a.n_regionkey = 1
+    """,
+)
+
+_q_quads(
     "q_sparql_graph_var",
     "SELECT ?g (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?s foaf:name ?o } } GROUP BY ?g",
     """

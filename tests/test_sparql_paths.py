@@ -213,16 +213,97 @@ def test_graph_var_exists_scoped_to_graph(spark):
     assert rows(out) == [("g2", "Cara")]
 
 
-def test_graph_var_path_falls_back(spark):
-    """Property paths under GRAPH ?g use the per-graph loop (closure pairs
-    drop g) — still correct, just the metadata-scale path."""
-    from d_sparq_spark.engine import SparqlEngine
+PATH_QUADS = [
+    # g1: chain a->b->c; g2: a->z and b->q. Cross-graph composition
+    # (a->b in g1 with b->q in g2) must NEVER happen.
+    ("g1", "a", "ex:next", "b"),
+    ("g1", "b", "ex:next", "c"),
+    ("g2", "a", "ex:next", "z"),
+    ("g2", "b", "ex:next", "q"),
+]
 
+
+@pytest.fixture(scope="module")
+def path_quads(spark):
+    return spark.createDataFrame(
+        PATH_QUADS, "g string, s string, p string, o string"
+    )
+
+
+def test_graph_var_path_single_plan_route(path_quads):
+    """Property paths under GRAPH ?g take the single-plan column route:
+    the closure fixpoint carries g as a group column, so _graph_column_ok
+    accepts the shape (no per-graph collect-and-union)."""
+    from d_sparq_spark.plans import ast as A
+    from d_sparq_spark.plans.parser import parse_sparql
+    from d_sparq_spark.plans.translate import Translator
+
+    tree = parse_sparql("SELECT ?g ?y WHERE { GRAPH ?g { a ex:next+ ?y } }")
+    node = tree.root
+    while not isinstance(node, A.Graph):
+        node = node.child
+    assert Translator._graph_column_ok(node.child)
+
+
+def test_graph_var_path_seeded(path_quads):
+    eng = SparqlEngine(path_quads, collect_stats=False)
+    out = eng.query("SELECT ?g ?y WHERE { GRAPH ?g { a ex:next+ ?y } }")
+    # seeded per graph from the constant: c only via g1's chain; q is NOT
+    # reachable from a in g2 (a->b lives in g1)
+    assert rows(out) == [("g1", "b"), ("g1", "c"), ("g2", "z")]
+
+
+def test_graph_var_path_unbound_closure(path_quads):
+    eng = SparqlEngine(path_quads, collect_stats=False)
+    out = eng.query("SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x ex:next+ ?y } }")
+    assert rows(out) == [
+        ("g1", "a", "b"), ("g1", "a", "c"), ("g1", "b", "c"),
+        ("g2", "a", "z"), ("g2", "b", "q"),
+    ]
+
+
+def test_graph_var_path_star_zero_length_per_graph(path_quads):
+    eng = SparqlEngine(path_quads, collect_stats=False)
+    out = eng.query("SELECT ?g ?y WHERE { GRAPH ?g { b ex:next* ?y } }")
+    # zero-length (b,b) appears in every graph where b occurs in the
+    # predicate's domain/range — here both
+    assert rows(out) == [("g1", "b"), ("g1", "c"), ("g2", "b"), ("g2", "q")]
+
+
+def test_graph_var_path_var_seeded_from_same_graph_star(spark):
+    """A closure whose source var is bound by a same-graph star seeds the
+    fixpoint with (g, x) PAIRS — reachability stays inside each seed's
+    own graph."""
     quads = spark.createDataFrame(
-        [("g1", "a", "ex:next", "b"), ("g1", "b", "ex:next", "c"),
-         ("g2", "a", "ex:next", "z")],
+        PATH_QUADS
+        + [("g1", "a", "ex:tag", "t"), ("g2", "b", "ex:tag", "t")],
         "g string, s string, p string, o string",
     )
     eng = SparqlEngine(quads, collect_stats=False)
-    out = eng.query("SELECT ?g ?y WHERE { GRAPH ?g { a ex:next+ ?y } }")
-    assert rows(out) == [("g1", "b"), ("g1", "c"), ("g2", "z")]
+    out = eng.query(
+        'SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x ex:tag "t" . ?x ex:next+ ?y } }'
+    )
+    # a tagged in g1 -> g1 chain only; b tagged in g2 -> b->q only (b->c
+    # is g1's edge and must not leak into g2's seed)
+    assert rows(out) == [
+        ("g1", "a", "b"), ("g1", "a", "c"), ("g2", "b", "q"),
+    ]
+
+
+def test_graph_var_propset_and_alt(spark):
+    quads = spark.createDataFrame(
+        [("g1", "a", "p:1", "x"), ("g2", "a", "p:2", "y"),
+         ("g1", "a", "p:3", "z")],
+        "g string, s string, p string, o string",
+    )
+    eng = SparqlEngine(quads, collect_stats=False)
+    out = eng.query("SELECT ?g ?o WHERE { GRAPH ?g { a !(p:3) ?o } }")
+    assert rows(out) == [("g1", "x"), ("g2", "y")]
+    out = eng.query("SELECT ?g ?o WHERE { GRAPH ?g { a (p:1|p:2) ?o } }")
+    assert rows(out) == [("g1", "x"), ("g2", "y")]
+
+
+def test_graph_var_path_opt_per_graph(path_quads):
+    eng = SparqlEngine(path_quads, collect_stats=False)
+    out = eng.query("SELECT ?g ?y WHERE { GRAPH ?g { a ex:next? ?y } }")
+    assert rows(out) == [("g1", "a"), ("g1", "b"), ("g2", "a"), ("g2", "z")]
