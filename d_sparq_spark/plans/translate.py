@@ -96,6 +96,12 @@ class Translator:
         self.catalog = catalog  # StoreCatalog: property table + ExtVP routes
         self.spark = triples.sparkSession
 
+    def _spawn(self, triples: DataFrame, stats, graph_var: str | None = None) -> "Translator":
+        """Sub-translator for GRAPH evaluation — overridden by the encoded
+        engine's translator so nested value filters keep their
+        shadow-decode capability inside GRAPH groups."""
+        return type(self)(triples, stats, services=self.services, graph_var=graph_var)
+
     # ------------- algebra -------------
 
     def eval(self, node) -> DataFrame:
@@ -253,10 +259,7 @@ class Translator:
         term = node.term
         if isinstance(term, str) and term.startswith("?"):
             if self._graph_column_ok(node.child):
-                sub = Translator(
-                    self.triples, self.stats, services=self.services,
-                    graph_var=term[1:],
-                )
+                sub = self._spawn(self.triples, self.stats, graph_var=term[1:])
                 return sub.eval(node.child)
             g_type = dict(self.triples.dtypes)["g"]  # keep lit dtype == store dtype
             gvals = sorted(
@@ -264,7 +267,7 @@ class Translator:
             )
             parts = []
             for gv in gvals:
-                sub = Translator(
+                sub = self._spawn(
                     self.triples.filter(F.col("g") == gv).drop("g"), self.stats
                 )
                 parts.append(
@@ -273,7 +276,9 @@ class Translator:
             return reduce(
                 lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
             )
-        sub = Translator(self.triples.filter(F.col("g") == F.lit(term)).drop("g"), self.stats)
+        sub = self._spawn(
+            self.triples.filter(F.col("g") == F.lit(term)).drop("g"), self.stats
+        )
         return sub.eval(node.child)
 
     @staticmethod

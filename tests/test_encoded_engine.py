@@ -62,11 +62,60 @@ def test_unknown_constant_yields_empty(engines):
     assert encoded.query('SELECT ?x WHERE { ?x ex:city "Atlantis" }').count() == 0
 
 
-def test_nested_value_filter_falls_back_to_decode_early(engines):
-    # value FILTER inside OPTIONAL can't run over long IDs; the engine
-    # must decode the store early and still answer correctly
+def test_nested_value_filter_matches_lexical(engines):
+    # value FILTER inside OPTIONAL: evaluated in place over the encoded
+    # store via shadow-column decode of just ?a (no full-store decode)
     lexical, encoded = engines
     q = "SELECT ?n ?a WHERE { ?x ex:name ?n OPTIONAL { ?x ex:age ?a FILTER(?a > 26) } }"
+    assert rows(encoded.query(q)) == rows(lexical.query(q))
+
+
+def test_nested_filter_column_pruned_decode_no_fallback(engines, monkeypatch):
+    """VERDICT r2 #3: a value-FILTER-under-OPTIONAL decodes ONLY the
+    variables the expression references (one broadcast dict join each) —
+    the whole-store fallback must not run, and the filter's sibling
+    binding ?n must stay encoded through the join."""
+    import d_sparq_spark.encoded_engine as ee
+
+    lexical, encoded = engines
+    calls: list[tuple] = []
+    orig = ee._EncodedTranslator._decode_shadow
+
+    def spy(self, df, variables):
+        calls.append(tuple(variables))
+        return orig(self, df, variables)
+
+    monkeypatch.setattr(ee._EncodedTranslator, "_decode_shadow", spy)
+
+    def no_fallback(self, tree):
+        raise AssertionError("whole-store decode fallback must not run")
+
+    monkeypatch.setattr(ee.EncodedSparqlEngine, "_lexical_fallback", no_fallback)
+    q = "SELECT ?n ?a WHERE { ?x ex:name ?n OPTIONAL { ?x ex:age ?a FILTER(?a > 26) } }"
+    assert rows(encoded.query(q)) == rows(lexical.query(q))
+    assert calls == [("a",)]  # exactly the referenced variable, nothing else
+
+
+def test_nested_filter_under_graph_var_column_pruned(quad_engines, monkeypatch):
+    import d_sparq_spark.encoded_engine as ee
+
+    lexical, encoded = quad_engines
+
+    def no_fallback(self, tree):
+        raise AssertionError("whole-store decode fallback must not run")
+
+    monkeypatch.setattr(ee.EncodedSparqlEngine, "_lexical_fallback", no_fallback)
+    q = "SELECT ?g ?x WHERE { GRAPH ?g { ?x ex:age ?a FILTER(?a > 26) } }"
+    assert rows(encoded.query(q)) == rows(lexical.query(q))
+    assert len(rows(encoded.query(q))) > 0
+
+
+def test_nested_bind_still_falls_back(engines):
+    # BIND inside the structural pattern produces a lexical binding that
+    # downstream ID joins can't consume — stays on the decode-early path
+    lexical, encoded = engines
+    q = ("SELECT ?n ?u WHERE { ?x ex:name ?n "
+         "OPTIONAL { ?x ex:city ?c BIND(UCASE(?c) AS ?u) } }")
     assert rows(encoded.query(q)) == rows(lexical.query(q))
 
 
@@ -134,18 +183,17 @@ def test_encoded_composite_closure(spark):
     assert rows(enc_e.query(q)) == rows(lex.query(q)) == [("a", "c"), ("a", "e"), ("c", "e")]
 
 
-def test_graph_nested_value_filter_falls_back(quad_engines):
+def test_graph_nested_value_filter_matches_lexical(quad_engines):
     # ADVICE r1 (high): unary structural root (GRAPH) must not skip the
     # structural check — encoded eval would compare long IDs to literals.
-    # With the decode-early fallback the answer must now EQUAL the lexical
-    # engine's instead of raising.
+    # Now handled in place by shadow-column decode (_EncodedTranslator).
     lexical, encoded = quad_engines
     q = 'SELECT ?x WHERE { GRAPH "g:a" { ?x ex:age ?a FILTER(?a > 26) } }'
     assert rows(encoded.query(q)) == rows(lexical.query(q))
     assert len(rows(encoded.query(q))) > 0
 
 
-def test_exists_nested_value_filter_falls_back(engines):
+def test_exists_nested_value_filter_matches_lexical(engines):
     lexical, encoded = engines
     q = ("SELECT ?n WHERE { ?x ex:name ?n "
          "FILTER EXISTS { ?x ex:age ?a FILTER(?a > 26) } }")
@@ -170,9 +218,9 @@ def test_service_falls_back_to_decode_early(engines, spark):
     assert len(rows(encoded.query(q))) > 0
 
 
-def test_encoded_ask_with_value_filter_falls_back(engines):
+def test_encoded_ask_with_value_filter_matches_lexical(engines):
     # ASK/CONSTRUCT have no wrapper-peeling: a value FILTER in their group
-    # must trigger the decode-early fallback, not compare IDs to literals
+    # runs via shadow-column decode, never compares IDs to literals
     lexical, encoded = engines
     q = "ASK { ?x ex:age ?a FILTER(?a > 26) }"
     assert rows(encoded.query(q)) == rows(lexical.query(q))
@@ -180,7 +228,7 @@ def test_encoded_ask_with_value_filter_falls_back(engines):
     assert rows(encoded.query(q_false)) == rows(lexical.query(q_false))
 
 
-def test_encoded_construct_with_value_filter_falls_back(engines):
+def test_encoded_construct_with_value_filter_matches_lexical(engines):
     lexical, encoded = engines
     q = ('CONSTRUCT { ?x ex:grownup "yes" } '
          "WHERE { ?x ex:age ?a FILTER(?a > 26) }")
