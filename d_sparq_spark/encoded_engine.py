@@ -149,6 +149,13 @@ class EncodedSparqlEngine:
         services maps SERVICE endpoint names to LEXICAL triples DataFrames;
         federated queries take the decode-early fallback (endpoint stores
         have their own dictionaries, so ID joins can't cross engines)."""
+        if catalog is not None and "g" in triples_enc.columns:
+            raise ValueError(
+                "StoreCatalog routing is triple-level: a property table "
+                "over a quad store pivots across ALL named graphs and "
+                "changes binding multiplicity — attach the catalog to a "
+                "single graph's slice instead"
+            )
         self.triples = triples_enc
         self.dict = dictionary.select("id", "term")
         self.catalog = catalog

@@ -34,6 +34,13 @@ class SparqlEngine:
         catalog (plans/catalog.StoreCatalog) registers materialized
         alternative layouts — property table, ExtVP reductions — that the
         planner substitutes for full-store scans when a star qualifies."""
+        if catalog is not None and "g" in triples.columns:
+            raise ValueError(
+                "StoreCatalog routing is triple-level: a property table "
+                "over a quad store pivots across ALL named graphs and "
+                "changes binding multiplicity — attach the catalog to a "
+                "single graph's slice instead"
+            )
         self.triples = triples
         stats = None
         if collect_stats:
@@ -107,6 +114,23 @@ class SparqlEngine:
         if isinstance(tree, A.DeleteData):
             return t.join(F.broadcast(ground_df(tree.triples)), on, "left_anti")
         if isinstance(tree, A.Modify):
+            # SPARQL 1.1 Update requires a FRESH blank node per solution
+            # when a template contains one; instantiating it as a shared
+            # constant would silently conflate entities across bindings.
+            # Reject explicitly until fresh-bnode instantiation exists.
+            for tmpl in (tree.delete_template, tree.insert_template):
+                for tp in tmpl or ():
+                    if any(
+                        isinstance(t, str) and t.startswith("_:")
+                        for t in (tp.s, tp.p, tp.o)
+                    ):
+                        raise NotImplementedError(
+                            "SPARQL UPDATE: blank nodes in DELETE/INSERT "
+                            "templates need fresh-bnode-per-solution "
+                            "instantiation, which is not implemented — "
+                            "use a derived IRI (e.g. IRI(CONCAT(...))) "
+                            "instead"
+                        )
             bindings = self._translator.eval(tree.where)
             out = t
             if tree.delete_template:

@@ -103,6 +103,8 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:  # empty edge set: no nodes, no ranks (not a ZeroDivision)
+        return nodes.select("node", F.lit(0).cast("long").alias("rank_ppt"))
     base = SCALE * (100 - damping_pct) // 100 // n
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     e = edges.join(deg, "src").localCheckpoint()

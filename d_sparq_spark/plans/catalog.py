@@ -103,7 +103,8 @@ class StoreCatalog:
             for kind, fn in (("ss", ss_reduction), ("os", os_reduction)):
                 red = fn(triples, p1, p2)
                 n = red.count()
-                ratio = n / sizes[p1] if sizes[p1] else 0.0
+                sz = sizes.get(p1, 0)  # requested predicate may be absent
+                ratio = n / sz if sz else 0.0
                 if 0 < n and ratio < min_selectivity:
                     self._extvp[(kind, p1, p2)] = (red.cache() if cache else red, ratio)
         return self

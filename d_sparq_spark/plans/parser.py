@@ -193,6 +193,17 @@ class Parser:
         self.eat_op("}")
         return out
 
+    def _require_plain_template(self, tmpl: list, what: str) -> list:
+        """DELETE{}/INSERT{} templates must be plain triple patterns — a
+        property path parses fine but has no instantiable template form
+        (same check DELETE WHERE applies to its implicit template)."""
+        if any(not isinstance(tp, TriplePattern) for tp in tmpl):
+            raise SyntaxError(
+                f"SPARQL UPDATE: {what} template must contain only plain "
+                "triple patterns (no property paths)"
+            )
+        return tmpl
+
     def parse_update(self):
         """INSERT DATA {t} | DELETE DATA {t} | DELETE WHERE {g} |
         [DELETE {tmpl}] [INSERT {tmpl}] WHERE {g}. Named-graph (WITH /
@@ -203,7 +214,7 @@ class Parser:
         self.next()
         if self.at_kw("data"):
             self.next()
-            triples = self._triple_block()
+            triples = self._require_plain_template(self._triple_block(), "DATA")
             bad = [tp for tp in triples for t in (tp.s, tp.p, tp.o)
                    if isinstance(t, str) and t.startswith("?")]
             if bad:
@@ -213,7 +224,7 @@ class Parser:
                 raise SyntaxError(f"SPARQL: trailing tokens at {self.peek()}")
             return node
         if is_insert:
-            ins = self._triple_block()
+            ins = self._require_plain_template(self._triple_block(), "INSERT")
             self.eat_kw("where")
             group = self.parse_group()
             node = A.Modify(None, ins, group)
@@ -229,11 +240,13 @@ class Parser:
                 )
             node = A.Modify(list(group.patterns), None, group)
         else:
-            del_tmpl = self._triple_block()
+            del_tmpl = self._require_plain_template(self._triple_block(), "DELETE")
             ins_tmpl = None
             if self.at_kw("insert"):
                 self.next()
-                ins_tmpl = self._triple_block()
+                ins_tmpl = self._require_plain_template(
+                    self._triple_block(), "INSERT"
+                )
             self.eat_kw("where")
             group = self.parse_group()
             node = A.Modify(del_tmpl, ins_tmpl, group)

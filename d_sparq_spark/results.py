@@ -25,6 +25,22 @@ _TYPED = re.compile(r'^"(.*)"\^\^(.+)$', re.DOTALL)
 _TAGGED = re.compile(r'^"(.*)"@([A-Za-z][A-Za-z0-9-]*)$', re.DOTALL)
 _IRI_LIKE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
 
+# The spec requires 'datatype' to be an ABSOLUTE IRI; the store keeps the
+# compact prefixed form, so well-known prefixes expand at serialization
+# time (unknown prefixes pass through — the store can't invent a base).
+_PREFIX_IRIS = {
+    "xsd:": "http://www.w3.org/2001/XMLSchema#",
+    "rdf:": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs:": "http://www.w3.org/2000/01/rdf-schema#",
+}
+
+
+def _expand_datatype(dt: str) -> str:
+    for pfx, iri in _PREFIX_IRIS.items():
+        if dt.startswith(pfx):
+            return iri + dt[len(pfx):]
+    return dt
+
 
 def term_to_json(value: object) -> dict | None:
     """One binding value -> a spec term object (None stays unbound)."""
@@ -33,7 +49,11 @@ def term_to_json(value: object) -> dict | None:
     s = str(value)
     m = _TYPED.match(s)
     if m:
-        return {"type": "literal", "value": m.group(1), "datatype": m.group(2)}
+        return {
+            "type": "literal",
+            "value": m.group(1),
+            "datatype": _expand_datatype(m.group(2)),
+        }
     m = _TAGGED.match(s)
     if m:
         return {"type": "literal", "value": m.group(1), "xml:lang": m.group(2)}

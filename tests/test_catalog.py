@@ -201,19 +201,31 @@ def test_encoded_engine_pt_route_equivalent(spark):
     assert _plan(routed).count("Join") < _plan(base).count("Join")
 
 
-def test_graph_query_ignores_catalog(spark, pt_catalog):
-    # GRAPH ?g rides the g column through every scan; reductions and the PT
-    # are triple-level, so catalog routing must be bypassed entirely.
+def test_catalog_refused_on_quad_store(spark, pt_catalog):
+    # ADVICE r2: catalog routing is triple-level — a property table over a
+    # quad store would pivot across ALL graphs and change binding
+    # multiplicity for top-level (non-GRAPH) stars. The engines refuse the
+    # combination outright rather than routing wrong.
+    import pytest
+
+    from d_sparq_spark.encoded_engine import EncodedSparqlEngine
     from d_sparq_spark.sources.derived_rdf import derive_quads
 
     quads = derive_quads(spark, SF)
-    routed = SparqlEngine(quads, collect_stats=False, catalog=pt_catalog).query(
+    with pytest.raises(ValueError, match="quad store"):
+        SparqlEngine(quads, collect_stats=False, catalog=pt_catalog)
+    enc_quads = quads.selectExpr(
+        "cast(1 as bigint) s", "cast(1 as bigint) p",
+        "cast(1 as bigint) o", "cast(1 as bigint) g",
+    )
+    with pytest.raises(ValueError, match="quad store"):
+        EncodedSparqlEngine(
+            enc_quads, quads.selectExpr("cast(1 as bigint) id", "s as term"),
+            collect_stats=False, catalog=pt_catalog,
+        )
+    # without a catalog the same GRAPH query runs fine
+    out = SparqlEngine(quads, collect_stats=False).query(
         "SELECT ?g ?n ?name WHERE { GRAPH ?g { ?n foaf:name ?name ; "
         "ex:region ?r } }"
     )
-    base = SparqlEngine(quads, collect_stats=False).query(
-        "SELECT ?g ?n ?name WHERE { GRAPH ?g { ?n foaf:name ?name ; "
-        "ex:region ?r } }"
-    )
-    assert _rows(routed) == _rows(base)
-    assert len(_rows(routed)) == 25
+    assert len(_rows(out)) == 25

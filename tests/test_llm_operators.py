@@ -236,6 +236,29 @@ def test_lsh_cluster_edges_subset_of_exact(spark):
     assert comp[1] != comp[3]  # unrelated docs stay apart
 
 
+def test_pagerank_empty_edges(spark):
+    # ADVICE r2: n == 0 must yield an empty (node, rank_ppt) frame, not a
+    # ZeroDivisionError
+    from d_sparq_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    out = pagerank(empty, n_iter=3)
+    assert out.columns == ["node", "rank_ppt"]
+    assert out.count() == 0
+
+
+def test_add_extvp_absent_predicate(spark):
+    # ADVICE r2: a requested predicate absent from the store must not
+    # KeyError — it simply yields no reductions
+    from d_sparq_spark.plans.catalog import StoreCatalog
+
+    t = spark.createDataFrame(
+        [("a", "ex:p", "b"), ("b", "ex:q", "c")], "s string, p string, o string"
+    )
+    cat = StoreCatalog().add_extvp(t, predicates=["ex:p", "ex:nope"])
+    assert all(p1 != "ex:nope" for _, p1, _ in cat._extvp)
+
+
 def test_pagerank_matches_integer_reference(spark):
     """pagerank == a pure-Python reference doing the SAME integer
     arithmetic — exact equality, no float tolerance."""

@@ -18,8 +18,13 @@ def test_term_mapping():
     assert term_to_json('"cat"@en') == {
         "type": "literal", "value": "cat", "xml:lang": "en"
     }
+    # spec: datatype must be an ABSOLUTE IRI — known prefixes expand
     assert term_to_json('"5"^^xsd:int') == {
-        "type": "literal", "value": "5", "datatype": "xsd:int"
+        "type": "literal", "value": "5",
+        "datatype": "http://www.w3.org/2001/XMLSchema#int",
+    }
+    assert term_to_json('"x"^^ex:custom') == {
+        "type": "literal", "value": "x", "datatype": "ex:custom"
     }
     assert term_to_json("plain words") == {"type": "literal", "value": "plain words"}
     assert term_to_json(None) is None
@@ -43,7 +48,10 @@ def test_results_json_and_csv_from_query(spark):
     b0, b1 = doc["results"]["bindings"]
     assert b0["x"] == {"type": "uri", "value": "p:a"}
     assert b0["n"] == {"type": "literal", "value": "Ada", "xml:lang": "en"}
-    assert b0["a"] == {"type": "literal", "value": "36", "datatype": "xsd:int"}
+    assert b0["a"] == {
+        "type": "literal", "value": "36",
+        "datatype": "http://www.w3.org/2001/XMLSchema#int",
+    }
     assert "a" not in b1  # unbound variable omitted per spec
 
     text = results_csv(df)

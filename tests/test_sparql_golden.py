@@ -694,6 +694,31 @@ def test_update_rejects_vars_in_data_and_query_rejects_update(engine):
         engine.update("SELECT ?x WHERE { ?x ex:name ?n }")
 
 
+def test_update_rejects_bnode_in_template(engine):
+    # ADVICE r2: spec requires a FRESH bnode per solution; a shared
+    # constant would conflate entities — reject until implemented
+    with pytest.raises(NotImplementedError, match="blank nodes"):
+        engine.update(
+            "INSERT { ?x ex:address _:addr } WHERE { ?x ex:city ?c }"
+        )
+
+
+def test_update_rejects_path_in_template(engine):
+    # ADVICE r2: a property path in a DELETE/INSERT template must be a
+    # clear SyntaxError, not a downstream instantiate() crash
+    with pytest.raises(SyntaxError, match="template"):
+        engine.update(
+            "DELETE { ?x ex:knows+ ?y } INSERT { ?x ex:met ?y } "
+            "WHERE { ?x ex:knows ?y }"
+        )
+    # a sequence path desugars to plain triples with a fresh variable —
+    # the DATA ground-triples check catches that form instead
+    with pytest.raises(SyntaxError, match="template|ground triples"):
+        engine.update('INSERT DATA { p:x ex:knows/ex:knows p:y }')
+    with pytest.raises(SyntaxError, match="template|ground triples"):
+        engine.update('DELETE DATA { p:x ex:knows+ p:y }')
+
+
 def test_graph_var_subquery_stays_graph_correlated(spark):
     """A subquery under GRAPH ?g projects g away, so the column path must
     NOT be taken — the per-graph loop keeps the correlation. x2 has a name
