@@ -43,6 +43,9 @@ HEADLINE = [
     "q_sparql_encoded_star",  # encoded engine end-to-end (dict-ID joins, late decode)
     "q_dup_clusters_lsh",   # MinHash-LSH candidates -> connected components (scale path)
     "q_tpch_q5",            # 6-table join, local-supplier correlation
+    "q_pagerank",           # iterative O(V)-state graph op (r2's worst case)
+    "q_sparql_path_plus_bound",  # seeded frontier closure (vs unbound twin above)
+    "q_sparql_graph_path",  # grouped closure under GRAPH ?g (single plan)
 ]
 
 
