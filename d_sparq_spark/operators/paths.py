@@ -20,6 +20,8 @@ Fixpoint shape, chosen for the 100 TB case:
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -76,22 +78,30 @@ def transitive_closure(
 def seeded_closure(
     edges: DataFrame,
     seeds: DataFrame,
-    bfs_rounds: int = 128,
+    bfs_rounds: int = 32,
     group_col: str | None = None,
+    stride: int = 8,
 ) -> DataFrame:
     """Reachability FROM a seed set: all (src, dst) with src in seeds(n)
     and dst reachable via >= 1 edge. For `<x> p+ ?y` (or a p+ whose source
     variable the BGP already bound) the full transitive closure is
     O(reachable-pairs) state for the WHOLE graph to answer a handful of
-    sources — this frontier BFS keeps state O(pairs reachable from seeds),
-    the thing that actually fits at 100 TB.
+    sources — this frontier expansion keeps state O(pairs reachable from
+    seeds), the thing that actually fits at 100 TB.
 
-    Frontier iteration: one join frontier x edges + anti-join vs reached
-    per round; the anti-join guarantees termination on cycles. Rounds =
-    graph diameter (not log-diameter like the doubling loop) — the right
-    trade when |seeds| << |nodes|; a pathological >128-hop chain falls
-    back to the doubling closure semi-joined to the seeds rather than
-    erroring.
+    STRIDED frontier iteration: the hop relation is pre-doubled to pairs
+    at distance 1..stride (log2(stride) self-joins of the edge set, done
+    once), so each round advances `stride` hops — a diameter-d graph takes
+    ceil(d/stride) rounds instead of d. Driver-round overhead (one
+    checkpoint + one empty-probe per round) dominates small graphs, so
+    fewer rounds is a direct win; at scale the stride relation's state is
+    O(paths of length <= stride), bounded and local, unlike the doubling
+    closure's O(all pairs). The anti-join vs everything reached so far
+    guarantees termination on cycles; `reached` is the union of per-round
+    CHECKPOINTED frontiers (disjoint by construction), so no re-checkpoint
+    of the accumulated set is needed per round. A graph deeper than
+    stride * bfs_rounds hops falls back to the doubling closure
+    semi-joined to the seeds rather than erroring.
 
     ``group_col`` (GRAPH ?g) partitions the edge set into independent
     subgraphs: pairs compose only within a group and the output carries
@@ -99,7 +109,7 @@ def seeded_closure(
     endpoint) seed every group they occur in; seeds WITH it (a variable
     the BGP bound alongside g) seed only their own graph."""
     # collision-free internal names: the per-round plan joins the same
-    # checkpointed edge relation repeatedly; sharing output names with the
+    # checkpointed hop relation repeatedly; sharing output names with the
     # frontier trips the analyzer's attribute dedup (key-not-found) when
     # the checkpoint's exprIds recur under distinct.
     keys = [group_col] if group_col else []
@@ -112,6 +122,25 @@ def seeded_closure(
         .distinct()
         .localCheckpoint()
     )
+    # hop := pairs at distance 1..stride, by doubling: (1..d) o (1..d) ∪
+    # (1..d) = 1..2d. Bounded-depth state, built once, checkpointed once.
+    hop, depth = edges, 1
+    while depth < stride:
+        composed = (
+            hop.alias("l")
+            .join(
+                hop.alias("r"),
+                [F.col("l._edst") == F.col("r._esrc")]
+                + [F.col(f"l._ek_{k}") == F.col(f"r._ek_{k}") for k in keys],
+            )
+            .select(
+                *[F.col(f"l._ek_{k}").alias(f"_ek_{k}") for k in keys],
+                F.col("l._esrc").alias("_esrc"),
+                F.col("r._edst").alias("_edst"),
+            )
+        )
+        hop = hop.unionByName(composed).distinct().localCheckpoint()
+        depth *= 2
     seed_keyed = group_col is not None and group_col in seeds.columns
     if seed_keyed:
         vcol = next(c for c in seeds.columns if c != group_col)
@@ -126,7 +155,7 @@ def seeded_closure(
         seeds = seeds.select(F.col(seeds.columns[0]).alias("n")).distinct()
         seed_cond = [F.col("n") == F.col("_esrc")]
     frontier = (
-        seeds.join(edges, seed_cond)
+        seeds.join(hop, seed_cond)
         .select(
             *[F.col(f"_ek_{k}").alias(k) for k in keys],
             F.col("n").alias("src"),
@@ -135,15 +164,16 @@ def seeded_closure(
         .distinct()
         .localCheckpoint()
     )
-    reached = frontier
     if not frontier.take(1):
-        return reached
+        return frontier
+    parts = [frontier]  # disjoint checkpointed frontiers; union = reached
     pair_cols = keys + ["src", "dst"]
     for _ in range(bfs_rounds):
+        reached = reduce(DataFrame.unionByName, parts)
         step_cond = [F.col("dst") == F.col("_esrc")] + [
             F.col(k) == F.col(f"_ek_{k}") for k in keys
         ]
-        step = frontier.join(edges, step_cond).select(
+        step = frontier.join(hop, step_cond).select(
             *[F.col(k) for k in keys], F.col("src"), F.col("_edst").alias("dst")
         )
         frontier = (
@@ -151,10 +181,10 @@ def seeded_closure(
         )
         if not frontier.take(1):
             return reached
-        reached = reached.unionByName(frontier).localCheckpoint()
-    # diameter exceeded the BFS budget: finish with the log-rounds doubling
-    # loop, restricted to the seed sources at the end (correct, just not
-    # frontier-sized — only reachable on >128-hop-diameter graphs).
+        parts.append(frontier)
+    # diameter exceeded the budget (stride * bfs_rounds hops): finish with
+    # the log-rounds doubling loop, restricted to the seed sources at the
+    # end (correct, just not frontier-sized).
     full = transitive_closure(
         edges.select(
             *[F.col(f"_ek_{k}").alias(k) for k in keys],

@@ -87,3 +87,22 @@ def test_orc_sink_source_roundtrip(spark, tmp_path):
     back = spark.read.orc(path)
     assert back.schema == src.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_assign_ids_no_single_partition_stage(spark):
+    """VERDICT r2 #5: the dictionary's global dense rank must never plan a
+    SinglePartition window (the classic row_number-over-everything scale
+    killer). assign_ids range-partitions, ranks per partition, and adds
+    driver-computed offsets — the plan's only window partitions by _pid."""
+    from d_sparq_spark.operators.dictionary import assign_ids
+    from d_sparq_spark.sources.derived_rdf import derive_triples
+
+    t = derive_triples(spark, "/root/testdata/sf0.001")
+    ids = assign_ids(t.select(F.col("s").alias("term")))
+    plan = ids._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    assert "Window" in plan  # the per-partition rank is still a window
+    # ids are a dense 1..N lexicographic rank — spot-check the contract
+    rows = ids.orderBy("id").limit(3).collect()
+    assert [r["id"] for r in rows] == [1, 2, 3]
+    assert rows == sorted(rows, key=lambda r: r["term"])
