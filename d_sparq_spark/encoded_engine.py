@@ -174,7 +174,7 @@ class EncodedSparqlEngine:
         if isinstance(node, A.BGP):
             for tp in node.patterns:
                 if isinstance(tp, A.PropSetPattern):
-                    terms = (tp.s, *tp.preds, tp.o)
+                    terms = (tp.s, *tp.preds, *tp.inv_preds, tp.o)
                 elif isinstance(tp, A.AltPath):
                     terms = (tp.s, tp.o)
                     for br in tp.branches:
@@ -219,9 +219,15 @@ class EncodedSparqlEngine:
                 elif isinstance(tp, A.PropSetPattern):
                     # positive: a member absent from the dict can never match
                     # -> drop it (empty set = empty scan). negated: an absent
-                    # member never occurs in data -> dropping it is identity.
+                    # member never occurs in data -> dropping it is identity
+                    # (for forward AND inverse members alike).
                     kept = tuple(ids[m] for m in tp.preds if m in ids)
-                    pats.append(A.PropSetPattern(rid(tp.s), kept, rid(tp.o), tp.negated))
+                    kept_inv = tuple(ids[m] for m in tp.inv_preds if m in ids)
+                    pats.append(
+                        A.PropSetPattern(
+                            rid(tp.s), kept, rid(tp.o), tp.negated, kept_inv
+                        )
+                    )
                 elif isinstance(tp, A.AltPath):
                     branches = tuple(
                         tuple(self._rewrite(A.BGP(list(br)), ids).patterns)

@@ -78,14 +78,18 @@ class PathPattern:
 @dataclass(frozen=True)
 class PropSetPattern:
     """Property-set pattern: alternatives of plain IRIs (s (p1|p2) o) or a
-    negated property set (s !p / !(p1|p2) o). Both are a single predicate-
-    set membership scan — bag-exact vs the UNION expansion because each
-    triple matches at most one member."""
+    negated property set (s !p / !(p1|p2|^q1) o). The positive form and
+    the forward-negated form are a single predicate-set membership scan —
+    bag-exact vs the UNION expansion because each triple matches at most
+    one member. ``inv_preds`` carries the ^-members of a NEGATED set
+    (SPARQL 1.1 §18.2.2.6): those match REVERSE edges whose predicate is
+    outside the inverse member set, unioned with the forward component."""
 
     s: object
     preds: tuple
     o: object
     negated: bool
+    inv_preds: tuple = ()
 
 
 @dataclass(frozen=True)

@@ -380,6 +380,38 @@ class Parser:
         if distinct:
             root = A.Distinct(root)
             if order_keys:
+                # documented subset restriction, enforced here as a clear
+                # error instead of an unresolved-column failure at plan
+                # time: ordering runs after the dedup projection, so sort
+                # keys must be projected variables (the spec itself warns
+                # DISTINCT+ORDER BY is only meaningful on projected
+                # expressions, §15.1).
+                if not select_all:
+                    used: set[str] = set()
+                    stack = [e for e, _ in order_keys]
+                    while stack:
+                        e = stack.pop()
+                        if isinstance(e, A.Var):
+                            used.add(e.name)
+                        elif isinstance(e, A.BinOp):
+                            stack.append(e.left)
+                            stack.extend(
+                                e.right if isinstance(e.right, (list, tuple))
+                                else [e.right]
+                            )
+                        elif isinstance(e, A.UnOp):
+                            stack.append(e.operand)
+                        elif isinstance(e, A.FuncCall):
+                            stack.extend(e.args)
+                        elif isinstance(e, A.Aggregate) and e.arg is not None:
+                            stack.append(e.arg)
+                    missing = sorted(used - set(proj_vars))
+                    if missing:
+                        raise SyntaxError(
+                            "SPARQL: ORDER BY with SELECT DISTINCT may only "
+                            "reference projected variables; not projected: "
+                            + ", ".join("?" + v for v in missing)
+                        )
                 root = A.OrderBy(order_keys, root)
         if offset or limit is not None:
             root = A.Slice(offset, limit, root)
@@ -554,7 +586,9 @@ class Parser:
                     branches.append(tuple(branch))
                 out.append(A.AltPath(s, tuple(branches), o))
         elif isinstance(p, tuple) and p[0] == "neg":
-            out.append(A.PropSetPattern(s, tuple(p[1]), o, negated=True))
+            fwd = tuple(m for m in p[1] if isinstance(m, str))
+            inv = tuple(m[1] for m in p[1] if isinstance(m, tuple))
+            out.append(A.PropSetPattern(s, fwd, o, negated=True, inv_preds=inv))
         elif isinstance(p, tuple) and p[0] in ("+", "*", "?"):
             if isinstance(p[1], str):
                 out.append(A.PathPattern(s, p[0], p[1], o))
@@ -624,13 +658,28 @@ class Parser:
         return self.parse_term()
 
     def _parse_neg_member(self):
+        """PathOneInPropertySet ::= iri | 'a' | '^' (iri | 'a') — the spec
+        grammar admits ONLY IRIs (optionally inverted); quoted literals,
+        numbers, and variables are syntax errors, enforced here explicitly
+        rather than silently treated as never-matching predicates."""
         if self.at_kw("a"):
             self.next()
             return "rdf:type"
-        m = self.parse_term()
-        if not isinstance(m, str):
-            raise NotImplementedError("negated property sets contain only IRIs")
-        return m
+        if self.at_op("^"):  # inverse member: matches reverse edges
+            self.next()
+            inner = self._parse_neg_member()
+            if not isinstance(inner, str):
+                raise SyntaxError(
+                    "SPARQL: '^' in a negated property set must be "
+                    "followed by an IRI"
+                )
+            return ("inv", inner)
+        if self.peek().kind in ("STRING", "NUMBER", "VAR"):
+            raise SyntaxError(
+                "SPARQL: negated property set members must be IRIs "
+                f"(got {self.peek().text!r})"
+            )
+        return self.parse_term()
 
     def parse_term(self):
         t = self.next()

@@ -527,14 +527,28 @@ class Translator:
         return pairs
 
     def _propset(self, p: A.PropSetPattern) -> DataFrame:
-        """s (p1|p2) o / s !(p1|p2) o: one predicate-set membership scan.
+        """s (p1|p2) o / s !(p1|p2|^q1) o: predicate-set membership scans.
         At scale the positive form partition-prunes on the VP store's p
-        directories; the negated form is a full scan by necessity."""
-        member = F.col("p").isin(list(p.preds))
-        df = self.triples.filter(~member if p.negated else member)
+        directories; the negated form is a full scan by necessity.
+
+        Negated sets follow SPARQL 1.1 §18.2.2.6: the forward members
+        exclude forward edges, the ^-members exclude REVERSE edges, and
+        the result is the bag union of whichever components have members
+        (a set of only ^-members has no forward component at all)."""
+        store = self.triples
         if self.graph_var is not None:
-            df = df.withColumn(self.graph_var, F.col("g"))
-        return self._bind_endpoints(df, p.s, p.o, "s", "o")
+            store = store.withColumn(self.graph_var, F.col("g"))
+        if not p.negated:
+            df = store.filter(F.col("p").isin(list(p.preds)))
+            return self._bind_endpoints(df, p.s, p.o, "s", "o")
+        parts = []
+        if p.preds or not p.inv_preds:  # forward component
+            df = store.filter(~F.col("p").isin(list(p.preds)))
+            parts.append(self._bind_endpoints(df, p.s, p.o, "s", "o"))
+        if p.inv_preds:  # inverse component: endpoints swap columns
+            df = store.filter(~F.col("p").isin(list(p.inv_preds)))
+            parts.append(self._bind_endpoints(df, p.s, p.o, "o", "s"))
+        return reduce(lambda a, b: a.unionByName(b), parts)
 
     def _altpath(self, p: A.AltPath) -> DataFrame:
         """General path alternative: bag union of the branch BGPs, projected

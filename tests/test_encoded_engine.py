@@ -46,6 +46,7 @@ QUERIES = [
     "SELECT ?n WHERE { p:alice (ex:knows|ex:name) ?n }",
     "SELECT ?x WHERE { p:carol ^ex:knows ?x }",
     "SELECT ?o WHERE { p:eve !(rdf:type|ex:name) ?o }",
+    "SELECT ?o WHERE { p:bob !(^ex:city) ?o }",  # inverse negated member
     "SELECT ?y WHERE { p:alice ex:knows? ?y }",
     "SELECT DISTINCT ?n WHERE { p:alice (ex:name|ex:knows/ex:name) ?n }",
 ]

@@ -290,6 +290,53 @@ def test_graph_var_path_var_seeded_from_same_graph_star(spark):
     ]
 
 
+def test_negated_propset_inverse_members(spark):
+    """SPARQL 1.1 §18.2.2.6: ^-members of a negated set exclude REVERSE
+    edges; mixed sets are the bag union of both components."""
+    triples = spark.createDataFrame(
+        [("a", "ex:p", "b"), ("b", "ex:q", "a"), ("b", "ex:r", "c")],
+        "s string, p string, o string",
+    )
+    eng = SparqlEngine(triples, collect_stats=False)
+    # !(^ex:q): ONLY reverse edges whose predicate isn't ex:q.
+    # reverse edges at (a, ?): a<-p-? none... enumerate (x,y) with edge y->x:
+    # (b,a) via p [p != q: match], (a,b) via q [excluded], (c,b) via r [match]
+    out = eng.query("SELECT ?x ?y WHERE { ?x !(^ex:q) ?y }")
+    assert rows(out) == [("b", "a"), ("c", "b")]
+    # mixed !(ex:p|^ex:q) = bag union of:
+    #   forward not-p: (b,'q',a) -> (b,a); (b,'r',c) -> (b,c)
+    #   reverse not-q: edge (a,'p',b) -> (b,a); edge (b,'r',c) -> (c,b)
+    out = eng.query("SELECT ?x ?y WHERE { ?x !(ex:p|^ex:q) ?y }")
+    assert rows(out) == [("b", "a"), ("b", "a"), ("b", "c"), ("c", "b")]
+
+
+def test_negated_propset_rejects_literal_members(spark):
+    triples = spark.createDataFrame(
+        [("a", "ex:p", "b")], "s string, p string, o string"
+    )
+    eng = SparqlEngine(triples, collect_stats=False)
+    import pytest as _pytest
+
+    with _pytest.raises(SyntaxError, match="must be IRIs"):
+        eng.query('SELECT ?x WHERE { ?x !("lit") ?y }')
+    with _pytest.raises(SyntaxError, match="must be IRIs"):
+        eng.query("SELECT ?x WHERE { ?x !(ex:p|?v) ?y }")
+
+
+def test_distinct_order_by_unprojected_is_clear_error(spark):
+    triples = spark.createDataFrame(
+        [("a", "ex:p", "b")], "s string, p string, o string"
+    )
+    eng = SparqlEngine(triples, collect_stats=False)
+    import pytest as _pytest
+
+    with _pytest.raises(SyntaxError, match="projected"):
+        eng.query("SELECT DISTINCT ?x WHERE { ?x ex:p ?y } ORDER BY ?y")
+    # projected sort keys stay fine
+    out = eng.query("SELECT DISTINCT ?x WHERE { ?x ex:p ?y } ORDER BY ?x")
+    assert rows(out) == [("a",)]
+
+
 def test_graph_var_propset_and_alt(spark):
     quads = spark.createDataFrame(
         [("g1", "a", "p:1", "x"), ("g2", "a", "p:2", "y"),
