@@ -125,3 +125,47 @@ def test_stream_static_join_equals_batch(spark):
         "t_stream_static_join",
     )
     assert _sorted_rows(streamed) == _sorted_rows(batch)
+
+
+def test_replay_dedup_then_sessionize_sf01(spark):
+    """VERDICT r2 #8: availableNow replay of the dedup-within-watermark →
+    stateful-sessionize pipeline at sf0.1 (150k events), row-exact vs the
+    batch twin — the unit-fixture equivalence, rerun at data scale."""
+    from d_sparq_spark.streaming.sessions import sessionize_batch, sessionize_stream
+
+    SF01 = "/root/testdata/sf0.1"
+    stream = dedup_within_watermark(stream_events(spark, SF01))
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("t_replay_sessions_sf01")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    got = spark.table("t_replay_sessions_sf01")
+
+    batch = sessionize_batch(
+        load_table(spark, SF01, "events").dropDuplicates(["event_id"])
+    )
+    # finite replay: each user's final session never closes — the batch
+    # twin minus the last session per user is the exact expected output
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("sess_start_us").desc())
+    batch_closed = (
+        batch.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .drop("rn")
+    )
+    b = sorted(
+        (r["user_id"], r["sess_start_us"], r["n_events"], round(r["total_value"], 6))
+        for r in batch_closed.collect()
+    )
+    g = sorted(
+        (r["user_id"], r["sess_start_us"], r["n_events"], round(r["total_value"], 6))
+        for r in got.collect()
+    )
+    assert len(g) > 0
+    assert g == b
