@@ -43,27 +43,6 @@ def _is_var(t: object) -> bool:
     return isinstance(t, str) and t.startswith("?")
 
 
-def _expr_vars(e, out: set | None = None) -> set:
-    """Variable names referenced by a SPARQL expression tree."""
-    if out is None:
-        out = set()
-    if isinstance(e, A.Var):
-        out.add(e.name)
-    elif isinstance(e, A.BinOp):
-        _expr_vars(e.left, out)
-        items = e.right if isinstance(e.right, (list, tuple)) else [e.right]
-        for i in items:
-            _expr_vars(i, out)
-    elif isinstance(e, A.UnOp):
-        _expr_vars(e.operand, out)
-    elif isinstance(e, A.FuncCall):
-        for a in e.args:
-            _expr_vars(a, out)
-    elif isinstance(e, A.Aggregate) and e.arg is not None:
-        _expr_vars(e.arg, out)
-    return out
-
-
 def _subst_expr_vars(e, mapping: dict):
     """Rewrite Var(v) -> Var(mapping[v]) throughout an expression tree
     (frozen dataclasses: rebuilds the changed spine)."""
@@ -123,7 +102,7 @@ class _EncodedTranslator(Translator):
         child = self.eval(node.child)
         dtypes = dict(child.dtypes)
         enc = sorted(
-            v for v in _expr_vars(node.expr) if dtypes.get(v) == "bigint"
+            v for v in A.expr_vars(node.expr) if dtypes.get(v) == "bigint"
         )
         if not enc:
             return child.filter(self.expr(node.expr, child))
@@ -218,11 +197,21 @@ class EncodedSparqlEngine:
                     pats.append(A.PathPattern(rid(tp.s), tp.op, rid(tp.p), rid(tp.o)))
                 elif isinstance(tp, A.PropSetPattern):
                     # positive: a member absent from the dict can never match
-                    # -> drop it (empty set = empty scan). negated: an absent
-                    # member never occurs in data -> dropping it is identity
-                    # (for forward AND inverse members alike).
-                    kept = tuple(ids[m] for m in tp.preds if m in ids)
-                    kept_inv = tuple(ids[m] for m in tp.inv_preds if m in ids)
+                    # -> drop it (empty set = empty scan). negated: members
+                    # must NOT be dropped — _propset decides which union
+                    # components exist from member-set emptiness, so
+                    # dropping an absent member would delete or flip a
+                    # whole component. Absent members map to _MISSING_ID:
+                    # it never occurs in data, so excluding it is the
+                    # identity, and the component structure is preserved.
+                    if tp.negated:
+                        kept = tuple(ids.get(m, _MISSING_ID) for m in tp.preds)
+                        kept_inv = tuple(
+                            ids.get(m, _MISSING_ID) for m in tp.inv_preds
+                        )
+                    else:
+                        kept = tuple(ids[m] for m in tp.preds if m in ids)
+                        kept_inv = ()
                     pats.append(
                         A.PropSetPattern(
                             rid(tp.s), kept, rid(tp.o), tp.negated, kept_inv

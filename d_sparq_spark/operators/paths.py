@@ -95,8 +95,12 @@ def seeded_closure(
     ceil(d/stride) rounds instead of d. Driver-round overhead (one
     checkpoint + one empty-probe per round) dominates small graphs, so
     fewer rounds is a direct win; at scale the stride relation's state is
-    O(paths of length <= stride), bounded and local, unlike the doubling
-    closure's O(all pairs). The anti-join vs everything reached so far
+    O(paths of length <= stride) and ADDITIONALLY capped at 8x the edge
+    count (deepening stops when composition blows past that — hub-heavy
+    graphs), unlike the doubling closure's O(all pairs). Seeds are probed
+    against the raw edges BEFORE the strided relation is built, so a
+    seed set that touches nothing costs one join, not three self-joins.
+    The anti-join vs everything reached so far
     guarantees termination on cycles; `reached` is the union of per-round
     CHECKPOINTED frontiers (disjoint by construction), so no re-checkpoint
     of the accumulated set is needed per round. A graph deeper than
@@ -122,9 +126,41 @@ def seeded_closure(
         .distinct()
         .localCheckpoint()
     )
+    seed_keyed = group_col is not None and group_col in seeds.columns
+    if seed_keyed:
+        vcol = next(c for c in seeds.columns if c != group_col)
+        seeds = seeds.select(
+            F.col(group_col).alias("_sk"), F.col(vcol).alias("n")
+        ).distinct()
+        seed_cond = [
+            F.col("n") == F.col("_esrc"),
+            F.col("_sk") == F.col(f"_ek_{group_col}"),
+        ]
+    else:
+        seeds = seeds.select(F.col(seeds.columns[0]).alias("n")).distinct()
+        seed_cond = [F.col("n") == F.col("_esrc")]
+    # 1-hop frontier from the RAW edges first: if the seeds touch nothing
+    # (common for selective constants), return before paying for the
+    # strided hop relation below.
+    frontier = (
+        seeds.join(edges, seed_cond)
+        .select(
+            *[F.col(f"_ek_{k}").alias(k) for k in keys],
+            F.col("n").alias("src"),
+            F.col("_edst").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    if not frontier.take(1):
+        return frontier
     # hop := pairs at distance 1..stride, by doubling: (1..d) o (1..d) ∪
-    # (1..d) = 1..2d. Bounded-depth state, built once, checkpointed once.
+    # (1..d) = 1..2d. Built once, checkpointed per level. A growth guard
+    # stops deepening when the pair count blows past 8x the edge count
+    # (hub-heavy graphs: every 2-hop path through a hub is a pair) — the
+    # strided relation must stay edge-set-sized, not closure-sized.
     hop, depth = edges, 1
+    base_n = hop.count()
     while depth < stride:
         composed = (
             hop.alias("l")
@@ -139,33 +175,11 @@ def seeded_closure(
                 F.col("r._edst").alias("_edst"),
             )
         )
-        hop = hop.unionByName(composed).distinct().localCheckpoint()
-        depth *= 2
-    seed_keyed = group_col is not None and group_col in seeds.columns
-    if seed_keyed:
-        vcol = next(c for c in seeds.columns if c != group_col)
-        seeds = seeds.select(
-            F.col(group_col).alias("_sk"), F.col(vcol).alias("n")
-        ).distinct()
-        seed_cond = [
-            F.col("n") == F.col("_esrc"),
-            F.col("_sk") == F.col(f"_ek_{group_col}"),
-        ]
-    else:
-        seeds = seeds.select(F.col(seeds.columns[0]).alias("n")).distinct()
-        seed_cond = [F.col("n") == F.col("_esrc")]
-    frontier = (
-        seeds.join(hop, seed_cond)
-        .select(
-            *[F.col(f"_ek_{k}").alias(k) for k in keys],
-            F.col("n").alias("src"),
-            F.col("_edst").alias("dst"),
-        )
-        .distinct()
-        .localCheckpoint()
-    )
-    if not frontier.take(1):
-        return frontier
+        nxt = hop.unionByName(composed).distinct().localCheckpoint()
+        n2 = nxt.count()
+        hop, depth = nxt, depth * 2
+        if n2 > 8 * base_n:
+            break
     parts = [frontier]  # disjoint checkpointed frontiers; union = reached
     pair_cols = keys + ["src", "dst"]
     for _ in range(bfs_rounds):
@@ -197,44 +211,3 @@ def seeded_closure(
         [full[group_col] == seeds["_sk"]] if seed_keyed else []
     )
     return full.join(seeds, cond, "left_semi")
-
-
-def path_plus(triples: DataFrame, predicate: object) -> DataFrame:
-    """p+ over a triples store: closure of the predicate's edge set.
-    Returns bindings (src, dst)."""
-    edges = triples.filter(F.col("p") == F.lit(predicate)).select(
-        F.col("s").alias("src"), F.col("o").alias("dst")
-    )
-    return transitive_closure(edges)
-
-
-def path_star(triples: DataFrame, predicate: object) -> DataFrame:
-    """p* = p+ UNION zero-length paths on every node that occurs in the
-    predicate's edge set (SPARQL zero-length path semantics restricted to
-    the predicate's domain/range — full spec semantics would include every
-    term in the graph)."""
-    plus = path_plus(triples, predicate)
-    zero = _zero_length(triples, predicate)
-    return plus.unionByName(zero).distinct()
-
-
-def _zero_length(triples: DataFrame, predicate: object) -> DataFrame:
-    """Zero-length path pairs (x, x) over the predicate's domain/range
-    (see path_star docstring for the restriction rationale)."""
-    edges = triples.filter(F.col("p") == F.lit(predicate))
-    nodes = (
-        edges.select(F.col("s").alias("n"))
-        .unionByName(edges.select(F.col("o").alias("n")))
-        .distinct()
-    )
-    return nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
-
-
-def path_opt(triples: DataFrame, predicate: object) -> DataFrame:
-    """p? (zero-or-one, SPARQL ZeroOrOnePath): direct edges UNION zero-
-    length paths; duplicate-free per spec. One filter scan + one distinct —
-    no fixpoint needed."""
-    edges = triples.filter(F.col("p") == F.lit(predicate)).select(
-        F.col("s").alias("src"), F.col("o").alias("dst")
-    )
-    return edges.unionByName(_zero_length(triples, predicate)).distinct()

@@ -60,6 +60,30 @@ class Aggregate:
     separator: str = " "  # GROUP_CONCAT
 
 
+def expr_vars(e, out: set | None = None) -> set:
+    """Variable names referenced by an expression tree — the single
+    walker shared by the parser (DISTINCT+ORDER BY projection check) and
+    the encoded engine (shadow-decode column pruning). New expression
+    node types must be handled HERE, once."""
+    if out is None:
+        out = set()
+    if isinstance(e, Var):
+        out.add(e.name)
+    elif isinstance(e, BinOp):
+        expr_vars(e.left, out)
+        items = e.right if isinstance(e.right, (list, tuple)) else [e.right]
+        for i in items:
+            expr_vars(i, out)
+    elif isinstance(e, UnOp):
+        expr_vars(e.operand, out)
+    elif isinstance(e, FuncCall):
+        for a in e.args:
+            expr_vars(a, out)
+    elif isinstance(e, Aggregate) and e.arg is not None:
+        expr_vars(e.arg, out)
+    return out
+
+
 # ---------------- algebra nodes ----------------
 
 

@@ -388,23 +388,8 @@ class Parser:
                 # expressions, §15.1).
                 if not select_all:
                     used: set[str] = set()
-                    stack = [e for e, _ in order_keys]
-                    while stack:
-                        e = stack.pop()
-                        if isinstance(e, A.Var):
-                            used.add(e.name)
-                        elif isinstance(e, A.BinOp):
-                            stack.append(e.left)
-                            stack.extend(
-                                e.right if isinstance(e.right, (list, tuple))
-                                else [e.right]
-                            )
-                        elif isinstance(e, A.UnOp):
-                            stack.append(e.operand)
-                        elif isinstance(e, A.FuncCall):
-                            stack.extend(e.args)
-                        elif isinstance(e, A.Aggregate) and e.arg is not None:
-                            stack.append(e.arg)
+                    for e, _ in order_keys:
+                        A.expr_vars(e, used)
                     missing = sorted(used - set(proj_vars))
                     if missing:
                         raise SyntaxError(

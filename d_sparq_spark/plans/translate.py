@@ -405,13 +405,21 @@ class Translator:
             self.triples, star, self.stats, graph_var=self.graph_var, source_for=source_for
         )
 
+    # Internal graph-binding column for the path/propset machinery. The
+    # graph VARIABLE's own name must never be used as a working column on
+    # the raw store or the closure pair frames — `GRAPH ?p { ... }` or
+    # `GRAPH ?src { ... }` would silently overwrite a store/closure
+    # column. The binding rides as _GBIND and becomes the user-visible
+    # variable only in _bind_endpoints' output projection.
+    _GBIND = "__gbind"
+
     def _pred_edges(self, pred) -> DataFrame:
         """Edge set of one predicate; under GRAPH ?g the g column rides
-        along (aliased to the graph variable) so closures stay per-graph."""
+        along (as _GBIND) so closures stay per-graph."""
         base = self.triples.filter(F.col("p") == F.lit(pred))
         cols = [F.col("s").alias("src"), F.col("o").alias("dst")]
         if self.graph_var is not None:
-            cols = [F.col("g").alias(self.graph_var)] + cols
+            cols = [F.col("g").alias(self._GBIND)] + cols
         return base.select(*cols)
 
     def _path(self, p, bound: DataFrame | None = None) -> DataFrame:
@@ -435,11 +443,12 @@ class Translator:
         """Closure over a composite path: the inner path's BGP (evaluated
         once) IS the edge set; +/*/? then reuse the same fixpoint machinery
         as single-predicate paths. Zero-length paths are restricted to the
-        edge set's domain/range, consistent with path_star. Under GRAPH ?g
+        edge set's domain/range (the same restriction single-predicate p*
+        applies — full spec semantics would pair every term). Under GRAPH ?g
         the inner BGP binds g on every scan, so the edge set — and hence
         the fixpoint — is per-graph by construction."""
         gv = self.graph_var
-        sel = ([F.col(gv)] if gv else []) + [
+        sel = ([F.col(gv).alias(self._GBIND)] if gv else []) + [
             F.col(p.src_var).alias("src"),
             F.col(p.dst_var).alias("dst"),
         ]
@@ -453,7 +462,7 @@ class Translator:
     def _zero_pairs(self, edges: DataFrame) -> DataFrame:
         """Zero-length (x, x) pairs over an edge set's domain/range,
         keeping the graph column when one rides the edges."""
-        keys = [self.graph_var] if self.graph_var else []
+        keys = [self._GBIND] if self.graph_var else []
         nodes = (
             edges.select(*keys, F.col("src").alias("n"))
             .unionByName(edges.select(*keys, F.col("dst").alias("n")))
@@ -472,7 +481,7 @@ class Translator:
                 gv = self.graph_var
                 if gv is not None and gv in bound.columns and gv != term[1:]:
                     return bound.select(
-                        F.col(gv), F.col(term[1:]).alias("n")
+                        F.col(gv).alias(self._GBIND), F.col(term[1:]).alias("n")
                     ).distinct()
                 return bound.select(F.col(term[1:]).alias("n")).distinct()
             return None
@@ -489,7 +498,7 @@ class Translator:
         O(frontier) difference at 100 TB (paths.seeded_closure)."""
         from d_sparq_spark.operators.paths import seeded_closure, transitive_closure
 
-        gv = self.graph_var
+        gv = self._GBIND if self.graph_var else None
         keys = [gv] if gv else []
         fwd = self._seed_df(s, bound)
         rev = None if fwd is not None else self._seed_df(o, bound)
@@ -537,7 +546,7 @@ class Translator:
         (a set of only ^-members has no forward component at all)."""
         store = self.triples
         if self.graph_var is not None:
-            store = store.withColumn(self.graph_var, F.col("g"))
+            store = store.withColumn(self._GBIND, F.col("g"))
         if not p.negated:
             df = store.filter(F.col("p").isin(list(p.preds)))
             return self._bind_endpoints(df, p.s, p.o, "s", "o")
@@ -565,24 +574,37 @@ class Translator:
     def _bind_endpoints(self, df: DataFrame, s, o, s_col: str, o_col: str) -> DataFrame:
         """Bind/filter the two endpoint terms of a pair-producing operator;
         handles constants and the repeated-variable case (?x p+ ?x). Under
-        GRAPH ?g the graph binding column is carried through."""
-        extra = []
-        if self.graph_var is not None and self.graph_var in df.columns:
-            extra = [F.col(self.graph_var)]
+        GRAPH ?g the graph binding rides in as _GBIND and projects out
+        under the graph variable's name — when the graph variable IS one
+        of the endpoint variables (GRAPH ?x { ... p+ ?x }), SPARQL's
+        repeated-variable semantics apply: equality filter, one column."""
+        gv = self.graph_var if (
+            self.graph_var is not None and self._GBIND in df.columns
+        ) else None
         if (
             isinstance(s, str) and s.startswith("?")
             and s == o
         ):
-            return df.filter(F.col(s_col) == F.col(o_col)).select(
-                F.col(s_col).alias(s[1:]), *extra
-            )
-        cols = []
+            df = df.filter(F.col(s_col) == F.col(o_col))
+            if gv is not None and gv == s[1:]:
+                df = df.filter(F.col(self._GBIND) == F.col(s_col))
+                return df.select(F.col(s_col).alias(s[1:]))
+            out = [F.col(s_col).alias(s[1:])]
+            if gv is not None:
+                out.append(F.col(self._GBIND).alias(gv))
+            return df.select(*out)
+        cols, var_to_col = [], {}
         for endpoint, col in ((s, s_col), (o, o_col)):
             if isinstance(endpoint, str) and endpoint.startswith("?"):
+                var_to_col[endpoint[1:]] = col
                 cols.append(F.col(col).alias(endpoint[1:]))
             else:
                 df = df.filter(F.col(col) == F.lit(endpoint))
-        cols += extra
+        if gv is not None:
+            if gv in var_to_col:  # graph var repeats an endpoint var
+                df = df.filter(F.col(self._GBIND) == F.col(var_to_col[gv]))
+            else:
+                cols.append(F.col(self._GBIND).alias(gv))
         return df.select(*cols) if cols else df.select()
 
     # ------------- FILTER (incl. EXISTS / NOT EXISTS) -------------

@@ -310,6 +310,51 @@ def test_negated_propset_inverse_members(spark):
     assert rows(out) == [("b", "a"), ("b", "a"), ("b", "c"), ("c", "b")]
 
 
+def test_graph_var_named_like_store_column(spark):
+    """Self-review r3: a graph variable named ?p (or ?src/?dst) must not
+    collide with the store's predicate column or the closure frames'
+    internal columns — the binding rides an internal column and only the
+    output projection uses the variable's name."""
+    quads = spark.createDataFrame(
+        [("g1", "a", "ex:p", "b"), ("g2", "a", "ex:q", "c")],
+        "g string, s string, p string, o string",
+    )
+    eng = SparqlEngine(quads, collect_stats=False)
+    out = eng.query("SELECT ?p ?o WHERE { GRAPH ?p { a !(ex:q) ?o } }")
+    assert rows(out) == [("g1", "b")]  # the ex:q edge must stay excluded
+    out = eng.query("SELECT ?src ?y WHERE { GRAPH ?src { a ex:p+ ?y } }")
+    assert rows(out) == [("g1", "b")]
+    out = eng.query("SELECT ?dst ?y WHERE { GRAPH ?dst { a ex:q? ?y } }")
+    # zero-length pairs are restricted to ex:q's domain/range PER GRAPH —
+    # g1 has no ex:q edge, so no (g1, a) zero-length binding
+    assert rows(out) == [("g2", "a"), ("g2", "c")]
+
+
+def test_encoded_negated_propset_absent_members(spark):
+    """Self-review r3: dictionary-absent members of a NEGATED set must not
+    be dropped by the encoded rewrite — dropping flips or deletes whole
+    union components (forward vs inverse). Absent members map to an
+    impossible ID instead."""
+    from d_sparq_spark.encoded_engine import EncodedSparqlEngine
+    from d_sparq_spark.operators.dictionary import build_dictionary, encode_triples
+
+    triples = spark.createDataFrame(
+        [("a", "ex:p", "b"), ("b", "ex:q", "a"), ("b", "ex:r", "c")],
+        "s string, p string, o string",
+    )
+    d = build_dictionary(triples).cache()
+    enc = encode_triples(triples, d).cache()
+    lex = SparqlEngine(triples, collect_stats=False)
+    enc_e = EncodedSparqlEngine(enc, d, collect_stats=False)
+    for q in [
+        # ex:nope is in no dictionary: the set's components must survive
+        "SELECT ?x ?y WHERE { ?x !(^ex:nope) ?y }",
+        "SELECT ?x ?y WHERE { ?x !(ex:nope|^ex:q) ?y }",
+        "SELECT ?x ?y WHERE { ?x !(ex:nope) ?y }",
+    ]:
+        assert rows(enc_e.query(q)) == rows(lex.query(q)), q
+
+
 def test_negated_propset_rejects_literal_members(spark):
     triples = spark.createDataFrame(
         [("a", "ex:p", "b")], "s string, p string, o string"
