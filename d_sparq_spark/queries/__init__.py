@@ -6,6 +6,7 @@ queries at import time via @register).
 
 from d_sparq_spark.queries import (  # noqa: F401
     corpus_quality,
+    corpus_sampling,
     coverage_extra,
     events_windows,
     flagship,

@@ -148,3 +148,13 @@ def test_propset_scan_partition_prunes_vp_store(spark, tmp_path):
     assert "PartitionFilters" in plan
     pf = plan.split("PartitionFilters:")[1].splitlines()[0]
     assert "p#" in pf and "IN" in pf.upper()
+
+
+def test_r3_additions_partition_their_windows(spark):
+    """The round-3 sampling/ngram operators must keep their windows
+    partitioned by the stratum key — never a SinglePartition global
+    window (the row_number-over-everything scale killer)."""
+    for name in ("q_sample_stratified", "q_ngram_topk"):
+        plan = plan_of(spark, name)
+        assert "SinglePartition" not in plan, name
+        assert "Window" in plan, name
