@@ -275,6 +275,17 @@ _q_quads(
     """,
 )
 
+_q_quads_enc(
+    # the same grouped closure on the ENCODED quad store: edges are long
+    # IDs, the graph rides as one more long group column, decode at the end
+    "q_sparql_graph_path_enc",
+    "SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x ex:next+ ?y } }",
+    """
+    SELECT 'g:nation' AS g, 'n:' || a.n_nationkey AS x, 'n:' || b.n_nationkey AS y
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    """,
+)
+
 _q_quads(
     # seeded closure under GRAPH ?g: ?x is bound by the same-graph star
     # first, so the fixpoint seeds are (g, x) PAIRS — reachability stays

@@ -91,3 +91,27 @@ def test_update_insert_then_delete_is_identity(spark, data):
     )
     want = sorted(set(base) - set(data))  # data may collide with base rows
     assert sorted(tuple(r) for r in after.collect()) == want
+
+
+_nodes = st.integers(min_value=0, max_value=9)
+_edge_lists = st.lists(st.tuples(_nodes, _nodes), min_size=1, max_size=25)
+
+
+@SETTINGS
+@given(edges=_edge_lists, seeds=st.lists(_nodes, min_size=1, max_size=3))
+def test_seeded_closure_equals_filtered_full_closure(spark, edges, seeds):
+    """seeded_closure (strided frontier, hub guard, probe-first) must
+    equal the full doubling closure restricted to the seed sources — on
+    arbitrary small graphs including cycles and self-loops."""
+    from d_sparq_spark.operators.paths import seeded_closure, transitive_closure
+
+    e = spark.createDataFrame(
+        [(f"n{a}", f"n{b}") for a, b in edges], "src string, dst string"
+    )
+    s = spark.createDataFrame([(f"n{x}",) for x in set(seeds)], "n string")
+    got = sorted(map(tuple, seeded_closure(e, s).collect()))
+    full = transitive_closure(e)
+    want = sorted(
+        map(tuple, full.join(s, full["src"] == s["n"], "left_semi").collect())
+    )
+    assert got == want
