@@ -102,7 +102,17 @@ _ATTESTED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "q_json_extract",
     # round 4 builder: extend with CORRECTNESS_r03.json's key list so the
     # driver's fixed-size prefix keeps covering least-recently-attested
-    # queries first.
+    # queries first, and move round-3's _NEW_THIS_ROUND keys into a
+    # _NEW_IN_ROUND_4 set (or clear it) as they get attested.
+})
+
+# Queries first registered THIS round: they sort after the older
+# never-attested queries (which have waited since round 1/2) but before
+# the already-attested ones — age priority, so no key starves.
+_NEW_THIS_ROUND: frozenset[str] = frozenset({
+    "q_sample_stratified", "q_ngram_topk", "q_retention_cohort",
+    "q_sparql_graph_path", "q_sparql_graph_path_seeded",
+    "q_sparql_graph_path_enc",
 })
 
 
@@ -111,7 +121,11 @@ def all_queries() -> dict[str, Query]:
     from d_sparq_spark import queries as _q  # noqa: F401
 
     items = sorted(
-        _REGISTRY.items(), key=lambda kv: kv[0] in _ATTESTED_PRIOR_ROUNDS
+        _REGISTRY.items(),
+        key=lambda kv: (
+            kv[0] in _ATTESTED_PRIOR_ROUNDS,  # attested last
+            kv[0] in _NEW_THIS_ROUND,  # then this round's newcomers
+        ),
     )  # stable: registration order within each group
     return dict(items)
 
