@@ -46,6 +46,7 @@ HEADLINE = [
     "q_pagerank",           # iterative O(V)-state graph op (r2's worst case)
     "q_sparql_path_plus_bound",  # seeded frontier closure (vs unbound twin above)
     "q_sparql_graph_path",  # grouped closure under GRAPH ?g (single plan)
+    "q_tpch_q18",           # single-pass HAVING-on-fact aggregate, then join
 ]
 
 

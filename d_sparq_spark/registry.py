@@ -113,6 +113,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "q_sample_stratified", "q_ngram_topk", "q_retention_cohort",
     "q_sparql_graph_path", "q_sparql_graph_path_seeded",
     "q_sparql_graph_path_enc",
+    "q_tpch_q3", "q_tpch_q10", "q_tpch_q18",
 })
 
 

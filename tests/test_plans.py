@@ -158,3 +158,20 @@ def test_r3_additions_partition_their_windows(spark):
         plan = plan_of(spark, name)
         assert "SinglePartition" not in plan, name
         assert "Window" in plan, name
+
+
+def test_tpch_q3_take_ordered_and_pushdown(spark):
+    plan = plan_of(spark, "q_tpch_q3")
+    # top-10 must be per-partition top-k + driver merge, not a global sort
+    assert "TakeOrderedAndProject" in plan
+    # both date filters reach the scans
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThan(l_shipdate" in plan
+
+
+def test_tpch_q18_filters_before_join(spark):
+    plan = plan_of(spark, "q_tpch_q18")
+    # one lineitem aggregation pass: the HAVING-style threshold runs on the
+    # aggregate, never via a second scan / self-semi-join of lineitem
+    assert plan.count("lineitem.parquet") == 1
+    assert "TakeOrderedAndProject" in plan
