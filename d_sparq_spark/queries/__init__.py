@@ -10,6 +10,7 @@ from d_sparq_spark.queries import (  # noqa: F401
     coverage_extra,
     events_windows,
     flagship,
+    graph_analytics,
     llm_ops,
     rdf_core,
     relational_aggs,

@@ -1,0 +1,49 @@
+"""Unit tests for degree-ordered triangle enumeration (operators/graph.py)
+and the co-purchase graph queries' structure."""
+
+from itertools import combinations
+
+from pyspark.sql import functions as F
+
+from d_sparq_spark.operators import graph as G
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(min(u, v), max(u, v)) for u, v in pairs], "u long, v long"
+    ).distinct()
+
+
+def test_k4_has_four_triangles(spark):
+    k4 = _edges(spark, combinations(range(4), 2))
+    tri = G.triangles_degree_ordered(k4).collect()
+    assert len(tri) == 4
+    # each triangle exactly once, as a set of 3 distinct nodes
+    tri_sets = {frozenset((r.a, r.b, r.c)) for r in tri}
+    assert tri_sets == {frozenset(c) for c in combinations(range(4), 3)}
+
+
+def test_star_graph_has_no_triangles(spark):
+    # hub of degree 9: the naive wedge count at the hub is C(9,2) = 36,
+    # the oriented one is 0 (all edges point AWAY from leaves into the hub,
+    # hub out-degree 0) — and there are genuinely no triangles
+    star = _edges(spark, [(0, i) for i in range(1, 10)])
+    assert G.triangles_degree_ordered(star).count() == 0
+
+
+def test_triangle_with_pendant(spark):
+    g = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    per_node = {r.node: r.n_triangles for r in G.triangle_counts_per_node(g).collect()}
+    assert per_node == {1: 1, 2: 1, 3: 1}  # node 4 on no triangle -> absent
+
+
+def test_empty_edges(spark):
+    e = _edges(spark, [])
+    assert G.triangles_degree_ordered(e).count() == 0
+
+
+def test_two_sharing_triangles(spark):
+    # bowtie: two triangles sharing node 3
+    g = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5)])
+    per_node = {r.node: r.n_triangles for r in G.triangle_counts_per_node(g).collect()}
+    assert per_node == {1: 1, 2: 1, 3: 2, 4: 1, 5: 1}
