@@ -328,3 +328,84 @@ def ivf_cosine_topk(
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
     return scored.withColumn("rn", F.row_number().over(w).cast("long")).filter(F.col("rn") <= k)
+
+
+def kmeans_exact_int(
+    embeddings: DataFrame,
+    k: int = 4,
+    n_iter: int = 3,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Integer-exact Lloyd's k-means -> (vec_id, cluster, dist).
+
+    Everything after the one-time quantization (round(x * scale) as LONG)
+    is int64 arithmetic: squared-L2 distances are exact sums of integer
+    squares, centroid updates are truncating integer means, and argmin
+    ties break on the lowest centroid id — so the final assignment is
+    bit-identical across partitionings, engines, and retries (a float
+    k-means is none of those). Seeds are the k lowest-id vectors.
+
+    Scale shape per iteration: the k centroids BROADCAST against the
+    point set (one linear scan, no point-side shuffle for assignment);
+    the argmin is a map-side-combinable min-of-struct aggregate, not a
+    window; the centroid update explodes to (cluster, dim) keys — k*dim
+    rows out, the textbook partial-agg reduction. State between rounds is
+    k rows (localCheckpointed), never the point set.
+
+    Empty clusters keep their previous centroid (deterministic, spec'd).
+    """
+    pts = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long")
+        ).alias("v"),
+    )
+    cents = pts.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        d = pts.crossJoin(F.broadcast(cents)).withColumn(
+            "dist",
+            F.aggregate(
+                F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        # argmin via min-of-struct: lexicographic (dist, cid) — exact
+        # tie-break, partial-aggregable (no per-point window shuffle)
+        return (
+            d.groupBy("vec_id")
+            .agg(
+                F.min(F.struct(F.col("dist"), F.col("cid"))).alias("m"),
+                F.first("v").alias("v"),  # identical across the k rows
+            )
+            .select(
+                "vec_id", "v", F.col("m.cid").alias("cid"), F.col("m.dist").alias("dist")
+            )
+        )
+
+    for _ in range(n_iter):
+        a = assign(cents)
+        upd = (
+            a.select("cid", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cid", "dim")
+            .agg(F.expr("sum(val) div count(*)").alias("cv"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                    lambda s: s["cv"],
+                ).alias("c")
+            )
+        )
+        cents = (
+            cents.alias("o")
+            .join(upd.alias("n"), "cid", "left")
+            .select("cid", F.coalesce(F.col("n.c"), F.col("o.c")).alias("c"))
+            .localCheckpoint()
+        )
+    return assign(cents).select("vec_id", F.col("cid").alias("cluster"), "dist")

@@ -683,3 +683,57 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.regexp_replace(contact, _PII_PATTERN, "<EMAIL>").alias("redacted")
     )
+
+
+def _kmeans_oracle(k: int = 4, n_iter: int = 3, scale: int = 1_000_000, dim: int = 64) -> str:
+    """Unrolled Lloyd's iterations as chained CTEs (same device as the
+    PageRank oracle): integer arithmetic means DuckDB must reproduce every
+    assignment and centroid bit-for-bit."""
+    def dist() -> str:
+        return (
+            f"CAST(list_sum(list_transform(range(1, {dim + 1}), "
+            "i -> (p.v[i] - c.c[i]) * (p.v[i] - c.c[i]))) AS BIGINT)"
+        )
+
+    sql = [f"""
+WITH pts AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS v
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, v AS c FROM pts WHERE vec_id < {k})"""]
+    for i in range(1, n_iter + 1):
+        sql.append(f""",
+a{i} AS (
+  SELECT vec_id, v, cid, dist FROM (
+    SELECT p.vec_id, p.v, c.cid, {dist()} AS dist
+    FROM pts p CROSS JOIN c{i - 1} c
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+),
+u{i} AS (
+  SELECT a.cid, r.i AS dim, CAST(SUM(a.v[r.i]) // COUNT(*) AS BIGINT) AS cv
+  FROM a{i} a, range(1, {dim + 1}) r(i)
+  GROUP BY a.cid, r.i
+),
+c{i} AS (
+  SELECT o.cid, COALESCE(n.c, o.c) AS c
+  FROM c{i - 1} o LEFT JOIN (
+    SELECT cid, list(cv ORDER BY dim) AS c FROM u{i} GROUP BY cid
+  ) n ON o.cid = n.cid
+)""")
+    sql.append(f"""
+SELECT vec_id, cid AS cluster, dist FROM (
+  SELECT p.vec_id, c.cid, {dist()} AS dist
+  FROM pts p CROSS JOIN c{n_iter} c
+) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1""")
+    return "".join(sql)
+
+
+@register("q_kmeans", oracle=_kmeans_oracle())
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact k-means over the embeddings table (k=4, 3 Lloyd
+    iterations) — the iterative-ML counterpart of the integer PageRank:
+    an oracle-checkable clustering, where the float version could never
+    hash-match across engines. The IVF coarse quantizer (q_cosine_ivf)
+    is this operator's float production twin."""
+    return S.kmeans_exact_int(load_table(spark, sf_dir, "embeddings"))

@@ -1,0 +1,72 @@
+"""kmeans_exact_int vs an independent NumPy reference with the same
+integer rules (truncating means, (dist, cid) tie-break, empty cluster
+keeps previous centroid)."""
+
+import numpy as np
+
+from d_sparq_spark.operators.similarity import kmeans_exact_int
+
+
+def _ref_kmeans(vecs: dict[int, list[float]], k: int, n_iter: int, scale: int = 1_000_000):
+    def quant(v):
+        # the table stores float32: quantize the float32-truncated value,
+        # rounding half away from zero (Spark/DuckDB round, not banker's)
+        q = np.array(v, dtype=np.float32).astype(np.float64) * scale
+        return np.where(q >= 0, np.floor(q + 0.5), np.ceil(q - 0.5)).astype(np.int64)
+
+    pts = {i: quant(v) for i, v in vecs.items()}
+    cents = {cid: pts[cid].copy() for cid in range(k)}
+
+    def assign():
+        out = {}
+        for i, v in pts.items():
+            best = min(
+                (int(((v - c) ** 2).sum()), cid) for cid, c in cents.items()
+            )
+            out[i] = best  # (dist, cid)
+        return out
+
+    for _ in range(n_iter):
+        a = assign()
+        members = {}
+        for i, (_, cid) in a.items():
+            members.setdefault(cid, []).append(pts[i])
+        for cid in range(k):
+            if cid in members:
+                s = np.sum(members[cid], axis=0, dtype=np.int64)
+                n = len(members[cid])
+                # truncating division toward zero (Spark div / DuckDB //)
+                cents[cid] = (np.sign(s) * (np.abs(s) // n)).astype(np.int64)
+    return {i: (cid, d) for i, (d, cid) in assign().items()}
+
+
+def _run(spark, vecs, k, n_iter=3):
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.vec_id: (r.cluster, r.dist)
+        for r in kmeans_exact_int(df, k=k, n_iter=n_iter).collect()
+    }
+    assert got == _ref_kmeans(vecs, k, n_iter)
+
+
+def test_matches_reference_small(spark):
+    rng = np.random.RandomState(7)
+    vecs = {i: list(rng.uniform(-2, 2, size=8)) for i in range(40)}
+    _run(spark, vecs, k=4)
+
+
+def test_negative_coordinate_means(spark):
+    # all-negative region exercises the truncating-division sign convention
+    rng = np.random.RandomState(3)
+    vecs = {i: list(rng.uniform(-5, -1, size=4)) for i in range(20)}
+    _run(spark, vecs, k=3)
+
+
+def test_empty_cluster_keeps_centroid(spark):
+    # vec 1 and 2 coincide: the (dist, cid) tie-break drains cluster 2,
+    # which must then keep its previous centroid without crashing
+    vecs = {0: [0.0, 0.0], 1: [1.0, 1.0], 2: [1.0, 1.0], 3: [1.1, 1.0]}
+    _run(spark, vecs, k=3, n_iter=2)
