@@ -53,6 +53,7 @@ _FUNCS = {
     "langmatches", "strlang", "strdt",
     "md5", "sha1", "sha256", "sha384", "sha512", "encode_for_uri",
     "iri", "uri", "year", "month", "day", "hours", "minutes", "seconds", "tz",
+    "timezone",
 }
 
 # numeric XSD datatypes: a typed literal of one of these becomes a numeric

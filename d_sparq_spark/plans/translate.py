@@ -853,7 +853,32 @@ class Translator:
                 r"([+-]\d{2}:\d{2}|Z)$",
                 1,
             )
+        if name == "timezone":
+            # xsd:dayTimeDuration of the literal's own offset: Z -> PT0S,
+            # +05:30 -> PT5H30M, -08:00 -> -PT8H; error (null) when absent
+            lex = _lex_form(self.expr(args[0], df).cast("string"))
+            _TZ = r"([+-])(\d{2}):(\d{2})$"
+            sign = F.regexp_extract(lex, _TZ, 1)
+            hh = F.nullif(F.regexp_extract(lex, _TZ, 2), F.lit("")).try_cast("long")
+            mm = F.nullif(F.regexp_extract(lex, _TZ, 3), F.lit("")).try_cast("long")
+            dur = F.concat(
+                F.when(sign == "-", F.lit("-")).otherwise(F.lit("")),
+                F.lit("PT"),
+                F.when(hh > 0, F.concat(hh.cast("string"), F.lit("H"))).otherwise(F.lit("")),
+                F.when(mm > 0, F.concat(mm.cast("string"), F.lit("M"))).otherwise(F.lit("")),
+                F.when((hh == 0) & (mm == 0), F.lit("0S")).otherwise(F.lit("")),
+            )
+            return (
+                F.when(lex.endswith("Z"), F.lit("PT0S"))
+                .when(hh.isNotNull(), dur)
+            )
         if name == "encode_for_uri":
-            # url_encode form-encodes space as '+'; SPARQL wants %20
-            return F.replace(F.url_encode(self.expr(args[0], df)), F.lit("+"), F.lit("%20"))
+            # url_encode is form encoding; ENCODE_FOR_URI is RFC 3986
+            # percent-encoding of everything outside the unreserved set
+            # [A-Za-z0-9._~-]. Three deltas: space '+' -> %20, '~' is
+            # unreserved (keep it), '*' is reserved (encode it).
+            enc = F.url_encode(self.expr(args[0], df))
+            enc = F.replace(enc, F.lit("+"), F.lit("%20"))
+            enc = F.replace(enc, F.lit("%7E"), F.lit("~"))
+            return F.replace(enc, F.lit("*"), F.lit("%2A"))
         raise ValueError(f"SPARQL: unsupported function {name}")

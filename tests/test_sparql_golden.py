@@ -745,3 +745,30 @@ def test_strdt_xsd_string_folds_to_plain(engine):
         'SELECT ?x WHERE { ?x ex:name ?n FILTER(STRDT("Alice", xsd:string) = ?n) }'
     )
     assert rows(out) == [("p:alice",)]
+
+
+def test_func_encode_for_uri_rfc3986(engine):
+    # RFC 3986 unreserved [A-Za-z0-9._~-] kept; space %20 (not '+');
+    # '*' encoded (url_encode's form encoding gets all three wrong)
+    out = engine.query(
+        'SELECT ?e WHERE { p:alice ex:name ?n . '
+        'BIND(ENCODE_FOR_URI(CONCAT(?n, " B~c*d!")) AS ?e) }'
+    )
+    assert rows(out) == [("Alice%20B~c%2Ad%21",)]
+
+
+def test_func_timezone_duration(engine):
+    q = (
+        'SELECT ?t WHERE {{ p:alice ex:name ?n . '
+        'BIND(TIMEZONE("{}"^^xsd:dateTime) AS ?t) }}'
+    )
+    cases = {
+        "2011-01-10T14:45:13.815-05:00": "-PT5H",
+        "2011-01-10T14:45:13+05:30": "PT5H30M",
+        "2011-01-10T14:45:13Z": "PT0S",
+        "2011-01-10T14:45:13+00:00": "PT0S",
+    }
+    for lex, want in cases.items():
+        assert rows(engine.query(q.format(lex))) == [(want,)]
+    # no timezone -> error -> unbound
+    assert rows(engine.query(q.format("2011-01-10T14:45:13"))) == [(None,)]
