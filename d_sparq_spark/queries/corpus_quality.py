@@ -292,3 +292,48 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tok").alias("max_tokens"),
         )
     )
+
+
+_ORACLE_BPE_PAIRS = """
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(w)),
+                               i -> substr(w, CAST(i AS INT), 2))) AS pair
+  FROM words WHERE length(w) >= 2
+)
+SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair
+ORDER BY n DESC, pair LIMIT 20
+"""
+
+
+@register("q_bpe_pairs", oracle=_ORACLE_BPE_PAIRS)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-symbol pairs across the corpus — the counting step
+    of one BPE merge round (the highest-count pair is the next merge a
+    tokenizer trainer would take). Scale shape: two generator explodes
+    (words, then in-word positions) keep everything JVM-side; the count
+    is a map-side-combinable hash agg keyed on 2-char pairs (bounded key
+    space, so the shuffle is tiny no matter the corpus size); the final
+    top-20 is TakeOrderedAndProject, never a global sort. A full BPE
+    trainer is this query iterated with a merge-apply step between
+    rounds."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(20)
+    )

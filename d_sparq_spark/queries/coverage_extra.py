@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from d_sparq_spark import TABLES
 from d_sparq_spark.engine import SparqlEngine
 from d_sparq_spark.functions.numeric import dsum, sql_dsum
+from d_sparq_spark.operators.layout import sql_zorder_interleave, zorder_interleave
 from d_sparq_spark.registry import register
 from d_sparq_spark.sources.derived_rdf import derive_triples_cached
 from d_sparq_spark.sources.tables import load_table
@@ -368,3 +369,43 @@ def q_sparql_describe_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     bnode expansion is exercised in goldens, the derived view has none)."""
     eng = SparqlEngine(derive_triples_cached(spark, sf_dir), collect_stats=False)
     return eng.query("DESCRIBE ?n WHERE { ?n ex:region r:1 }")
+
+
+_ZBITS = 15  # l_partkey/l_suppkey fit well under 2^15 at driver scales
+_ORACLE_ZORDER = f"""
+WITH z AS (
+  SELECT l_partkey, l_suppkey,
+         {sql_zorder_interleave('l_partkey', 'l_suppkey', 15)} AS zv
+  FROM lineitem
+)
+SELECT zv >> 14 AS zbucket,
+       COUNT(*) AS n_rows,
+       MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+       MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+FROM z GROUP BY zbucket
+"""
+
+
+@register("q_zorder_layout", oracle=_ORACLE_ZORDER)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering profile of lineitem on
+    (l_partkey, l_suppkey): rows land in fixed-width z buckets, and the
+    per-bucket min/max of BOTH keys is what file-level statistics would
+    record after a Z-ORDER rewrite — each bucket covers a narrow
+    rectangle, so filters on either key prune. At scale the bucket id is
+    the repartitionByRange key for the layout rewrite (range partition
+    on z, no global window anywhere); this query is the bucket-profile
+    inspection, a two-level hash aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    z = li.select(
+        "l_partkey",
+        "l_suppkey",
+        zorder_interleave(F.col("l_partkey"), F.col("l_suppkey"), _ZBITS).alias("zv"),
+    )
+    return z.groupBy(F.shiftright(F.col("zv"), 14).alias("zbucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_partkey").alias("min_part"),
+        F.max("l_partkey").alias("max_part"),
+        F.min("l_suppkey").alias("min_supp"),
+        F.max("l_suppkey").alias("max_supp"),
+    )
