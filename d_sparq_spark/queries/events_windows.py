@@ -244,3 +244,47 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "user_id", "hour", F.last("v", ignorenulls=True).over(w).alias("value_filled")
     )
+
+
+_ORACLE_SCD2 = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+changes AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM ordered
+  WHERE prev_type IS NULL OR event_type <> prev_type
+)
+SELECT user_id, event_type AS state,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+FROM changes
+"""
+
+
+@register("q_scd2_history", oracle=_ORACLE_SCD2)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from an event stream: per
+    user, collapse consecutive equal states (gaps-and-islands change
+    detection via lag) and emit [valid_from, valid_to) intervals, open
+    interval = current state. Both windows partition by user_id — the
+    shuffle is one hash partitioning on the dimension key reused by both
+    window stages, no global ordering anywhere. The as-of join
+    (q_join_asof) is this table's point-in-time lookup twin."""
+    ev = load_table(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w_ord))
+        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+    )
+    # (ts, event_id) ordering on BOTH windows: equal timestamps would
+    # otherwise make lead() engine/partitioning-dependent
+    w_chg = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w_chg).alias("valid_to"),
+    )

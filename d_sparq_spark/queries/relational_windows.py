@@ -179,3 +179,52 @@ def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
     )
+
+
+_ORACLE_SKYLINE = """
+SELECT p.p_brand, p.p_partkey, p.p_retailprice, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_brand = p.p_brand
+    AND q.p_retailprice <= p.p_retailprice
+    AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+"""
+
+
+@register("q_skyline", oracle=_ORACLE_SKYLINE)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pareto skyline (cheapest AND largest parts): a part is
+    dominated when some same-brand part is <= on price, >= on size, and
+    strictly better on at least one.
+
+    The oracle states the definition as the quadratic NOT EXISTS
+    dominance join; the Spark plan is the O(n log n) sweep — collapse to
+    one row per (brand, price) keeping the max size, take the running
+    max of that over strictly-cheaper prices (rows-frame window ending
+    at -1, partitioned by brand — no single-partition window), and a row
+    is dominated iff that running max reaches its size, or an equal-price
+    part strictly exceeds it. At 100 TB the quadratic join is impossible
+    and the sweep is one narrow shuffle on (brand, price)."""
+    part = load_table(spark, sf_dir, "part")
+    per_price = part.groupBy("p_brand", "p_retailprice").agg(
+        F.max("p_size").alias("msize")
+    )
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per_price = per_price.withColumn("prev_max", F.max("msize").over(w))
+    return (
+        part.join(per_price, ["p_brand", "p_retailprice"])
+        .filter(
+            ~(
+                (F.coalesce(F.col("prev_max"), F.lit(-(2**31))) >= F.col("p_size"))
+                | (F.col("msize") > F.col("p_size"))
+            )
+        )
+        .select("p_brand", "p_partkey", "p_retailprice", "p_size")
+    )
