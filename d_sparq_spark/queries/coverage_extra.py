@@ -409,3 +409,99 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_suppkey").alias("min_supp"),
         F.max("l_suppkey").alias("max_supp"),
     )
+
+
+_ORACLE_HISTOGRAM = """
+WITH b AS (
+  SELECT CAST(least(floor(o_totalprice / 25000), 19) AS BIGINT) AS bucket
+  FROM orders
+)
+SELECT bucket, COUNT(*) AS n_orders FROM b GROUP BY bucket
+"""
+
+
+@register("q_histogram", oracle=_ORACLE_HISTOGRAM)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (20 buckets of 25k, top
+    bucket open). Binning is floor-division arithmetic — IEEE-identical
+    on both engines (width_bucket exists only on the Spark side) — and
+    the count is a bounded-key hash agg: the histogram of a 100 TB table
+    shuffles at most n_buckets rows per map task."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.least(F.floor(F.col("o_totalprice") / 25000), F.lit(19))
+            .cast("long")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_ORACLE_DQ = """
+SELECT 'lineitem_orphan_orderkey' AS check_name,
+       (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+         (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_violations
+UNION ALL
+SELECT 'orders_orphan_custkey',
+       (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+         (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'customer_dup_custkey',
+       (SELECT COUNT(*) FROM
+         (SELECT c_custkey FROM customer GROUP BY c_custkey HAVING COUNT(*) > 1))
+UNION ALL
+SELECT 'orders_null_orderdate',
+       (SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL)
+UNION ALL
+SELECT 'lineitem_nonpositive_qty',
+       (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+"""
+
+
+@register("q_dq_audit", oracle=_ORACLE_DQ)
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit — the dbt-test / Deequ-style constraint sweep a
+    production pipeline runs before publishing a snapshot: referential
+    integrity (anti-join counts), key uniqueness, null and range checks,
+    one row per constraint. Scale shape: each check is an independent
+    aggregate over one scan (checks on the same table share it via scan
+    reuse); anti-joins key on the join column only."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"), F.count(F.lit(1)).alias("n_violations")
+        )
+
+    checks = [
+        one(
+            "lineitem_orphan_orderkey",
+            lineitem.select("l_orderkey").join(
+                orders.select("o_orderkey"),
+                lineitem.l_orderkey == orders.o_orderkey,
+                "left_anti",
+            ),
+        ),
+        one(
+            "orders_orphan_custkey",
+            orders.select("o_custkey").join(
+                customer.select("c_custkey"),
+                orders.o_custkey == customer.c_custkey,
+                "left_anti",
+            ),
+        ),
+        one(
+            "customer_dup_custkey",
+            customer.groupBy("c_custkey").count().filter(F.col("count") > 1),
+        ),
+        one("orders_null_orderdate", orders.filter(F.col("o_orderdate").isNull())),
+        one("lineitem_nonpositive_qty", lineitem.filter(F.col("l_quantity") <= 0)),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
