@@ -128,7 +128,7 @@ def pagerank(
                 + F.expr(f"coalesce(in_sum, 0L) * {damping_pct} div 100")
             ).cast("long").alias("r"),
         )
-        if (i + 1) % ckpt_every == 0 or i == n_iter - 1:
+        if (ckpt_every > 0 and (i + 1) % ckpt_every == 0) or i == n_iter - 1:
             ranks = ranks.localCheckpoint()
     return ranks.select("node", F.col("r").alias("rank_ppt"))
 
@@ -152,6 +152,16 @@ def dedup_clusters(
     )
 
 
+def degrees(edges: DataFrame) -> DataFrame:
+    """(n, d): undirected degree of every endpoint of edges(u, v)."""
+    return (
+        edges.select(F.col("u").alias("n"))
+        .unionByName(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+
+
 def triangles_degree_ordered(edges: DataFrame) -> DataFrame:
     """Triangle enumeration over an undirected edge set, degree-ordered.
 
@@ -169,12 +179,7 @@ def triangles_degree_ordered(edges: DataFrame) -> DataFrame:
     join and the closing join are both equi-joins — shuffle-partitioned,
     AQE-splittable, no broadcast assumption on the edge set.
     """
-    deg = (
-        edges.select(F.col("u").alias("n"))
-        .unionByName(edges.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
+    deg = degrees(edges)
     du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
     # orient toward the higher (degree, id) endpoint; id breaks degree ties

@@ -362,8 +362,13 @@ def kmeans_exact_int(
             F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long")
         ).alias("v"),
     )
-    cents = pts.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    # seeds: the k LOWEST-id vectors (TakeOrdered — k is metadata-scale),
+    # robust to id spaces that don't start at 0; cluster ids are the seed
+    # vectors' own ids
+    cents = (
+        pts.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("c"))
     )
 
     def assign(cents: DataFrame) -> DataFrame:

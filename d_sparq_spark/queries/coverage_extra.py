@@ -372,13 +372,14 @@ def q_sparql_describe_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ZBITS = 15  # l_partkey/l_suppkey fit well under 2^15 at driver scales
+_ZSHIFT = 14  # z >> shift = fixed-width bucket id (single point of change)
 _ORACLE_ZORDER = f"""
 WITH z AS (
   SELECT l_partkey, l_suppkey,
-         {sql_zorder_interleave('l_partkey', 'l_suppkey', 15)} AS zv
+         {sql_zorder_interleave('l_partkey', 'l_suppkey', _ZBITS)} AS zv
   FROM lineitem
 )
-SELECT zv >> 14 AS zbucket,
+SELECT zv >> {_ZSHIFT} AS zbucket,
        COUNT(*) AS n_rows,
        MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
        MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
@@ -402,7 +403,7 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         zorder_interleave(F.col("l_partkey"), F.col("l_suppkey"), _ZBITS).alias("zv"),
     )
-    return z.groupBy(F.shiftright(F.col("zv"), 14).alias("zbucket")).agg(
+    return z.groupBy(F.shiftright(F.col("zv"), _ZSHIFT).alias("zbucket")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.min("l_partkey").alias("min_part"),
         F.max("l_partkey").alias("max_part"),

@@ -92,11 +92,9 @@ def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation (per-node degree, then nodes per degree). Both levels are
     map-side-combinable hash aggregates; the second input is one row per
     node, so the heavy shuffle is only the first."""
-    edges = _copurchase_edges(spark, sf_dir)
-    deg = (
-        edges.select(F.col("u").alias("n"))
-        .unionByName(edges.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("degree"))
+    deg = G.degrees(_copurchase_edges(spark, sf_dir))
+    return (
+        deg.select(F.col("d").alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
     )
-    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_parts"))

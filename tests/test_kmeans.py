@@ -70,3 +70,16 @@ def test_empty_cluster_keeps_centroid(spark):
     # which must then keep its previous centroid without crashing
     vecs = {0: [0.0, 0.0], 1: [1.0, 1.0], 2: [1.0, 1.0], 3: [1.1, 1.0]}
     _run(spark, vecs, k=3, n_iter=2)
+
+
+def test_nonzero_based_ids(spark):
+    # ids starting at 1000: seeds must be the k lowest ids, not vec_id < k
+    rng = np.random.RandomState(11)
+    vecs = {1000 + i: list(rng.uniform(-2, 2, size=4)) for i in range(15)}
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    got = kmeans_exact_int(df, k=3, n_iter=2).collect()
+    assert len(got) == 15
+    assert {r.cluster for r in got} <= {1000, 1001, 1002}
