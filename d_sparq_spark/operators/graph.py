@@ -218,3 +218,41 @@ def triangle_counts_per_node(edges: DataFrame) -> DataFrame:
         F.explode(F.array("a", "b", "c")).alias("node")
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def sssp_bellman_ford(
+    edges_w: DataFrame, source, n_rounds: int = 6, ckpt_every: int = 3
+) -> DataFrame:
+    """Single-source shortest paths, Bellman-Ford: ``edges_w(src, dst, w)``
+    directed with integer weights, fixed round count -> (node, dist) for
+    nodes reached within n_rounds hops.
+
+    Integer distances make the fixpoint oracle-checkable (bit-exact
+    MIN/+ semiring; floats would accumulate order-dependent error). Each
+    round is one equi-join frontier⋈edges + one groupBy(node) MIN — the
+    map-side-combinable relaxation; state is one row per reached node,
+    never per path. Unreached nodes carry NULL (MIN ignores it) and are
+    filtered at the end, so no sentinel-infinity arithmetic."""
+    nodes = (
+        edges_w.select(F.col("src").alias("node"))
+        .unionByName(edges_w.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    dist = nodes.select(
+        "node",
+        F.when(F.col("node") == source, F.lit(0).cast("long")).alias("d"),
+    ).localCheckpoint()
+    for i in range(n_rounds):
+        relaxed = (
+            edges_w.join(dist.filter(F.col("d").isNotNull()), edges_w.src == F.col("node"))
+            .select(F.col("dst").alias("node"), (F.col("d") + F.col("w")).alias("d"))
+        )
+        dist = (
+            dist.select("node", "d")
+            .unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+        )
+        if (ckpt_every > 0 and (i + 1) % ckpt_every == 0) or i == n_rounds - 1:
+            dist = dist.localCheckpoint()
+    return dist.filter(F.col("d").isNotNull()).select("node", F.col("d").alias("dist"))

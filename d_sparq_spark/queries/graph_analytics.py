@@ -98,3 +98,56 @@ def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("degree")
         .agg(F.count(F.lit(1)).alias("n_parts"))
     )
+
+
+def _sssp_oracle(n_rounds: int = 6) -> str:
+    """Unrolled Bellman-Ford rounds (the PageRank/k-means oracle device):
+    integer MIN/+ relaxations over the symmetrized weighted co-purchase
+    graph, seeded at the minimum part key."""
+    head = f"""
+WITH c AS ({_SQL_EDGES}),
+e AS (
+  SELECT u AS src, v AS dst, ((u * 7 + v * 13) % 97) + 1 AS w FROM c
+  UNION ALL
+  SELECT v, u, ((u * 7 + v * 13) % 97) + 1 FROM c
+),
+n AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+seed AS (SELECT MIN(node) AS s FROM n),
+r0 AS (SELECT node, CASE WHEN node = (SELECT s FROM seed) THEN CAST(0 AS BIGINT) END AS d FROM n)"""
+    stages = []
+    for i in range(1, n_rounds + 1):
+        stages.append(f""",
+r{i} AS (
+  SELECT node, MIN(d) AS d FROM (
+    SELECT node, d FROM r{i - 1}
+    UNION ALL
+    SELECT e.dst AS node, r.d + e.w AS d
+    FROM e JOIN r{i - 1} r ON e.src = r.node WHERE r.d IS NOT NULL
+  ) GROUP BY node
+)""")
+    return (
+        head + "".join(stages)
+        + f"\nSELECT node AS part, d AS dist FROM r{n_rounds} WHERE d IS NOT NULL"
+    )
+
+
+@register("q_sssp", oracle=_sssp_oracle())
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths over the co-purchase graph
+    (edge weight = a deterministic integer function of the canonical
+    pair, identical arithmetic in the oracle), 6 Bellman-Ford rounds
+    from the minimum part key. Completes the iterative-operator family:
+    seeded reachability (SPARQL p+), components (hash-min), ranks
+    (PageRank), clusters (k-means), and now weighted distances — all
+    integer-exact with unrolled-CTE oracles."""
+    c = _copurchase_edges(spark, sf_dir)
+    w = ((F.col("u") * 7 + F.col("v") * 13) % 97 + 1).alias("w")
+    ew = (
+        c.select(F.col("u").alias("src"), F.col("v").alias("dst"), w)
+        .unionByName(c.select(F.col("v").alias("src"), F.col("u").alias("dst"), w))
+        .localCheckpoint()  # the edge generator must not re-run per round
+    )
+    seed = ew.agg(F.min(F.least("src", "dst"))).collect()[0][0]
+    return G.sssp_bellman_ford(ew, seed).select(
+        F.col("node").alias("part"), "dist"
+    )

@@ -47,3 +47,24 @@ def test_two_sharing_triangles(spark):
     g = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5)])
     per_node = {r.node: r.n_triangles for r in G.triangle_counts_per_node(g).collect()}
     assert per_node == {1: 1, 2: 1, 3: 2, 4: 1, 5: 1}
+
+
+def test_sssp_hand_computed(spark):
+    # path graph 1-2-3-4 with weights 5,1,9 plus shortcut 1-3 weight 2:
+    # dist from 1: 2 is min(5, 2+1)=3 via the shortcut back-edge, 3 is 2,
+    # 4 is 2+9=11
+    ew = spark.createDataFrame(
+        [(1, 2, 5), (2, 1, 5), (2, 3, 1), (3, 2, 1),
+         (3, 4, 9), (4, 3, 9), (1, 3, 2), (3, 1, 2)],
+        "src long, dst long, w long",
+    )
+    got = {r.node: r.dist for r in G.sssp_bellman_ford(ew, 1, n_rounds=4).collect()}
+    assert got == {1: 0, 2: 3, 3: 2, 4: 11}
+
+
+def test_sssp_unreached_filtered(spark):
+    ew = spark.createDataFrame(
+        [(1, 2, 7), (2, 1, 7), (8, 9, 1), (9, 8, 1)], "src long, dst long, w long"
+    )
+    got = {r.node: r.dist for r in G.sssp_bellman_ford(ew, 1, n_rounds=3).collect()}
+    assert got == {1: 0, 2: 7}  # 8/9 unreached -> absent
