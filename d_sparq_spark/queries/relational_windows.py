@@ -194,6 +194,36 @@ WHERE NOT EXISTS (
 """
 
 
+def pareto_sweep(
+    df: DataFrame, group_col: str, price_col: str, size_col: str
+) -> DataFrame:
+    """Rows of ``df`` not dominated within their group: some same-group row
+    <= on price, >= on size, strictly better on one. O(n log n): collapse
+    to max size per (group, price), running max over strictly-cheaper
+    prices (rows frame ending at -1 over distinct prices), dominance by
+    comparison. Exported so the hypothesis property test drives the SAME
+    sweep the query uses against the quadratic definition."""
+    per_price = df.groupBy(group_col, price_col).agg(
+        F.max(size_col).alias("_msize")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(price_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per_price = per_price.withColumn("_prev_max", F.max("_msize").over(w))
+    return (
+        df.join(per_price, [group_col, price_col])
+        .filter(
+            ~(
+                (F.coalesce(F.col("_prev_max"), F.lit(-(2**31))) >= F.col(size_col))
+                | (F.col("_msize") > F.col(size_col))
+            )
+        )
+        .drop("_msize", "_prev_max")
+    )
+
+
 @register("q_skyline", oracle=_ORACLE_SKYLINE)
 def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-brand Pareto skyline (cheapest AND largest parts): a part is
@@ -209,22 +239,6 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     part strictly exceeds it. At 100 TB the quadratic join is impossible
     and the sweep is one narrow shuffle on (brand, price)."""
     part = load_table(spark, sf_dir, "part")
-    per_price = part.groupBy("p_brand", "p_retailprice").agg(
-        F.max("p_size").alias("msize")
-    )
-    w = (
-        Window.partitionBy("p_brand")
-        .orderBy("p_retailprice")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    per_price = per_price.withColumn("prev_max", F.max("msize").over(w))
-    return (
-        part.join(per_price, ["p_brand", "p_retailprice"])
-        .filter(
-            ~(
-                (F.coalesce(F.col("prev_max"), F.lit(-(2**31))) >= F.col("p_size"))
-                | (F.col("msize") > F.col("p_size"))
-            )
-        )
-        .select("p_brand", "p_partkey", "p_retailprice", "p_size")
+    return pareto_sweep(part, "p_brand", "p_retailprice", "p_size").select(
+        "p_brand", "p_partkey", "p_retailprice", "p_size"
     )

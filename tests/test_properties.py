@@ -115,3 +115,62 @@ def test_seeded_closure_equals_filtered_full_closure(spark, edges, seeds):
         map(tuple, full.join(s, full["src"] == s["n"], "left_semi").collect())
     )
     assert got == want
+
+
+# ---- round-3 graph/windowed operators vs brute force -------------------------
+
+_edge_lists = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda t: t[0] != t[1]),
+    min_size=0,
+    max_size=30,
+)
+
+
+@SETTINGS
+@given(pairs=_edge_lists)
+def test_triangles_match_bruteforce(spark, pairs):
+    from itertools import combinations
+
+    from d_sparq_spark.operators.graph import triangles_degree_ordered
+
+    canon = sorted({(min(u, v), max(u, v)) for u, v in pairs})
+    eset = set(canon)
+    expected = {
+        frozenset((a, b, c))
+        for a, b, c in combinations(sorted({n for e in canon for n in e}), 3)
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset
+    }
+    if not canon:
+        return
+    edges = spark.createDataFrame(canon, "u long, v long")
+    got = {frozenset((r.a, r.b, r.c)) for r in triangles_degree_ordered(edges).collect()}
+    assert got == expected
+
+
+_part_rows = st.lists(
+    st.tuples(st.sampled_from(["X", "Y"]), st.integers(1, 8), st.integers(1, 8)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@SETTINGS
+@given(rows=_part_rows)
+def test_skyline_matches_bruteforce(spark, rows):
+    """The windowed sweep must equal the quadratic dominance definition
+    for arbitrary (brand, price, size) multisets — including ties on
+    either axis, which is where sweep formulations usually break."""
+    from d_sparq_spark.queries.relational_windows import pareto_sweep
+
+    data = [(b, i, float(p), s) for i, (b, p, s) in enumerate(rows)]
+    expected = {
+        (b, i)
+        for b, i, p, s in data
+        if not any(
+            b2 == b and p2 <= p and s2 >= s and (p2 < p or s2 > s)
+            for b2, _, p2, s2 in data
+        )
+    }
+    df = spark.createDataFrame(data, "brand string, id long, price double, size int")
+    got = {(r.brand, r.id) for r in pareto_sweep(df, "brand", "price", "size").collect()}
+    assert got == expected
