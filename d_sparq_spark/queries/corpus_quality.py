@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from d_sparq_spark.functions import text as T
 from d_sparq_spark.registry import register
 from d_sparq_spark.sources.tables import load_table
 
@@ -336,4 +337,105 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("pair"))
         .limit(20)
+    )
+
+
+_ORACLE_VOCAB_COVERAGE = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS t FROM documents
+),
+cnt AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+top AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, t) AS rn
+  FROM cnt ORDER BY c DESC, t LIMIT 5000
+),
+ks AS (SELECT unnest([100, 500, 1000, 5000]) AS k)
+SELECT k,
+       CAST(COALESCE(SUM(CASE WHEN rn <= k THEN c END), 0) AS BIGINT) AS covered,
+       (SELECT n FROM total) AS total_tokens,
+       CAST(COALESCE(SUM(CASE WHEN rn <= k THEN c END), 0) AS DOUBLE)
+         / (SELECT n FROM total) AS coverage
+FROM ks CROSS JOIN top
+GROUP BY k
+"""
+
+
+@register("q_vocab_coverage", oracle=_ORACLE_VOCAB_COVERAGE)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus coverage of a top-k token vocabulary at k in {100, 500,
+    1000, 5000} — what a tokenizer-vocab-size decision reads. Scale
+    shape: token counting is the usual map-side-combinable explode+agg;
+    the global top-5000 is TakeOrderedAndProject (per-partition top-k,
+    driver merge), and only that bounded 5000-row set sees a
+    single-partition window — windows over LIMIT-bounded derived sets
+    are safe at any corpus size. The k-curve is a broadcast theta-join
+    of 4 rows against the bounded set."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(_tokens()).alias("t"))
+    cnt = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = cnt.agg(F.sum("c").cast("long").alias("n"))
+    top = (
+        cnt.orderBy(F.col("c").desc(), "t")
+        .limit(5000)
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.col("c").desc(), "t"))
+        )
+    )
+    ks = spark.createDataFrame([(100,), (500,), (1000,), (5000,)], "k int")
+    return (
+        F.broadcast(ks)
+        .crossJoin(top)
+        .groupBy("k")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("rn") <= F.col("k"), F.col("c"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("covered")
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            "covered",
+            F.col("n").alias("total_tokens"),
+            (F.col("covered").cast("double") / F.col("n")).alias("coverage"),
+        )
+    )
+
+
+_ORACLE_QUALITY_FILTER = f"""
+WITH scored AS (
+  SELECT doc_id, lang, {T.SQL_QUALITY.format(c='text')} AS quality FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang, quality,
+         percent_rank() OVER (PARTITION BY lang ORDER BY quality, doc_id) AS pr
+  FROM scored
+)
+SELECT doc_id, lang, quality FROM ranked WHERE pr >= 0.3
+"""
+
+
+@register("q_quality_filter", oracle=_ORACLE_QUALITY_FILTER)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-based quality gate: within each language, drop the
+    bottom 30% by the composite quality score — the relative-threshold
+    filter real pipelines use instead of absolute cutoffs (score scales
+    drift per language). percent_rank windows partition by lang with a
+    (quality, doc_id) unique ordering, so the boundary is deterministic;
+    the shuffle is one hash partitioning on lang."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", T.quality_score(F.col("text")).alias("quality")
+    )
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.3)
+        .select("doc_id", "lang", "quality")
     )

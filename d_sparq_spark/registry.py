@@ -116,7 +116,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "q_tpch_q3", "q_tpch_q10", "q_tpch_q18",
     "q_triangle_count", "q_degree_dist", "q_kmeans", "q_bpe_pairs",
     "q_zorder_layout", "q_skyline", "q_scd2_history", "q_histogram",
-    "q_dq_audit", "q_sssp",
+    "q_dq_audit", "q_sssp", "q_vocab_coverage", "q_quality_filter",
 })
 
 
