@@ -47,6 +47,8 @@ HEADLINE = [
     "q_sparql_path_plus_bound",  # seeded frontier closure (vs unbound twin above)
     "q_sparql_graph_path",  # grouped closure under GRAPH ?g (single plan)
     "q_tpch_q18",           # single-pass HAVING-on-fact aggregate, then join
+    "q_kmeans",             # integer-exact Lloyd's (broadcast centroids)
+    "q_vocab_coverage",     # token counting + bounded top-k curve
 ]
 
 
