@@ -175,3 +175,37 @@ def test_tpch_q18_filters_before_join(spark):
     # aggregate, never via a second scan / self-semi-join of lineitem
     assert plan.count("lineitem.parquet") == 1
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bucketed_fact_fact_join_has_no_shuffle(spark, tmp_path):
+    """The relational analogue of the bucketed triple store: orders and
+    lineitem bucketed on the SAME key with the same bucket count join
+    with ZERO Exchange on either side — at 100 TB this is the one lever
+    that removes the fact-fact shuffle entirely (bucket count sized so a
+    bucket pair fits an executor). Broadcast disabled to force the
+    co-located sort-merge path."""
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).format("parquet").saveAsTable("t_orders_bkt")
+    lineitem.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).format("parquet").saveAsTable("t_lineitem_bkt")
+    o = spark.table("t_orders_bkt")
+    li = spark.table("t_lineitem_bkt")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderstatus").count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # the only Exchange allowed is the post-join groupBy partial agg
+        pre_join = plan.split("SortMergeJoin")[-1]
+        assert "Exchange" not in pre_join, f"bucketed join shuffled an input:\n{plan}"
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_bkt")
