@@ -68,3 +68,37 @@ def test_sssp_unreached_filtered(spark):
     )
     got = {r.node: r.dist for r in G.sssp_bellman_ford(ew, 1, n_rounds=3).collect()}
     assert got == {1: 0, 2: 7}  # 8/9 unreached -> absent
+
+
+def test_iterative_ops_invariant_under_repartitioning(spark):
+    """The integer-exactness claim, tested directly: pagerank, sssp, and
+    kmeans must produce BIT-identical results whatever the input's
+    physical partitioning (1 partition vs many, different keys)."""
+    import numpy as np
+
+    from d_sparq_spark.operators.similarity import kmeans_exact_int
+
+    rng = np.random.RandomState(5)
+    ew = spark.createDataFrame(
+        [(int(u), int(v), int(w)) for u, v, w in
+         rng.randint(0, 40, size=(120, 3)) + [[0, 0, 1]]],
+        "src long, dst long, w long",
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.uniform(-2, 2, 6)]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    pr_edges = ew.select("src", "dst")
+
+    def runs(df, fn):
+        outs = []
+        for parts in (1, 7):
+            outs.append(sorted(map(tuple, fn(df.repartition(parts)).collect())))
+        return outs
+
+    a, b = runs(pr_edges, lambda d: G.pagerank(d, n_iter=4))
+    assert a == b
+    a, b = runs(ew, lambda d: G.sssp_bellman_ford(d, 1, n_rounds=4))
+    assert a == b
+    a, b = runs(emb, lambda d: kmeans_exact_int(d, k=3, n_iter=2))
+    assert a == b
