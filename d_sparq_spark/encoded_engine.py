@@ -186,6 +186,22 @@ class EncodedSparqlEngine:
         if isinstance(node, A.Filter) and isinstance(node.expr, A.ExistsExpr):
             self._collect_constants(node.expr.group, out)
 
+    def _values_terms_present(self, node, ids: dict) -> bool:
+        if isinstance(node, A.Values):
+            if any(
+                v is not None and v not in ids for row in node.rows for v in row
+            ):
+                return False
+        if isinstance(node, A.Filter) and isinstance(node.expr, A.ExistsExpr):
+            if not self._values_terms_present(node.expr.group, ids):
+                return False
+        for attr in ("left", "right", "child"):
+            sub = getattr(node, attr, None)
+            if sub is not None and not isinstance(sub, (str, list, tuple)):
+                if not self._values_terms_present(sub, ids):
+                    return False
+        return True
+
     def _rewrite(self, node, ids: dict):
         def rid(t):
             return t if _is_var(t) else ids.get(t, _MISSING_ID)
@@ -262,6 +278,19 @@ class EncodedSparqlEngine:
                 "EncodedSparqlEngine: BIND/aggregates nested inside the "
                 "structural pattern are not supported on the encoded store"
             )
+        if isinstance(node, (A.OrderBy, A.Slice)) or (
+            isinstance(node, A.Project) and node.exprs
+        ):
+            # nested subquery wrappers: ORDER BY over encoded IDs sorts by
+            # dictionary rank, not value (typed numerics diverge), LIMIT
+            # then keeps the wrong rows, and projection expressions would
+            # compute over raw IDs — decode-early fallback for all three.
+            # (Top-level wrappers never reach here: _split peels them and
+            # they run over DECODED bindings.)
+            raise NotImplementedError(
+                "EncodedSparqlEngine: nested subquery ORDER BY/LIMIT/"
+                "projection expressions run on values, not IDs"
+            )
         for attr in ("left", "right", "child"):
             sub = getattr(node, attr, None)
             if sub is not None and not isinstance(sub, (str, list, tuple)):
@@ -287,12 +316,7 @@ class EncodedSparqlEngine:
 
     def query(self, sparql: str) -> DataFrame:
         tree = parse_sparql(sparql)
-        if isinstance(tree, A.SelectQuery):
-            root = tree.root
-        elif isinstance(tree, (A.Ask, A.Construct)):
-            root = tree
-        else:
-            root = tree
+        root = tree.root if isinstance(tree, A.SelectQuery) else tree
 
         consts: set = set()
         try:
@@ -305,6 +329,12 @@ class EncodedSparqlEngine:
                 r["term"]: r["id"]
                 for r in self.dict.filter(F.col("term").isin(*consts)).collect()
             }
+        if not self._values_terms_present(root, ids):
+            # a VALUES term absent from the dictionary has no ID, but the
+            # row must still exist (it can survive OPTIONAL/projection and
+            # must decode back to its lexical form; a sentinel would also
+            # make two DIFFERENT absent terms compare equal) — run lexical
+            return self._lexical_fallback(tree)
 
         if isinstance(root, A.Describe):
             if root.child is not None:
@@ -330,14 +360,25 @@ class EncodedSparqlEngine:
                 self._check_structural(root.child)
             except NotImplementedError:
                 return self._lexical_fallback(tree)
-            rewritten = self._rewrite(root.child if isinstance(root, A.Ask) else root.child, ids)
+            rewritten = self._rewrite(root.child, ids)
             tr = _EncodedTranslator(
                 self.triples, self._stats, catalog=self.catalog, dictionary=self.dict
             )
             if isinstance(root, A.Ask):
                 return tr.eval(A.Ask(rewritten))
-            df = tr.eval(A.Construct(self._rewrite_template(root.template, ids), rewritten))
-            return self._decode(df, df.columns)
+            # CONSTRUCT: evaluate the group encoded, decode the BINDINGS,
+            # then instantiate the template lexically — template constants
+            # never mix with encoded longs (a mixed union would ANSI-cast
+            # the lexical constant to bigint and crash), and constants
+            # absent from the dictionary need no ID at all.
+            bound = tr.eval(rewritten)
+            decoded = self._decode(bound, bound.columns)
+            lex = Translator(
+                bound.sparkSession.createDataFrame([], "s string, p string, o string")
+            )
+            return _eval_with_precomputed(
+                lex, A.Construct(root.template, _Precomputed(decoded))
+            )
 
         structural, wrappers = self._split(root)
         # Check the WHOLE structural subtree, not just binary roots.
@@ -411,18 +452,19 @@ class EncodedSparqlEngine:
         store = decode_triples(self.triples, self.dict)
         return Translator(store, services=self.services).eval(tree)
 
-    def _rewrite_template(self, template, ids):
-        return template  # CONSTRUCT templates stay lexical; bindings decode
-
     def _decode(self, df: DataFrame, cols) -> DataFrame:
-        d = F.broadcast(self.dict)
+        # prefixed dictionary columns (like _decode_shadow): a user
+        # variable named 'term' or 'id' must not collide with the dict's
         out = df
         for c in cols:
             if dict(out.dtypes).get(c) == "bigint":
+                d = self.dict.select(
+                    F.col("id").alias(f"__did_{c}"), F.col("term").alias(f"__term_{c}")
+                )
                 out = (
-                    out.join(d, out[c] == d.id, "left")
-                    .drop(c, "id")
-                    .withColumnRenamed("term", c)
+                    out.join(F.broadcast(d), out[c] == F.col(f"__did_{c}"), "left")
+                    .drop(c, f"__did_{c}")
+                    .withColumnRenamed(f"__term_{c}", c)
                 )
         return out.select(*df.columns)
 

@@ -129,8 +129,17 @@ class Translator:
             child = self.eval(node.child)
             return child.withColumn(node.var, self.expr(node.expr, child))
         if isinstance(node, A.Values):
+            # per-column type: the encoded engine rewrites VALUES terms to
+            # dictionary IDs (Python ints) — a hard-coded string schema
+            # would stringify them and the decode step (bigint-only) would
+            # leak raw IDs into results
+            def _vtype(i: int) -> str:
+                vals = [row[i] for row in node.rows if row[i] is not None]
+                return "bigint" if vals and all(isinstance(x, int) for x in vals) else "string"
+
             vdf = self.spark.createDataFrame(
-                node.rows, ", ".join(f"{v} string" for v in node.varnames)
+                node.rows,
+                ", ".join(f"{v} {_vtype(i)}" for i, v in enumerate(node.varnames)),
             )
             if node.child is None:
                 return vdf

@@ -177,20 +177,13 @@ WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
 
 @register("q_join_range", oracle=_ORACLE_RANGE)
 def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream funnel — ONE shared implementation
+    (streaming/joins.py) so the stream-vs-batch equivalence test compares
+    the same join shape, not two independently-written queries."""
+    from d_sparq_spark.streaming.joins import funnel_join, funnel_sides
+
     events = load_table(spark, sf_dir, "events")
-    s = events.filter(F.col("event_type") == "signup").select(
-        "user_id", F.col("event_id").alias("signup_id"), F.col("ts").alias("s_ts")
-    )
-    p = events.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"),
-        F.col("ts").alias("p_ts"),
-    )
-    return s.join(
-        p,
-        (s.user_id == p.p_user)
-        & (p.p_ts >= s.s_ts)
-        & (p.p_ts < s.s_ts + F.expr("INTERVAL 1 HOUR")),
-    ).select("signup_id", "purchase_id", "user_id")
+    return funnel_join(*funnel_sides(events))
 
 
 # --- q_join_asof: latest prior view per purchase (union + last() trick) ------

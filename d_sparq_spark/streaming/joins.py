@@ -60,5 +60,10 @@ def stream_stream_funnel(spark, sf_dir: str, name: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {name!r} did not finish within 300 s — "
+            "refusing to return a partial memory-sink snapshot"
+        )
     return spark.table(name)

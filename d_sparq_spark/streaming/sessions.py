@@ -15,6 +15,7 @@ for counts.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from decimal import ROUND_HALF_UP, Decimal
 from typing import Any
 
 import pandas as pd
@@ -25,7 +26,11 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 GAP_US = 1_800_000_000  # 30 min
 
 OUT_SCHEMA = "user_id long, sess_start_us long, n_events long, total_value double"
-STATE_SCHEMA = "start long, last long, n long, total double"
+# total accumulates in integer MICRO-UNITS (value quantized to 6dp, half
+# away from zero — the same rounding Spark's cast(double as decimal(25,6))
+# applies), so stream and batch sums are BIT-identical regardless of
+# accumulation order; the emitted double is micros / 1e6.
+STATE_SCHEMA = "start long, last long, n long, total long"
 
 
 def _make_sessionizer(use_timeout: bool):
@@ -46,7 +51,8 @@ def _sessionize_group_impl(
         start, last, n, total = state.get
         state.remove()
         yield pd.DataFrame(
-            {"user_id": [user_id], "sess_start_us": [start], "n_events": [n], "total_value": [total]}
+            {"user_id": [user_id], "sess_start_us": [start], "n_events": [n],
+             "total_value": [total / 1e6]}
         )
         return
 
@@ -56,16 +62,27 @@ def _sessionize_group_impl(
         start, last, n, total = state.get
     else:
         start = last = None
-        n, total = 0, 0.0
+        n, total = 0, 0
+
+    def micros(v) -> int:
+        # quantize like Spark's cast(double AS decimal(25,6)): 6dp, half
+        # away from zero on the double's exact binary value
+        return int(
+            (Decimal(float(v)) * 1_000_000).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        )
+
     for ts, val in zip(rows["ts_us"], rows["value"]):
         ts = int(ts)
         if start is None:
-            start, last, n, total = ts, ts, 1, float(val)
+            start, last, n, total = ts, ts, 1, micros(val)
         elif ts - last >= GAP_US:
-            out.append((user_id, start, n, total))
-            start, last, n, total = ts, ts, 1, float(val)
+            out.append((user_id, start, n, total / 1e6))
+            start, last, n, total = ts, ts, 1, micros(val)
         else:
-            last, n, total = ts, n + 1, total + float(val)
+            # max/min: rows sort only WITHIN a microbatch; a within-
+            # watermark late event from a later batch must neither move
+            # `last` backward nor lose the true session head
+            start, last, n, total = min(start, ts), max(last, ts), n + 1, total + micros(val)
     state.update((start, last, n, total))
     if use_timeout:
         state.setTimeoutDuration(60_000)
@@ -115,8 +132,12 @@ def sessionize_batch(events: DataFrame) -> DataFrame:
     )
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sessions = flagged.withColumn("sess_id", F.sum("new_sess").over(w_run))
+    from d_sparq_spark.functions.numeric import dsum
+
     return sessions.groupBy("user_id", "sess_id").agg(
         F.min("ts_us").alias("sess_start_us"),
         F.count(F.lit(1)).alias("n_events"),
-        F.sum("value").alias("total_value"),
+        # exact decimal sum: bit-identical to the stream twin's integer
+        # micro-unit accumulation whatever the partition/merge order
+        dsum(F.col("value")).alias("total_value"),
     ).drop("sess_id")

@@ -49,7 +49,7 @@ def session_30m(events: DataFrame) -> DataFrame:
     )
 
 
-_TS_IS_LONG_CACHE: dict[tuple[int, str], bool] = {}
+_TS_IS_LONG_CACHE: dict[tuple[str, str], bool] = {}
 
 
 def stream_events(spark, sf_dir: str, with_watermark: str | None = "10 minutes") -> DataFrame:
@@ -63,7 +63,10 @@ def stream_events(spark, sf_dir: str, with_watermark: str | None = "10 minutes")
     from d_sparq_spark.sources.tables import table_path
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    key = (id(spark), sf_dir)
+    # keyed on the applicationId, not id(spark): a freed session object's
+    # address can be reused by a NEW session, which would then hit a stale
+    # cached dtype for the same sf_dir
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _TS_IS_LONG_CACHE:
         _TS_IS_LONG_CACHE[key] = (
             dict(spark.read.parquet(table_path(sf_dir, "events")).dtypes)["ts"]
@@ -104,7 +107,12 @@ def run_stream_to_batch(stream_df: DataFrame, agg_fn, name: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {name!r} did not finish within 300 s — "
+            "refusing to return a partial memory-sink snapshot"
+        )
     return stream_df.sparkSession.table(name)
 
 

@@ -235,3 +235,48 @@ def test_encoded_construct_with_value_filter_matches_lexical(engines):
          "WHERE { ?x ex:age ?a FILTER(?a > 26) }")
     assert rows(encoded.query(q)) == rows(lexical.query(q))
     assert len(rows(encoded.query(q))) > 0
+
+
+# ---- round-3 review regressions: VALUES / CONSTRUCT / decode collisions ----
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_values_decodes_and_absent_terms_fall_back(engines):
+    lex, enc = engines
+    # present term: must decode back to the lexical form, not leak an ID
+    q1 = 'SELECT ?c ?n WHERE { VALUES ?c { "Paris" } ?x ex:city ?c ; ex:name ?n }'
+    assert _rows(enc.query(q1)) == _rows(lex.query(q1))
+    # absent term: the row still exists and projects its lexical form
+    q2 = 'SELECT ?c WHERE { VALUES ?c { "NotInStore" } }'
+    assert _rows(enc.query(q2)) == _rows(lex.query(q2)) == [("NotInStore",)]
+    # two DIFFERENT absent terms must not join as equal sentinel IDs
+    q3 = ('SELECT ?x WHERE { VALUES ?x { "AbsentA" } '
+          '{ SELECT ?x WHERE { VALUES ?x { "AbsentB" } } } }')
+    assert _rows(enc.query(q3)) == _rows(lex.query(q3)) == []
+
+
+def test_construct_mixed_constant_variable_template(engines):
+    lex, enc = engines
+    q = ('CONSTRUCT { ?x ex:hasName ?n . ?x ex:type "person" } '
+         'WHERE { ?x ex:name ?n }')
+    assert _rows(enc.query(q)) == _rows(lex.query(q))
+    assert len(_rows(enc.query(q))) > 0
+
+
+def test_variable_named_term_decodes(engines):
+    lex, enc = engines
+    q = 'SELECT ?term WHERE { ?term ex:city "Paris" }'
+    assert _rows(enc.query(q)) == _rows(lex.query(q))
+    q2 = 'SELECT ?id WHERE { ?id ex:city "Paris" }'
+    assert _rows(enc.query(q2)) == _rows(lex.query(q2))
+
+
+def test_nested_subquery_orderby_falls_back(engines):
+    lex, enc = engines
+    # typed numeric ORDER BY inside a subquery: ID order != value order;
+    # the encoded engine must fall back rather than sort by dictionary rank
+    q = ('SELECT ?x WHERE { { SELECT ?x WHERE { ?x ex:age ?a } '
+         'ORDER BY ?a LIMIT 2 } }')
+    assert _rows(enc.query(q)) == _rows(lex.query(q))

@@ -106,11 +106,11 @@ def test_sessionize_stream_matches_batch(spark):
         batch.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") > 1).drop("rn")
     )
     b = sorted(
-        (r["user_id"], r["sess_start_us"], r["n_events"], round(r["total_value"], 6))
+        (r["user_id"], r["sess_start_us"], r["n_events"], r["total_value"])
         for r in batch_closed.collect()
     )
     g = sorted(
-        (r["user_id"], r["sess_start_us"], r["n_events"], round(r["total_value"], 6))
+        (r["user_id"], r["sess_start_us"], r["n_events"], r["total_value"])
         for r in got.collect()
     )
     assert g == b

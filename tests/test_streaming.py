@@ -160,11 +160,11 @@ def test_replay_dedup_then_sessionize_sf01(spark):
         .drop("rn")
     )
     b = sorted(
-        (r["user_id"], r["sess_start_us"], r["n_events"], round(r["total_value"], 6))
+        (r["user_id"], r["sess_start_us"], r["n_events"], r["total_value"])
         for r in batch_closed.collect()
     )
     g = sorted(
-        (r["user_id"], r["sess_start_us"], r["n_events"], round(r["total_value"], 6))
+        (r["user_id"], r["sess_start_us"], r["n_events"], r["total_value"])
         for r in got.collect()
     )
     assert len(g) > 0
