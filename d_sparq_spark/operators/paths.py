@@ -161,6 +161,7 @@ def seeded_closure(
     # strided relation must stay edge-set-sized, not closure-sized.
     hop, depth = edges, 1
     base_n = hop.count()
+    n_prev = base_n
     while depth < stride:
         composed = (
             hop.alias("l")
@@ -177,9 +178,15 @@ def seeded_closure(
         )
         nxt = hop.unionByName(composed).distinct().localCheckpoint()
         n2 = nxt.count()
-        hop, depth = nxt, depth * 2
         if n2 > 8 * base_n:
+            # guard BEFORE adopting: the composed relation that blew past
+            # the cap must be discarded, or every subsequent frontier join
+            # pays for a closure-sized hop relation (the cap's whole point)
             break
+        hop, depth = nxt, depth * 2
+        if n2 == n_prev:
+            break  # hop relation at fixpoint: deeper composition is a no-op
+        n_prev = n2
     parts = [frontier]  # disjoint checkpointed frontiers; union = reached
     pair_cols = keys + ["src", "dst"]
     for _ in range(bfs_rounds):

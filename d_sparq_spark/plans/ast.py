@@ -272,8 +272,9 @@ class Graph:
 
 @dataclass
 class SelectQuery:
+    # HAVING never travels separately: the parser folds it into the tree
+    # as a Filter over the Group (spec-form aggregate lifting)
     root: object
-    having: object | None = None
 
 
 # ---------------- SPARQL 1.1 Update subset ----------------

@@ -354,6 +354,12 @@ class Parser:
         if not subquery and self.peek().kind != "EOF":
             raise SyntaxError(f"SPARQL: trailing tokens at {self.peek()}")
 
+        if having is not None and not aggs and group_keys is None:
+            raise SyntaxError(
+                "SPARQL: HAVING requires GROUP BY or aggregates in the "
+                "SELECT list (it filters groups, not solutions — use "
+                "FILTER for row-level conditions)"
+            )
         if aggs or group_keys is not None:
             if having is not None:
                 # spec-form HAVING (COUNT(?x) > 5): aggregates cannot run
@@ -595,6 +601,28 @@ class Parser:
     #   Elt       := Primary ('+'|'*'|'?')?
     #   Primary   := IRI | 'a' | '!' (IRI | '(' IRI ('|' IRI)* ')') | '(' Path ')'
     def parse_verb(self):
+        verb = self._parse_verb_inner()
+        if isinstance(verb, tuple):
+            self._reject_path_vars(verb)
+        return verb
+
+    def _reject_path_vars(self, node) -> None:
+        """The SPARQL path grammar admits only IRIs inside a property path
+        (a bare variable predicate is VerbSimple, not a path); a variable
+        under a path operator would otherwise silently evaluate as a
+        never-matching constant predicate."""
+        if isinstance(node, str):
+            if node.startswith("?"):
+                raise SyntaxError(
+                    "SPARQL: variables are not allowed inside property "
+                    f"paths ({node} under a path operator)"
+                )
+            return
+        if isinstance(node, tuple):
+            for part in node[1] if isinstance(node[1], list) else [node[1]]:
+                self._reject_path_vars(part)
+
+    def _parse_verb_inner(self):
         parts = [self._parse_path_seq()]
         while self.at_op("|"):
             self.next()
@@ -731,6 +759,11 @@ class Parser:
                 while not self.at_op(")"):
                     row.append(self._values_term())
                 self.next()
+                if len(row) != len(varnames):
+                    raise SyntaxError(
+                        f"SPARQL: VALUES row has {len(row)} terms for "
+                        f"{len(varnames)} variables"
+                    )
                 rows.append(tuple(row))
             self.eat_op("}")
         return varnames, rows
@@ -803,9 +836,19 @@ class Parser:
 
     def parse_add(self):
         left = self.parse_mul()
-        while self.at_op("+") or self.at_op("-"):
-            op = self.next().text
-            left = A.BinOp(op, left, self.parse_mul())
+        while True:
+            if self.at_op("+") or self.at_op("-"):
+                op = self.next().text
+                left = A.BinOp(op, left, self.parse_mul())
+            elif self.peek().kind == "NUMBER" and self.peek().text[0] in "+-":
+                # the tokenizer folds a sign into NUMBER, so '1+1' arrives
+                # as NUMBER(1) NUMBER(+1); the SPARQL grammar resolves this
+                # with NumericLiteralPositive/Negative in
+                # AdditiveExpression — do the same here
+                t = self.next().text
+                left = A.BinOp(t[0], left, A.Lit(float(t[1:]), is_numeric=True))
+            else:
+                break
         return left
 
     def parse_mul(self):

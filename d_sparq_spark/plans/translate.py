@@ -122,7 +122,15 @@ class Translator:
             shared = sorted(set(left.columns) & set(right.columns))
             if not shared:  # SPARQL MINUS with disjoint domains removes nothing
                 return left
-            return left.join(right, on=shared, how="left_anti")
+            if len(shared) == 1:
+                # single shared var: the equi anti-join IS the spec — a
+                # NULL on either side means no mutual binding, so the row
+                # is kept, which is exactly what a non-matching NULL key
+                # does (and it stays a plain hash join)
+                return left.join(right, on=shared, how="left_anti")
+            return self._compat_semi_anti(
+                left, right, shared, anti=True, require_overlap=True
+            )
         if isinstance(node, A.Filter):
             return self._filter(node)
         if isinstance(node, A.Bind):
@@ -143,7 +151,37 @@ class Translator:
             )
             if node.child is None:
                 return vdf
-            return join_bindings(self.eval(node.child), vdf)
+            child = self.eval(node.child)
+            shared = [v for v in node.varnames if v in child.columns]
+            has_undef = any(
+                row[i] is None
+                for row in node.rows
+                for i, v in enumerate(node.varnames)
+                if v in shared
+            )
+            if not has_undef:
+                return join_bindings(child, vdf)
+            # UNDEF in a shared column is compatible with ANYTHING (an
+            # equi-join would treat the NULL as a never-matching key and
+            # silently drop the row); VALUES is query-literal-sized, so
+            # the conditioned broadcast join costs nothing at any scale
+            rv = vdf
+            for v in shared:
+                rv = rv.withColumnRenamed(v, f"__val_{v}")
+            cond = None
+            for v in shared:
+                c = (
+                    F.col(f"__val_{v}").isNull()
+                    | F.col(v).isNull()
+                    | (F.col(f"__val_{v}") == F.col(v))
+                )
+                cond = c if cond is None else cond & c
+            out = child.join(F.broadcast(rv), cond)
+            for v in shared:
+                out = out.withColumn(
+                    v, F.coalesce(F.col(v), F.col(f"__val_{v}"))
+                ).drop(f"__val_{v}")
+            return out
         if isinstance(node, A.Group):
             return self._group(node)
         if isinstance(node, A.Project):
@@ -151,6 +189,11 @@ class Translator:
             for name, e in node.exprs:
                 child = child.withColumn(name, self.expr(e, child))
             if node.vars:
+                # SELECT of a variable no pattern binds is valid SPARQL:
+                # every solution leaves it unbound (NULL), never an error
+                for v in node.vars:
+                    if v not in child.columns:
+                        child = child.withColumn(v, F.lit(None).cast("string"))
                 return child.select(*node.vars)
             # SELECT *: drop reserved internal columns (__-prefixed) —
             # parser-synthesized fresh vars from sequence-path desugaring
@@ -576,9 +619,7 @@ class Translator:
         if self.graph_var is not None and self.graph_var not in out_vars:
             out_vars.append(self.graph_var)
         branches = [self._bgp(A.BGP(list(br))).select(*out_vars) for br in p.branches]
-        from functools import reduce as _reduce
-
-        return _reduce(lambda a, b: a.unionByName(b), branches)
+        return reduce(lambda a, b: a.unionByName(b), branches)
 
     def _bind_endpoints(self, df: DataFrame, s, o, s_col: str, o_col: str) -> DataFrame:
         """Bind/filter the two endpoint terms of a pair-producing operator;
@@ -625,12 +666,87 @@ class Translator:
             right = self.eval(e.group)
             shared = sorted(set(child.columns) & set(right.columns))
             if shared:
-                how = "left_anti" if e.negated else "left_semi"
-                return child.join(right, on=shared, how=how)
+                return self._compat_semi_anti(
+                    child, right, shared, anti=e.negated, require_overlap=False
+                )
             nonempty = bool(right.limit(1).take(1))
             keep = nonempty != e.negated
             return child if keep else child.limit(0)
         return child.filter(self.expr(e, child))
+
+    def _compat_semi_anti(
+        self,
+        child: DataFrame,
+        right: DataFrame,
+        shared: list[str],
+        anti: bool,
+        require_overlap: bool,
+    ) -> DataFrame:
+        """Semi/anti join under SPARQL solution COMPATIBILITY: an unbound
+        (NULL) variable is compatible with anything — equality is required
+        only where BOTH sides bind. A plain equi semi/anti join treats the
+        NULL as a never-matching key and silently mis-filters rows that
+        OPTIONAL/UNION left partially bound.
+
+        require_overlap=True adds MINUS's extra condition: the right
+        solution must share at least one mutually BOUND variable.
+
+        Plan shape (the 100 TB concern): the child is split STATICALLY by
+        its null-pattern over the shared vars — 2^k branches, k = number
+        of shared vars (k is query-sized, guarded <= 3) — and every branch
+        is a plain HASH semi/anti join on its bound subset; no action over
+        the child, no nested-loop join. Only when the RIGHT side itself
+        carries NULLs in shared columns (detected with one tiny aggregate
+        over its deduplicated shared projection) does the fully-
+        conditioned join run — and then against that smaller projection.
+        """
+        from itertools import product
+
+        how = "left_anti" if anti else "left_semi"
+        r = right.select(*shared).dropDuplicates()
+        stats = r.agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[F.max(F.col(v).isNull().cast("int")).alias(v) for v in shared],
+        ).first()
+        r_nonempty = (stats["__n"] or 0) > 0
+        r_has_null = any(stats[v] == 1 for v in shared)
+
+        if r_has_null or len(shared) > 3:
+            rr = r
+            for v in shared:
+                rr = rr.withColumnRenamed(v, f"__r_{v}")
+            compat = None
+            overlap = None
+            for v in shared:
+                c = (
+                    F.col(v).isNull()
+                    | F.col(f"__r_{v}").isNull()
+                    | (F.col(v) == F.col(f"__r_{v}"))
+                )
+                compat = c if compat is None else compat & c
+                b = F.col(v).isNotNull() & F.col(f"__r_{v}").isNotNull()
+                overlap = b if overlap is None else overlap | b
+            cond = compat & overlap if require_overlap else compat
+            return child.join(rr, cond, how)
+
+        parts = []
+        for mask in product((False, True), repeat=len(shared)):
+            sel = None
+            for v, is_null in zip(shared, mask):
+                c = F.col(v).isNull() if is_null else F.col(v).isNotNull()
+                sel = c if sel is None else sel & c
+            sub = child.filter(sel)
+            bound = [v for v, is_null in zip(shared, mask) if not is_null]
+            if bound:
+                parts.append(
+                    sub.join(r.select(*bound).dropDuplicates(), on=bound, how=how)
+                )
+            elif require_overlap:
+                parts.append(sub)  # MINUS: no mutual binding -> never removed
+            else:
+                keep = r_nonempty != anti
+                parts.append(sub if keep else sub.limit(0))
+        return reduce(lambda a, b: a.unionByName(b), parts)
 
     # ------------- GROUP BY + aggregates -------------
 
@@ -644,6 +760,9 @@ class Translator:
     def _aggregate(self, a: A.Aggregate, df: DataFrame) -> Column:
         if a.func == "count":
             if a.arg is None:
+                if a.distinct and df.columns:
+                    # COUNT(DISTINCT *): distinct SOLUTIONS, not rows
+                    return F.count_distinct(F.struct(*[F.col(c) for c in df.columns]))
                 return F.count(F.lit(1))
             c = self.expr(a.arg, df)
             return F.count_distinct(c) if a.distinct else F.count(c)

@@ -772,3 +772,73 @@ def test_func_timezone_duration(engine):
         assert rows(engine.query(q.format(lex))) == [(want,)]
     # no timezone -> error -> unbound
     assert rows(engine.query(q.format("2011-01-10T14:45:13"))) == [(None,)]
+
+
+# ---- round-3 review regressions: compatibility semantics ----
+
+def test_values_undef_is_wildcard(engine):
+    # UNDEF places no constraint: the row must survive, not equi-join away
+    out = engine.query(
+        'SELECT ?n ?c WHERE { ?x ex:name ?n ; ex:city ?c . '
+        'VALUES (?n ?c) { ("Alice" UNDEF) (UNDEF "London") } }'
+    )
+    assert rows(out) == [("Alice", "Paris"), ("Bob", "London")]
+
+
+def test_project_unbound_variable_is_null(engine):
+    out = engine.query('SELECT ?n ?nothing WHERE { p:alice ex:name ?n }')
+    assert rows(out) == [("Alice", None)]
+
+
+def test_count_distinct_star(engine):
+    # alice knows bob and carol -> two solutions, both with ?x = alice;
+    # projecting the join differently: duplicate solutions via UNION
+    out = engine.query(
+        'SELECT (COUNT(DISTINCT *) AS ?n) WHERE { '
+        '{ p:alice ex:name ?v } UNION { p:alice ex:name ?v } }'
+    )
+    assert rows(out) == [(1,)]
+    out2 = engine.query(
+        'SELECT (COUNT(*) AS ?n) WHERE { '
+        '{ p:alice ex:name ?v } UNION { p:alice ex:name ?v } }'
+    )
+    assert rows(out2) == [(2,)]
+
+
+def test_exists_with_unbound_shared_var(engine):
+    # ?y unbound (OPTIONAL missed) is COMPATIBLE with every EXISTS match:
+    # eve has no ex:knows, so ?y is NULL for eve — but EXISTS { ?z ex:age ?y }
+    # must still hold for eve (unbound matches anything), and eve must
+    # survive; an equi semi-join silently dropped her
+    out = engine.query(
+        'SELECT ?n WHERE { ?x ex:name ?n OPTIONAL { ?x ex:knows ?y } '
+        'FILTER EXISTS { ?y rdf:type Person } }'
+    )
+    # alice->bob/carol (Persons), bob->carol (Person): bound matches; carol,
+    # dave, eve have ?y unbound -> compatible -> kept
+    assert rows(out) == [
+        ("Alice",), ("Alice",), ("Bob",), ("Carol",), ("Dave",), ("Eve",)
+    ]
+
+
+def test_minus_partial_overlap_multivar(engine):
+    # left binds (?n, ?c); right binds ?n always but ?c only sometimes.
+    # bob: right row ("Bob", UNDEF-free?) — construct: MINUS group binds
+    # ?n via ex:name and OPTIONALLY ?c via ex:city of a DIFFERENT person.
+    # dave's right row has ?c unbound -> domains overlap on ?n only ->
+    # compatible -> dave removed. An equi anti-join on (n, c) kept him.
+    out = engine.query(
+        'SELECT ?n ?c WHERE { ?x ex:name ?n ; ex:city ?c '
+        'MINUS { ?x ex:name ?n OPTIONAL { ?x ex:age ?missing . '
+        '?never ex:city ?c } } }'
+    )
+    # every person's MINUS row binds ?n (same ?x) with ?c unbound
+    # (the OPTIONAL never matches) -> everyone removed
+    assert rows(out) == []
+
+
+def test_signed_number_expression(engine):
+    out = engine.query(
+        'SELECT ?n WHERE { ?x ex:name ?n ; ex:age ?a FILTER(?a > 20+9) }'
+    )
+    assert rows(out) == [("Alice",), ("Carol",)]
