@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from d_sparq_spark.operators.rdf_patterns import TriplePattern, predicate_stats
+from d_sparq_spark.operators.rdf_patterns import TriplePattern
 from d_sparq_spark.plans import ast as A
 from d_sparq_spark.plans.parser import parse_sparql
 from d_sparq_spark.plans.translate import Translator
@@ -141,9 +141,11 @@ class EncodedSparqlEngine:
         self.services = services or {}
         stats = None
         if collect_stats:
-            stats = {
+            stats = {  # counts only — same rationale as SparqlEngine
                 r["p"]: r["cnt"]
-                for r in predicate_stats(triples_enc).select("p", "cnt").collect()
+                for r in triples_enc.groupBy("p")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
             }
         self._stats = stats
 

@@ -14,7 +14,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from d_sparq_spark.operators.rdf_patterns import predicate_stats
 from d_sparq_spark.plans.parser import parse_sparql
 from d_sparq_spark.plans.translate import Translator
 
@@ -44,9 +43,14 @@ class SparqlEngine:
         self.triples = triples
         stats = None
         if collect_stats:
+            # A7 ordering needs only the per-predicate counts; the full
+            # predicate_stats (distinct-subject/object cardinalities) is
+            # the A11 *reporting* operator and 3x this aggregation's cost
             stats = {
                 r["p"]: r["cnt"]
-                for r in predicate_stats(triples).select("p", "cnt").collect()
+                for r in triples.groupBy("p")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
             }
         self._translator = Translator(triples, stats, services=services, catalog=catalog)
 

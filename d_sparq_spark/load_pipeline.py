@@ -60,13 +60,22 @@ def bulk_load(
     dictionary.write.mode("overwrite").parquet(os.path.join(store_path, "dict"))
     # vertical partitioning: one directory per predicate id
     enc.write.mode("overwrite").partitionBy("p").parquet(os.path.join(store_path, "by_p"))
+    # every downstream step reads the just-written COLUMNAR store, not the
+    # parse+encode lineage — otherwise stats, the triple count, and each
+    # ExtVP reduction would re-scan the raw N-Triples text end to end
+    enc = store_triples(spark, store_path)
     stats = predicate_stats(enc)
     stats.write.mode("overwrite").parquet(os.path.join(store_path, "stats"))
 
     if "ptable" in materialize:
         from d_sparq_spark.plans.catalog import StoreCatalog
 
-        StoreCatalog().add_property_table(enc).save_property_table(store_path)
+        cat = StoreCatalog().add_property_table(enc)
+        if cat.ptable is not None:
+            cat.save_property_table(store_path)
+        # no functional predicate -> nothing to materialize; the optional
+        # layout is skipped, never a failed load after dict/by_p were
+        # already written
     if "extvp" in materialize:
         from d_sparq_spark.operators.extvp import materialize_extvp
 
@@ -84,7 +93,7 @@ def open_store(spark: SparkSession, store_path: str) -> EncodedSparqlEngine:
     any layouts materialized at load time (ptable/, extvp/) come back as
     a StoreCatalog, so qualifying stars scan those parquet artifacts
     instead of the full store — no per-session rebuild."""
-    enc = spark.read.parquet(os.path.join(store_path, "by_p"))
+    enc = store_triples(spark, store_path)
     dictionary = spark.read.parquet(os.path.join(store_path, "dict"))
     catalog = None
     from d_sparq_spark.plans.catalog import StoreCatalog
@@ -101,5 +110,10 @@ def open_store(spark: SparkSession, store_path: str) -> EncodedSparqlEngine:
 
 
 def store_triples(spark: SparkSession, store_path: str) -> DataFrame:
-    """The raw encoded triples relation of a loaded store."""
-    return spark.read.parquet(os.path.join(store_path, "by_p"))
+    """The raw encoded triples relation of a loaded store. The partition
+    column p comes back as the store's BIGINT contract: Spark's partition-
+    directory type inference would otherwise return INT for id ranges
+    under 2^31, and the decode step (bigint-columns-only) would then leak
+    raw integer ids for variable-predicate queries."""
+    df = spark.read.parquet(os.path.join(store_path, "by_p"))
+    return df.withColumn("p", F.col("p").cast("long"))

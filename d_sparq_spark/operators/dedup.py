@@ -24,10 +24,19 @@ from pyspark.sql import functions as F
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One row per distinct text; deterministic representative = min id.
-    Returns (id_col, text_col, n_copies)."""
+    Returns (id_col, text_col, n_copies). The groupBy KEY is the sha256
+    digest, not the text (the module's stated design): at corpus scale
+    the shuffle keys are 64 hex chars however long the documents are,
+    and map-side combine collapses same-partition duplicates so at most
+    one text copy per (digest, partition) crosses the wire. min(text)
+    over a digest group is the text itself (collision odds ~2^-128)."""
     return (
-        docs.groupBy(text_col)
-        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        docs.groupBy(F.sha2(F.col(text_col), 256).alias("_dg"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.min(text_col).alias(text_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
         .select(id_col, text_col, "n_copies")
     )
 
@@ -106,7 +115,13 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signature, bucket-join on (band, band_hash): returns
     candidate (a, b) id pairs with a < b. Shuffle is keyed on band hashes —
-    cardinality ~ n_docs * num_bands, never n^2."""
+    cardinality ~ n_docs * num_bands, never n^2.
+
+    The signature must hold at least num_bands * rows_per_band hashes:
+    a band slicing past the array end hashes an EMPTY slice, which puts
+    every document in one bucket and silently degenerates the join to
+    all-pairs (validated statically by minhash_near_dups, which owns the
+    signature width)."""
     banded = with_sig.select(
         F.col(id_col),
         F.posexplode(
@@ -156,6 +171,12 @@ def minhash_near_dups(
 ) -> DataFrame:
     """Full pipeline: signatures -> LSH candidates -> exact Jaccard verify.
     Returns (a, b, jaccard) pairs with jaccard >= threshold."""
+    if num_hashes < num_bands:
+        raise ValueError(
+            f"minhash_near_dups: num_hashes={num_hashes} cannot fill "
+            f"num_bands={num_bands} bands (empty band slices would hash "
+            "every document into one bucket — the all-pairs blowup)"
+        )
     sig = _signatures(docs, text_col, num_hashes, 3, id_col)
     pairs = lsh_candidate_pairs(sig, id_col, num_bands, num_hashes // num_bands)
     lt = docs.select(F.col(id_col).alias("a"), F.col(text_col).alias("_ta"))

@@ -111,8 +111,18 @@ def decode_triples(enc: DataFrame, dictionary: DataFrame, broadcast_dict: bool =
 
 def decode_columns(df: DataFrame, dictionary: DataFrame, columns: list[str]) -> DataFrame:
     """Decode selected long columns of a binding table back to terms."""
-    d = F.broadcast(dictionary.select("id", "term"))
     out = df
     for c in columns:
-        out = out.join(d, out[c] == d.id, "left").drop(c, "id").withColumnRenamed("term", c)
+        # per-column prefixed dict columns: a binding named 'term' or 'id'
+        # must not collide with the dictionary's own column names
+        d = F.broadcast(
+            dictionary.select(
+                F.col("id").alias(f"__did_{c}"), F.col("term").alias(f"__term_{c}")
+            )
+        )
+        out = (
+            out.join(d, out[c] == F.col(f"__did_{c}"), "left")
+            .drop(c, f"__did_{c}")
+            .withColumnRenamed(f"__term_{c}", c)
+        )
     return out.select(*df.columns)

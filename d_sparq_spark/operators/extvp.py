@@ -71,7 +71,8 @@ def materialize_extvp(
         for kind, fn in (("ss", ss_reduction), ("os", os_reduction)):
             red = fn(triples, p1, p2)
             n = red.count()
-            ratio = n / sizes[p1] if sizes[p1] else 0.0
+            sz = sizes.get(p1, 0)  # explicitly passed predicate may be absent
+            ratio = n / sz if sz else 0.0
             if 0 < n and ratio < min_selectivity:
                 red.write.mode("overwrite").parquet(
                     _red_path(store_path, kind, p1, p2)

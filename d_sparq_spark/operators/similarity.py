@@ -104,6 +104,18 @@ def scaled_int_cosine_topk(
     return scored.withColumn("rn", F.row_number().over(w).cast("long")).filter(F.col("rn") <= k)
 
 
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding width from one row (tiny driver action). The operators
+    below build per-dimension expression trees / literal plane matrices,
+    so the width must be known at PLAN time — hardcoding it would make
+    any non-default dimension silently produce null projections (every
+    vector in one bucket) or null distances (every point in cluster 1)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).head()
+    if row is None:
+        return 0
+    return int(row["d"])
+
+
 def _plane_vectors(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic +-1 hyperplanes from md5(plane,i) — computed ONCE on
     the driver and shipped as literal arrays, so per row the bucket costs
@@ -149,7 +161,7 @@ def ann_cosine_topk(
     same-bucket pairs. At 100 TB this turns the n*q cross join into
     sum-over-buckets — the standard LSH recall/cost dial (more planes =
     smaller buckets = faster + lower recall)."""
-    dim = 64
+    dim = _infer_dim(embeddings, vec_col)
     c = embeddings.select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("cv"),
@@ -214,7 +226,7 @@ def embedding_near_dups_lsh(
     balanced buckets the pair count drops ~B-fold vs all-pairs — the shape
     that survives 100 TB (bucket key is the shuffle key; no cross join).
     n_planes=0 degenerates to one bucket == the exact operator (unit-tested)."""
-    dim = 64
+    dim = _infer_dim(embeddings, vec_col)
     base = embeddings.select(
         F.col(id_col).alias("id"),
         quantize(F.col(vec_col)).alias("v"),
@@ -252,6 +264,7 @@ def kmeans_centroids(
     Lloyd iterations are groupBy means. Centroid count is metadata-scale,
     so the per-iteration crossJoin broadcasts k rows against the data —
     one linear scan per iteration. Returns (cid, centroid array<double>)."""
+    dim = _infer_dim(embeddings, vec_col)
     base = embeddings.select(
         F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
     )
@@ -269,7 +282,6 @@ def kmeans_centroids(
             )
             .filter(F.col("rn") == 1)
         )
-        dim = 64
         cents = assigned.groupBy("cid").agg(
             F.array(
                 *[F.avg(F.col("v")[i]) for i in range(dim)]

@@ -43,9 +43,30 @@ def _expand_datatype(dt: str) -> str:
 
 
 def term_to_json(value: object) -> dict | None:
-    """One binding value -> a spec term object (None stays unbound)."""
+    """One binding value -> a spec term object (None stays unbound).
+    Non-string Python values (aggregate counts, boolean/numeric BIND
+    results) carry their XSD datatype and canonical lexical form —
+    str(True) would emit the invalid lexical "True"."""
     if value is None:
         return None
+    if isinstance(value, bool):
+        return {
+            "type": "literal",
+            "value": "true" if value else "false",
+            "datatype": _PREFIX_IRIS["xsd:"] + "boolean",
+        }
+    if isinstance(value, int):
+        return {
+            "type": "literal",
+            "value": str(value),
+            "datatype": _PREFIX_IRIS["xsd:"] + "integer",
+        }
+    if isinstance(value, float):
+        return {
+            "type": "literal",
+            "value": repr(value),
+            "datatype": _PREFIX_IRIS["xsd:"] + "double",
+        }
     s = str(value)
     m = _TYPED.match(s)
     if m:
@@ -105,7 +126,10 @@ def results_csv(df: DataFrame, limit: int | None = None) -> str:
             if v is None:
                 out.append("")
                 continue
-            s = str(v)
+            if isinstance(v, bool):
+                out.append("true" if v else "false")
+                continue
+            s = repr(v) if isinstance(v, float) else str(v)
             m = _TYPED.match(s) or _TAGGED.match(s)
             out.append(m.group(1) if m else s)
         w.writerow(out)

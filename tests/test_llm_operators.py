@@ -285,3 +285,28 @@ def test_pagerank_matches_integer_reference(spark):
     assert got == r
     # sink-heavy node c must outrank everything
     assert max(r, key=r.get) == "c"
+
+
+def test_similarity_ops_handle_non64_dims(spark):
+    # review r3: dim was hardcoded to 64 — with 8-dim vectors every
+    # projection went null, every vector landed in bucket 0, and k-means
+    # collapsed to one garbage centroid
+    import numpy as np
+
+    rng = np.random.RandomState(2)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.uniform(-1, 1, 8)]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    buckets = {
+        r.b
+        for r in emb.select(
+            S.hyperplane_bucket(F.col("embedding"), 4, 8).alias("b")
+        ).collect()
+    }
+    assert len(buckets) > 1  # projections are real, not all-null->bucket 0
+    cents = S.kmeans_centroids(emb, k=3, iters=2).collect()
+    assert len(cents) == 3
+    assert all(len(r.c) == 8 and all(x is not None for x in r.c) for r in cents)
+    ann = S.ann_cosine_topk(emb, emb.filter(F.col("vec_id") < 2), k=2)
+    assert ann.count() > 0

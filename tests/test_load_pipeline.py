@@ -106,3 +106,38 @@ def test_assign_ids_no_single_partition_stage(spark):
     rows = ids.orderBy("id").limit(3).collect()
     assert [r["id"] for r in rows] == [1, 2, 3]
     assert rows == sorted(rows, key=lambda r: r["term"])
+
+
+def test_reopened_store_p_column_is_long(spark, tmp_path):
+    # review r3: partition-dir inference returned p:int, which the
+    # bigint-only decode skipped — variable-predicate queries leaked ids
+    import os
+
+    from d_sparq_spark.load_pipeline import bulk_load, open_store, store_triples
+
+    nt = tmp_path / "tiny.nt"
+    nt.write_text('<s:a> <p:x> "1" .\n<s:b> <p:y> "2" .\n')
+    store = os.path.join(str(tmp_path), "store")
+    bulk_load(spark, str(nt), store)
+    assert dict(store_triples(spark, store).dtypes)["p"] == "bigint"
+    eng = open_store(spark, store)
+    out = eng.query("SELECT ?p WHERE { ?s ?p ?o }")
+    vals = {r["p"] for r in out.collect()}
+    assert vals == {"p:x", "p:y"}  # decoded terms, not raw integer ids
+
+
+def test_bulk_load_ptable_skipped_when_no_functional_predicate(spark, tmp_path):
+    import os
+
+    from d_sparq_spark.load_pipeline import bulk_load
+
+    # every predicate multi-valued -> no property table, load must succeed
+    nt = tmp_path / "multi.nt"
+    nt.write_text(
+        '<s:a> <p:x> "1" .\n<s:a> <p:x> "2" .\n'
+        '<s:b> <p:x> "3" .\n<s:b> <p:x> "4" .\n'
+    )
+    store = os.path.join(str(tmp_path), "store2")
+    info = bulk_load(spark, str(nt), store, materialize=("ptable",))
+    assert info["n_triples"] == 4
+    assert not os.path.exists(os.path.join(store, "ptable", "manifest.json"))

@@ -63,3 +63,24 @@ def test_results_json_and_csv_from_query(spark):
 
 def test_ask_json():
     assert json.loads(ask_json(True)) == {"head": {}, "boolean": True}
+
+
+def test_typed_python_values_serialize_canonically(spark):
+    # review r3: str(True) leaked the invalid lexical "True"; counts lost
+    # their integer datatype
+    import json
+
+    from d_sparq_spark.results import results_csv, results_json
+
+    df = spark.createDataFrame([(True, 42, 1.5)], "b boolean, n long, x double")
+    doc = json.loads(results_json(df))
+    b = doc["results"]["bindings"][0]
+    assert b["b"] == {
+        "type": "literal", "value": "true",
+        "datatype": "http://www.w3.org/2001/XMLSchema#boolean",
+    }
+    assert b["n"]["value"] == "42"
+    assert b["n"]["datatype"].endswith("integer")
+    assert b["x"]["datatype"].endswith("double")
+    csv_out = results_csv(df)
+    assert "true" in csv_out and "True" not in csv_out
