@@ -63,14 +63,17 @@ class StoreCatalog:
         and routing a multi-valued predicate through it would drop
         bindings. ``predicates`` narrows the candidate set (hot predicates
         only, the practical choice at 100 TB)."""
+        cand = triples
+        if predicates is not None:
+            # narrow BEFORE the aggregation: the functionality check only
+            # needs the candidates' triples, not a full-store pass
+            cand = triples.filter(F.col("p").isin(list(predicates)))
         func = (
-            triples.groupBy("p")
+            cand.groupBy("p")
             .agg((F.count(F.lit(1)) == F.count_distinct("s")).alias("functional"))
             .filter("functional")
         )
         functional = {r["p"] for r in func.select("p").collect()}
-        if predicates is not None:
-            functional &= set(predicates)
         if functional:
             preds = sorted(functional, key=str)
             self.ptable = property_table(triples, preds).cache()

@@ -61,7 +61,20 @@ def derive_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.withColumn("g", g)
 
 
-_CACHE: dict[tuple[int, str], DataFrame] = {}
+def _cache_key(spark: SparkSession, *parts) -> tuple:
+    """(applicationId, *parts): id(spark) can alias a NEW session after the
+    old object is garbage-collected (stale hits), and keying on the dead
+    session would pin its cached DataFrames forever. Inserting under a new
+    application evicts every other application's entries — cached plans of
+    a stopped session are unusable anyway."""
+    app = spark.sparkContext.applicationId
+    for cache in (_CACHE, _ENC_CACHE, _ENC_QUAD_CACHE, _CATALOG_CACHE):
+        for k in [k for k in cache if k[0] != app]:
+            del cache[k]
+    return (app, *parts)
+
+
+_CACHE: dict[tuple, DataFrame] = {}
 
 
 def derive_triples_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,13 +83,13 @@ def derive_triples_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     them in one session — deriving and caching once cuts each query's time
     roughly in half. The cached view is ~5 small-dim tables exploded, well
     under executor memory at any test SF."""
-    key = (id(spark), sf_dir)
+    key = _cache_key(spark, sf_dir)
     if key not in _CACHE:
         _CACHE[key] = derive_triples(spark, sf_dir).cache()
     return _CACHE[key]
 
 
-_ENC_QUAD_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+_ENC_QUAD_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 
 
 def encoded_quad_store_cached(spark: SparkSession, sf_dir: str):
@@ -84,7 +97,7 @@ def encoded_quad_store_cached(spark: SparkSession, sf_dir: str):
     graph names are dictionary terms like any other, so GRAPH slicing is an
     equality filter on a long — partition-prunable if the store is written
     partitionBy('g')."""
-    key = (id(spark), sf_dir)
+    key = _cache_key(spark, sf_dir)
     if key not in _ENC_QUAD_CACHE:
         from d_sparq_spark.operators.dictionary import build_dictionary, encode_triples
 
@@ -207,10 +220,12 @@ def catalog_cached(spark: SparkSession, sf_dir: str, flavor: str = "pt"):
       full store (e.g. SS(foaf:name, ex:mktsegment) drops the nation and
       region names the join would discard anyway).
     """
-    key = (id(spark), sf_dir, flavor)
+    key = _cache_key(spark, sf_dir, flavor)
     if key not in _CATALOG_CACHE:
         from d_sparq_spark.plans.catalog import StoreCatalog
 
+        if flavor not in ("pt", "extvp"):
+            raise ValueError(f"catalog_cached: unknown flavor {flavor!r} (pt|extvp)")
         t = derive_triples_cached(spark, sf_dir)
         cat = StoreCatalog()
         if flavor == "pt":
@@ -229,7 +244,7 @@ def encoded_catalog_cached(spark: SparkSession, sf_dir: str):
     are str(predicate_id), cell values are object IDs (longs) — the same
     zero-join star route as the lexical PT, but with 8-byte columns, and
     decode stays at the edge as usual (encoded_engine.py)."""
-    key = (id(spark), sf_dir, "enc_pt")
+    key = _cache_key(spark, sf_dir, "enc_pt")
     if key not in _CATALOG_CACHE:
         from d_sparq_spark.plans.catalog import StoreCatalog
 
@@ -238,14 +253,14 @@ def encoded_catalog_cached(spark: SparkSession, sf_dir: str):
     return _CATALOG_CACHE[key]
 
 
-_ENC_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+_ENC_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 
 
 def encoded_store_cached(spark: SparkSession, sf_dir: str):
     """(triples_enc, dictionary), dictionary-encoded from the derived view,
     cached per (session, sf_dir) — the encoded engine's harness queries
     share one encode pass the way a real deployment shares one load."""
-    key = (id(spark), sf_dir)
+    key = _cache_key(spark, sf_dir)
     if key not in _ENC_CACHE:
         from d_sparq_spark.operators.dictionary import build_dictionary, encode_triples
 

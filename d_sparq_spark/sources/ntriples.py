@@ -9,6 +9,13 @@ whole-stage-codegen'd, linearly parallel over file splits at any scale
 Term convention: IRIs are kept in their prefixed lexical form ("c:1",
 "foaf:name") and serialized as <c:1>; literals are quoted with standard
 N-Triples escaping. parse(format(x)) == x for any term set.
+
+Known limitation: numeric character escapes (backslash-uXXXX and
+backslash-UXXXXXXXX) in EXTERNALLY produced files are not decoded (JVM
+regex replacement cannot compute a codepoint); our own serializer never
+emits them, so round-trips through this module are exact. A raw NUL
+character in a literal is formatted as the u0000 escape and decodes back
+as that escape text.
 """
 
 from __future__ import annotations
@@ -32,25 +39,39 @@ _LINE_RE = (
 # term forms ('"5"^^xsd:int' / '"x"@en' — plans/translate.py §typed)
 _OBJ_TYPED_RE = r'^"((?:[^"\\]|\\.)*)"\^\^<([^>]*)>$'
 _OBJ_LANG_RE = r'^"((?:[^"\\]|\\.)*)"@([A-Za-z][A-Za-z0-9-]*)$'
-_TERM_TYPED_RE = r'^"(.*)"\^\^([^@]+)$'
-_TERM_LANG_RE = r'^"(.*)"@([A-Za-z][A-Za-z0-9-]*)$'
+# (?s): the lexical form may contain real newlines (unescaped \n) — the
+# store convention keeps them raw, and without DOTALL a multiline typed/
+# tagged term would fall through to the plain-literal branch on format,
+# losing its datatype/tag
+_TERM_TYPED_RE = r'(?s)^"(.*)"\^\^([^@]+)$'
+_TERM_LANG_RE = r'(?s)^"(.*)"@([A-Za-z][A-Za-z0-9-]*)$'
 
 
 def _escape_literal(c: Column) -> Column:
     c = F.regexp_replace(c, r"\\", r"\\\\")
     c = F.regexp_replace(c, '"', '\\\\"')
     c = F.regexp_replace(c, "\n", "\\\\n")
+    c = F.regexp_replace(c, "\r", "\\\\r")  # a raw CR would split the line on read
     c = F.regexp_replace(c, "\t", "\\\\t")
+    c = F.regexp_replace(c, "\x08", "\\\\b")
+    c = F.regexp_replace(c, "\x0c", "\\\\f")
+    c = F.regexp_replace(c, "\x00", "\\\\u0000")  # NUL is not placeholder-safe raw
     return c
 
 
 def _unescape_literal(c: Column) -> Column:
     # reverse order of _escape_literal; placeholder guards the escaped
-    # backslash so \\n doesn't turn into a newline.
+    # backslash so \\n doesn't turn into a newline. The escape pass above
+    # guarantees no raw NUL reaches the serialized form, so the
+    # placeholder cannot collide on our own output.
     c = F.regexp_replace(c, r"\\\\", "\x00")
     c = F.regexp_replace(c, '\\\\"', '"')
     c = F.regexp_replace(c, r"\\n", "\n")
+    c = F.regexp_replace(c, r"\\r", "\r")
     c = F.regexp_replace(c, r"\\t", "\t")
+    c = F.regexp_replace(c, r"\\b", "\x08")
+    c = F.regexp_replace(c, r"\\f", "\x0c")
+    c = F.regexp_replace(c, r"\\'", "'")
     c = F.regexp_replace(c, "\x00", r"\\")
     return c
 

@@ -46,9 +46,17 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(table_path(sf_dir, "events"))
     ts_type = dict(df.dtypes)["ts"]
     if ts_type == "bigint":
-        # integer div (ns -> us) keeps full precision; a double division
-        # would lose bits above 2^53.
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # integer FLOOR division (ns -> us) keeps full precision (double
+        # division would lose bits above 2^53). `div` truncates toward
+        # zero, which rounds pre-1970 values UP by one microsecond —
+        # subtract the borrow when the remainder is negative so the
+        # truncation is a true floor, matching DuckDB's ns->us semantics.
+        return df.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.expr("ts div 1000 - CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END")
+            ),
+        )
     if ts_type != "timestamp":
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

@@ -87,7 +87,13 @@ def stream_events(spark, sf_dir: str, with_watermark: str | None = "10 minutes")
     )
     ev = raw
     if ts_is_long:
-        ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # floor, not truncate-toward-zero — must mirror sources/tables.py
+        ev = raw.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.expr("ts div 1000 - CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END")
+            ),
+        )
     if with_watermark:
         ev = ev.withWatermark("ts", with_watermark)
     return ev

@@ -151,3 +151,22 @@ def test_nquads_roundtrip_and_default_graph(spark):
     nt = spark.createDataFrame([('<p:c> <ex:name> "Carol" .',)], "value string")
     got = parse_nquads(nt, default_graph="g:default").collect()
     assert [tuple(r) for r in got] == [("p:c", "ex:name", "Carol", "g:default")]
+
+
+def test_ntriples_roundtrip_cr_and_control_chars(spark):
+    # review r3: \r was unescaped (raw CR splits the physical line on
+    # read), and multiline typed/tagged terms lost their datatype on
+    # format (non-DOTALL term regexes)
+    from d_sparq_spark.sources.ntriples import format_ntriples, parse_ntriples
+
+    data = [
+        ("s:a", "p:x", "a\rb"),
+        ("s:a", "p:x", "a\x08b\x0cc"),
+        ("s:a", "p:x", '"l1\nl2"^^xsd:int'),
+        ("s:a", "p:x", '"m1\rm2"@en'),
+    ]
+    df = spark.createDataFrame(data, "s string, p string, o string")
+    lines = format_ntriples(df)
+    for r in lines.collect():
+        assert "\n" not in r.value and "\r" not in r.value
+    assert sorted(map(tuple, parse_ntriples(lines).collect())) == sorted(data)
