@@ -13,6 +13,7 @@ Usage:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from d_sparq_spark.plans.parser import parse_sparql
 from d_sparq_spark.plans.translate import Translator
