@@ -30,10 +30,16 @@ def _tokens() -> F.Column:
     return F.split(F.col("text"), " ")
 
 
-def shingles(tokens: F.Column, n: int = 3) -> F.Column:
+def _shingles(tokens: F.Column, n: int = 3) -> F.Column:
     """Distinct word n-gram shingles as an array column. Empty array for
     docs shorter than n tokens (Spark's sequence() would count DOWN for
-    start > stop, so the when-guard is load-bearing)."""
+    start > stop, so the when-guard is load-bearing).
+
+    Deliberately PRIVATE and distinct from operators/dedup.shingles: that
+    one falls back to a whole-text shingle for short docs (MinHash needs
+    every doc represented); this one excludes short docs (a 2-token doc
+    has no 3-gram to be contaminated BY). Same name at module scope led
+    to silent semantic swaps on import."""
     idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(tokens, i + j) for j in range(n)]
@@ -78,30 +84,25 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     The ratio divides two exact counts -> bit-identical across engines."""
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select(
-        "doc_id", F.explode(shingles(_tokens())).alias("shingle")
+        "doc_id", F.explode(_shingles(_tokens())).alias("shingle")
     )
     bench = (
         sh.filter(F.col("doc_id") % 50 == 0).select("shingle").distinct()
     )
     ev = sh.filter(F.col("doc_id") % 50 != 0)
-    hits = (
-        ev.join(F.broadcast(bench), "shingle")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    # ONE pass over the corpus side: mark each shingle via broadcast left
+    # join, then count total and contaminated in the same aggregation —
+    # the two-agg + join formulation re-derived the explode a third time
+    marked = ev.join(
+        F.broadcast(bench.withColumn("_hit", F.lit(1))), "shingle", "left"
     )
-    return (
-        ev.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shingles"))
-        .join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_shingles",
-            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
-            (
-                F.coalesce("n_contaminated", F.lit(0)).cast("double")
-                / F.col("n_shingles")
-            ).alias("contamination"),
-        )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_contaminated"),
+        (
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("contamination"),
     )
 
 

@@ -26,16 +26,19 @@ _ORACLE_SCANS = "\nUNION ALL\n".join(
 
 @register("q_scan_counts", oracle=_ORACLE_SCANS)
 def q_scan_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one static agg per table (NOT a groupBy over a row union): an empty
+    # table must still emit its n=0 row, exactly like the oracle's
+    # per-table COUNT(*) — a group over zero rows emits nothing
     parts = [
-        load_table(spark, sf_dir, t).select(
-            F.lit(t).alias("tbl"), F.lit(1).alias("_one")
+        load_table(spark, sf_dir, t).agg(
+            F.lit(t).alias("tbl"), F.count(F.lit(1)).alias("n")
         )
         for t in TABLES
     ]
-    all_rows = parts[0]
+    out = parts[0]
     for p in parts[1:]:
-        all_rows = all_rows.unionByName(p)
-    return all_rows.groupBy("tbl").agg(F.count(F.lit(1)).alias("n"))
+        out = out.unionByName(p)
+    return out
 
 
 # --- q_csv_source / q_json_source: non-parquet sources roundtrip ------------------
@@ -181,7 +184,9 @@ _ORACLE_UDTF = """
 WITH idx AS (
   SELECT doc_id, text,
          -- greatest(.., 0): empty text still yields ONE (empty) chunk,
-         -- matching the UDTF's max(len, 1) guard ((0-1)//100 floors to -1)
+         -- matching the UDTF's max(len, 1) guard (NB DuckDB // truncates
+         -- toward zero, so (0-1)//100 = 0: the guard exists for the empty-
+         -- text case producing zero chunks, not for a negative index)
          unnest(generate_series(0, greatest(CAST((length(text) - 1) // 100 AS BIGINT), 0))) AS chunk_idx
   FROM documents
 )

@@ -474,7 +474,7 @@ WITH s AS (
          COUNT(*) AS n
   FROM customer GROUP BY c_nationkey
 )
-SELECT c.c_custkey, round((c.c_acctbal - s.mu), 4) AS delta_mu
+SELECT c.c_custkey, floor((c.c_acctbal - s.mu) * 10000) / 10000 AS delta_mu
 FROM customer c JOIN s USING (c_nationkey)
 """
 
@@ -483,7 +483,10 @@ FROM customer c JOIN s USING (c_nationkey)
 def q_pandas_udf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Representative applyInPandas: per-nation mean-centering of acctbal.
     (The mean is computed with an exact decimal sum inside pandas so the
-    oracle can reproduce it; round(,4) pins the float result.)"""
+    oracle can reproduce it; the 4dp FLOOR truncation pins the float
+    result — floor is pure IEEE on the binary value in numpy and DuckDB
+    alike, where round() is repr-based in DuckDB and half-even in numpy,
+    so rounding diverges on tie-class values.)"""
     import pandas as pd
 
     cust = load_table(spark, sf_dir, "customer")
@@ -491,12 +494,14 @@ def q_pandas_udf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     def center(pdf: pd.DataFrame) -> pd.DataFrame:
         from decimal import Decimal
 
+        import numpy as np
+
         # mirror the oracle exactly: exact decimal SUM -> double -> double/int
         mu = float(sum(Decimal(f"{v:.6f}") for v in pdf["c_acctbal"])) / len(pdf)
         return pd.DataFrame(
             {
                 "c_custkey": pdf["c_custkey"],
-                "delta_mu": (pdf["c_acctbal"] - mu).round(4),
+                "delta_mu": np.floor((pdf["c_acctbal"] - mu) * 10000.0) / 10000.0,
             }
         )
 

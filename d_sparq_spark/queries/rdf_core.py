@@ -224,7 +224,9 @@ def q_load_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d_sparq_spark.load_pipeline import bulk_load, open_store
     from d_sparq_spark.sources.ntriples import format_ntriples
 
-    key = (id(spark), sf_dir)
+    # applicationId, not id(spark): a freed session's address can be
+    # reused by a new one (sources/derived_rdf._cache_key rationale)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _LOAD_CACHE:
         base = os.path.join(
             "/tmp", "d_sparq_store_cache", os.path.basename(sf_dir.rstrip("/"))

@@ -19,7 +19,8 @@ from d_sparq_spark.sources.tables import load_table
 _ORACLE_PROJECT = """
 SELECT p_partkey,
        upper(p_brand)                        AS brand_uc,
-       round(p_retailprice * 1.1, 2)         AS uplift_price,
+       CAST(round(CAST(p_retailprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(3,1)), 2)
+            AS DOUBLE)                       AS uplift_price,
        CASE WHEN p_size < 10 THEN 'small'
             WHEN p_size < 30 THEN 'medium'
             ELSE 'large' END                 AS size_class
@@ -33,7 +34,14 @@ def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.select(
         "p_partkey",
         F.upper("p_brand").alias("brand_uc"),
-        F.round(F.col("p_retailprice") * 1.1, 2).alias("uplift_price"),
+        # decimal-exact uplift: double round() diverges between engines on
+        # 3rd-decimal shortest-repr ties (e.g. 1.15 * 1.1); the decimal
+        # product is exact and both engines round it half-away identically
+        F.round(
+            F.col("p_retailprice").cast("decimal(12,2)")
+            * F.lit("1.1").cast("decimal(3,1)"),
+            2,
+        ).cast("double").alias("uplift_price"),
         F.when(F.col("p_size") < 10, "small")
         .when(F.col("p_size") < 30, "medium")
         .otherwise("large")
