@@ -135,3 +135,66 @@ def test_lexical_vs_encoded_agree(spark, seed):
         a = sorted(tuple(r) for r in lexical.query(q).collect())
         b = sorted(tuple(r) for r in encoded.query(q).collect())
         assert a == b, f"seed={seed} divergence on:\n{q}\nlexical={a[:5]}\nencoded={b[:5]}"
+
+
+def _algebra_query(rng: random.Random) -> str:
+    """Random OPTIONAL / (NOT) EXISTS / MINUS / VALUES(+UNDEF) shapes —
+    the solution-COMPATIBILITY corners (unbound matches anything) where
+    equi-join formulations silently mis-filter. Lexical and encoded
+    engines share only the parser, so agreement here tests the
+    compatibility machinery on both the plain and shadow-decoded paths."""
+    base = "?x ex:city ?c"
+    opt = rng.choice(["?x ex:knows ?y", "?x ex:level ?lv", "?x ex:age ?a"])
+    shape = rng.randrange(5)
+    if shape == 0:  # OPTIONAL then EXISTS over the maybe-unbound var
+        inner = {"?y": "?y ex:city ?cc", "?lv": "?z ex:level ?lv", "?a": "?z ex:age ?a"}[
+            opt.split()[-1]
+        ]
+        neg = "NOT " if rng.random() < 0.5 else ""
+        return (
+            f"SELECT ?x ?c WHERE {{ {base} OPTIONAL {{ {opt} }} "
+            f"FILTER {neg}EXISTS {{ {inner} }} }}"
+        )
+    if shape == 1:  # MINUS with two shared vars, right side partially bound
+        return (
+            f"SELECT ?x ?c WHERE {{ {base} . ?x ex:age ?a "
+            f"MINUS {{ ?x ex:age ?a OPTIONAL {{ ?never ex:city ?c }} }} }}"
+        )
+    if shape == 2:  # VALUES with UNDEF mixed rows
+        city = rng.choice(CITIES)
+        return (
+            f"SELECT ?x ?c ?a WHERE {{ {base} OPTIONAL {{ ?x ex:age ?a }} "
+            f'VALUES (?c ?a) {{ ("{city}" UNDEF) (UNDEF "30") }} }}'
+        )
+    if shape == 3:  # nested OPTIONAL chain + MINUS single var (fast path)
+        return (
+            f"SELECT ?x ?c ?y WHERE {{ {base} OPTIONAL {{ ?x ex:knows ?y }} "
+            f"MINUS {{ ?x ex:level ?lv }} }}"
+        )
+    # EXISTS whose group itself has an OPTIONAL (right side carries NULLs)
+    return (
+        f"SELECT ?x ?c WHERE {{ {base} . ?x ex:age ?a "
+        f"FILTER EXISTS {{ ?z ex:age ?a OPTIONAL {{ ?z ex:knows ?w }} }} }}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_lexical_vs_encoded_agree_on_compat_algebra(spark, seed):
+    rng = random.Random(3000 + seed)
+    graph = _graph(rng)
+    triples = spark.createDataFrame(graph, "s string, p string, o string")
+    d = build_dictionary(triples)
+    enc = encode_triples(triples, d)
+    lexical = SparqlEngine(triples, collect_stats=False)
+    encoded = EncodedSparqlEngine(enc, d, collect_stats=False)
+    def rows(df):  # rows may contain unbound (None) values
+        return sorted(
+            (tuple(r) for r in df.collect()),
+            key=lambda t: tuple((v is None, v or "") for v in t),
+        )
+
+    for _ in range(2):
+        q = _algebra_query(rng)
+        a = rows(lexical.query(q))
+        b = rows(encoded.query(q))
+        assert a == b, f"seed={seed} divergence on:\n{q}\nlexical={a[:5]}\nencoded={b[:5]}"
