@@ -742,3 +742,88 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-match across engines. The IVF coarse quantizer (q_cosine_ivf)
     is this operator's float production twin."""
     return S.kmeans_exact_int(load_table(spark, sf_dir, "embeddings"))
+
+
+def _lang_confusion_oracle() -> str:
+    # the single-doc classifier SQL, with the label column carried through
+    pred = _lang_oracle().replace("SELECT doc_id,", "SELECT doc_id, lang,")
+    return f"""
+WITH p AS ({pred})
+SELECT lang AS lang_true, lang_pred, COUNT(*) AS n_docs
+FROM p GROUP BY lang, lang_pred
+"""
+
+
+@register("q_lang_confusion", oracle=_lang_confusion_oracle())
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: predicted vs labeled language, one
+    row per (true, predicted) pair — the eval readout a pipeline checks
+    before trusting a classifier as a routing key. Bounded-key hash agg
+    (|langs|^2 cells) over one scan; the classifier column itself is the
+    registered q_lang_id heuristic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("lang_true"),
+            T.lang_id(F.col("text")).alias("lang_pred"),
+        )
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_ORACLE_DEDUP_INCR = """
+WITH existing AS (
+  SELECT DISTINCT sha256(text) AS dg FROM documents WHERE doc_id % 2 = 0
+),
+new_batch AS (
+  SELECT doc_id, sha256(text) AS dg FROM documents WHERE doc_id % 2 = 1
+)
+SELECT n.doc_id,
+       CASE WHEN e.dg IS NOT NULL THEN 'dup_of_corpus'
+            WHEN n.dg IN (
+              SELECT dg FROM new_batch GROUP BY dg HAVING COUNT(*) > 1
+              )
+             AND n.doc_id <> (
+              SELECT MIN(doc_id) FROM new_batch b WHERE b.dg = n.dg
+              ) THEN 'dup_in_batch'
+            ELSE 'keep' END AS verdict
+FROM new_batch n LEFT JOIN existing e ON n.dg = e.dg
+"""
+
+
+@register("q_dedup_incremental", oracle=_ORACLE_DEDUP_INCR)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production shape: a NEW batch (odd doc_ids)
+    deduped against the EXISTING corpus (even doc_ids) and within itself.
+    Verdict per new document: duplicate of the corpus, duplicate within
+    the batch (non-representative copies), or keep. Scale shape: both
+    sides reduce to 64-hex digests BEFORE any join (never ship text); the
+    corpus side is a distinct-digest anti-joinable set (at 100 TB this is
+    the bloom-filter/anti-join slot); within-batch dedup is a min-id
+    window over the digest, one hash shuffle."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    existing = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.sha2("text", 256).alias("dg"))
+        .distinct()
+        .withColumn("_in_corpus", F.lit(1))
+    )
+    new_batch = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.sha2("text", 256).alias("dg")
+    )
+    w = Window.partitionBy("dg")
+    marked = (
+        new_batch.withColumn("_min_id", F.min("doc_id").over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(w))
+        .join(existing, "dg", "left")
+    )
+    return marked.select(
+        "doc_id",
+        F.when(F.col("_in_corpus").isNotNull(), "dup_of_corpus")
+        .when((F.col("_n") > 1) & (F.col("doc_id") != F.col("_min_id")), "dup_in_batch")
+        .otherwise("keep")
+        .alias("verdict"),
+    )

@@ -117,6 +117,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "q_triangle_count", "q_degree_dist", "q_kmeans", "q_bpe_pairs",
     "q_zorder_layout", "q_skyline", "q_scd2_history", "q_histogram",
     "q_dq_audit", "q_sssp", "q_vocab_coverage", "q_quality_filter",
+    "q_lang_confusion", "q_dedup_incremental",
 })
 
 
