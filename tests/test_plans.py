@@ -209,3 +209,17 @@ def test_bucketed_fact_fact_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_orders_bkt")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_bkt")
+
+
+def test_tpch_q10_broadcasts_nation_after_reduction(spark):
+    plan = plan_of(spark, "q_tpch_q10")
+    # the 25-row nation joins AFTER the per-customer aggregate
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Equals(l_returnflag,R)" in plan.replace(" ", "") or "l_returnflag" in plan.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_vocab_coverage_topk_is_take_ordered(spark):
+    plan = plan_of(spark, "q_vocab_coverage")
+    # the global top-5000 must be per-partition top-k + driver merge
+    assert "TakeOrderedAndProject" in plan
