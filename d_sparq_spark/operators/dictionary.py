@@ -33,11 +33,16 @@ def assign_ids(terms: DataFrame, col: str = "term", num_partitions: int | None =
     n = num_partitions or max(distinct.sparkSession.sparkContext.defaultParallelism, 2)
 
     parts = distinct.repartitionByRange(n, F.col(col)).sortWithinPartitions(col)
-    # persist is REQUIRED for correctness, not a cache hint: the counts job
-    # and the rank job must see the SAME partitioning, and
-    # repartitionByRange samples its boundaries per job. MEMORY_AND_DISK so
-    # a 100 TB term set spills instead of OOMing.
-    with_pid = parts.withColumn("_pid", F.spark_partition_id()).persist()
+    # localCheckpoint (not persist) is REQUIRED for correctness: the counts
+    # job and the rank job must see the SAME partitioning, and
+    # repartitionByRange samples its boundaries per job. A persist would
+    # silently RECOMPUTE lost blocks through a fresh boundary sample —
+    # colliding/gapped ids; localCheckpoint truncates lineage, so block
+    # loss fails the job loudly instead of corrupting the dictionary. (A
+    # production 100 TB load should use a reliable checkpoint / write-
+    # and-read-back barrier for retryability — load_pipeline's store
+    # write IS that barrier for the persisted path.)
+    with_pid = parts.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
 
     # numPartitions rows — tiny, driver-side cumsum.
     counts = {r["_pid"]: r["cnt"] for r in with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}

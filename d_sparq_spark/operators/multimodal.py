@@ -59,9 +59,11 @@ def extract_features(df: DataFrame, batch_size_hint: int = 64) -> DataFrame:
     out_schema = (
         "digest string, kind string, byte_len long, width long, height long, is_fake boolean"
     )
-    decode = _decode_stub  # bind locally: the closure must be self-contained
-    # (a module-global reference would pickle by module name and require the
-    # package on executor workers; session.ship_package also covers that)
+    decode = _decode_stub
+    # NB the local binding does NOT make the closure self-contained —
+    # cloudpickle serializes module-level functions by reference either
+    # way; executor importability comes from session.ship_package (the
+    # registry wrapper calls it before any UDF runs)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -111,6 +113,8 @@ def frame_sample_stub(df: DataFrame, every_n: int = 30) -> DataFrame:
         for pdf in it:
             digests, idxs = [], []
             for m in pdf["media"]:
+                if m is None or m["byte_len"] is None:  # NULL content row
+                    continue
                 n_frames = max(1, int(m["byte_len"]) % 300)
                 for i in range(0, n_frames, every_n):
                     digests.append(m["digest"])

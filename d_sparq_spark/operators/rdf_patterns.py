@@ -94,17 +94,25 @@ def order_by_selectivity(
     big = max(counts.values(), default=0) + 1
 
     def cost(tp: TriplePattern) -> int:
-        return big if _is_var(tp.p) else counts.get(tp.p, big)
+        # absent constant predicate -> ZERO triples: the most selective
+        # pattern there is — ordering it first makes the chain trivially
+        # empty. Only a VARIABLE predicate is genuinely unknown (-> big).
+        return big if _is_var(tp.p) else counts.get(tp.p, 0)
 
     return sorted(patterns, key=cost)
 
 
 def join_bindings(left: DataFrame, right: DataFrame, how: str = "inner") -> DataFrame:
     """Natural join of two binding tables on their shared variables
-    (cross join when none — SPARQL cartesian BGP)."""
+    (cross join when none — SPARQL cartesian BGP). With no shared
+    variables the ``how`` still matters: OPTIONAL (left_outer) must keep
+    every left solution when the right group is EMPTY — a bare crossJoin
+    would return zero rows and silently drop the left bindings."""
     shared = sorted(set(left.columns) & set(right.columns))
     if not shared:
-        return left.crossJoin(right)
+        if how == "inner":
+            return left.crossJoin(right)
+        return left.join(right, F.lit(True), how)
     return left.join(right, on=shared, how=how)
 
 
@@ -135,7 +143,10 @@ def bgp(
 ) -> DataFrame:
     """Full basic graph pattern: evaluate each star, then chain stars on
     their shared variables (the reference's pipelined inter-star join —
-    here a hash join)."""
+    here a hash join). Stats normalize to a dict ONCE here: passing the
+    DataFrame down would re-run the aggregation + collect per star."""
+    if stats is not None and not isinstance(stats, dict):
+        stats = {r["p"]: r["cnt"] for r in stats.select("p", "cnt").collect()}
     return reduce(join_bindings, (star_join(triples, star, stats) for star in stars))
 
 

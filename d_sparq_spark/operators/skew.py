@@ -36,13 +36,17 @@ def salted_aggregate(
     aggs()   -> partial aggregate columns (aliased), e.g. [sum(x).alias('s')]
     merges() -> how to merge partials by alias, e.g. [sum('s').alias('s')]
 
-    The salt is derived from a hash of the full row content via
-    monotonically-free arithmetic (spark_partition_id + a cheap xxhash64 of
-    the key itself would collapse hot keys to one salt — we need row-level
-    spread, so rand() is wrong (nondeterministic) and we use a hash over
-    ALL columns instead)."""
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)).alias("_salt")
-    phase1 = df.withColumn("_salt", salt).groupBy(*key_cols, "_salt").agg(*aggs())
+    The salt needs ROW-level spread even when rows are byte-identical
+    (e.g. the input was projected to the key columns): a hash of the
+    columns alone would then collapse the hot key into one salt bucket
+    and silently defeat the mitigation. monotonically_increasing_id gives
+    every row a distinct value; the salt only routes partials, so result
+    values are unaffected by its (retry-dependent) assignment."""
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns], F.monotonically_increasing_id()),
+        F.lit(salt_buckets),
+    )
+    phase1 = df.withColumn("__dsq_salt", salt).groupBy(*key_cols, "__dsq_salt").agg(*aggs())
     return phase1.groupBy(*key_cols).agg(*merges())
 
 
@@ -68,10 +72,14 @@ def salted_broadcast_left(
     salt values, broadcast-join on (key, salt). Row multiplicity is
     unchanged (each left row matches exactly its own salt's copy)."""
     big_s = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets)).cast("long")
+        "__dsq_salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in big.columns], F.monotonically_increasing_id()),
+            F.lit(salt_buckets),
+        ).cast("long"),
     )
     small_s = small.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<long>"))
+        "__dsq_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<long>"))
     )
-    out = big_s.join(F.broadcast(small_s), on=[key, "_salt"])
-    return out.drop("_salt")
+    out = big_s.join(F.broadcast(small_s), on=[key, "__dsq_salt"])
+    return out.drop("__dsq_salt")

@@ -37,14 +37,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from d_sparq_spark.operators.rdf_patterns import (
+    _is_var,
     TriplePattern,
     property_table,
     star_over_property_table,
 )
 
-
-def _is_var(term: object) -> bool:
-    return isinstance(term, str) and term.startswith("?")
 
 
 class StoreCatalog:

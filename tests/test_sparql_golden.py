@@ -842,3 +842,12 @@ def test_signed_number_expression(engine):
         'SELECT ?n WHERE { ?x ex:name ?n ; ex:age ?a FILTER(?a > 20+9) }'
     )
     assert rows(out) == [("Alice",), ("Carol",)]
+
+
+def test_optional_disjoint_group_keeps_left(engine):
+    # review r3: OPTIONAL over a group sharing NO variables was a bare
+    # crossJoin — with an empty right group every left solution vanished
+    out = engine.query(
+        'SELECT ?n ?v WHERE { p:alice ex:name ?n OPTIONAL { ?z ex:nothere ?v } }'
+    )
+    assert rows(out) == [("Alice", None)]
