@@ -280,3 +280,11 @@ def test_nested_subquery_orderby_falls_back(engines):
     q = ('SELECT ?x WHERE { { SELECT ?x WHERE { ?x ex:age ?a } '
          'ORDER BY ?a LIMIT 2 } }')
     assert _rows(enc.query(q)) == _rows(lex.query(q))
+
+
+def test_optional_disjoint_group_keeps_left_encoded(engines):
+    # the disjoint-OPTIONAL fix (join_bindings honoring the join type)
+    # must hold on the encoded structural path as well
+    lex, enc = engines
+    q = 'SELECT ?n ?v WHERE { p:alice ex:name ?n OPTIONAL { ?z ex:nothere ?v } }'
+    assert _rows(enc.query(q)) == _rows(lex.query(q)) == [("Alice", None)]
