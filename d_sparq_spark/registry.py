@@ -100,25 +100,29 @@ _ATTESTED_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "q_scalar_string", "q_scalar_date", "q_scalar_math", "q_scalar_array",
     "q_explode", "q_project", "q_filter_pred", "q_filter_rlike",
     "q_json_extract",
-    # round 4 builder: extend with CORRECTNESS_r03.json's key list so the
-    # driver's fixed-size prefix keeps covering least-recently-attested
-    # queries first, and move round-3's _NEW_THIS_ROUND keys into a
-    # _NEW_IN_ROUND_4 set (or clear it) as they get attested.
+    # round 3 (CORRECTNESS_r03.json)
+    "q_case_when", "q_filter_nullsafe", "q_set_ops", "q_union_by_name",
+    "q_distinct", "q_window_rank", "q_window_frame", "q_window_lag",
+    "q_window_ntile", "q_topk", "q_topk_per_group", "q_window_dist",
+    "q_sparql_path_plus", "q_sparql_path_plus_bound",
+    "q_sparql_path_plus_bound_rev", "q_sparql_path_seq", "q_sparql_path_alt",
+    "q_sparql_path_inv", "q_sparql_path_neg", "q_sparql_path_opt",
+    "q_sparql_path_altcomplex", "q_sparql_path_closure_seq",
+    "q_sparql_expr_fns", "q_sparql_construct", "q_sparql_subquery",
+    "q_sparql_service", "q_sparql_graph_enc", "q_sparql_graph_var_enc",
+    "q_sparql_graph", "q_sparql_graph_var", "q_sparql_star", "q_sparql_path",
+    "q_sparql_optional", "q_sparql_union", "q_sparql_agg",
+    "q_sparql_order_limit", "q_sparql_minus", "q_sparql_not_exists",
+    "q_sparql_bind", "q_sparql_values", "q_sparql_distinct", "q_sparql_ask",
+    "q_sparql_expr", "q_sparql_encoded_star", "q_sparql_encoded_filter",
+    "q_sparql_encoded_agg", "q_sparql_star_pt", "q_sparql_encoded_star_pt",
+    "q_sparql_star_extvp", "q_sparql_update",
 })
 
-# Queries first registered THIS round: they sort after the older
-# never-attested queries (which have waited since round 1/2) but before
-# the already-attested ones — age priority, so no key starves.
-_NEW_THIS_ROUND: frozenset[str] = frozenset({
-    "q_sample_stratified", "q_ngram_topk", "q_retention_cohort",
-    "q_sparql_graph_path", "q_sparql_graph_path_seeded",
-    "q_sparql_graph_path_enc",
-    "q_tpch_q3", "q_tpch_q10", "q_tpch_q18",
-    "q_triangle_count", "q_degree_dist", "q_kmeans", "q_bpe_pairs",
-    "q_zorder_layout", "q_skyline", "q_scd2_history", "q_histogram",
-    "q_dq_audit", "q_sssp", "q_vocab_coverage", "q_quality_filter",
-    "q_lang_confusion", "q_dedup_incremental",
-})
+# Queries first registered THIS round (round 4): they sort after the older
+# never-attested queries (round-3 additions, which have waited a full round)
+# but before the already-attested ones — age priority, so no key starves.
+_NEW_THIS_ROUND: frozenset[str] = frozenset()
 
 
 def all_queries() -> dict[str, Query]:
