@@ -95,10 +95,61 @@ class SparqlEngine:
                 [(tp.s, tp.p, tp.o) for tp in triples], schema
             ).dropDuplicates()
 
+        def _bnode_labels(template) -> list[str]:
+            seen: list[str] = []
+            for tp in template or ():
+                for term in (tp.s, tp.p, tp.o):
+                    if isinstance(term, str) and term.startswith("_:") and term not in seen:
+                        seen.append(term)
+            return seen
+
         def instantiate(template, bindings: DataFrame) -> DataFrame:
+            # SPARQL 1.1 Update: each template blank-node label instantiates
+            # as a FRESH bnode per solution — shared across the template's
+            # triples within one solution, distinct across solutions (and
+            # across labels). The id is a hash of (label, solution's bound
+            # terms, duplicate-solution ordinal), so reruns/retries are
+            # deterministic — unlike monotonically_increasing_id, which
+            # shifts with partitioning.
+            labels = _bnode_labels(template)
+            bmap: dict[str, F.Column] = {}
+            if labels:
+                from pyspark.sql.window import Window
+
+                cols = bindings.columns or []
+                key_parts = [
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols
+                ]
+                if cols:  # duplicate solutions each get their own fresh bnode
+                    dup = F.row_number().over(
+                        Window.partitionBy(*cols).orderBy(F.lit(1))
+                    )
+                else:
+                    dup = F.lit(1)
+                bindings = bindings.withColumn("__dup", dup)
+                for label in labels:
+                    bmap[label] = F.concat(
+                        F.lit("_:b"),
+                        F.substring(
+                            F.sha2(
+                                F.concat_ws(
+                                    "\x1f",
+                                    F.lit(label),
+                                    F.col("__dup").cast("string"),
+                                    *key_parts,
+                                ),
+                                256,
+                            ),
+                            1,
+                            32,
+                        ),
+                    )
+
             def term_col(term):
                 if isinstance(term, str) and term.startswith("?"):
                     return F.col(term[1:])
+                if term in bmap:
+                    return bmap[term]
                 return F.lit(term)
 
             parts = [
@@ -119,23 +170,14 @@ class SparqlEngine:
         if isinstance(tree, A.DeleteData):
             return t.join(F.broadcast(ground_df(tree.triples)), on, "left_anti")
         if isinstance(tree, A.Modify):
-            # SPARQL 1.1 Update requires a FRESH blank node per solution
-            # when a template contains one; instantiating it as a shared
-            # constant would silently conflate entities across bindings.
-            # Reject explicitly until fresh-bnode instantiation exists.
-            for tmpl in (tree.delete_template, tree.insert_template):
-                for tp in tmpl or ():
-                    if any(
-                        isinstance(t, str) and t.startswith("_:")
-                        for t in (tp.s, tp.p, tp.o)
-                    ):
-                        raise NotImplementedError(
-                            "SPARQL UPDATE: blank nodes in DELETE/INSERT "
-                            "templates need fresh-bnode-per-solution "
-                            "instantiation, which is not implemented — "
-                            "use a derived IRI (e.g. IRI(CONCAT(...))) "
-                            "instead"
-                        )
+            # Blank nodes are ILLEGAL in a DELETE template (SPARQL 1.1
+            # Update §3.1.3.2 — there is no bnode to match by label); the
+            # INSERT template instantiates them fresh per solution above.
+            if _bnode_labels(tree.delete_template):
+                raise SyntaxError(
+                    "SPARQL UPDATE: blank nodes are not permitted in a "
+                    "DELETE template"
+                )
             bindings = self._translator.eval(tree.where)
             out = t
             if tree.delete_template:

@@ -185,41 +185,16 @@ class Translator:
         if isinstance(node, A.Group):
             return self._group(node)
         if isinstance(node, A.Project):
-            child = self.eval(node.child)
-            for name, e in node.exprs:
-                child = child.withColumn(name, self.expr(e, child))
-            if node.vars:
-                # SELECT of a variable no pattern binds is valid SPARQL:
-                # every solution leaves it unbound (NULL), never an error
-                for v in node.vars:
-                    if v not in child.columns:
-                        child = child.withColumn(v, F.lit(None).cast("string"))
-                return child.select(*node.vars)
-            # SELECT *: drop reserved internal columns (__-prefixed) —
-            # parser-synthesized fresh vars from sequence-path desugaring
-            # and hidden HAVING aggregates are not user-visible bindings.
-            keep = [c for c in child.columns if not c.startswith("__")]
-            return child.select(*keep) if keep != child.columns else child
+            return self._apply_project(node, self.eval(node.child))
         if isinstance(node, A.Distinct):
             return self.eval(node.child).dropDuplicates()
         if isinstance(node, A.OrderBy):
             child = self.eval(node.child)
-            keys = []
-            for e, asc in node.keys:
-                c = self.expr(e, child)
-                # typed numeric literals ('"5"^^xsd:int') order by VALUE;
-                # plain terms keep lexical order (typed-value key is NULL
-                # for them, so the lexical key decides — unchanged
-                # behavior for untyped stores).
-                if isinstance(e, A.Var) and dict(child.dtypes).get(e.name) == "string":
-                    tv = F.when(
-                        c.rlike(_TYPED_RE),
-                        F.regexp_extract(c, _TYPED_RE, 1).try_cast("double"),
-                    )
-                    keys.append(tv.asc() if asc else tv.desc())
-                keys.append(c.asc() if asc else c.desc())
-            return child.orderBy(*keys)
+            return child.orderBy(*self._order_cols(node.keys, child))
         if isinstance(node, A.Slice):
+            gv = self.graph_var
+            if gv is not None:
+                return self._graph_slice(node, gv)
             child = self.eval(node.child)
             if node.offset:
                 child = child.offset(node.offset)
@@ -238,6 +213,89 @@ class Translator:
         if isinstance(node, A.Service):
             return self._service(node)
         raise TypeError(f"SPARQL translate: unknown node {type(node).__name__}")
+
+    def _apply_project(self, node: A.Project, child: DataFrame) -> DataFrame:
+        for name, e in node.exprs:
+            child = child.withColumn(name, self.expr(e, child))
+        if node.vars:
+            # SELECT of a variable no pattern binds is valid SPARQL:
+            # every solution leaves it unbound (NULL), never an error
+            for v in node.vars:
+                if v not in child.columns:
+                    child = child.withColumn(v, F.lit(None).cast("string"))
+            out = list(node.vars)
+            # subquery under GRAPH ?g: the graph binding rides through the
+            # projection as a hidden extra column so the whole query stays
+            # ONE plan (no per-graph union) — _graph drops or exposes it at
+            # the Graph node's boundary
+            gv = self.graph_var
+            if gv is not None and gv in child.columns and gv not in out:
+                out.append(gv)
+            return child.select(*out)
+        # SELECT *: drop reserved internal columns (__-prefixed) —
+        # parser-synthesized fresh vars from sequence-path desugaring
+        # and hidden HAVING aggregates are not user-visible bindings.
+        keep = [c for c in child.columns if not c.startswith("__")]
+        return child.select(*keep) if keep != child.columns else child
+
+    def _order_cols(self, keys, child: DataFrame) -> list[Column]:
+        """ORDER BY sort columns. Typed numeric literals ('"5"^^xsd:int')
+        order by VALUE; plain terms keep lexical order (the typed-value key
+        is NULL for them, so the lexical key decides — unchanged behavior
+        for untyped stores)."""
+        cols = []
+        for e, asc in keys:
+            c = self.expr(e, child)
+            if isinstance(e, A.Var) and dict(child.dtypes).get(e.name) == "string":
+                tv = F.when(
+                    c.rlike(_TYPED_RE),
+                    F.regexp_extract(c, _TYPED_RE, 1).try_cast("double"),
+                )
+                cols.append(tv.asc() if asc else tv.desc())
+            cols.append(c.asc() if asc else c.desc())
+        return cols
+
+    def _graph_slice(self, node: A.Slice, gv: str) -> DataFrame:
+        """LIMIT/OFFSET inside a subquery under GRAPH ?g, single-plan route:
+        the slice applies PER GRAPH (each graph's dataset is evaluated
+        independently per spec), so it becomes a row_number window
+        partitioned by the graph binding instead of a global limit. The
+        parser nests the modifiers as Slice(Project(OrderBy(x))) (plain) or
+        Slice(OrderBy(Distinct(Project(x)))) (DISTINCT) — ORDER BY keys may
+        reference pre-projection columns, so the window ranks BEFORE the
+        projection and the projection re-applies after the filter. Ties
+        beyond the ORDER BY keys (or a missing ORDER BY — both
+        implementation-defined per spec) break deterministically on the
+        remaining columns so reruns and the DuckDB oracle agree."""
+        from pyspark.sql.window import Window
+
+        inner = node.child
+        project = None
+        if isinstance(inner, A.OrderBy):
+            base = self.eval(inner.child)
+            okeys = self._order_cols(inner.keys, base)
+        elif isinstance(inner, A.Project) and isinstance(inner.child, A.OrderBy):
+            project = inner
+            base = self.eval(inner.child.child)
+            okeys = self._order_cols(inner.child.keys, base)
+        else:
+            base = self.eval(inner)
+            okeys = []
+        if gv not in base.columns:  # no graph correlation below: plain slice
+            out = base
+            if node.offset:
+                out = out.offset(node.offset)
+            if node.limit is not None:
+                out = out.limit(node.limit)
+            return self._apply_project(project, out) if project else out
+        okeys = okeys + [F.col(c).asc() for c in base.columns if c != gv]
+        w = Window.partitionBy(gv).orderBy(*okeys)
+        ranked = base.withColumn("__rn", F.row_number().over(w))
+        cond = F.col("__rn") > F.lit(node.offset or 0)
+        if node.limit is not None:
+            cond = cond & (F.col("__rn") <= F.lit((node.offset or 0) + node.limit))
+        out = ranked.filter(cond).drop("__rn")
+        return self._apply_project(project, out) if project else out
 
     def _describe(self, node: A.Describe) -> DataFrame:
         """DESCRIBE term+ [WHERE group] -> CBD triples (s, p, o).
@@ -310,7 +368,7 @@ class Translator:
             raise ValueError("SPARQL GRAPH requires a quad store (g column)")
         term = node.term
         if isinstance(term, str) and term.startswith("?"):
-            if self._graph_column_ok(node.child):
+            if self._graph_column_ok(node.child, term[1:]):
                 sub = self._spawn(self.triples, self.stats, graph_var=term[1:])
                 return sub.eval(node.child)
             g_type = dict(self.triples.dtypes)["g"]  # keep lit dtype == store dtype
@@ -334,12 +392,21 @@ class Translator:
         return sub.eval(node.child)
 
     @staticmethod
-    def _graph_column_ok(node) -> bool:
+    def _graph_column_ok(node, gname: str) -> bool:
         """True when every scan under GRAPH ?g binds g as a column — plain
         triple patterns (match_pattern) AND path shapes (closure fixpoints
-        carry g as a group column, paths.py). Nested GRAPH/SERVICE, and
-        groups with a pattern-free branch (nothing to bind g from) use the
-        per-graph fallback."""
+        carry g as a group column, paths.py). Subquery wrappers (Project/
+        Group/Distinct/OrderBy/Slice) stay on the single-plan route: the
+        graph binding threads through them as a hidden grouping/projection
+        column (_apply_project/_group/_graph_slice). The per-graph fallback
+        remains only for:
+
+        - nested GRAPH/SERVICE (a different active graph inside),
+        - pattern-free groups (nothing to bind g from),
+        - keyless global aggregates (an EMPTY graph must still yield one
+          solution — COUNT()=0 — which groupBy(g) cannot produce),
+        - wrappers that would capture/shadow the graph variable's own name
+          (a projected/aggregated/bound variable named like ?g)."""
         stack, saw_pattern = [node], False
         while stack:
             n = stack.pop()
@@ -350,14 +417,23 @@ class Translator:
                 continue
             if isinstance(n, (A.Graph, A.Service)):
                 return False
-            if isinstance(n, (A.Project, A.Group, A.Distinct, A.OrderBy, A.Slice)):
-                # subquery wrappers: a nested SELECT projects/aggregates g
-                # AWAY, so the inner block would match across ALL graphs
-                # instead of the active one — only the per-graph loop keeps
-                # the correlation for these shapes
+            if isinstance(n, A.Project):
+                if (n.vars and gname in n.vars) or any(
+                    name == gname for name, _ in n.exprs
+                ):
+                    return False
+            if isinstance(n, A.Group):
+                if not n.keys:
+                    return False
+                if gname in n.keys or any(name == gname for name, _ in n.aggs):
+                    return False
+            if isinstance(n, A.Bind) and n.var == gname:
                 return False
-            if isinstance(n, A.Values) and n.child is None:
-                return False  # pattern-free leaf: g would stay unbound
+            if isinstance(n, A.Values):
+                if n.child is None:
+                    return False  # pattern-free leaf: g would stay unbound
+                if gname in n.varnames:
+                    return False
             if isinstance(n, A.Filter) and isinstance(n.expr, A.ExistsExpr):
                 stack.append(n.expr.group)
             for attr in ("left", "right", "child"):
@@ -753,8 +829,19 @@ class Translator:
     def _group(self, node: A.Group) -> DataFrame:
         child = self.eval(node.child)
         aggs = [self._aggregate(a, child).alias(name) for name, a in node.aggs]
-        if node.keys:
-            return child.groupBy(*node.keys).agg(*aggs)
+        keys = list(node.keys)
+        # subquery aggregation under GRAPH ?g, single-plan route: each
+        # graph's dataset aggregates independently, so the graph binding
+        # joins the grouping keys (it is constant within a group, so
+        # COUNT(DISTINCT *) over all columns is unchanged). Keyless global
+        # aggregates never reach here under ?g — _graph_column_ok routes
+        # them to the per-graph fallback because an empty graph must still
+        # yield one solution (COUNT()=0), which groupBy(g) cannot produce.
+        gv = self.graph_var
+        if gv is not None and gv in child.columns and gv not in keys:
+            keys.append(gv)
+        if keys:
+            return child.groupBy(*keys).agg(*aggs)
         return child.agg(*aggs)
 
     def _aggregate(self, a: A.Aggregate, df: DataFrame) -> Column:

@@ -694,12 +694,37 @@ def test_update_rejects_vars_in_data_and_query_rejects_update(engine):
         engine.update("SELECT ?x WHERE { ?x ex:name ?n }")
 
 
-def test_update_rejects_bnode_in_template(engine):
-    # ADVICE r2: spec requires a FRESH bnode per solution; a shared
-    # constant would conflate entities — reject until implemented
-    with pytest.raises(NotImplementedError, match="blank nodes"):
+def test_update_insert_bnode_fresh_per_solution(engine):
+    """r4 (VERDICT r3 #4): a blank node in an INSERT template instantiates
+    FRESH per solution — n solutions yield n distinct bnodes, deterministic
+    across reruns; within one solution the label is shared across the
+    template's triples."""
+    q = (
+        "INSERT { ?x ex:address _:a . _:a ex:inCity ?c } "
+        "WHERE { ?x ex:city ?c }"
+    )
+    out = engine.update(q)
+    addr = {r["s"]: r["o"] for r in out.filter("p = 'ex:address'").collect()}
+    in_city = {r["s"]: r["o"] for r in out.filter("p = 'ex:inCity'").collect()}
+    # 4 city-bound solutions (alice, bob, dave, eve) -> 4 DISTINCT bnodes
+    assert len(addr) == 4 and len(set(addr.values())) == 4
+    assert all(b.startswith("_:b") for b in addr.values())
+    # same label within a solution = same bnode: _:a links the two triples
+    assert {(b, in_city[b]) for b in addr.values()} == {
+        (addr["p:alice"], "Paris"), (addr["p:bob"], "London"),
+        (addr["p:dave"], "Paris"), (addr["p:eve"], "Berlin"),
+    }
+    # deterministic across reruns (hash-derived ids, not increasing ids)
+    rerun = {r["s"]: r["o"] for r in engine.update(q).filter("p = 'ex:address'").collect()}
+    assert rerun == addr
+
+
+def test_update_rejects_bnode_in_delete_template(engine):
+    # SPARQL 1.1 Update §3.1.3.2: bnodes are illegal in a DELETE template
+    with pytest.raises(SyntaxError, match="DELETE template"):
         engine.update(
-            "INSERT { ?x ex:address _:addr } WHERE { ?x ex:city ?c }"
+            "DELETE { ?x ex:address _:a } INSERT { ?x ex:seen \"y\" } "
+            "WHERE { ?x ex:city ?c }"
         )
 
 
@@ -720,9 +745,11 @@ def test_update_rejects_path_in_template(engine):
 
 
 def test_graph_var_subquery_stays_graph_correlated(spark):
-    """A subquery under GRAPH ?g projects g away, so the column path must
-    NOT be taken — the per-graph loop keeps the correlation. x2 has a name
-    in g:a but its age lives only in g:b: it must not surface under g:a."""
+    """A subquery under GRAPH ?g projects g away from its SELECT list; the
+    single-plan route must thread g through the projection as a hidden
+    column so the correlation survives (r4: these shapes left the per-graph
+    fallback). x2 has a name in g:a but its age lives only in g:b: it must
+    not surface under g:a."""
     quads = spark.createDataFrame(
         [
             ("x1", "ex:name", "One", "g:a"),
@@ -738,6 +765,78 @@ def test_graph_var_subquery_stays_graph_correlated(spark):
         "{ SELECT ?x WHERE { ?x ex:age ?a } } } }"
     )
     assert rows(out) == [("g:a", "x1")]
+    # single plan: no per-graph union branches
+    assert "Union" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+_SUBQ_QUADS = [
+    ("x1", "ex:score", "1", "g:a"), ("x1", "ex:score", "2", "g:a"),
+    ("x2", "ex:score", "3", "g:a"),
+    ("x1", "ex:name", "One", "g:a"), ("x2", "ex:name", "Two", "g:a"),
+    ("x1", "ex:score", "5", "g:b"), ("x1", "ex:name", "Uno", "g:b"),
+    ("x3", "ex:score", "7", "g:c"), ("x3", "ex:name", "Tre", "g:c"),
+]
+
+
+def test_graph_var_grouped_subquery_single_plan(spark):
+    """Grouped subquery under GRAPH ?g over 3 graphs (VERDICT r3 #3): the
+    graph binding joins the grouping keys, so the aggregate is per-graph
+    inside ONE plan — no per-graph union."""
+    quads = spark.createDataFrame(_SUBQ_QUADS, "s string, p string, o string, g string")
+    eng = SparqlEngine(quads, collect_stats=False)
+    out = eng.query(
+        "SELECT ?g ?x ?c WHERE { GRAPH ?g { ?x ex:name ?n "
+        "{ SELECT ?x (COUNT(?s) AS ?c) WHERE { ?x ex:score ?s } GROUP BY ?x } } }"
+    )
+    assert rows(out) == [
+        ("g:a", "x1", 2), ("g:a", "x2", 1), ("g:b", "x1", 1), ("g:c", "x3", 1),
+    ]
+    assert "Union" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_graph_var_subquery_limit_is_per_graph(spark):
+    """ORDER BY + LIMIT inside a subquery under GRAPH ?g applies per graph
+    (each graph's dataset evaluates independently), as a row_number window
+    partitioned by g — still one plan, no per-graph union."""
+    quads = spark.createDataFrame(_SUBQ_QUADS, "s string, p string, o string, g string")
+    eng = SparqlEngine(quads, collect_stats=False)
+    out = eng.query(
+        "SELECT ?g ?x WHERE { GRAPH ?g { ?x ex:name ?n "
+        "{ SELECT ?x WHERE { ?x ex:score ?s } ORDER BY DESC(?s) LIMIT 1 } } }"
+    )
+    assert rows(out) == [("g:a", "x2"), ("g:b", "x1"), ("g:c", "x3")]
+    assert "Union" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_graph_var_distinct_subquery_single_plan(spark):
+    quads = spark.createDataFrame(_SUBQ_QUADS, "s string, p string, o string, g string")
+    eng = SparqlEngine(quads, collect_stats=False)
+    out = eng.query(
+        "SELECT ?g ?x WHERE { GRAPH ?g "
+        "{ { SELECT DISTINCT ?x WHERE { ?x ex:score ?s } } } }"
+    )
+    assert rows(out) == [("g:a", "x1"), ("g:a", "x2"), ("g:b", "x1"), ("g:c", "x3")]
+    assert "Union" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_graph_var_keyless_agg_subquery_keeps_fallback(spark):
+    """A keyless global aggregate under GRAPH ?g must yield one solution
+    per graph even when the inner pattern matches NOTHING in that graph
+    (COUNT()=0) — groupBy(g) cannot produce that row, so these shapes stay
+    on the per-graph loop."""
+    quads = spark.createDataFrame(
+        [
+            ("x1", "ex:age", "30", "g:a"), ("x2", "ex:age", "40", "g:a"),
+            ("x9", "ex:name", "Nine", "g:b"),
+        ],
+        "s string, p string, o string, g string",
+    )
+    eng = SparqlEngine(quads, collect_stats=False)
+    out = eng.query(
+        "SELECT ?g ?c WHERE { GRAPH ?g "
+        "{ { SELECT (COUNT(?a) AS ?c) WHERE { ?x ex:age ?a } } } }"
+    )
+    assert rows(out) == [("g:a", 2), ("g:b", 0)]
 
 
 def test_strdt_xsd_string_folds_to_plain(engine):

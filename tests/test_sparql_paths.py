@@ -242,7 +242,45 @@ def test_graph_var_path_single_plan_route(path_quads):
     node = tree.root
     while not isinstance(node, A.Graph):
         node = node.child
-    assert Translator._graph_column_ok(node.child)
+    assert Translator._graph_column_ok(node.child, "g")
+
+
+def test_graph_column_ok_wrapper_guards():
+    """r4: subquery wrappers ride the single-plan route unless they would
+    capture the graph variable's own name (or are keyless global aggs)."""
+    from d_sparq_spark.plans import ast as A
+    from d_sparq_spark.plans.parser import parse_sparql
+    from d_sparq_spark.plans.translate import Translator
+
+    def graph_child(q):
+        node = parse_sparql(q).root
+        while not isinstance(node, A.Graph):
+            node = node.child
+        return node.child
+
+    ok = Translator._graph_column_ok
+    grouped = graph_child(
+        "SELECT ?g WHERE { GRAPH ?g { { SELECT ?x (COUNT(?s) AS ?c) "
+        "WHERE { ?x ex:score ?s } GROUP BY ?x } } }"
+    )
+    assert ok(grouped, "g")
+    # inner var shadows the graph variable's name -> fallback
+    shadow = graph_child(
+        "SELECT ?g WHERE { GRAPH ?g { { SELECT ?g WHERE { ?g ex:score ?s } } } }"
+    )
+    assert not ok(shadow, "g")
+    assert ok(shadow, "other")
+    # keyless global aggregate -> fallback (empty graph must yield COUNT()=0)
+    keyless = graph_child(
+        "SELECT ?g WHERE { GRAPH ?g { { SELECT (COUNT(?s) AS ?c) "
+        "WHERE { ?x ex:score ?s } } } }"
+    )
+    assert not ok(keyless, "g")
+    # BIND capturing the graph name -> fallback
+    bind = graph_child(
+        "SELECT ?x WHERE { GRAPH ?g { ?x ex:score ?s BIND(STR(?s) AS ?g) } }"
+    )
+    assert not ok(bind, "g")
 
 
 def test_graph_var_path_seeded(path_quads):
