@@ -244,6 +244,108 @@ def q_cosine_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_cosine_topk(emb, queries, k=3, n_planes=4)
 
 
+def _ann_recall_oracle(
+    n_planes: int = 4, n_tables: int = 8, dim: int = 64, k: int = 3
+) -> str:
+    """Generated-SQL oracle for q_ann_recall: the same literal +-1 plane
+    matrix as operators/similarity.table_planes unrolls into signed-sum
+    bucket expressions (one per hash table), so DuckDB derives
+    bit-identical buckets, scores and therefore the exact same approximate
+    result set (layout.py pattern)."""
+    tables = S.table_planes(n_planes, n_tables, dim)
+
+    def bucket(t: int) -> str:
+        parts = []
+        for j, plane in enumerate(tables[t]):
+            terms = "".join(
+                ("+" if c > 0 else "-") + f"v[{i + 1}]" for i, c in enumerate(plane)
+            )
+            parts.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << j} ELSE 0 END)")
+        return " + ".join(parts)
+
+    bucket_cols = ",\n             ".join(
+        f"({bucket(t)}) AS b{t}" for t in range(n_tables)
+    )
+    cand_union = "\n      UNION ALL\n      ".join(
+        f"SELECT q.qid, n.vec_id AS cid FROM q JOIN n ON q.b{t} = n.b{t} AND n.vec_id <> q.qid"
+        for t in range(n_tables)
+    )
+    cos = (
+        f"CAST(CAST(list_sum(list_transform(range(1, {dim + 1}), i -> qv[i] * cv[i])) AS BIGINT) AS DOUBLE)"
+        " / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE)))"
+    )
+    qcols = ", ".join(f"b{t}" for t in range(n_tables))
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+n AS (SELECT vec_id, v,
+             CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS nrm,
+             {bucket_cols}
+      FROM e),
+q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, {qcols} FROM n WHERE vec_id < 5),
+cand AS (
+  SELECT DISTINCT qid, cid FROM (
+      {cand_union}
+  )
+),
+ann AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+    FROM (
+      SELECT cand.qid, cand.cid, {cos} AS cos
+      FROM cand
+      JOIN (SELECT qid, qv, qn FROM q) qq ON qq.qid = cand.qid
+      JOIN (SELECT vec_id, v AS cv, nrm AS cn FROM n) nn ON nn.vec_id = cand.cid
+    )
+  ) WHERE rn <= {k}
+),
+exact AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+    FROM (
+      SELECT q.qid, n.vec_id AS cid,
+             CAST(CAST(list_sum(list_transform(range(1, {dim + 1}), i -> qv[i] * v[i])) AS BIGINT) AS DOUBLE)
+               / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(nrm AS DOUBLE))) AS cos
+      FROM q CROSS JOIN n WHERE n.vec_id <> q.qid
+    )
+  ) WHERE rn <= {k}
+)
+SELECT e.qid,
+       CAST(count(a.cid) AS BIGINT) AS hits,
+       CAST(count(a.cid) AS DOUBLE) / {float(k)} AS recall
+FROM exact e LEFT JOIN ann a ON e.qid = a.qid AND e.cid = a.cid
+GROUP BY e.qid
+"""
+
+
+@register("q_ann_recall", oracle=_ann_recall_oracle())
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall@3 as a CHECKED metric (VERDICT r3 #6): the quantized-int
+    multi-table LSH twin (deterministic +-1 planes, integer projections
+    and dots — operators/similarity.scaled_int_ann_topk) joins against the
+    exact quantized top-3; output is per-query (qid, hits, recall). Both
+    the approximate set and the recall number are oracle-exact; a floor on
+    the recall itself is asserted in tests/test_llm_operators.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = S.scaled_int_cosine_topk(emb, F.col("vec_id") < 5, k=3).select("qid", "cid")
+    ann = (
+        S.scaled_int_ann_topk(emb, F.col("vec_id") < 5, k=3, n_planes=4, n_tables=8)
+        .select("qid", "cid")
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        exact.join(ann, ["qid", "cid"], "left")
+        .groupBy("qid")
+        .agg(F.count("__hit").cast("long").alias("hits"))
+        .select(
+            "qid", "hits", (F.col("hits").cast("double") / F.lit(3.0)).alias("recall")
+        )
+    )
+
+
 # --- text analysis --------------------------------------------------------------
 
 _ORACLE_TOKENS = f"""

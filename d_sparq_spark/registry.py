@@ -122,7 +122,9 @@ _ATTESTED_PRIOR_ROUNDS: frozenset[str] = frozenset({
 # Queries first registered THIS round (round 4): they sort after the older
 # never-attested queries (round-3 additions, which have waited a full round)
 # but before the already-attested ones — age priority, so no key starves.
-_NEW_THIS_ROUND: frozenset[str] = frozenset()
+_NEW_THIS_ROUND: frozenset[str] = frozenset({
+    "q_ann_recall",
+})
 
 
 def all_queries() -> dict[str, Query]:

