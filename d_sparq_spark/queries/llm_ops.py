@@ -903,29 +903,17 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides reduce to 64-hex digests BEFORE any join (never ship text); the
     corpus side is a distinct-digest anti-joinable set (at 100 TB this is
     the bloom-filter/anti-join slot); within-batch dedup is a min-id
-    window over the digest, one hash shuffle."""
-    from pyspark.sql import Window
+    window over the digest, one hash shuffle. The verdict logic is SHARED
+    with the streaming pipeline (streaming/dedup.py) — the stream==batch
+    equivalence test at sf0.1 holds them together."""
+    from d_sparq_spark.streaming.dedup import digest_docs, incremental_verdicts
 
     docs = load_table(spark, sf_dir, "documents")
     existing = (
-        docs.filter(F.col("doc_id") % 2 == 0)
-        .select(F.sha2("text", 256).alias("dg"))
+        digest_docs(docs.filter(F.col("doc_id") % 2 == 0))
+        .select("dg")
         .distinct()
-        .withColumn("_in_corpus", F.lit(1))
+        .withColumn("origin", F.lit("corpus"))
     )
-    new_batch = docs.filter(F.col("doc_id") % 2 == 1).select(
-        "doc_id", F.sha2("text", 256).alias("dg")
-    )
-    w = Window.partitionBy("dg")
-    marked = (
-        new_batch.withColumn("_min_id", F.min("doc_id").over(w))
-        .withColumn("_n", F.count(F.lit(1)).over(w))
-        .join(existing, "dg", "left")
-    )
-    return marked.select(
-        "doc_id",
-        F.when(F.col("_in_corpus").isNotNull(), "dup_of_corpus")
-        .when((F.col("_n") > 1) & (F.col("doc_id") != F.col("_min_id")), "dup_in_batch")
-        .otherwise("keep")
-        .alias("verdict"),
-    )
+    new_batch = digest_docs(docs.filter(F.col("doc_id") % 2 == 1))
+    return incremental_verdicts(new_batch, existing).select("doc_id", "verdict")

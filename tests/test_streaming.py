@@ -169,3 +169,44 @@ def test_replay_dedup_then_sessionize_sf01(spark):
     )
     assert len(g) > 0
     assert g == b
+
+def test_stream_incremental_dedup_equals_batch_sf01(spark, tmp_path):
+    """VERDICT r3 #7: the incremental-dedup shape driven as a STREAM of
+    microbatches (foreachBatch + persisted corpus-digest table) must be
+    verdict-exact vs the one-shot batch twin (q_dedup_incremental) at
+    sf0.1. The new set arrives as 4 doc_id-ascending files with
+    maxFilesPerTrigger=1, so first-seen == global-min representative and
+    every label (dup_of_corpus / dup_in_batch / keep) must coincide."""
+    from d_sparq_spark.queries.llm_ops import q_dedup_incremental
+    from d_sparq_spark.streaming import dedup as SD
+
+    SF01 = "/root/testdata/sf0.1"
+    docs = load_table(spark, SF01, "documents")
+    corpus_dir = str(tmp_path / "corpus")
+    verdict_dir = str(tmp_path / "verdicts")
+    src = str(tmp_path / "incoming")
+
+    SD.seed_corpus(docs.filter(F.col("doc_id") % 2 == 0), corpus_dir)
+
+    new = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    lo, hi = new.agg(F.min("doc_id"), F.max("doc_id")).first()
+    step = (hi - lo) // 4 + 1
+    for k in range(4):  # sequential single-file writes: ascending mtimes
+        new.filter(
+            (F.col("doc_id") >= lo + k * step) & (F.col("doc_id") < lo + (k + 1) * step)
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = SD.dedup_stream(stream, corpus_dir, verdict_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination(600)
+
+    got_df = spark.read.parquet(verdict_dir)
+    assert got_df.select("batch_id").distinct().count() == 4  # really incremental
+    got = sorted((r["doc_id"], r["verdict"]) for r in got_df.collect())
+    want = sorted(tuple(r) for r in q_dedup_incremental(spark, SF01).collect())
+    assert len(got) > 0
+    assert got == want
