@@ -49,6 +49,14 @@ HEADLINE = [
     "q_tpch_q18",           # single-pass HAVING-on-fact aggregate, then join
     "q_kmeans",             # integer-exact Lloyd's (broadcast centroids)
     "q_vocab_coverage",     # token counting + bounded top-k curve
+    # r4: the two most expensive graph operators, bench-gated (VERDICT #8)
+    "q_triangle_count",     # degree-ordered wedge join (|E|^1.5 shape)
+    "q_sssp",               # Bellman-Ford frontier relaxation
+    # r4: closures on the 1M-edge synthetic chain graph (VERDICT #5) —
+    # doubling closure vs seeded frontier on a graph where driver rounds
+    # do NOT dominate; the seeded/unbound ratio is the recorded band
+    "q_sparql_path_plus_big",
+    "q_sparql_path_plus_big_seeded",
 ]
 
 

@@ -100,11 +100,22 @@ def seeded_closure(
     graphs), unlike the doubling closure's O(all pairs). Seeds are probed
     against the raw edges BEFORE the strided relation is built, so a
     seed set that touches nothing costs one join, not three self-joins.
+
+    The stride build itself is LAZY (r4 fix): on a big edge set with a
+    small seed frontier, pre-doubling the WHOLE edge relation costs more
+    than the entire BFS (measured 22 s of a 22 s query on the 1.17M-edge
+    synthetic graph) — so when the edges outnumber a build threshold and
+    the frontier is small relative to them, the walk single-steps over the
+    raw edges first and only builds the strided relation if the graph
+    turns out deeper than `stride` hops. Small edge sets (< ~50k) keep
+    the upfront build: there the 2-3 self-joins are sub-second and fewer
+    driver rounds win.
+
     The anti-join vs everything reached so far
     guarantees termination on cycles; `reached` is the union of per-round
     CHECKPOINTED frontiers (disjoint by construction), so no re-checkpoint
-    of the accumulated set is needed per round. A graph deeper than
-    stride * bfs_rounds hops falls back to the doubling closure
+    of the accumulated set is needed per round. A graph deeper than the
+    single-step + strided round budget falls back to the doubling closure
     semi-joined to the seeds rather than erroring.
 
     ``group_col`` (GRAPH ?g) partitions the edge set into independent
@@ -152,15 +163,92 @@ def seeded_closure(
         .distinct()
         .localCheckpoint()
     )
-    if not frontier.take(1):
+    frontier_n = frontier.count()
+    if frontier_n == 0:
         return frontier
+    pair_cols = keys + ["src", "dst"]
+
+    step_cond = [F.col("dst") == F.col("_esrc")] + [
+        F.col(k) == F.col(f"_ek_{k}") for k in keys
+    ]
+    out_cols = [*[F.col(k) for k in keys], F.col("src"), F.col("_edst").alias("dst")]
+
+    def expand(frontier, parts, hop, rounds, grow_cap=None):
+        """BFS rounds with the given hop relation; returns (frontier,
+        parts) — frontier None means converged (parts is the answer).
+        grow_cap: the deferred phase — the frontier is KNOWN small, so it
+        gets an explicit broadcast hint (a localCheckpoint's stats are
+        unknown to Catalyst, which otherwise SHUFFLES the full edge set
+        every round — measured 14s of a 15s walk), the checkpoint is lazy
+        (the convergence count doubles as its materializer: one job per
+        round, not two), and stop early (frontier non-None) if the
+        frontier outgrows the cap — the signal to switch to the prebuilt
+        strided relation."""
+        for _ in range(rounds):
+            reached = reduce(DataFrame.unionByName, parts)
+            lhs = F.broadcast(frontier) if grow_cap is not None else frontier
+            step = lhs.join(hop, step_cond).select(*out_cols)
+            nxt = step.join(reached, pair_cols, "left_anti").distinct()
+            if grow_cap is not None:
+                # AQE is off in this phase, so the distinct leaves
+                # shuffle.partitions near-empty partitions — one partition
+                # per (cap-bounded, broadcast-sized) frontier keeps each
+                # round's jobs at single-task scale
+                frontier = nxt.coalesce(1).localCheckpoint(eager=False)
+                n = frontier.count()
+                if n == 0:
+                    return None, parts
+                parts.append(frontier)
+                if n >= grow_cap:
+                    return frontier, parts
+            else:
+                frontier = nxt.localCheckpoint()
+                if not frontier.take(1):
+                    return None, parts
+                parts.append(frontier)
+        return frontier, parts
+
+    parts = [frontier]  # disjoint checkpointed frontiers; union = reached
+    base_n = edges.count()
+    # lazy stride build: see docstring. Big edges + small frontier ->
+    # broadcast-frontier single steps over the RAW edges (shuffle-free,
+    # no global hop materialization) for as long as the frontier STAYS
+    # small; the prebuilt stride relation is paid for only if the walk
+    # outlives the round budget or the frontier grows to edge-set scale
+    # mid-walk.
+    build_upfront = base_n <= 50_000 or frontier_n * 4 >= base_n
+    if not build_upfront:
+        # per-round latency hygiene for the small-frontier walk: (a) the
+        # checkpointed edge relation keeps ~100k rows per partition —
+        # shuffle.partitions-many near-empty tasks per round is pure
+        # scheduler latency locally, while a genuinely big edge set keeps
+        # its parallelism; (b) AQE is paused for the loop — each re-
+        # optimization round-trip costs more than these one-broadcast-join
+        # plans could ever save (restored in finally).
+        spark = edges.sparkSession
+        want = max(8, (base_n + 99_999) // 100_000)
+        if edges.rdd.getNumPartitions() > want:
+            edges = edges.coalesce(int(want))
+        aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        try:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            # cap also bounds the BROADCAST: past ~500k pair rows the hint
+            # would ship tens of MB per round — switch to shuffle joins
+            # with the prebuilt strided relation instead
+            frontier, parts = expand(
+                frontier, parts, edges, bfs_rounds,
+                grow_cap=min((base_n + 3) // 4, 500_000),
+            )
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        if frontier is None:
+            return reduce(DataFrame.unionByName, parts)
     # hop := pairs at distance 1..stride, by doubling: (1..d) o (1..d) ∪
     # (1..d) = 1..2d. Built once, checkpointed per level. A growth guard
     # stops deepening when the pair count blows past 8x the edge count
     # (hub-heavy graphs: every 2-hop path through a hub is a pair) — the
     # strided relation must stay edge-set-sized, not closure-sized.
     hop, depth = edges, 1
-    base_n = hop.count()
     n_prev = base_n
     while depth < stride:
         composed = (
@@ -187,22 +275,9 @@ def seeded_closure(
         if n2 == n_prev:
             break  # hop relation at fixpoint: deeper composition is a no-op
         n_prev = n2
-    parts = [frontier]  # disjoint checkpointed frontiers; union = reached
-    pair_cols = keys + ["src", "dst"]
-    for _ in range(bfs_rounds):
-        reached = reduce(DataFrame.unionByName, parts)
-        step_cond = [F.col("dst") == F.col("_esrc")] + [
-            F.col(k) == F.col(f"_ek_{k}") for k in keys
-        ]
-        step = frontier.join(hop, step_cond).select(
-            *[F.col(k) for k in keys], F.col("src"), F.col("_edst").alias("dst")
-        )
-        frontier = (
-            step.join(reached, pair_cols, "left_anti").distinct().localCheckpoint()
-        )
-        if not frontier.take(1):
-            return reached
-        parts.append(frontier)
+    frontier, parts = expand(frontier, parts, hop, bfs_rounds)
+    if frontier is None:
+        return reduce(DataFrame.unionByName, parts)
     # diameter exceeded the budget (stride * bfs_rounds hops): finish with
     # the log-rounds doubling loop, restricted to the seed sources at the
     # end (correct, just not frontier-sized).

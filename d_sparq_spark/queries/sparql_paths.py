@@ -308,3 +308,49 @@ _q_quads(
     UNION ALL SELECT 'g:region', COUNT(*) FROM region
     """,
 )
+
+
+# ---- closures on a NON-TOY graph (VERDICT r3 #5) -------------------------
+# The derived ex:next chain is 25 nodes — driver rounds dominate and the
+# seeded frontier can't show its win. These run the same engine path over
+# the deterministic synthetic chain graph (sources/synth_graph.py: ~1.17M
+# edges at sf0.1, ~5-6 closure pairs per edge), oracle-checked because the
+# generator is pure integer arithmetic DuckDB reproduces exactly.
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from d_sparq_spark.sources.synth_graph import (  # noqa: E402
+    BLOCK,
+    synth_blocks_for,
+    synth_chain_triples,
+    synth_closure_oracle_sql,
+)
+
+
+@register("q_sparql_path_plus_big", oracle=synth_closure_oracle_sql(seeded=False))
+def q_sparql_path_plus_big(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbound p+ over the synthetic chain graph — the doubling closure at
+    real shuffle volume (~6.8M pairs at sf0.1). Output: closure pair count
+    per source block (checkable without shipping millions of pairs to the
+    compare harness)."""
+    store = synth_chain_triples(spark, synth_blocks_for(spark, sf_dir))
+    pairs = SparqlEngine(store, collect_stats=False).query(
+        "SELECT ?x ?y WHERE { ?x ex:next+ ?y }"
+    )
+    return (
+        pairs.select(F.expr(f"cast(substring(x, 2) as bigint) div {BLOCK}").alias("blk"))
+        .groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register("q_sparql_path_plus_big_seeded", oracle=synth_closure_oracle_sql(seeded=True))
+def q_sparql_path_plus_big_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bound p+ on the same graph: ~1 block in 2560 carries an ex:seed
+    mark, so the closure runs as the SEEDED strided frontier — state
+    O(reachable-from-seeds), the scale case where seeded must beat the
+    doubling closure by construction (BENCH_r04 records the band)."""
+    store = synth_chain_triples(spark, synth_blocks_for(spark, sf_dir))
+    return SparqlEngine(store, collect_stats=False).query(
+        "SELECT ?x ?y WHERE { ?x ex:seed ?s . ?x ex:next+ ?y }"
+    )

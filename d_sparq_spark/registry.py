@@ -123,7 +123,7 @@ _ATTESTED_PRIOR_ROUNDS: frozenset[str] = frozenset({
 # never-attested queries (round-3 additions, which have waited a full round)
 # but before the already-attested ones — age priority, so no key starves.
 _NEW_THIS_ROUND: frozenset[str] = frozenset({
-    "q_ann_recall",
+    "q_ann_recall", "q_sparql_path_plus_big", "q_sparql_path_plus_big_seeded",
 })
 
 

@@ -1,0 +1,137 @@
+"""Deterministic synthetic edge sets for benching the path-closure
+operators on a NON-TOY graph (VERDICT r3 #5: every closure bench ran on a
+25-node derived chain where driver rounds dominate).
+
+Design constraints:
+
+- ~1M edges at sf0.1, scaling with the dataset (n_blocks = 2x the events
+  row count), so the driver's per-round bench exercises real shuffle
+  volume while the sf0.01 correctness gate stays cheap.
+- Pure INTEGER arithmetic end to end (multiplicative hashing mod 2^31,
+  shift-based power-law-ish chain lengths): DuckDB regenerates the exact
+  same edge set from the same formulas, which makes the 1M-edge closure
+  ORACLE-CHECKABLE (recursive CTE) instead of rows-only. No float pow —
+  a 1-ulp libm difference would silently fork the graphs.
+- Shape: blocks of up to 16 nodes form chains ("n<id>" -> "n<id+1>") with
+  block length 16 >> (h % 7) — a log-uniform (heavy-tail-ish) length mix
+  from 16 down to 1 — plus hash-selected skip links 2..6 nodes ahead
+  inside the chain (extra join fan without changing reachability).
+  Expected ~3.9 edges / ~22 closure pairs per block.
+- ~1 block in 2560 is marked as a SEED (chain head carries an ex:seed
+  triple): the small bound set the seeded frontier closure should win on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BLOCK = 16
+SEED_MOD = 2560  # ~100 seed blocks at 1M edges
+
+# integer hash laws — mirrored verbatim in synth_closure_oracle_sql()
+_HB = "((b * 2654435761 + 40503) % 2147483648)"
+_HI = "((id * 1103515245 + 12345) % 2147483648)"
+_LEN = f"greatest(1, shiftright({BLOCK}, cast({_HB} % 7 as int)))"
+
+
+def synth_chain_triples(spark: SparkSession, n_blocks: int) -> DataFrame:
+    """(s, p, o) string triples: ex:next chain/skip edges + ex:seed marks."""
+    ids = spark.range(n_blocks * BLOCK).select(
+        F.col("id"),
+        F.expr(f"id div {BLOCK}").alias("b"),
+        F.expr(f"id % {BLOCK}").alias("p"),
+    )
+    ids = ids.withColumn("ln", F.expr(_LEN)).withColumn("hi", F.expr(_HI))
+    chain = ids.filter(F.col("p") < F.col("ln") - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    skip = ids.filter(
+        (F.col("p") <= F.col("ln") - 3)
+        & (F.col("hi") % 11 == 0)
+        & (F.col("p") + 2 + F.col("hi") % 5 <= F.col("ln") - 1)
+    ).select(F.col("id").alias("src"), (F.col("id") + 2 + F.col("hi") % 5).alias("dst"))
+    edges = chain.unionByName(skip).select(
+        F.concat(F.lit("n"), F.col("src")).alias("s"),
+        F.lit("ex:next").alias("p"),
+        F.concat(F.lit("n"), F.col("dst")).alias("o"),
+    )
+    # seed marks land on SHORT chains (len <= 8): the seeded walk's cost is
+    # then bounded by seed-reachable depth while the unbound closure still
+    # pays for the full depth-16 graph — the asymmetry the seeded frontier
+    # operator exists for (block 0 is always a seed; its length is 8).
+    seeds = (
+        ids.filter(
+            (F.col("p") == 0)
+            & (F.col("ln") <= 8)
+            & ((F.expr(_HB) % SEED_MOD == 0) | (F.col("b") == 0))
+        )
+        .select(
+            F.concat(F.lit("n"), F.col("id")).alias("s"),
+            F.lit("ex:seed").alias("p"),
+            F.lit("y").alias("o"),
+        )
+    )
+    return edges.unionByName(seeds)
+
+
+def synth_blocks_for(spark: SparkSession, sf_dir: str) -> int:
+    """Graph size follows the dataset: 2x the events row count (a parquet
+    footer count — no scan). sf0.1 -> ~300k blocks ≈ 1.17M edges."""
+    return 2 * spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+
+# DuckDB spellings of the same integer laws (>> operator, // int div)
+_SQL_LEN = f"greatest(1, {BLOCK} >> CAST({_HB} % 7 AS INT))"
+
+_ORACLE_EDGES = f"""
+nums AS (SELECT row_number() OVER () - 1 AS r FROM events),
+blocks AS (
+  SELECT r AS b FROM nums
+  UNION ALL
+  SELECT r + (SELECT COUNT(*) FROM events) AS b FROM nums
+),
+ids AS (
+  SELECT b * {BLOCK} + p AS id, b, p
+  FROM blocks CROSS JOIN range(0, {BLOCK}) t(p)
+),
+lens AS (SELECT id, b, p, {_SQL_LEN} AS ln, {_HI} AS hi FROM ids),
+edges AS (
+  SELECT id AS src, id + 1 AS dst FROM lens WHERE p < ln - 1
+  UNION ALL
+  SELECT id AS src, id + 2 + hi % 5 AS dst FROM lens
+  WHERE p <= ln - 3 AND hi % 11 = 0 AND p + 2 + hi % 5 <= ln - 1
+),
+seeds AS (
+  SELECT id FROM lens
+  WHERE p = 0 AND ln <= 8 AND (({_HB}) % {SEED_MOD} = 0 OR b = 0)
+)
+"""
+
+
+def synth_closure_oracle_sql(seeded: bool) -> str:
+    """Recursive-CTE oracle over the SAME integer-generated edge set.
+    Unbound: per-block closure pair counts. Seeded: the full (x, y) pairs
+    reachable from the seed heads."""
+    if seeded:
+        return f"""
+WITH RECURSIVE
+{_ORACLE_EDGES},
+sreach AS (
+  SELECT s.id AS sid, e.dst FROM seeds s JOIN edges e ON e.src = s.id
+  UNION
+  SELECT r.sid, e.dst FROM sreach r JOIN edges e ON e.src = r.dst
+)
+SELECT 'n' || CAST(sid AS VARCHAR) AS x, 'n' || CAST(dst AS VARCHAR) AS y FROM sreach
+"""
+    return f"""
+WITH RECURSIVE
+{_ORACLE_EDGES},
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+)
+SELECT src // {BLOCK} AS blk, COUNT(*) AS n_pairs
+FROM reach GROUP BY src // {BLOCK}
+"""
