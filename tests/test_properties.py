@@ -174,3 +174,84 @@ def test_skyline_matches_bruteforce(spark, rows):
     df = spark.createDataFrame(data, "brand string, id long, price double, size int")
     got = {(r.brand, r.id) for r in pareto_sweep(df, "brand", "price", "size").collect()}
     assert got == expected
+
+
+# ---- r4 (VERDICT r3 #10): skew-operator equivalence under adversarial inputs
+
+_skew_keys = st.sampled_from(["hot", "hot", "hot", "warm", "k1", "k2"])  # skewed alphabet
+_skew_rows = st.lists(st.tuples(_skew_keys, st.integers(-100, 100)), min_size=0, max_size=40)
+
+
+@SETTINGS
+@given(rows=_skew_rows, buckets=st.sampled_from([1, 2, 7]))
+def test_salted_count_equals_plain_groupby(spark, rows, buckets):
+    """salted_count_by_key == groupBy().count() for any input, including
+    the r3 degeneracy class: all-identical rows, inputs PROJECTED to the
+    key column (no other entropy for the salt), and empty partitions."""
+    from pyspark.sql import functions as F
+
+    from d_sparq_spark.operators.skew import salted_count_by_key
+
+    df = spark.createDataFrame(rows, "k string, v long").repartition(8)
+    # key-projected shape: the salt sees byte-identical rows
+    proj = df.select("k")
+    got = sorted(
+        map(tuple, salted_count_by_key(proj, ["k"], salt_buckets=buckets).collect())
+    )
+    want = sorted(
+        map(tuple, proj.groupBy("k").agg(F.count(F.lit(1)).alias("cnt")).collect())
+    )
+    assert got == want
+
+
+@SETTINGS
+@given(rows=_skew_rows, buckets=st.sampled_from([1, 3]))
+def test_salted_aggregate_equals_plain_sum(spark, rows, buckets):
+    from pyspark.sql import functions as F
+
+    from d_sparq_spark.operators.skew import salted_aggregate
+
+    df = spark.createDataFrame(rows, "k string, v long").repartition(8)
+    got = sorted(
+        map(
+            tuple,
+            salted_aggregate(
+                df,
+                ["k"],
+                aggs=lambda: [F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")],
+                merges=lambda: [
+                    F.sum("s").cast("long").alias("s"),
+                    F.sum("n").cast("long").alias("n"),
+                ],
+                salt_buckets=buckets,
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            df.groupBy("k")
+            .agg(F.sum("v").cast("long").alias("s"), F.count(F.lit(1)).cast("long").alias("n"))
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+@SETTINGS
+@given(
+    rows=_skew_rows,
+    small=st.lists(st.tuples(_skew_keys, st.integers(0, 9)), min_size=0, max_size=6),
+)
+def test_salted_broadcast_left_equals_plain_join(spark, rows, small):
+    """Row multiplicity must be EXACTLY the plain inner join's — duplicate
+    keys on the small side multiply rows identically, missing keys drop
+    them identically, and an all-identical big side (no salt entropy
+    beyond the row id) changes nothing."""
+    from d_sparq_spark.operators.skew import salted_broadcast_left
+
+    big = spark.createDataFrame(rows, "k string, v long").repartition(8)
+    sm = spark.createDataFrame(small, "k string, tag long")
+    got = sorted(map(tuple, salted_broadcast_left(big, sm, "k", salt_buckets=4).collect()))
+    want = sorted(map(tuple, big.join(sm, "k").collect()))
+    assert got == want
