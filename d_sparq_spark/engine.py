@@ -60,7 +60,7 @@ class SparqlEngine:
         DataFrame (columns = projected variable names)."""
         return self._translator.eval(parse_sparql(sparql))
 
-    def update(self, sparql: str) -> DataFrame:
+    def update(self, sparql: str, execution_id: str | None = None) -> DataFrame:
         """SPARQL 1.1 Update subset (INSERT DATA / DELETE DATA /
         DELETE WHERE / DELETE..INSERT..WHERE): FUNCTIONAL — returns the
         new triples relation and leaves this engine's store untouched
@@ -103,23 +103,40 @@ class SparqlEngine:
                         seen.append(term)
             return seen
 
+        # SPARQL 1.1 Update mints template bnodes FRESH for every solution
+        # of every EXECUTION: re-running the same update must create new
+        # entities, not silently anti-join into a no-op (review r4). The
+        # execution token is drawn ONCE here on the driver and baked into
+        # the plan as a literal, so Spark task retries within this call
+        # stay deterministic; callers needing bit-identical replans (the
+        # oracle harness) pin execution_id explicitly.
+        if execution_id is None:
+            import uuid
+
+            execution_id = uuid.uuid4().hex
+
         def instantiate(template, bindings: DataFrame) -> DataFrame:
-            # SPARQL 1.1 Update: each template blank-node label instantiates
-            # as a FRESH bnode per solution — shared across the template's
-            # triples within one solution, distinct across solutions (and
-            # across labels). The id is a hash of (label, solution's bound
-            # terms, duplicate-solution ordinal), so reruns/retries are
-            # deterministic — unlike monotonically_increasing_id, which
-            # shifts with partitioning.
+            # Each template blank-node label instantiates as a FRESH bnode
+            # per solution — shared across the template's triples within
+            # one solution, distinct across solutions (and labels). The id
+            # is a hash of (execution, label, solution's bound terms,
+            # duplicate-solution ordinal); every part is length-prefixed
+            # (NULL -> '~', which no prefixed part can start with) so
+            # crafted values containing the separator cannot make two
+            # distinct solutions share one bnode.
             labels = _bnode_labels(template)
             bmap: dict[str, F.Column] = {}
             if labels:
                 from pyspark.sql.window import Window
 
+                def part(c: F.Column) -> F.Column:
+                    s = c.cast("string")
+                    return F.when(s.isNull(), F.lit("~")).otherwise(
+                        F.concat(F.length(s).cast("string"), F.lit(":"), s)
+                    )
+
                 cols = bindings.columns or []
-                key_parts = [
-                    F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols
-                ]
+                key_parts = [part(F.col(c)) for c in cols]
                 if cols:  # duplicate solutions each get their own fresh bnode
                     dup = F.row_number().over(
                         Window.partitionBy(*cols).orderBy(F.lit(1))
@@ -134,8 +151,9 @@ class SparqlEngine:
                             F.sha2(
                                 F.concat_ws(
                                     "\x1f",
-                                    F.lit(label),
-                                    F.col("__dup").cast("string"),
+                                    part(F.lit(execution_id)),
+                                    part(F.lit(label)),
+                                    part(F.col("__dup")),
                                     *key_parts,
                                 ),
                                 256,

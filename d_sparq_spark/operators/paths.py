@@ -103,8 +103,9 @@ def seeded_closure(
 
     The stride build itself is LAZY (r4 fix): on a big edge set with a
     small seed frontier, pre-doubling the WHOLE edge relation costs more
-    than the entire BFS (measured 22 s of a 22 s query on the 1.17M-edge
-    synthetic graph) — so when the edges outnumber a build threshold and
+    than the entire BFS (measured 20 s of a 22 s query on the ~786k-edge
+    synthetic graph as first benched) — so when the edges outnumber a
+    build threshold and
     the frontier is small relative to them, the walk single-steps over the
     raw edges first and only builds the strided relation if the graph
     turns out deeper than `stride` hops. Small edge sets (< ~50k) keep
@@ -218,29 +219,23 @@ def seeded_closure(
     # mid-walk.
     build_upfront = base_n <= 50_000 or frontier_n * 4 >= base_n
     if not build_upfront:
-        # per-round latency hygiene for the small-frontier walk: (a) the
+        # per-round latency hygiene for the small-frontier walk: the
         # checkpointed edge relation keeps ~100k rows per partition —
         # shuffle.partitions-many near-empty tasks per round is pure
         # scheduler latency locally, while a genuinely big edge set keeps
-        # its parallelism; (b) AQE is paused for the loop — each re-
-        # optimization round-trip costs more than these one-broadcast-join
-        # plans could ever save (restored in finally).
-        spark = edges.sparkSession
+        # its parallelism. (No session-conf toggles here: flipping AQE
+        # around the loop measured as noise and races concurrent queries
+        # on a shared session — review r4.)
         want = max(8, (base_n + 99_999) // 100_000)
         if edges.rdd.getNumPartitions() > want:
             edges = edges.coalesce(int(want))
-        aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
-        try:
-            spark.conf.set("spark.sql.adaptive.enabled", "false")
-            # cap also bounds the BROADCAST: past ~500k pair rows the hint
-            # would ship tens of MB per round — switch to shuffle joins
-            # with the prebuilt strided relation instead
-            frontier, parts = expand(
-                frontier, parts, edges, bfs_rounds,
-                grow_cap=min((base_n + 3) // 4, 500_000),
-            )
-        finally:
-            spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        # cap also bounds the BROADCAST: past ~500k pair rows the hint
+        # would ship tens of MB per round — switch to shuffle joins with
+        # the prebuilt strided relation instead
+        frontier, parts = expand(
+            frontier, parts, edges, bfs_rounds,
+            grow_cap=min((base_n + 3) // 4, 500_000),
+        )
         if frontier is None:
             return reduce(DataFrame.unionByName, parts)
     # hop := pairs at distance 1..stride, by doubling: (1..d) o (1..d) ∪

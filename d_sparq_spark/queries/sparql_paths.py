@@ -313,7 +313,7 @@ _q_quads(
 # ---- closures on a NON-TOY graph (VERDICT r3 #5) -------------------------
 # The derived ex:next chain is 25 nodes — driver rounds dominate and the
 # seeded frontier can't show its win. These run the same engine path over
-# the deterministic synthetic chain graph (sources/synth_graph.py: ~1.17M
+# the deterministic synthetic chain graph (sources/synth_graph.py: ~1.18M
 # edges at sf0.1, ~5-6 closure pairs per edge), oracle-checked because the
 # generator is pure integer arithmetic DuckDB reproduces exactly.
 

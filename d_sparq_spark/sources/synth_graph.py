@@ -4,9 +4,10 @@ operators on a NON-TOY graph (VERDICT r3 #5: every closure bench ran on a
 
 Design constraints:
 
-- ~1M edges at sf0.1, scaling with the dataset (n_blocks = 2x the events
-  row count), so the driver's per-round bench exercises real shuffle
-  volume while the sf0.01 correctness gate stays cheap.
+- ~1.18M edges at sf0.1, scaling with the dataset (n_blocks = 3x the
+  events row count; events is 100k rows at sf0.1 -> 300k blocks), so the
+  driver's per-round bench exercises real shuffle volume while the sf0.01
+  correctness gate stays cheap.
 - Pure INTEGER arithmetic end to end (multiplicative hashing mod 2^31,
   shift-based power-law-ish chain lengths): DuckDB regenerates the exact
   same edge set from the same formulas, which makes the 1M-edge closure
@@ -76,9 +77,9 @@ def synth_chain_triples(spark: SparkSession, n_blocks: int) -> DataFrame:
 
 
 def synth_blocks_for(spark: SparkSession, sf_dir: str) -> int:
-    """Graph size follows the dataset: 2x the events row count (a parquet
-    footer count — no scan). sf0.1 -> ~300k blocks ≈ 1.17M edges."""
-    return 2 * spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    """Graph size follows the dataset: 3x the events row count (a parquet
+    footer count — no scan). sf0.1 -> 300k blocks ≈ 1.18M edges."""
+    return 3 * spark.read.parquet(f"{sf_dir}/events.parquet").count()
 
 
 # DuckDB spellings of the same integer laws (>> operator, // int div)
@@ -87,9 +88,8 @@ _SQL_LEN = f"greatest(1, {BLOCK} >> CAST({_HB} % 7 AS INT))"
 _ORACLE_EDGES = f"""
 nums AS (SELECT row_number() OVER () - 1 AS r FROM events),
 blocks AS (
-  SELECT r AS b FROM nums
-  UNION ALL
-  SELECT r + (SELECT COUNT(*) FROM events) AS b FROM nums
+  SELECT r + i * (SELECT COUNT(*) FROM events) AS b
+  FROM nums CROSS JOIN range(0, 3) t(i)
 ),
 ids AS (
   SELECT b * {BLOCK} + p AS id, b, p

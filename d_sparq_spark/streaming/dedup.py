@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-CORPUS_SCHEMA = "dg string, origin string"
+CORPUS_SCHEMA = "dg string, origin string, batch_id long"
 VERDICT_SCHEMA = "doc_id long, dg string, verdict string"
 
 
@@ -66,20 +66,35 @@ def incremental_verdicts(new_digests: DataFrame, corpus: DataFrame) -> DataFrame
     )
 
 
-def read_corpus(spark: SparkSession, corpus_dir: str) -> DataFrame:
-    """The corpus-digest table, tolerant of not-yet-existing state (first
-    batch of a fresh pipeline)."""
+def read_corpus(
+    spark: SparkSession, corpus_dir: str, before_batch: int | None = None
+) -> DataFrame:
+    """The corpus-digest table, tolerant of NOT-YET-EXISTING state (first
+    batch of a fresh pipeline) — and of nothing else: any other read error
+    must propagate, because silently degrading to the seed set would
+    relabel every earlier-batch duplicate as 'keep' (review r4 finding).
+
+    before_batch excludes rows a retried batch's own FIRST attempt wrote:
+    a foreachBatch replay of batch N must see exactly the corpus state the
+    first attempt saw, or its keepers come back as origin='stream' dups
+    and the retry both mislabels them and overwrites batch-N's corpus
+    contribution with an empty keep set."""
+    from pyspark.errors import AnalysisException
+
     # 'batch-N' (no '='), so path globbing never triggers partition-column
     # inference against the explicit schema
-    try:
-        return spark.read.schema(CORPUS_SCHEMA).parquet(
-            corpus_dir + "/batch-*", corpus_dir + "/seed"
-        )
-    except Exception:
+    dfs = []
+    for path in (corpus_dir + "/batch-*", corpus_dir + "/seed"):
         try:
-            return spark.read.schema(CORPUS_SCHEMA).parquet(corpus_dir + "/seed")
-        except Exception:
-            return spark.createDataFrame([], CORPUS_SCHEMA)
+            dfs.append(spark.read.schema(CORPUS_SCHEMA).parquet(path))
+        except AnalysisException:
+            continue  # that layer doesn't exist yet
+    if not dfs:
+        return spark.createDataFrame([], CORPUS_SCHEMA)
+    out = dfs[0] if len(dfs) == 1 else dfs[0].unionByName(dfs[1])
+    if before_batch is not None:
+        out = out.filter(F.col("batch_id") < F.lit(before_batch))
+    return out
 
 
 def seed_corpus(docs: DataFrame, corpus_dir: str, text_col: str = "text") -> None:
@@ -87,7 +102,9 @@ def seed_corpus(docs: DataFrame, corpus_dir: str, text_col: str = "text") -> Non
     origin='corpus' (the one-time backfill step of the pipeline)."""
     digest_docs(docs, text_col).select("dg").distinct().withColumn(
         "origin", F.lit("corpus")
-    ).write.mode("overwrite").parquet(corpus_dir + "/seed")
+    ).withColumn("batch_id", F.lit(-1).cast("long")).write.mode("overwrite").parquet(
+        corpus_dir + "/seed"
+    )
 
 
 def dedup_foreach_batch(corpus_dir: str, verdict_dir: str, text_col: str = "text"):
@@ -98,7 +115,9 @@ def dedup_foreach_batch(corpus_dir: str, verdict_dir: str, text_col: str = "text
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         digests = digest_docs(batch_df, text_col)
-        verdicts = incremental_verdicts(digests, read_corpus(spark, corpus_dir))
+        verdicts = incremental_verdicts(
+            digests, read_corpus(spark, corpus_dir, before_batch=batch_id)
+        )
         # one pass computes both outputs; verdicts is small (ids + digests)
         verdicts.persist()
         try:
@@ -110,6 +129,7 @@ def dedup_foreach_batch(corpus_dir: str, verdict_dir: str, text_col: str = "text
                 .select("dg")
                 .distinct()
                 .withColumn("origin", F.lit("stream"))
+                .withColumn("batch_id", F.lit(batch_id).cast("long"))
                 .write.mode("overwrite")
                 .parquet(f"{corpus_dir}/batch-{batch_id}")
             )

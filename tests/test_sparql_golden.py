@@ -695,15 +695,18 @@ def test_update_rejects_vars_in_data_and_query_rejects_update(engine):
 
 
 def test_update_insert_bnode_fresh_per_solution(engine):
-    """r4 (VERDICT r3 #4): a blank node in an INSERT template instantiates
-    FRESH per solution — n solutions yield n distinct bnodes, deterministic
-    across reruns; within one solution the label is shared across the
-    template's triples."""
+    """r4 (VERDICT r3 #4, tightened by review): a blank node in an INSERT
+    template instantiates FRESH per solution AND per execution — n
+    solutions yield n distinct bnodes; within one solution the label is
+    shared across the template's triples; a pinned execution_id makes the
+    ids deterministic (retry/replan safety), while the default mints new
+    bnodes every execution per spec (re-applying the update must add new
+    entities, not anti-join into a no-op)."""
     q = (
         "INSERT { ?x ex:address _:a . _:a ex:inCity ?c } "
         "WHERE { ?x ex:city ?c }"
     )
-    out = engine.update(q)
+    out = engine.update(q, execution_id="exec1")
     addr = {r["s"]: r["o"] for r in out.filter("p = 'ex:address'").collect()}
     in_city = {r["s"]: r["o"] for r in out.filter("p = 'ex:inCity'").collect()}
     # 4 city-bound solutions (alice, bob, dave, eve) -> 4 DISTINCT bnodes
@@ -714,9 +717,37 @@ def test_update_insert_bnode_fresh_per_solution(engine):
         (addr["p:alice"], "Paris"), (addr["p:bob"], "London"),
         (addr["p:dave"], "Paris"), (addr["p:eve"], "Berlin"),
     }
-    # deterministic across reruns (hash-derived ids, not increasing ids)
-    rerun = {r["s"]: r["o"] for r in engine.update(q).filter("p = 'ex:address'").collect()}
+    # pinned execution_id -> deterministic ids across reruns
+    rerun = {
+        r["s"]: r["o"]
+        for r in engine.update(q, execution_id="exec1").filter("p = 'ex:address'").collect()
+    }
     assert rerun == addr
+    # default (fresh execution) -> entirely NEW bnodes, disjoint from exec1
+    fresh = {
+        r["s"]: r["o"] for r in engine.update(q).filter("p = 'ex:address'").collect()
+    }
+    assert set(fresh.values()) & set(addr.values()) == set()
+
+
+def test_update_insert_bnode_key_is_collision_safe(spark):
+    """Review r4: bound values containing the hash separator (or equal to
+    the NULL sentinel) must not make two distinct solutions share one
+    'fresh' bnode — parts are length-prefixed before hashing."""
+    triples = spark.createDataFrame(
+        [
+            ("p", "ex:tag", "q\x1fr"),
+            ("p\x1fq", "ex:tag", "r"),
+            ("\x00", "ex:tag", "z"),
+        ],
+        "s string, p string, o string",
+    )
+    eng = SparqlEngine(triples, collect_stats=False)
+    out = eng.update(
+        "INSERT { ?x ex:mark _:m } WHERE { ?x ex:tag ?t }", execution_id="e"
+    )
+    marks = [r["o"] for r in out.filter("p = 'ex:mark'").collect()]
+    assert len(marks) == 3 and len(set(marks)) == 3
 
 
 def test_update_rejects_bnode_in_delete_template(engine):

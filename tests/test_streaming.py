@@ -191,10 +191,22 @@ def test_stream_incremental_dedup_equals_batch_sf01(spark, tmp_path):
     new = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
     lo, hi = new.agg(F.min("doc_id"), F.max("doc_id")).first()
     step = (hi - lo) // 4 + 1
-    for k in range(4):  # sequential single-file writes: ascending mtimes
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    # FileStreamSource orders by modification time (ms granularity); pin
+    # strictly ascending mtimes per doc_id range so an mtime tie between
+    # two fast writes can't reorder batches and flip keep/dup_in_batch
+    # (part-file names carry random UUIDs, so track files per write)
+    base_ts, seen = _time.time() - 3600, set()
+    for k in range(4):
         new.filter(
             (F.col("doc_id") >= lo + k * step) & (F.col("doc_id") < lo + (k + 1) * step)
         ).coalesce(1).write.mode("append").parquet(src)
+        for part in set(_glob.glob(src + "/part-*.parquet")) - seen:
+            _os.utime(part, (base_ts + 10 * k, base_ts + 10 * k))
+            seen.add(part)
 
     stream = (
         spark.readStream.schema("doc_id long, text string")
@@ -210,3 +222,52 @@ def test_stream_incremental_dedup_equals_batch_sf01(spark, tmp_path):
     want = sorted(tuple(r) for r in q_dedup_incremental(spark, SF01).collect())
     assert len(got) > 0
     assert got == want
+
+
+def test_stream_dedup_batch_retry_is_idempotent(spark, tmp_path):
+    """Review r4: a foreachBatch retry must re-read exactly the corpus
+    state the FIRST attempt saw — batch N's own corpus output is excluded
+    via the batch_id column — so the retried verdicts and corpus
+    contribution are identical (first attempt's keepers must not come back
+    as 'stream' dups, and the corpus dir must not be overwritten empty)."""
+    from d_sparq_spark.streaming import dedup as SD
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a"), (4, "c")], "doc_id long, text string"
+    )
+    corpus_dir, verdict_dir = str(tmp_path / "corpus"), str(tmp_path / "v")
+    SD.seed_corpus(
+        spark.createDataFrame([(0, "c")], "doc_id long, text string"), corpus_dir
+    )
+    proc = SD.dedup_foreach_batch(corpus_dir, verdict_dir)
+
+    def verdicts():
+        return sorted(
+            tuple(r)
+            for r in spark.read.schema(SD.VERDICT_SCHEMA)
+            .parquet(verdict_dir + "/batch_id=0")
+            .collect()
+        )
+
+    def corpus0():
+        return sorted(
+            tuple(r)
+            for r in spark.read.schema(SD.CORPUS_SCHEMA)
+            .parquet(corpus_dir + "/batch-0")
+            .collect()
+        )
+
+    proc(docs, 0)
+    first_v, first_c = verdicts(), corpus0()
+    by_id = {d: v for d, _dg, v in first_v}
+    assert by_id == {1: "keep", 2: "keep", 3: "dup_in_batch", 4: "dup_of_corpus"}
+    assert len(first_c) == 2  # digests of "a" and "b"
+
+    proc(docs, 0)  # simulated retry AFTER the first attempt's writes landed
+    assert verdicts() == first_v
+    assert corpus0() == first_c
+
+    # the next batch DOES see batch-0's keepers — as in-batch dups
+    proc(spark.createDataFrame([(9, "a")], "doc_id long, text string"), 1)
+    nxt = spark.read.schema(SD.VERDICT_SCHEMA).parquet(verdict_dir + "/batch_id=1")
+    assert [r["verdict"] for r in nxt.collect()] == ["dup_in_batch"]
