@@ -403,10 +403,12 @@ class Translator:
 
         - nested GRAPH/SERVICE (a different active graph inside),
         - pattern-free groups (nothing to bind g from),
-        - keyless global aggregates (an EMPTY graph must still yield one
-          solution — COUNT()=0 — which groupBy(g) cannot produce),
         - wrappers that would capture/shadow the graph variable's own name
-          (a projected/aggregated/bound variable named like ?g)."""
+          (a projected/aggregated/bound variable named like ?g).
+
+        Keyless global aggregates stay on the single-plan route too: _group
+        left-joins the distinct-graph list back in so empty graphs still
+        yield their COUNT()=0 solution."""
         stack, saw_pattern = [node], False
         while stack:
             n = stack.pop()
@@ -423,8 +425,6 @@ class Translator:
                 ):
                     return False
             if isinstance(n, A.Group):
-                if not n.keys:
-                    return False
                 if gname in n.keys or any(name == gname for name, _ in n.aggs):
                     return False
             if isinstance(n, A.Bind) and n.var == gname:
@@ -833,13 +833,29 @@ class Translator:
         # subquery aggregation under GRAPH ?g, single-plan route: each
         # graph's dataset aggregates independently, so the graph binding
         # joins the grouping keys (it is constant within a group, so
-        # COUNT(DISTINCT *) over all columns is unchanged). Keyless global
-        # aggregates never reach here under ?g — _graph_column_ok routes
-        # them to the per-graph fallback because an empty graph must still
-        # yield one solution (COUNT()=0), which groupBy(g) cannot produce.
+        # COUNT(DISTINCT *) over all columns is unchanged).
         gv = self.graph_var
-        if gv is not None and gv in child.columns and gv not in keys:
-            keys.append(gv)
+        if gv is not None and gv in child.columns:
+            if not node.keys:
+                # keyless global aggregate: every named graph must yield
+                # one solution even when the inner pattern matches NOTHING
+                # in it — groupBy(g) drops those graphs, so left-join the
+                # distinct-graph list back in and fill what Spark's
+                # empty-input aggregate would have produced (COUNT -> 0,
+                # everything else NULL — identical to the per-graph loop's
+                # child.agg() over an empty frame). Still ONE plan, no
+                # driver-side graph enumeration.
+                grouped = child.groupBy(gv).agg(*aggs)
+                all_g = self.triples.select(F.col("g").alias(gv)).distinct()
+                out = all_g.join(grouped, gv, "left")
+                for name, a in node.aggs:
+                    if a.func == "count":
+                        out = out.withColumn(
+                            name, F.coalesce(F.col(name), F.lit(0).cast("long"))
+                        )
+                return out
+            if gv not in keys:
+                keys.append(gv)
         if keys:
             return child.groupBy(*keys).agg(*aggs)
         return child.agg(*aggs)

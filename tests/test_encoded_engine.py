@@ -145,6 +145,12 @@ QUAD_QUERIES = [
     'SELECT ?n WHERE { GRAPH "g:a" { ?x ex:name ?n } }',
     "SELECT ?g ?n WHERE { GRAPH ?g { ?x ex:name ?n } }",
     'ASK { GRAPH "g:b" { ?x ex:city "Paris" } }',
+    # r4: subquery wrappers under GRAPH ?g on the single-plan route —
+    # grouped, keyless (empty-graph COUNT()=0 fill), and sliced
+    "SELECT ?g ?x ?c WHERE { GRAPH ?g { ?x ex:name ?n "
+    "{ SELECT ?x (COUNT(?k) AS ?c) WHERE { ?x ex:knows ?k } GROUP BY ?x } } }",
+    "SELECT ?g ?c WHERE { GRAPH ?g "
+    "{ { SELECT (COUNT(?k) AS ?c) WHERE { ?x ex:knows ?k } } } }",
 ]
 
 

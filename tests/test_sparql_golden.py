@@ -850,11 +850,12 @@ def test_graph_var_distinct_subquery_single_plan(spark):
     assert "Union" not in out._jdf.queryExecution().executedPlan().toString()
 
 
-def test_graph_var_keyless_agg_subquery_keeps_fallback(spark):
+def test_graph_var_keyless_agg_subquery_single_plan(spark):
     """A keyless global aggregate under GRAPH ?g must yield one solution
     per graph even when the inner pattern matches NOTHING in that graph
-    (COUNT()=0) — groupBy(g) cannot produce that row, so these shapes stay
-    on the per-graph loop."""
+    (COUNT()=0). r4: this rides the single-plan route — groupBy(g)
+    left-joined back onto the distinct-graph list — instead of the
+    per-graph loop."""
     quads = spark.createDataFrame(
         [
             ("x1", "ex:age", "30", "g:a"), ("x2", "ex:age", "40", "g:a"),
@@ -868,6 +869,14 @@ def test_graph_var_keyless_agg_subquery_keeps_fallback(spark):
         "{ { SELECT (COUNT(?a) AS ?c) WHERE { ?x ex:age ?a } } } }"
     )
     assert rows(out) == [("g:a", 2), ("g:b", 0)]
+    assert "Union" not in out._jdf.queryExecution().executedPlan().toString()
+    # non-count aggregates keep Spark's empty-input NULL (exactly what the
+    # per-graph loop produced); counts fill 0
+    out2 = eng.query(
+        "SELECT ?g ?c ?m WHERE { GRAPH ?g { { SELECT (COUNT(?a) AS ?c) "
+        "(MAX(?a) AS ?m) WHERE { ?x ex:age ?a } } } }"
+    )
+    assert rows(out2) == [("g:a", 2, "40"), ("g:b", 0, None)]
 
 
 def test_strdt_xsd_string_folds_to_plain(engine):

@@ -270,12 +270,13 @@ def test_graph_column_ok_wrapper_guards():
     )
     assert not ok(shadow, "g")
     assert ok(shadow, "other")
-    # keyless global aggregate -> fallback (empty graph must yield COUNT()=0)
+    # keyless global aggregate: r4 single-plan (distinct-graph left join
+    # fills the empty-graph COUNT()=0 row)
     keyless = graph_child(
         "SELECT ?g WHERE { GRAPH ?g { { SELECT (COUNT(?s) AS ?c) "
         "WHERE { ?x ex:score ?s } } } }"
     )
-    assert not ok(keyless, "g")
+    assert ok(keyless, "g")
     # BIND capturing the graph name -> fallback
     bind = graph_child(
         "SELECT ?x WHERE { GRAPH ?g { ?x ex:score ?s BIND(STR(?s) AS ?g) } }"
@@ -437,3 +438,65 @@ def test_graph_var_path_opt_per_graph(path_quads):
     eng = SparqlEngine(path_quads, collect_stats=False)
     out = eng.query("SELECT ?g ?y WHERE { GRAPH ?g { a ex:next? ?y } }")
     assert rows(out) == [("g1", "a"), ("g1", "b"), ("g2", "a"), ("g2", "z")]
+
+
+def test_seeded_closure_deferred_walk_on_big_graph(spark):
+    """r4: edge sets above the stride-build threshold (50k) take the
+    deferred broadcast-frontier walk. Equality vs the filtered doubling
+    closure on a >50k-edge graph with chains deep enough to need many
+    rounds, plus a cycle (termination) and a fan-in (distinct)."""
+    from pyspark.sql import functions as F
+
+    from d_sparq_spark.operators.paths import seeded_closure, transitive_closure
+
+    # 6000 chains of length 10 (60k edges) + one 3-cycle + one fan-in
+    ids = spark.range(6000 * 10).select(
+        F.col("id"), F.expr("id % 10").alias("p")
+    )
+    chain = ids.filter("p < 9").select(
+        F.concat(F.lit("n"), F.col("id")).alias("src"),
+        F.concat(F.lit("n"), F.col("id") + 1).alias("dst"),
+    )
+    extra = spark.createDataFrame(
+        [("cyc0", "cyc1"), ("cyc1", "cyc2"), ("cyc2", "cyc0"),
+         ("n5", "n17"), ("n12", "n17")],
+        "src string, dst string",
+    )
+    e = chain.unionByName(extra)
+    s = spark.createDataFrame([("n0",), ("n100",), ("cyc0",)], "n string")
+    got = sorted(map(tuple, seeded_closure(e, s).collect()))
+    full = transitive_closure(e)
+    want = sorted(
+        map(tuple, full.join(s, full["src"] == s["n"], "left_semi").collect())
+    )
+    assert got == want
+
+
+def test_seeded_closure_grow_cap_switches_to_stride(spark):
+    """r4: when the frontier outgrows the broadcast cap mid-walk, the walk
+    hands off to the prebuilt strided relation — result must still equal
+    the filtered full closure. Hub shape: one seed fans out to most of a
+    >50k-edge graph in two hops, blowing past base_n/4 immediately."""
+    from pyspark.sql import functions as F
+
+    from d_sparq_spark.operators.paths import seeded_closure, transitive_closure
+
+    # hub -> m1..m40; each mi -> 55k/40 leaves; leaves chain one more hop
+    mids = spark.range(40).select(
+        F.lit("hub").alias("src"), F.concat(F.lit("m"), F.col("id")).alias("dst")
+    )
+    leaves = spark.range(56000).select(
+        F.concat(F.lit("m"), F.col("id") % 40).alias("src"),
+        F.concat(F.lit("l"), F.col("id")).alias("dst"),
+    )
+    tails = spark.range(56000).select(
+        F.concat(F.lit("l"), F.col("id")).alias("src"),
+        F.concat(F.lit("t"), F.col("id")).alias("dst"),
+    )
+    e = mids.unionByName(leaves).unionByName(tails)
+    s = spark.createDataFrame([("hub",)], "n string")
+    got = seeded_closure(e, s)
+    assert got.count() == 40 + 56000 + 56000
+    full = transitive_closure(e)
+    want = full.join(s, full["src"] == s["n"], "left_semi")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
