@@ -265,3 +265,197 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
+
+
+# ---- round-4 TPC-H widening: Q6 / Q4 / Q17 / Q21 shapes -------------------
+# The synthetic schema lacks l_commitdate / l_receiptdate / p_container, so
+# Q4/Q17/Q21 are faithful ADAPTATIONS on the available columns (the join/
+# subquery shapes — EXISTS semi-join, correlated average, only-one-late
+# double correlation — are the point, not the literal predicates).
+
+_ORACLE_Q6 = f"""
+SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q_tpch_q6", oracle=_ORACLE_Q6)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the pure scan-filter-agg
+    query — its whole point at scale is that every predicate reaches the
+    parquet scan (min/max row-group pruning on shipdate, dictionary
+    filters on the rest) and the aggregate is one map-side-combined pass
+    with NO shuffle beyond the final 1-row merge. Plan-asserted in
+    tests/test_plans.py."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_ORACLE_Q4 = """
+SELECT o.o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1995-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@register("q_tpch_q4", oracle=_ORACLE_Q4)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): EXISTS over lineitem
+    with a correlated inequality (shipped after the order date — the
+    schema's stand-in for commit<receipt). Scale shape: the quarter
+    filter cuts orders at the scan; the EXISTS is one LEFT SEMI hash
+    join on l_orderkey with the inequality as a join residual — never a
+    per-order subquery, never a count-then-filter over all of lineitem."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = lineitem.select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_ORACLE_Q17 = f"""
+WITH pa AS (
+  SELECT l_partkey, 0.5 * AVG(l_quantity) AS half_avg
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT {sql_dsum('l.l_extendedprice')} / 7.0 AS avg_yearly,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN pa   ON pa.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#4' AND p.p_size < 20
+  AND l.l_quantity < pa.half_avg
+"""
+
+
+@register("q_tpch_q17", oracle=_ORACLE_Q17)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    per-part average. Scale shape: the correlation is ONE aggregate over
+    lineitem keyed by partkey joined back (never a per-row subquery); the
+    brand filter reduces part BEFORE the join and that reduced dim
+    broadcasts. The threshold average is exact here (integer-valued
+    quantities sum exactly in doubles), so the comparison cannot flap on
+    partial-agg order."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pa = lineitem.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    brand = part.filter((F.col("p_brand") == "Brand#4") & (F.col("p_size") < 20)).select(
+        "p_partkey"
+    )
+    li = lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+    return (
+        li.join(F.broadcast(brand), li.l_partkey == brand.p_partkey)
+        .join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            (dsum(F.col("l_extendedprice")) / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_ORACLE_Q21 = """
+WITH li AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         CAST(l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY AS INT) AS is_late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END) AS n_late
+  FROM li GROUP BY l_orderkey
+),
+waiting AS (
+  SELECT DISTINCT li.l_orderkey, li.l_suppkey
+  FROM li JOIN per_order po ON li.l_orderkey = po.l_orderkey
+  WHERE li.is_late = 1 AND po.n_supp > 1 AND po.n_late = 1
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM waiting w JOIN supplier s ON w.l_suppkey = s.s_suppkey
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 10
+"""
+
+
+@register("q_tpch_q21", oracle=_ORACLE_Q21)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the classic
+    EXISTS (another supplier in the order) + NOT EXISTS (no OTHER late
+    supplier) double correlation — rewritten as per-order counts, the
+    set-based form that scales: one aggregate over the order's suppliers
+    replaces two correlated semi/anti joins, so lineitem is shuffled
+    once on l_orderkey instead of three times. 'Late' is shipped >90
+    days after the order date (the schema's stand-in for
+    receipt>commit)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+
+    li = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .cast("int")
+        .alias("is_late"),
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+        ).alias("n_late"),
+    )
+    waiting = (
+        li.filter(F.col("is_late") == 1)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        waiting.join(F.broadcast(supplier), waiting.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(10)
+    )

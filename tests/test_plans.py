@@ -223,3 +223,35 @@ def test_vocab_coverage_topk_is_take_ordered(spark):
     plan = plan_of(spark, "q_vocab_coverage")
     # the global top-5000 must be per-partition top-k + driver merge
     assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q6_pure_scan_filter_agg(spark):
+    """r4: Q6's whole value is pushdown — every predicate reaches the
+    parquet scan and the plan has no join and only the final single-row
+    aggregation exchange."""
+    plan = plan_of(spark, "q_tpch_q6")
+    # the PushedFilters list is truncated in toString — assert the scan
+    # carries the not-null + shipdate filters (the rest is cut mid-token)
+    assert "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity)" in plan
+    assert "GreaterThanOrEqual(l_shipda" in plan
+    assert "Join" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema and "l_orderkey" not in read_schema
+
+
+def test_tpch_q4_exists_is_semi_join(spark):
+    plan = plan_of(spark, "q_tpch_q4")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q17_broadcasts_reduced_part_dim(spark):
+    plan = plan_of(spark, "q_tpch_q17")
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(p_brand,Brand#4)" in plan  # filter at the part scan
+
+
+def test_tpch_q21_single_orderkey_shuffle_shape(spark):
+    plan = plan_of(spark, "q_tpch_q21")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # supplier dim broadcasts
