@@ -917,3 +917,104 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new_batch = digest_docs(docs.filter(F.col("doc_id") % 2 == 1))
     return incremental_verdicts(new_batch, existing).select("doc_id", "verdict")
+
+
+# ---- round-4 additions: cross-source leakage + per-class salient vocab ----
+
+_ORACLE_LEAKAGE = """
+WITH d AS (SELECT DISTINCT source, sha256(text) AS dg FROM documents)
+SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+FROM d a JOIN d b ON a.dg = b.dg AND a.source <= b.source
+GROUP BY a.source, b.source
+ORDER BY src_a, src_b
+"""
+
+
+@register("q_dedup_leakage", oracle=_ORACLE_LEAKAGE)
+def q_dedup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate LEAKAGE matrix: for each source pair, how
+    many distinct documents they share verbatim — the 'which of my crawls
+    copy from which' readout that decides dedup ordering and benchmark
+    quarantine in a real pipeline. The diagonal (src_a == src_b) is each
+    source's distinct-digest count, so the matrix is complete. Scale
+    shape: documents reduce to DISTINCT (source, digest) first (bodies
+    never join); the self-join is digest-keyed with fan bounded by the
+    source count per digest; output is |sources|^2 cells."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("source", F.sha2("text", 256).alias("dg")).distinct()
+    a = d.select(F.col("source").alias("src_a"), "dg")
+    b = d.select(F.col("source").alias("src_b"), "dg")
+    return (
+        a.join(b, "dg")
+        .filter(F.col("src_a") <= F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("src_a", "src_b")
+    )
+
+
+_ORACLE_SALIENCE = """
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+),
+counts AS (SELECT lang, w, COUNT(*) AS c FROM tok WHERE w <> '' GROUP BY lang, w),
+tot  AS (SELECT lang, SUM(c) AS n FROM counts GROUP BY lang),
+gw AS (SELECT w, SUM(c) AS g FROM counts GROUP BY w),
+gtot AS (SELECT SUM(c) AS gn FROM counts),
+scored AS (
+  SELECT c.lang, c.w,
+         CAST(c.c * (SELECT gn FROM gtot) AS DOUBLE) / CAST(t.n * g.g AS DOUBLE) AS lift
+  FROM counts c
+  JOIN tot t ON t.lang = c.lang
+  JOIN gw g ON g.w = c.w
+  WHERE c.c >= 5
+)
+SELECT lang, w, lift FROM (
+  SELECT lang, w, lift,
+         row_number() OVER (PARTITION BY lang ORDER BY lift DESC, w) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
+@register("q_lang_salience", oracle=_ORACLE_SALIENCE)
+def q_lang_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language salient vocabulary: top-5 tokens by LIFT
+    P(w|lang)/P(w) — the class-signature readout used to sanity-check a
+    language classifier or build stopword lists per corpus slice. All
+    counts are exact integers and the lift is one division of exact
+    integer products (< 2^53), so the ranking is bit-identical across
+    engines. Scale shape: one explode + bounded-key hash aggs (|langs| x
+    vocab); the final top-5 is a per-lang window over the c >= 5 survivors,
+    never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    tok = docs.select("lang", F.explode(F.split(F.col("text"), " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    counts = tok.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    counts = counts.persist()
+    tot = counts.groupBy("lang").agg(F.sum("c").alias("n"))
+    glob = counts.groupBy("w").agg(F.sum("c").alias("g"))
+    gn = counts.agg(F.sum("c").alias("gn"))
+    scored = (
+        counts.filter(F.col("c") >= 5)
+        .join(F.broadcast(tot), "lang")
+        .join(glob, "w")
+        .crossJoin(F.broadcast(gn))
+        .select(
+            "lang",
+            "w",
+            (
+                (F.col("c") * F.col("gn")).cast("double")
+                / (F.col("n") * F.col("g")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    win = Window.partitionBy("lang").orderBy(F.col("lift").desc(), F.col("w"))
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "w", "lift")
+    )
