@@ -459,3 +459,114 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(10)
     )
+
+
+_ORACLE_Q13 = """
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("q_tpch_q13", oracle=_ORACLE_Q13)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): the LEFT join with a
+    predicate ON THE JOIN (not a post-filter — customers whose orders all
+    fail it must still appear with count 0), then a histogram of the
+    counts. The classic skew benchmark: per-customer counts are a
+    map-side-combinable aggregate; the second aggregate's key space is the
+    tiny count domain (bounded-key hash agg)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderpriority") != "4-NOT SPECIFIED").select(
+        "o_orderkey", "o_custkey"
+    )
+    per_cust = (
+        customer.select("c_custkey")
+        .join(o, customer.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+_ORACLE_Q14 = f"""
+SELECT 100.0 * {sql_dsum("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
+       / {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS promo_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1995-09-01'
+  AND l.l_shipdate <  TIMESTAMP '1995-10-01'
+"""
+
+
+@register("q_tpch_q14", oracle=_ORACLE_Q14)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): conditional revenue share in one
+    month. Scale shape: the month filter reaches the lineitem scan; part
+    joins only the filtered slice; both sums are exact decimals so the
+    ratio is bit-stable whatever the aggregation order."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(part.select("p_partkey", "p_type"), li.l_partkey == part.p_partkey)
+        .agg((100.0 * dsum(promo) / dsum(rev)).alias("promo_revenue"))
+    )
+
+
+_ORACLE_Q15 = f"""
+WITH rev AS (
+  SELECT l_suppkey, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_rev
+FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+ORDER BY s.s_suppkey
+"""
+
+
+@register("q_tpch_q15", oracle=_ORACLE_Q15)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the revenue 'view' materialized as one
+    keyed aggregate, its max as a 1-row broadcast crossed back in —
+    lineitem is scanned ONCE (the naive form scans it twice: once for the
+    view, once for the scalar subquery). The quarter sums are exact
+    decimals, so the max-equality cannot flap across engines."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev"))
+    )
+    rev = rev.persist()  # the view + its max: one lineitem scan, not two
+    mx = rev.agg(F.max("total_rev").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("_mx"))
+        .join(F.broadcast(load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )

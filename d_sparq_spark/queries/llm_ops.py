@@ -1018,3 +1018,65 @@ def q_lang_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("lang", "w", "lift")
     )
+
+
+_ORACLE_SPAN_RATIO = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+sh AS (
+  SELECT doc_id, unnest(
+    [array_to_string(ts[i:i+7], ' ') FOR i IN generate_series(1, len(ts) - 7)]
+  ) AS g
+  FROM toks WHERE len(ts) >= 8
+),
+nd AS (SELECT g, COUNT(DISTINCT doc_id) AS n_docs FROM sh GROUP BY g),
+per_doc AS (
+  SELECT sh.doc_id,
+         COUNT(*) AS n_spans,
+         COUNT(*) FILTER (WHERE nd.n_docs > 1) AS n_dup_spans
+  FROM sh JOIN nd ON sh.g = nd.g
+  GROUP BY sh.doc_id
+)
+SELECT doc_id, n_spans, n_dup_spans,
+       CAST(n_dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE) AS dup_ratio
+FROM per_doc
+"""
+
+
+@register("q_dup_span_ratio", oracle=_ORACLE_SPAN_RATIO)
+def q_dup_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-SPAN ratio per document (RefinedWeb-style): the fraction
+    of a document's 8-token windows that also occur in another document —
+    the quality signal that catches template/boilerplate text exact dedup
+    misses. Exact integers + one division, so the ratio hash-matches the
+    oracle. Scale shape: shingles explode once and shuffle as their hash
+    key (the groupBy carries the 8-gram string; at 100 TB you'd pre-hash
+    it to a LONG — xxhash64 — and accept rows-only checking); per-doc
+    ratios are a second bounded aggregate over the same exploded frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    ts = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ts) - 7),
+        lambda i: F.array_join(F.slice(ts, i, 8), " "),
+    )
+    sh = (
+        docs.filter(F.size(ts) >= 8)
+        .select("doc_id", F.explode(grams).alias("g"))
+    )
+    sh = sh.persist()  # feeds both the cross-doc counts and the per-doc join
+    nd = sh.groupBy("g").agg(F.count_distinct("doc_id").alias("n_docs"))
+    return (
+        sh.join(nd, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count(F.when(F.col("n_docs") > 1, 1)).alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            (F.col("n_dup_spans").cast("double") / F.col("n_spans").cast("double")).alias(
+                "dup_ratio"
+            ),
+        )
+    )

@@ -125,7 +125,8 @@ _ATTESTED_PRIOR_ROUNDS: frozenset[str] = frozenset({
 _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "q_ann_recall", "q_sparql_path_plus_big", "q_sparql_path_plus_big_seeded",
     "q_tpch_q4", "q_tpch_q6", "q_tpch_q17", "q_tpch_q21",
-    "q_dedup_leakage", "q_lang_salience",
+    "q_tpch_q13", "q_tpch_q14", "q_tpch_q15",
+    "q_dedup_leakage", "q_lang_salience", "q_dup_span_ratio",
 })
 
 
