@@ -242,9 +242,20 @@ def sssp_bellman_ford(
         "node",
         F.when(F.col("node") == source, F.lit(0).cast("long")).alias("d"),
     ).localCheckpoint()
+    # a localCheckpoint has no Catalyst stats, so without a hint every
+    # round SHUFFLES the full edge set against the O(V) dist table; when
+    # V is broadcast-sized the relaxation join should stream the edges
+    # instead (the seeded_closure r4 lesson). The 500k-row guard keeps the
+    # genuinely big graphs on the shuffle plan.
+    n_nodes = dist.count()
+    small = n_nodes <= 500_000
+    if small and dist.rdd.getNumPartitions() > max(1, n_nodes // 100_000 + 1):
+        dist = dist.coalesce(max(1, n_nodes // 100_000 + 1))
     for i in range(n_rounds):
+        reached = dist.filter(F.col("d").isNotNull())
         relaxed = (
-            edges_w.join(dist.filter(F.col("d").isNotNull()), edges_w.src == F.col("node"))
+            edges_w.join(F.broadcast(reached) if small else reached,
+                         edges_w.src == F.col("node"))
             .select(F.col("dst").alias("node"), (F.col("d") + F.col("w")).alias("d"))
         )
         dist = (
@@ -254,5 +265,7 @@ def sssp_bellman_ford(
             .agg(F.min("d").alias("d"))
         )
         if (ckpt_every > 0 and (i + 1) % ckpt_every == 0) or i == n_rounds - 1:
+            if small:
+                dist = dist.coalesce(max(1, n_nodes // 100_000 + 1))
             dist = dist.localCheckpoint()
     return dist.filter(F.col("d").isNotNull()).select("node", F.col("d").alias("dist"))
