@@ -53,7 +53,18 @@ def connected_components(
         .select("node", F.col("node").alias("comp"))
         .localCheckpoint()
     )
-    total = labels.agg(F.sum("comp")).collect()[0][0] or 0
+
+    # convergence probe: labels only ever DECREASE, so an unchanged sum
+    # means an unchanged labeling. The sum runs in decimal(38,0) — an
+    # int64 sum of large LONG ids overflows (ANSI crash / wraparound
+    # breaks the monotone invariant; review r4, reproduced at ids ~2^62).
+    # Non-numeric ids fall back to an exact changed-row probe per round.
+    numeric_ids = dict(labels.dtypes)["comp"] not in ("string", "binary", "boolean")
+
+    def probe(df: DataFrame):
+        return df.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0] or 0
+
+    total = probe(labels) if numeric_ids else None
     for _ in range(max_iter):
         # hash-min: comp(v) <- min(comp(v), min over neighbors comp(u))
         nbr_min = (
@@ -76,8 +87,17 @@ def connected_components(
             .select(F.col("l.node").alias("node"), F.coalesce("jc", "comp").alias("comp"))
             .localCheckpoint()
         )
-        t2 = jumped.agg(F.sum("comp")).collect()[0][0] or 0
-        if t2 == total:
+        if numeric_ids:
+            t2 = probe(jumped)
+            converged = t2 == total
+        else:
+            changed = (
+                jumped.select("node", F.col("comp").alias("_nc"))
+                .join(labels, "node")
+                .filter(F.col("_nc") != F.col("comp"))
+            )
+            converged, t2 = not changed.take(1), None
+        if converged:
             return labels.select("node", "comp")
         labels, total = jumped, t2
     raise RuntimeError(f"connected_components: no fixpoint within {max_iter} rounds")
@@ -180,6 +200,11 @@ def triangles_degree_ordered(edges: DataFrame) -> DataFrame:
     AQE-splittable, no broadcast assumption on the edge set.
     """
     deg = degrees(edges)
+    # the caller's edge set is typically checkpointed (no Catalyst stats),
+    # so the O(V) degree side needs an explicit hint to avoid shuffling
+    # the edges twice; the guard keeps billion-node graphs on shuffle plans
+    if deg.count() <= 1_000_000:
+        deg = F.broadcast(deg)
     du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
     # orient toward the higher (degree, id) endpoint; id breaks degree ties

@@ -30,6 +30,11 @@ _SQL_EDGES = """
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # localCheckpoint: every consumer's plan references the edge set many
+    # times (triangles_degree_ordered alone uses it as du/dv/both wedge
+    # sides/closing probe — 22 lineitem scans and no ReusedExchange in the
+    # un-checkpointed plan, review r4), so the lineitem self-join must
+    # materialize ONCE, same as connected_components' sym edges.
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.alias("a")
     b = li.alias("b")
@@ -41,6 +46,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
+        .localCheckpoint()
     )
 
 

@@ -202,8 +202,27 @@ def pareto_sweep(
     to max size per (group, price), running max over strictly-cheaper
     prices (rows frame ending at -1 over distinct prices), dominance by
     comparison. Exported so the hypothesis property test drives the SAME
-    sweep the query uses against the quadratic definition."""
-    per_price = df.groupBy(group_col, price_col).agg(
+    sweep the query uses against the quadratic definition.
+
+    NULL handling follows the NOT EXISTS definition exactly (review r4):
+    every comparison against a NULL group/price/size is NULL there, so
+    such rows can neither dominate nor be dominated — they bypass the
+    sweep straight into the skyline and are excluded from the running
+    max (the previous version equi-join-dropped NULL prices and let
+    NULLS-FIRST window ordering poison _prev_max). The no-cheaper-price
+    case is an explicit isNotNull gate, not a magic sentinel a legitimate
+    INT_MIN size would collide with."""
+    incomparable = df.filter(
+        F.col(group_col).isNull()
+        | F.col(price_col).isNull()
+        | F.col(size_col).isNull()
+    )
+    comparable = df.filter(
+        F.col(group_col).isNotNull()
+        & F.col(price_col).isNotNull()
+        & F.col(size_col).isNotNull()
+    )
+    per_price = comparable.groupBy(group_col, price_col).agg(
         F.max(size_col).alias("_msize")
     )
     w = (
@@ -212,16 +231,17 @@ def pareto_sweep(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     per_price = per_price.withColumn("_prev_max", F.max("_msize").over(w))
-    return (
-        df.join(per_price, [group_col, price_col])
+    swept = (
+        comparable.join(per_price, [group_col, price_col])
         .filter(
             ~(
-                (F.coalesce(F.col("_prev_max"), F.lit(-(2**31))) >= F.col(size_col))
+                (F.col("_prev_max").isNotNull() & (F.col("_prev_max") >= F.col(size_col)))
                 | (F.col("_msize") > F.col(size_col))
             )
         )
         .drop("_msize", "_prev_max")
     )
+    return swept.unionByName(incomparable)
 
 
 @register("q_skyline", oracle=_ORACLE_SKYLINE)

@@ -255,3 +255,26 @@ def test_salted_broadcast_left_equals_plain_join(spark, rows, small):
     got = sorted(map(tuple, salted_broadcast_left(big, sm, "k", salt_buckets=4).collect()))
     want = sorted(map(tuple, big.join(sm, "k").collect()))
     assert got == want
+
+
+def test_pareto_sweep_null_and_extreme_values(spark):
+    """Review r4: NULL group/price/size rows are INCOMPARABLE under the
+    NOT EXISTS dominance definition — always in the skyline, never
+    dominating; and a size of INT_MIN must not collide with the old
+    no-cheaper-price sentinel."""
+    from d_sparq_spark.queries.relational_windows import pareto_sweep
+
+    df = spark.createDataFrame(
+        [
+            ("X", 0, None, 8.0),      # NULL price: kept, must NOT dominate id=1
+            ("X", 1, 1.0, 5.0),       # only comparable row in X: kept
+            ("Y", 2, 1.0, float(-(2 ** 31))),  # INT_MIN-ish size, sole row: kept
+            ("Y", 3, 2.0, None),      # NULL size: kept
+            (None, 4, 1.0, 1.0),      # NULL group: kept (no same-group row)
+            ("Z", 5, 1.0, 9.0),       # dominates id=6
+            ("Z", 6, 2.0, 3.0),
+        ],
+        "g string, id long, price double, size double",
+    )
+    got = {r["id"] for r in pareto_sweep(df, "g", "price", "size").collect()}
+    assert got == {0, 1, 2, 3, 4, 5}
