@@ -14,9 +14,12 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# BPE-ish word/number/punct segmentation (same RE2-compatible pattern both
-# engines): runs of letters, runs of digits, or single non-space symbols.
-BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# BPE-ish word/number/punct segmentation: runs of letters, runs of
+# digits, or single non-space symbols. The whitespace class is EXPLICIT —
+# Java's \s includes vertical tab (\x0B) while DuckDB/RE2's does not
+# (review r4), so a bare \s silently forks the token count across
+# engines on a VT character.
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
@@ -54,9 +57,15 @@ def stopword_ratio(text: Column) -> Column:
 
 
 def alpha_ratio(text: Column) -> Column:
-    """Fraction of characters that are ASCII letters or spaces."""
+    """Fraction of characters that are ASCII letters or spaces. Empty
+    text -> NULL explicitly: Spark's non-ANSI 0.0/0.0 is NULL but
+    DuckDB's is NaN, so the unguarded division forks the oracle
+    comparison on one empty document (review r4)."""
     stripped = F.regexp_replace(text, r"[^A-Za-z ]", "")
-    return F.length(stripped).cast("double") / F.length(text).cast("double")
+    return F.when(
+        F.length(text) > 0,
+        F.length(stripped).cast("double") / F.length(text).cast("double"),
+    )
 
 
 def avg_token_len(text: Column) -> Column:
@@ -127,8 +136,9 @@ SQL_STOPWORD_RATIO = (
     " / CAST(len(string_split({c}, ' ')) AS DOUBLE)"
 )
 SQL_ALPHA_RATIO = (
+    "CASE WHEN length({c}) > 0 THEN "
     "CAST(length(regexp_replace({c}, '[^A-Za-z ]', '', 'g')) AS DOUBLE)"
-    " / CAST(length({c}) AS DOUBLE)"
+    " / CAST(length({c}) AS DOUBLE) END"
 )
 SQL_AVG_TOKEN_LEN = (
     "CAST(list_sum(list_transform(string_split({c}, ' '), t -> length(t))) AS DOUBLE)"
@@ -139,8 +149,5 @@ SQL_QUALITY = (
     f" + 0.3 * ({SQL_STOPWORD_RATIO})"
     f" + 0.3 * ({SQL_ALPHA_RATIO}), 6)"
 )
-SQL_FINGERPRINT = (
-    "list_aggregate(list_transform(string_split({c}, ' '), "
-    "t -> CAST(7*length(t) + ascii(substring(t,1,1)) AS BIGINT)), "
-    "'fold_fingerprint')"  # placeholder — DuckDB lacks fold; see llm_ops.py
-)
+# (no SQL_FINGERPRINT mirror: DuckDB has no fold aggregate — the tested
+# oracle is the list_reduce form built inline in queries/llm_ops.py)

@@ -48,25 +48,24 @@ def os_reduction(triples: DataFrame, p1: object, p2: object) -> DataFrame:
     return left.join(right, "o", "left_semi")
 
 
-def materialize_extvp(
+def iter_reductions(
     triples: DataFrame,
-    store_path: str,
     predicates: list | None = None,
     min_selectivity: float = 0.9,
-) -> dict:
-    """Materialize SS/OS reductions for every ordered predicate pair,
-    keeping only genuinely-reducing ones (size ratio < min_selectivity —
-    a reduction that keeps ~everything is wasted storage; S2RDF uses the
-    same threshold idea). Returns {(kind, p1, p2): ratio} for what was
-    written. Pair count is |P|^2 — RDF predicate vocabularies are small
-    (SURVEY §1.2), and each reduction is one semi-join job."""
+):
+    """Yield (kind, p1, p2, reduction_df, ratio) for every genuinely
+    reducing SS/OS pair (size ratio < min_selectivity — a reduction that
+    keeps ~everything is wasted storage; S2RDF uses the same threshold
+    idea). Pair count is |P|^2 — RDF predicate vocabularies are small
+    (SURVEY §1.2), and each reduction is one semi-join job. SHARED by the
+    parquet materializer below and StoreCatalog.add_extvp (review r4: the
+    two copies of this loop had already drifted on ratio rounding)."""
     if predicates is None:
         predicates = [r["p"] for r in triples.select("p").distinct().collect()]
     sizes = {
         r["p"]: r["n"]
         for r in triples.groupBy("p").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    written: dict = {}
     for p1, p2 in permutations(predicates, 2):
         for kind, fn in (("ss", ss_reduction), ("os", os_reduction)):
             red = fn(triples, p1, p2)
@@ -74,10 +73,23 @@ def materialize_extvp(
             sz = sizes.get(p1, 0)  # explicitly passed predicate may be absent
             ratio = n / sz if sz else 0.0
             if 0 < n and ratio < min_selectivity:
-                red.write.mode("overwrite").parquet(
-                    _red_path(store_path, kind, p1, p2)
-                )
-                written[(kind, p1, p2)] = round(ratio, 4)
+                yield kind, p1, p2, red, round(ratio, 4)
+
+
+def materialize_extvp(
+    triples: DataFrame,
+    store_path: str,
+    predicates: list | None = None,
+    min_selectivity: float = 0.9,
+) -> dict:
+    """Materialize the reducing SS/OS pairs (iter_reductions) as parquet.
+    Returns {(kind, p1, p2): ratio} for what was written."""
+    written: dict = {}
+    for kind, p1, p2, red, ratio in iter_reductions(
+        triples, predicates, min_selectivity
+    ):
+        red.write.mode("overwrite").parquet(_red_path(store_path, kind, p1, p2))
+        written[(kind, p1, p2)] = ratio
     # manifest so StoreCatalog.load_extvp can enumerate reductions (and
     # their ratios, which drive smallest-first selection) without listing
     # the object store.
@@ -94,17 +106,31 @@ def materialize_extvp(
 
 
 def _red_path(store_path: str, kind: str, p1: object, p2: object) -> str:
-    def safe(x):
-        return str(x).replace(":", "_").replace("/", "_")
+    # COLLISION-FREE encoding (review r4: ':'/'/'->'_' mapped distinct
+    # predicates like ex/a_b and ex/a/b onto one path, and the '__' pair
+    # delimiter was ambiguous — one reduction silently overwrote another
+    # and the substituted scan returned EMPTY answers). percent-encoding
+    # is bijective, and '@' always encodes to %40, so '@@' can never occur
+    # inside an encoded part — the delimiter is unambiguous. Stores
+    # materialized under the old scheme need re-materializing.
+    from urllib.parse import quote
 
-    return os.path.join(store_path, "extvp", kind, f"{safe(p1)}__{safe(p2)}")
+    def safe(x):
+        return quote(str(x), safe="")
+
+    return os.path.join(store_path, "extvp", kind, f"{safe(p1)}@@{safe(p2)}")
 
 
 def read_reduction(
     spark: SparkSession, store_path: str, kind: str, p1: object, p2: object
 ) -> DataFrame | None:
+    from pyspark.errors import AnalysisException
+
     path = _red_path(store_path, kind, p1, p2)
     try:
         return spark.read.parquet(path)
-    except Exception:
-        return None  # not materialized -> caller falls back to full slice
+    except AnalysisException:
+        # not materialized -> caller falls back to the full slice; any
+        # OTHER error (corrupt files, permissions) must propagate rather
+        # than silently degrade a manifest-listed reduction (review r4)
+        return None

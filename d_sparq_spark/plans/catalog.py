@@ -86,28 +86,18 @@ class StoreCatalog:
         cache: bool = True,
     ) -> "StoreCatalog":
         """Compute SS/OS reductions in-memory (cached DataFrames) for every
-        ordered predicate pair, keeping genuinely-reducing ones. Pair count
-        is |P|^2 semi-join jobs — RDF predicate vocabularies are small; at
-        100 TB use materialize + load_extvp (parquet) instead so the build
-        cost is paid once at load time, not per session."""
-        from d_sparq_spark.operators.extvp import os_reduction, ss_reduction
+        ordered predicate pair, keeping genuinely-reducing ones. The
+        enumeration/threshold loop is operators.extvp.iter_reductions —
+        shared with the parquet materializer so in-memory and loaded
+        catalogs can never drift (review r4). At 100 TB use materialize +
+        load_extvp (parquet) instead so the build cost is paid once at
+        load time, not per session."""
+        from d_sparq_spark.operators.extvp import iter_reductions
 
-        if predicates is None:
-            predicates = [r["p"] for r in triples.select("p").distinct().collect()]
-        sizes = {
-            r["p"]: r["n"]
-            for r in triples.groupBy("p").agg(F.count(F.lit(1)).alias("n")).collect()
-        }
-        from itertools import permutations
-
-        for p1, p2 in permutations(predicates, 2):
-            for kind, fn in (("ss", ss_reduction), ("os", os_reduction)):
-                red = fn(triples, p1, p2)
-                n = red.count()
-                sz = sizes.get(p1, 0)  # requested predicate may be absent
-                ratio = n / sz if sz else 0.0
-                if 0 < n and ratio < min_selectivity:
-                    self._extvp[(kind, p1, p2)] = (red.cache() if cache else red, ratio)
+        for kind, p1, p2, red, ratio in iter_reductions(
+            triples, predicates, min_selectivity
+        ):
+            self._extvp[(kind, p1, p2)] = (red.cache() if cache else red, ratio)
         return self
 
     def save_property_table(self, store_path: str) -> "StoreCatalog":

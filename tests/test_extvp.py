@@ -66,3 +66,21 @@ def test_materialize_and_read_back(spark, tmp_path):
     back = read_reduction(spark, str(tmp_path), "ss", "foaf:name", "ex:mktsegment")
     assert back is not None and back.count() > 0
     assert read_reduction(spark, str(tmp_path), "ss", "nope", "nada") is None
+
+
+def test_red_path_is_collision_free(tmp_path):
+    """Review r4: ':'/'/'->'_' collided ex/a_b with ex/a/b (one reduction
+    silently overwrote the other -> empty answers); the percent-encoded
+    scheme must keep every distinct (kind, p1, p2) on a distinct path,
+    including '__' inside predicate names (delimiter ambiguity)."""
+    from d_sparq_spark.operators.extvp import _red_path
+
+    keys = [
+        ("ss", "http://ex/a_b", "p"), ("ss", "http://ex/a/b", "p"),
+        ("ss", "http://ex/a:b", "p"),
+        ("ss", "a", "b__c"), ("ss", "a__b", "c"),
+        ("ss", "a@@b", "c"), ("ss", "a", "b@@c"),
+        ("os", "http://ex/a_b", "p"),
+    ]
+    paths = {_red_path(str(tmp_path), k, p1, p2) for k, p1, p2 in keys}
+    assert len(paths) == len(keys)

@@ -347,3 +347,38 @@ def test_scaled_int_ann_one_table_zero_planes_is_exact(spark):
         for r in S.scaled_int_cosine_topk(emb, pred, k=2).collect()
     }
     assert ann == exact
+
+
+def test_text_fns_empty_and_vt_cross_engine(spark):
+    """Review r4: alpha_ratio/quality on EMPTY text must be NULL on both
+    engines (Spark 0.0/0.0=NULL vs DuckDB NaN forked the oracle), and the
+    BPE regex's explicit whitespace class must count a vertical-tab
+    document identically in Spark and DuckDB."""
+    import duckdb
+
+    from d_sparq_spark.functions import text as T
+
+    rows = [(1, ""), (2, "ab\x0bcd"), (3, "hello the world!")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["ar"], r["q"], r["nb"])
+        for r in df.select(
+            "doc_id",
+            T.alpha_ratio(F.col("text")).alias("ar"),
+            T.quality_score(F.col("text")).alias("q"),
+            T.n_tokens_bpe(F.col("text")).alias("nb"),
+        ).collect()
+    }
+    assert got[1][0] is None and got[1][1] is None  # empty text -> NULL, not NaN
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            f"SELECT doc_id, {T.SQL_ALPHA_RATIO.format(c='text')},"
+            f" {T.SQL_QUALITY.format(c='text')},"
+            f" {T.SQL_N_TOKENS_BPE.format(c='text')} FROM t"
+        ).fetchall()
+    }
+    assert got == want
