@@ -455,20 +455,15 @@ class EncodedSparqlEngine:
         return Translator(store, services=self.services).eval(tree)
 
     def _decode(self, df: DataFrame, cols) -> DataFrame:
-        # prefixed dictionary columns (like _decode_shadow): a user
-        # variable named 'term' or 'id' must not collide with the dict's
-        out = df
-        for c in cols:
-            if dict(out.dtypes).get(c) == "bigint":
-                d = self.dict.select(
-                    F.col("id").alias(f"__did_{c}"), F.col("term").alias(f"__term_{c}")
-                )
-                out = (
-                    out.join(F.broadcast(d), out[c] == F.col(f"__did_{c}"), "left")
-                    .drop(c, f"__did_{c}")
-                    .withColumnRenamed(f"__term_{c}", c)
-                )
-        return out.select(*df.columns)
+        # delegate to the dictionary module's single decode implementation
+        # (prefixed dict columns so user variables named 'term'/'id' can't
+        # collide); only bigint columns are id-typed — aggregates/counts
+        # pass through untouched
+        from d_sparq_spark.operators.dictionary import decode_columns
+
+        dtypes = dict(df.dtypes)
+        id_cols = [c for c in cols if dtypes.get(c) == "bigint"]
+        return decode_columns(df, self.dict, id_cols)
 
 
 class _Precomputed:

@@ -52,10 +52,27 @@ def bulk_load(
     property table over the store's functional predicates, ('extvp',)
     the SS/OS semi-join reductions; open_store rehydrates them into a
     StoreCatalog so the planner routes through them automatically. Paying
-    that cost once at load time is the whole point (S2RDF's model)."""
+    that cost once at load time is the whole point (S2RDF's model).
+
+    ``store_path`` must be a local filesystem path when ``materialize``
+    layouts are requested: the layout manifests are small driver-side
+    JSON files written with plain open() (a URI store would crash after
+    the expensive dict/by_p writes already succeeded — reject up front)."""
+    if materialize and "://" in store_path:
+        raise ValueError(
+            "bulk_load: materialized layouts write driver-side manifests "
+            "with local file IO — store_path must be a local path when "
+            "materialize is requested (got a URI); load without layouts "
+            "and attach a StoreCatalog in-session instead"
+        )
     triples = parse_ntriples(spark.read.text(nt_path))
     dictionary = build_dictionary(triples).persist()
-    enc = encode_triples(triples, dictionary, broadcast_dict=True)
+    # size-conditional broadcast: the dictionary is data-sized (one row
+    # per distinct term) — at 100 TB it cannot collect to the driver, so
+    # only hint the broadcast under ~10M terms and let AQE pick the
+    # strategy above that (review r4: the hint used to be unconditional)
+    n_terms = dictionary.count()
+    enc = encode_triples(triples, dictionary, broadcast_dict=n_terms <= 10_000_000)
 
     dictionary.write.mode("overwrite").parquet(os.path.join(store_path, "dict"))
     # vertical partitioning: one directory per predicate id
@@ -81,8 +98,15 @@ def bulk_load(
 
         materialize_extvp(enc, store_path)
 
-    n_terms = dictionary.count()
-    n_triples_row = stats.agg(F.sum("cnt").alias("n")).collect()[0]["n"]
+    # the triple count comes from the JUST-WRITTEN stats parquet — summing
+    # the live `stats` lineage would re-run the whole predicate_stats
+    # aggregation (two exact countDistincts over the store) a second time
+    # (review r4)
+    n_triples_row = (
+        spark.read.parquet(os.path.join(store_path, "stats"))
+        .agg(F.sum("cnt").alias("n"))
+        .collect()[0]["n"]
+    )
     dictionary.unpersist()
     return {"n_terms": int(n_terms), "n_triples": int(n_triples_row or 0)}
 
@@ -92,7 +116,10 @@ def open_store(spark: SparkSession, store_path: str) -> EncodedSparqlEngine:
     stats parquet feeds the A7 selectivity ordering without rescanning;
     any layouts materialized at load time (ptable/, extvp/) come back as
     a StoreCatalog, so qualifying stars scan those parquet artifacts
-    instead of the full store — no per-session rebuild."""
+    instead of the full store — no per-session rebuild. (Layout manifests
+    are probed with local-FS os.path — matching bulk_load's local-path
+    requirement for materialized layouts; a URI store opens fine but
+    without layout routing.)"""
     enc = store_triples(spark, store_path)
     dictionary = spark.read.parquet(os.path.join(store_path, "dict"))
     catalog = None
@@ -110,10 +137,8 @@ def open_store(spark: SparkSession, store_path: str) -> EncodedSparqlEngine:
 
 
 def store_triples(spark: SparkSession, store_path: str) -> DataFrame:
-    """The raw encoded triples relation of a loaded store. The partition
-    column p comes back as the store's BIGINT contract: Spark's partition-
-    directory type inference would otherwise return INT for id ranges
-    under 2^31, and the decode step (bigint-columns-only) would then leak
-    raw integer ids for variable-predicate queries."""
-    df = spark.read.parquet(os.path.join(store_path, "by_p"))
-    return df.withColumn("p", F.col("p").cast("long"))
+    """The raw encoded triples relation of a loaded store (the VP reader,
+    which owns the BIGINT-p read-back contract)."""
+    from d_sparq_spark.sources.triple_store import read_vp
+
+    return read_vp(spark, store_path)

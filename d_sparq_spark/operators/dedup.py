@@ -120,8 +120,16 @@ def lsh_candidate_pairs(
     The signature must hold at least num_bands * rows_per_band hashes:
     a band slicing past the array end hashes an EMPTY slice, which puts
     every document in one bucket and silently degenerates the join to
-    all-pairs (validated statically by minhash_near_dups, which owns the
-    signature width)."""
+    all-pairs. Checked HERE with a one-row probe (same metadata-scale
+    action as similarity._infer_dim) — review r4: the static check in
+    minhash_near_dups could not protect direct callers."""
+    probe = with_sig.select(F.size("signature").alias("n")).head()
+    if probe is not None and probe["n"] < num_bands * rows_per_band:
+        raise ValueError(
+            f"lsh_candidate_pairs: signature width {probe['n']} cannot fill "
+            f"{num_bands} bands x {rows_per_band} rows — empty band slices "
+            "would hash every document into one bucket (all-pairs blowup)"
+        )
     banded = with_sig.select(
         F.col(id_col),
         F.posexplode(
@@ -193,8 +201,12 @@ def minhash_near_dups(
 def simhash(text: F.Column, bits: int = 64) -> F.Column:
     """Sign-aggregated token-hash fingerprint: bit i of the result is 1 iff
     the sum over tokens of sign(bit i of xxhash64(token)) is positive.
-    Near-duplicate bags of tokens get small Hamming distances."""
-    toks = F.array_distinct(F.split(text, " "))
+    Near-duplicate bags of tokens get small Hamming distances. The vote
+    runs over the token BAG (review r4: an array_distinct here silently
+    computed a set fingerprint — repeated-token frequency, the signal
+    separating near-dups from merely overlapping vocabularies, never
+    reached the votes)."""
+    toks = F.split(text, " ")
 
     def vote(bit_idx: int):
         return lambda a, t: a + F.when(

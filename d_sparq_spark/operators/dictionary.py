@@ -14,8 +14,11 @@ Spark-first equivalent, designed for the 100 TB case:
   partition offsets computed from partition counts — the classic
   zipWithIndex scheme, two linear jobs, no single-task stage. Offsets are
   a driver-side cumulative sum over numPartitions integers (not data).
-- Encode rewrites s/p/o via three joins against the dictionary; the dict
-  is broadcast when small enough, otherwise AQE picks the strategy.
+- Encode rewrites s/p/o via three joins against the dictionary; callers
+  pass broadcast_dict=True only when the dictionary is genuinely
+  broadcast-sized (bulk_load gates it on the term count — the dictionary
+  is data-sized, so an unconditional hint would OOM the driver at scale);
+  without the hint AQE picks the strategy.
 """
 
 from __future__ import annotations
@@ -32,7 +35,10 @@ def assign_ids(terms: DataFrame, col: str = "term", num_partitions: int | None =
     distinct = terms.select(col).distinct()
     n = num_partitions or max(distinct.sparkSession.sparkContext.defaultParallelism, 2)
 
-    parts = distinct.repartitionByRange(n, F.col(col)).sortWithinPartitions(col)
+    # no sortWithinPartitions here: the counts job is order-insensitive
+    # and the rank window sorts per partition itself — a pre-sort would
+    # just burn a full extra sort into the eager checkpoint (review r4)
+    parts = distinct.repartitionByRange(n, F.col(col))
     # localCheckpoint (not persist) is REQUIRED for correctness: the counts
     # job and the rank job must see the SAME partitioning, and
     # repartitionByRange samples its boundaries per job. A persist would
@@ -114,17 +120,24 @@ def decode_triples(enc: DataFrame, dictionary: DataFrame, broadcast_dict: bool =
     return dec.select(*cols)
 
 
-def decode_columns(df: DataFrame, dictionary: DataFrame, columns: list[str]) -> DataFrame:
-    """Decode selected long columns of a binding table back to terms."""
+def decode_columns(
+    df: DataFrame,
+    dictionary: DataFrame,
+    columns: list[str],
+    broadcast_dict: bool = True,
+) -> DataFrame:
+    """Decode selected long columns of a binding table back to terms —
+    the single implementation behind EncodedSparqlEngine._decode (review
+    r4: the engine had its own drifted copy)."""
     out = df
     for c in columns:
         # per-column prefixed dict columns: a binding named 'term' or 'id'
         # must not collide with the dictionary's own column names
-        d = F.broadcast(
-            dictionary.select(
-                F.col("id").alias(f"__did_{c}"), F.col("term").alias(f"__term_{c}")
-            )
+        d = dictionary.select(
+            F.col("id").alias(f"__did_{c}"), F.col("term").alias(f"__term_{c}")
         )
+        if broadcast_dict:
+            d = F.broadcast(d)
         out = (
             out.join(d, out[c] == F.col(f"__did_{c}"), "left")
             .drop(c, f"__did_{c}")

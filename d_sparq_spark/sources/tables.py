@@ -42,8 +42,16 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(table_path(sf_dir, "events"))
+    # only flip the legacy conf when the file genuinely needs it: a
+    # micros-precision file reads fine without mutating session state
+    # (review r4). When the NANOS read fails, the conf must stay set for
+    # the session — Spark captures SQLConf at EXECUTION time, so a
+    # set/restore around this lazy read would break the plan later.
+    try:
+        df = spark.read.parquet(table_path(sf_dir, "events"))
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, "events"))
     ts_type = dict(df.dtypes)["ts"]
     if ts_type == "bigint":
         # integer FLOOR division (ns -> us) keeps full precision (double

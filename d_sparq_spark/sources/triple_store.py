@@ -31,7 +31,16 @@ def write_vp(triples_enc: DataFrame, base_path: str) -> None:
 
 
 def read_vp(spark: SparkSession, base_path: str) -> DataFrame:
-    return spark.read.parquet(f"{base_path}/by_p")
+    """Read the VP layout back with the store's BIGINT contract on p:
+    partition-directory type inference returns INT for id ranges under
+    2^31, and the encoded engine's decode step (bigint-columns-only)
+    would then silently leak raw integer predicate ids (review r4 — the
+    cast used to live only in load_pipeline.store_triples, leaving this
+    public reader broken)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{base_path}/by_p")
+    return df.withColumn("p", F.col("p").cast("long"))
 
 
 def write_bucketed(triples_enc: DataFrame, table: str, buckets: int = 32) -> None:
