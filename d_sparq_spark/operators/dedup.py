@@ -120,16 +120,22 @@ def lsh_candidate_pairs(
     The signature must hold at least num_bands * rows_per_band hashes:
     a band slicing past the array end hashes an EMPTY slice, which puts
     every document in one bucket and silently degenerates the join to
-    all-pairs. Checked HERE with a one-row probe (same metadata-scale
-    action as similarity._infer_dim) — review r4: the static check in
-    minhash_near_dups could not protect direct callers."""
-    probe = with_sig.select(F.size("signature").alias("n")).head()
-    if probe is not None and probe["n"] < num_bands * rows_per_band:
-        raise ValueError(
-            f"lsh_candidate_pairs: signature width {probe['n']} cannot fill "
-            f"{num_bands} bands x {rows_per_band} rows — empty band slices "
-            "would hash every document into one bucket (all-pairs blowup)"
+    all-pairs. Guarded HERE per row at zero plan cost (review r4: the
+    static check in minhash_near_dups could not protect direct callers;
+    an eager head() probe cost a whole extra partial run of the
+    signature pipeline — measured +1.5s on q_dedup_near): a too-narrow
+    signature raises at execution instead of silently blowing up."""
+    needed = num_bands * rows_per_band
+    guarded_id = F.when(F.size("signature") >= needed, F.col(id_col)).otherwise(
+        F.raise_error(
+            F.lit(
+                f"lsh_candidate_pairs: signature narrower than {num_bands} "
+                f"bands x {rows_per_band} rows — empty band slices would "
+                "hash every document into one bucket (all-pairs blowup)"
+            )
         )
+    )
+    with_sig = with_sig.withColumn(id_col, guarded_id)
     banded = with_sig.select(
         F.col(id_col),
         F.posexplode(

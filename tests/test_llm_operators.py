@@ -382,3 +382,14 @@ def test_text_fns_empty_and_vt_cross_engine(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_lsh_candidate_pairs_rejects_narrow_signature(spark):
+    """Review r4: a signature narrower than bands x rows must raise (at
+    execution, via the zero-cost per-row guard) instead of silently
+    hashing every document into one bucket (all-pairs blowup)."""
+    import pytest
+
+    sig = D.minhash_signature(_docs(spark), num_hashes=16)
+    with pytest.raises(Exception, match="signature narrower"):
+        D.lsh_candidate_pairs(sig, num_bands=8, rows_per_band=4).collect()
