@@ -20,8 +20,10 @@ def tok_count(s: pd.Series) -> pd.Series:
 @pandas_udf("long")
 def total_chars(v: pd.Series) -> int:
     """GROUPED_AGG: one Arrow batch per group reduced to a scalar.
-    Integer sum — partial-aggregation order cannot perturb the result."""
-    return int(v.sum())
+    Integer sum — partial-aggregation order cannot perturb the result.
+    An all-NULL group returns None like SQL's SUM (review r4: pandas'
+    skipna sum would silently yield 0 there, forking the oracle)."""
+    return None if v.count() == 0 else int(v.sum())
 
 
 from pyspark.sql.functions import udtf  # noqa: E402
@@ -33,6 +35,11 @@ class ChunkUdtf:
     Deterministic pure function of the input -> exactly oracle-checkable."""
 
     def eval(self, text: str):
-        text = text or ""
+        if text is None:
+            # match the SQL oracle exactly: substr(NULL, ...) is NULL and
+            # DuckDB's greatest(NULL, 0) = 0 gives one chunk row (review
+            # r4: coercing to '' emitted chunk='' instead of NULL)
+            yield 0, None
+            return
         for i in range(0, max(len(text), 1), 100):
             yield i // 100, text[i : i + 100]

@@ -52,10 +52,13 @@ def _decode_stub(blob: bytes) -> dict:
     return {"width": 16 + h % 64, "height": 16 + (h // 64) % 64, "fake": True}
 
 
-def extract_features(df: DataFrame, batch_size_hint: int = 64) -> DataFrame:
+def extract_features(df: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over (content, media) rows: the real
     Arrow path a production decode would use. Output schema is fixed and
-    engine-checked; the decode itself is the documented stub."""
+    engine-checked; the decode itself is the documented stub. Arrow batch
+    sizing is the session's arrow.maxRecordsPerBatch — a per-call hint
+    parameter existed here but was never wired, which is worse than none
+    (review r4); tune the conf when blobs are large."""
     out_schema = (
         "digest string, kind string, byte_len long, width long, height long, is_fake boolean"
     )

@@ -115,6 +115,12 @@ def q_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = os.path.join(
         "/tmp", "d_sparq_bin_cache", os.path.basename(sf_dir.rstrip("/"))
     )
+    # wholesale replace (like every write.mode('overwrite') cache in the
+    # repo): stale doc_*.bin files from a previous fixture version would
+    # still match the glob and surface as extra rows (review r4)
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
     rows = (
         load_table(spark, sf_dir, "documents")
@@ -300,9 +306,9 @@ GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), ())
 @register("q_agg_grouping_sets", oracle=_GS.format(S=sql_dsum("c_acctbal")))
 def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    return spark.sql(
-        _GS.format(S="CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)")
-    )
+    # sql_dsum is valid Spark SQL too — one recipe for both engines, so a
+    # future DEC widening can't silently fork the two sides (review r4)
+    return spark.sql(_GS.format(S=sql_dsum("c_acctbal")))
 
 
 # --- q_tfidf: classic TF-IDF via pure DataFrame ops --------------------------------

@@ -60,11 +60,14 @@ def _escape_literal(c: Column) -> Column:
 
 
 def _unescape_literal(c: Column) -> Column:
-    # reverse order of _escape_literal; placeholder guards the escaped
-    # backslash so \\n doesn't turn into a newline. The escape pass above
-    # guarantees no raw NUL reaches the serialized form, so the
-    # placeholder cannot collide on our own output.
-    c = F.regexp_replace(c, r"\\\\", "\x00")
+    # reverse order of _escape_literal; a placeholder guards the escaped
+    # backslash so \\n doesn't turn into a newline. Raw NULs in EXTERNAL
+    # input are sheltered first (review r4: a bare-\x00 placeholder
+    # rewrote a raw NUL in the input to a backslash — silent corruption);
+    # after sheltering, \x00 occurs only inside the \x00\x02 shelter or
+    # the \x00\x01 placeholder, so the final restores are unambiguous.
+    c = F.regexp_replace(c, "\x00", "\x00\x02")
+    c = F.regexp_replace(c, r"\\\\", "\x00\x01")
     c = F.regexp_replace(c, '\\\\"', '"')
     c = F.regexp_replace(c, r"\\n", "\n")
     c = F.regexp_replace(c, r"\\r", "\r")
@@ -72,7 +75,8 @@ def _unescape_literal(c: Column) -> Column:
     c = F.regexp_replace(c, r"\\b", "\x08")
     c = F.regexp_replace(c, r"\\f", "\x0c")
     c = F.regexp_replace(c, r"\\'", "'")
-    c = F.regexp_replace(c, "\x00", r"\\")
+    c = F.regexp_replace(c, "\x00\x01", r"\\")
+    c = F.regexp_replace(c, "\x00\x02", "\x00")
     return c
 
 
@@ -90,6 +94,12 @@ def _format_term(c: Column) -> Column:
             c.rlike(_TERM_LANG_RE),
             F.concat(F.lit('"'), _escape_literal(lex_l), F.lit('"@'), tag),
         )
+        # blank nodes serialize as their label — formatting them as quoted
+        # literals made a '_:' SUBJECT an invalid line that re-parse
+        # silently dropped (review r4; UPDATE bnode templates mint these).
+        # Only whitespace-free labels qualify (the line grammar's _:\S+);
+        # a literal that merely STARTS with '_:' keeps the quoted form.
+        .when(c.rlike(r"^_:\S+$"), c)
         .when(c.rlike(_IRI_RE), F.concat(F.lit("<"), c, F.lit(">")))
         .otherwise(F.concat(F.lit('"'), _escape_literal(c), F.lit('"')))
     )

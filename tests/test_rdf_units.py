@@ -170,3 +170,28 @@ def test_ntriples_roundtrip_cr_and_control_chars(spark):
     for r in lines.collect():
         assert "\n" not in r.value and "\r" not in r.value
     assert sorted(map(tuple, parse_ntriples(lines).collect())) == sorted(data)
+
+
+def test_ntriples_roundtrips_bnodes_and_raw_nul(spark):
+    """Review r4: blank nodes must serialize as labels (a quoted '_:'
+    SUBJECT made an invalid line that re-parse silently dropped), and an
+    EXTERNAL file's raw NUL inside a literal must survive unescaping
+    instead of turning into a backslash."""
+    from d_sparq_spark.sources.ntriples import format_ntriples, parse_ntriples
+
+    triples = spark.createDataFrame(
+        [
+            ("_:b1", "foaf:knows", "c:1"),
+            ("c:1", "foaf:knows", "_:b2"),
+            ("c:2", "ex:note", "_: not a bnode"),  # literal: keeps quotes
+        ],
+        "s string, p string, o string",
+    )
+    back = parse_ntriples(format_ntriples(triples))
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, triples.collect()))
+
+    raw = spark.createDataFrame(
+        [('<a:s> <a:p> "x\x00y" .',), ('<a:s> <a:p> "a\\\\b" .',)], "value string"
+    )
+    got = sorted((r["s"], r["p"], r["o"]) for r in parse_ntriples(raw).collect())
+    assert got == [("a:s", "a:p", "a\\b"), ("a:s", "a:p", "x\x00y")]
