@@ -21,4 +21,5 @@ from d_sparq_spark.queries import (  # noqa: F401
     relational_windows,
     sparql_paths,
     sparql_queries,
+    tpch_rest,
 )

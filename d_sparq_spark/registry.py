@@ -126,6 +126,9 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "q_ann_recall", "q_sparql_path_plus_big", "q_sparql_path_plus_big_seeded",
     "q_tpch_q4", "q_tpch_q6", "q_tpch_q17", "q_tpch_q21",
     "q_tpch_q13", "q_tpch_q14", "q_tpch_q15",
+    "q_tpch_q1", "q_tpch_q2", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9",
+    "q_tpch_q11", "q_tpch_q12", "q_tpch_q16", "q_tpch_q19", "q_tpch_q20",
+    "q_tpch_q22",
     "q_dedup_leakage", "q_lang_salience", "q_dup_span_ratio",
 })
 

@@ -255,3 +255,57 @@ def test_tpch_q21_single_orderkey_shuffle_shape(spark):
     plan = plan_of(spark, "q_tpch_q21")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # supplier dim broadcasts
+
+
+# ---- r4 TPC-H completion (tpch_rest.py): the suite's signature plan shapes ----
+
+
+def test_tpch_q1_single_pass_aggregate(spark):
+    """Q1 is one scan-side partial aggregate: shipdate pushed to the scan,
+    all 8 aggregates in the same HashAggregate, no join anywhere."""
+    plan = plan_of(spark, "q_tpch_q1")
+    assert "LessThanOrEqual(l_shipdate" in plan  # pushed to parquet
+    assert "Join" not in plan
+    assert plan.count("partial_sum") >= 4  # map-side combine carries the sums
+
+
+def test_tpch_q19_derives_single_side_pushdowns(spark):
+    """The disjunctive bracket is a join residual, but Catalyst must derive
+    the per-side implications and push them: quantity bounds to the
+    lineitem scan, brand/size union to the part scan, part broadcast."""
+    import re
+
+    plan = plan_of(spark, "q_tpch_q19")
+    assert "BroadcastHashJoin" in plan
+    # plan toString truncates PushedFilters mid-token — prefix/regex match
+    assert "Or(Or(And(GreaterThanOrEqua" in plan  # derived quantity disjunction
+    assert re.search(r"p_brand#\d+ = Brand#12", plan)  # derived filter at part scan
+
+
+def test_tpch_q2_takeordered_and_broadcast_dims(spark):
+    plan = plan_of(spark, "q_tpch_q2")
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(p_size,15)" in plan  # part filtered at its scan
+    assert "BroadcastHashJoin" in plan  # reduced part + EU supplier dims
+
+
+def test_tpch_q16_not_in_is_broadcast_anti_join(spark):
+    plan = plan_of(spark, "q_tpch_q16")
+    assert "LeftAnti" in plan
+    assert "LessThan(s_acctbal,0.0)" in plan  # blacklist filtered at its scan
+
+
+def test_tpch_q22_anti_join_and_scalar_broadcast(spark):
+    plan = plan_of(spark, "q_tpch_q22")
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # recent-orders filter pushed
+    # the 1-row average joins via broadcast, never a shuffled cartesian
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q7_nation_filters_cut_facts_before_fact_join(spark):
+    """Both nation filters must reach the fact sides through the broadcast
+    dim joins BEFORE the lineitem/orders join."""
+    plan = plan_of(spark, "q_tpch_q7")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "In(n_name, [NATION_1,NATION_2])" in plan  # dim filtered at its scan
