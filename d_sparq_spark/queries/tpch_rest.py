@@ -92,7 +92,7 @@ cand AS (
   FROM part p
   JOIN supply su ON su.l_partkey = p.p_partkey
   JOIN eu ON eu.s_suppkey = su.l_suppkey
-  WHERE p.p_size = 15 AND p.p_type = 'LARGE'
+  WHERE p.p_size = 8 AND p.p_type = 'LARGE'
 ),
 mn AS (SELECT p_partkey, MIN(cost) AS min_cost FROM cand GROUP BY p_partkey)
 SELECT c.s_acctbal, c.s_name, c.nation, c.p_partkey, c.p_name, c.cost
@@ -130,7 +130,7 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
               nation.n_regionkey == region.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("nation"))
     )
-    sized = part.filter((F.col("p_size") == 15) & (F.col("p_type") == "LARGE")).select(
+    sized = part.filter((F.col("p_size") == 8) & (F.col("p_type") == "LARGE")).select(
         "p_partkey", "p_name"
     )
     cand = (
@@ -164,8 +164,8 @@ FROM (
   JOIN customer c ON c.c_custkey = o.o_custkey
   JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
   JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
-  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  WHERE ((n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+      OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20'))
     AND l.l_shipdate >= TIMESTAMP '1995-01-01'
     AND l.l_shipdate <  TIMESTAMP '1997-01-01'
 ) shipping
@@ -189,7 +189,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
 
-    two = nation.filter(F.col("n_name").isin("NATION_1", "NATION_2")).select(
+    two = nation.filter(F.col("n_name").isin("NATION_20", "NATION_11")).select(
         "n_nationkey", "n_name"
     )
     li = lineitem.filter(
@@ -364,7 +364,7 @@ WITH val AS (
   FROM lineitem l
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
   JOIN nation n   ON s.s_nationkey = n.n_nationkey
-  WHERE n.n_name = 'NATION_7'
+  WHERE n.n_name = 'NATION_3'
   GROUP BY l.l_partkey
 )
 SELECT l_partkey AS p_partkey, value
@@ -389,7 +389,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     keys = (
         supplier.join(
-            F.broadcast(nation.filter(F.col("n_name") == "NATION_7")),
+            F.broadcast(nation.filter(F.col("n_name") == "NATION_3")),
             supplier.s_nationkey == nation.n_nationkey,
         ).select("s_suppkey")
     )
@@ -481,15 +481,18 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppliers per (brand, type, size) excluding a blacklist — the NOT IN
     anti join. The part-supplier relation derives from lineitem (no
     partsupp); negative-balance suppliers stand in for the complaints
-    pattern. Scale shape: the distinct pair projection is the only wide
-    op over the fact; part (filtered) broadcasts; the blacklist is a
-    LEFT ANTI broadcast join (s_suppkey is non-null, so NOT IN == anti
-    join); count-distinct keys on the small group domain."""
+    pattern. Scale shape: part (filtered) broadcasts and the blacklist is
+    a LEFT ANTI broadcast join (s_suppkey is non-null, so NOT IN == anti
+    join) — both row-local, so they run BEFORE the only wide op and the
+    shuffle carries just the surviving pairs (a distinct over ALL raw
+    pairs first would shuffle the ~84% the part filter discards, and
+    Catalyst won't push a join below an aggregate on its own);
+    COUNT(DISTINCT) dedups pairs inside its own partial aggregate."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     supplier = load_table(spark, sf_dir, "supplier")
 
-    pairs = lineitem.select("l_partkey", "l_suppkey").distinct()
+    pairs = lineitem.select("l_partkey", "l_suppkey")
     pf = part.filter(
         (F.col("p_brand") != "Brand#5")
         & (F.col("p_type") != "ECONOMY")
@@ -569,7 +572,7 @@ FROM supplier s
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 JOIN shipped sh ON sh.l_suppkey = s.s_suppkey
 JOIN part p ON p.p_partkey = sh.l_partkey
-WHERE n.n_name = 'NATION_5'
+WHERE n.n_name = 'NATION_3'
   AND p.p_name LIKE 'red%'
   AND sh.qty_1996 > 0.5 * sh.total_qty
 ORDER BY s.s_name
@@ -603,7 +606,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     red = part.filter(F.col("p_name").like("red%")).select("p_partkey")
     nat_supp = (
         supplier.join(
-            F.broadcast(nation.filter(F.col("n_name") == "NATION_5")),
+            F.broadcast(nation.filter(F.col("n_name") == "NATION_3")),
             supplier.s_nationkey == nation.n_nationkey,
         ).select("s_suppkey", "s_name", "s_acctbal")
     )

@@ -17,6 +17,7 @@ endpoint compatibility.
 from __future__ import annotations
 
 import json
+import math
 import re
 
 from pyspark.sql import DataFrame
@@ -33,6 +34,18 @@ _PREFIX_IRIS = {
     "rdf:": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
     "rdfs:": "http://www.w3.org/2000/01/rdf-schema#",
 }
+
+
+def _double_lexical(v: float) -> str:
+    """Canonical xsd:double lexical form: repr() covers the finite range,
+    but the XSD specials are spelled 'NaN' / 'INF' / '-INF' — Python's
+    'nan'/'inf' are not valid xsd:double lexicals and conforming results
+    consumers reject them."""
+    if math.isnan(v):
+        return "NaN"
+    if math.isinf(v):
+        return "INF" if v > 0 else "-INF"
+    return repr(v)
 
 
 def _expand_datatype(dt: str) -> str:
@@ -64,7 +77,7 @@ def term_to_json(value: object) -> dict | None:
     if isinstance(value, float):
         return {
             "type": "literal",
-            "value": repr(value),
+            "value": _double_lexical(value),
             "datatype": _PREFIX_IRIS["xsd:"] + "double",
         }
     s = str(value)
@@ -129,7 +142,7 @@ def results_csv(df: DataFrame, limit: int | None = None) -> str:
             if isinstance(v, bool):
                 out.append("true" if v else "false")
                 continue
-            s = repr(v) if isinstance(v, float) else str(v)
+            s = _double_lexical(v) if isinstance(v, float) else str(v)
             m = _TYPED.match(s) or _TAGGED.match(s)
             out.append(m.group(1) if m else s)
         w.writerow(out)

@@ -285,7 +285,7 @@ def test_tpch_q19_derives_single_side_pushdowns(spark):
 def test_tpch_q2_takeordered_and_broadcast_dims(spark):
     plan = plan_of(spark, "q_tpch_q2")
     assert "TakeOrderedAndProject" in plan
-    assert "EqualTo(p_size,15)" in plan  # part filtered at its scan
+    assert "EqualTo(p_size,8)" in plan  # part filtered at its scan
     assert "BroadcastHashJoin" in plan  # reduced part + EU supplier dims
 
 
@@ -306,6 +306,9 @@ def test_tpch_q22_anti_join_and_scalar_broadcast(spark):
 def test_tpch_q7_nation_filters_cut_facts_before_fact_join(spark):
     """Both nation filters must reach the fact sides through the broadcast
     dim joins BEFORE the lineitem/orders join."""
+    import re
+
     plan = plan_of(spark, "q_tpch_q7")
     assert plan.count("BroadcastHashJoin") >= 3
-    assert "In(n_name, [NATION_1,NATION_2])" in plan  # dim filtered at its scan
+    # dim filtered at its scan (DataFilters spelling; PushedFilters truncates)
+    assert re.search(r"n_name#\d+ IN \(NATION_20,NATION_11\)", plan)

@@ -35,3 +35,16 @@ def test_entry_smoke(spark):
     assert len(rows) > 0
     assert set(queries_keys := e.queries().keys()) >= set(e.oracle_sql().keys())
     assert "q_flagship" in queries_keys
+
+
+_SELECTIVE_TPCH = ["q_tpch_q2", "q_tpch_q7", "q_tpch_q11", "q_tpch_q20"]
+
+
+@pytest.mark.parametrize("name", _SELECTIVE_TPCH)
+def test_selective_tpch_nonvacuous(spark, name):
+    """Guard against vacuous oracle passes (review r4): these four carry
+    the most selective predicates in the suite, and an empty-vs-empty
+    compare would wave through an inverted threshold or swapped MIN/MAX.
+    Their constants are chosen to select rows even at sf0.001 — if data
+    regeneration empties them, pick new constants, don't drop the test."""
+    assert registry.all_queries()[name].fn(spark, SF_ORACLE).count() > 0

@@ -167,3 +167,13 @@ def test_results_json_strict_interop_roundtrip(spark):
     flat = [x for row in want for x in row]
     assert "_:blk0" in flat and '"Ada"@en' in flat and '"36"^^xsd:int' in flat
     assert None in flat and "Bo" in flat
+
+
+def test_double_specials_use_xsd_lexicals():
+    """NaN/Inf doubles must serialize as the XSD lexicals 'NaN'/'INF'/
+    '-INF' — Python's repr forms ('nan'/'inf') are invalid xsd:double and
+    conforming SPARQL results consumers reject them (review r4)."""
+    assert term_to_json(float("nan"))["value"] == "NaN"
+    assert term_to_json(float("inf"))["value"] == "INF"
+    assert term_to_json(float("-inf"))["value"] == "-INF"
+    assert term_to_json(1.5)["value"] == "1.5"
