@@ -57,6 +57,10 @@ HEADLINE = [
     # do NOT dominate; the seeded/unbound ratio is the recorded band
     "q_sparql_path_plus_big",
     "q_sparql_path_plus_big_seeded",
+    # r4: TPC-H completion — the three heaviest new shapes, bench-gated
+    "q_tpch_q1",            # the canonical 8-aggregate scan pass
+    "q_tpch_q9",            # 5-table profit join (largest join tree in the suite)
+    "q_tpch_q16",           # filtered pairs -> count-distinct (dedup-shuffle shape)
 ]
 
 

@@ -534,3 +534,61 @@ def kmeans_exact_int(
             .localCheckpoint()
         )
     return assign(cents).select("vec_id", F.col("cid").alias("cluster"), "dist")
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 4,
+    n_iter: int = 3,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space with the integer-exact k-means, then compare
+    cosines only WITHIN a cluster and flag every vector that has a
+    lower-id same-cluster neighbor at >= threshold. Returns
+    (vec_id, cluster, is_dup) — keepers are the is_dup=false rows.
+
+    Scale shape: the pairwise stage is keyed on the cluster id, so the
+    shuffle moves each vector once and pairs form per-cluster — all-pairs
+    over N collapses to sum over clusters of |c|^2, the whole point of
+    clustering first (production tunes k so |c| ~ N/k stays bounded; a
+    skewed cluster is a skewed key — raise k, don't salt, since the
+    semantics are per-cluster). The dedup rule "exists a LOWER-ID
+    neighbor" is greedy-by-id: deterministic, one semi-join, no
+    transitive closure — matching the reference algorithm's keep-one-
+    per-neighborhood behavior without an iterative CC.
+
+    Determinism: assignments are the bit-exact integer k-means; cosines
+    are IEEE doubles from exact integer dots/norms (identical expression
+    both engines — the q_dedup_embed discipline)."""
+    assign = kmeans_exact_int(embeddings, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", int_dot(F.col("v"), F.col("v")))
+    pts = base.join(assign.select("vec_id", "cluster"), "vec_id")
+    a = pts.select(
+        F.col("vec_id").alias("a"), F.col("v").alias("av"),
+        F.col("nrm").alias("an"), F.col("cluster").alias("ac"),
+    )
+    b = pts.select(
+        F.col("vec_id").alias("b"), F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"), F.col("cluster").alias("bc"),
+    )
+    dup_ids = (
+        a.join(b, (F.col("ac") == F.col("bc")) & (F.col("a") < F.col("b")))
+        .filter(
+            int_dot(F.col("av"), F.col("bv")).cast("double")
+            / (F.sqrt(F.col("an").cast("double")) * F.sqrt(F.col("bn").cast("double")))
+            >= threshold
+        )
+        .select(F.col("b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        pts.select("vec_id", "cluster")
+        .join(dup_ids, "vec_id", "left")
+        .select("vec_id", "cluster", F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"))
+    )

@@ -792,10 +792,12 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle(k: int = 4, n_iter: int = 3, scale: int = 1_000_000, dim: int = 64) -> str:
-    """Unrolled Lloyd's iterations as chained CTEs (same device as the
-    PageRank oracle): integer arithmetic means DuckDB must reproduce every
-    assignment and centroid bit-for-bit."""
+def _kmeans_sql_parts(
+    k: int = 4, n_iter: int = 3, scale: int = 1_000_000, dim: int = 64
+) -> tuple[str, str]:
+    """(WITH-block, final-assignment subquery) — shared by the k-means
+    oracle and the semantic-dedup oracle layered on top of it. The
+    subquery yields (vec_id, v, cid, dist)."""
     def dist() -> str:
         return (
             f"CAST(list_sum(list_transform(range(1, {dim + 1}), "
@@ -828,12 +830,59 @@ c{i} AS (
     SELECT cid, list(cv ORDER BY dim) AS c FROM u{i} GROUP BY cid
   ) n ON o.cid = n.cid
 )""")
-    sql.append(f"""
-SELECT vec_id, cid AS cluster, dist FROM (
-  SELECT p.vec_id, c.cid, {dist()} AS dist
-  FROM pts p CROSS JOIN c{n_iter} c
-) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1""")
-    return "".join(sql)
+    final = f"""(
+  SELECT vec_id, v, cid, dist FROM (
+    SELECT p.vec_id, p.v, c.cid, {dist()} AS dist
+    FROM pts p CROSS JOIN c{n_iter} c
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+)"""
+    return "".join(sql), final
+
+
+def _kmeans_oracle(k: int = 4, n_iter: int = 3, scale: int = 1_000_000, dim: int = 64) -> str:
+    """Unrolled Lloyd's iterations as chained CTEs (same device as the
+    PageRank oracle): integer arithmetic means DuckDB must reproduce every
+    assignment and centroid bit-for-bit."""
+    with_block, final = _kmeans_sql_parts(k, n_iter, scale, dim)
+    return f"{with_block}\nSELECT vec_id, cid AS cluster, dist FROM {final} t"
+
+
+def _semantic_dedup_oracle(
+    k: int = 4, n_iter: int = 3, scale: int = 1_000_000, dim: int = 64, tau: float = 0.4
+) -> str:
+    """k-means assignment CTEs + a within-cluster self-join: a vector is
+    a duplicate iff a LOWER-ID same-cluster vector sits at cosine >= tau
+    (join form, not correlated EXISTS — DuckDB lambdas cannot capture
+    correlated outer columns). The cosine is the q_dedup_embed device —
+    IEEE double from exact integer dot/norms, identical expression both
+    engines."""
+    with_block, final = _kmeans_sql_parts(k, n_iter, scale, dim)
+    return f"""{with_block},
+asgn AS (SELECT vec_id, v, cid AS cluster FROM {final} t),
+nr AS (
+  SELECT vec_id, cluster, v,
+         CAST(list_sum(list_transform(range(1, {dim + 1}), i -> v[i] * v[i])) AS BIGINT) AS nrm
+  FROM asgn
+),
+dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM nr a JOIN nr b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE CAST(list_sum(list_transform(range(1, {dim + 1}), i -> a.v[i] * b.v[i])) AS DOUBLE)
+        / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) >= {tau}
+)
+SELECT n.vec_id, n.cluster, (d.vec_id IS NOT NULL) AS is_dup
+FROM nr n LEFT JOIN dup d ON n.vec_id = d.vec_id
+"""
+
+
+@register("q_semantic_dedup", oracle=_semantic_dedup_oracle())
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup over the embeddings table: integer
+    k-means partitions the space, cosine pruning runs within clusters
+    only (operators/similarity.py semantic_dedup for the scale
+    rationale). Output (vec_id, cluster, is_dup) is exact-oracled —
+    assignments bit-exact, cosines deterministic doubles."""
+    return S.semantic_dedup(load_table(spark, sf_dir, "embeddings"))
 
 
 @register("q_kmeans", oracle=_kmeans_oracle())

@@ -48,3 +48,17 @@ def test_selective_tpch_nonvacuous(spark, name):
     Their constants are chosen to select rows even at sf0.001 — if data
     regeneration empties them, pick new constants, don't drop the test."""
     assert registry.all_queries()[name].fn(spark, SF_ORACLE).count() > 0
+
+
+def test_semantic_dedup_flags_some_dups(spark):
+    """is_dup=false-everywhere would pass the oracle vacuously if the
+    threshold drifted above the corpus' cosine range; the synthetic
+    embeddings contain >=0.4 within-cluster pairs at every SF."""
+    from pyspark.sql import functions as F
+
+    df = registry.all_queries()["q_semantic_dedup"].fn(spark, SF_ORACLE)
+    counts = {
+        r["is_dup"]: r["n"]
+        for r in df.groupBy("is_dup").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts.get(True, 0) > 0 and counts.get(False, 0) > 0
