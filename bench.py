@@ -57,6 +57,7 @@ HEADLINE = [
     # do NOT dominate; the seeded/unbound ratio is the recorded band
     "q_sparql_path_plus_big",
     "q_sparql_path_plus_big_seeded",
+    "q_closure_big_int",    # same closure over LONG ids — the encoding dividend
     # r4: TPC-H completion — the three heaviest new shapes, bench-gated
     "q_tpch_q1",            # the canonical 8-aggregate scan pass
     "q_tpch_q9",            # 5-table profit join (largest join tree in the suite)

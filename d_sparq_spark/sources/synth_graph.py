@@ -36,14 +36,25 @@ _HI = "((id * 1103515245 + 12345) % 2147483648)"
 _LEN = f"greatest(1, shiftright({BLOCK}, cast({_HB} % 7 as int)))"
 
 
-def synth_chain_triples(spark: SparkSession, n_blocks: int) -> DataFrame:
-    """(s, p, o) string triples: ex:next chain/skip edges + ex:seed marks."""
+def _id_frame(spark: SparkSession, n_blocks: int) -> DataFrame:
+    """(id, b, p, ln, hi): every node with its block, in-block position,
+    chain length, and per-id hash — the shared base of the edge and seed
+    derivations."""
     ids = spark.range(n_blocks * BLOCK).select(
         F.col("id"),
         F.expr(f"id div {BLOCK}").alias("b"),
         F.expr(f"id % {BLOCK}").alias("p"),
     )
-    ids = ids.withColumn("ln", F.expr(_LEN)).withColumn("hi", F.expr(_HI))
+    return ids.withColumn("ln", F.expr(_LEN)).withColumn("hi", F.expr(_HI))
+
+
+def synth_chain_edges_int(spark: SparkSession, n_blocks: int) -> DataFrame:
+    """(src, dst) LONG edges — the same graph as synth_chain_triples
+    before string formatting. The integer closure twin runs on this: an
+    8-byte join key vs the lexical engine's 'n<id>' strings (measured
+    0.76x at 1.18M edges, BASELINE.md) — the quantified reason the
+    encoded engine's dictionary ids matter for iterative operators."""
+    ids = _id_frame(spark, n_blocks)
     chain = ids.filter(F.col("p") < F.col("ln") - 1).select(
         F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
     )
@@ -52,7 +63,13 @@ def synth_chain_triples(spark: SparkSession, n_blocks: int) -> DataFrame:
         & (F.col("hi") % 11 == 0)
         & (F.col("p") + 2 + F.col("hi") % 5 <= F.col("ln") - 1)
     ).select(F.col("id").alias("src"), (F.col("id") + 2 + F.col("hi") % 5).alias("dst"))
-    edges = chain.unionByName(skip).select(
+    return chain.unionByName(skip)
+
+
+def synth_chain_triples(spark: SparkSession, n_blocks: int) -> DataFrame:
+    """(s, p, o) string triples: ex:next chain/skip edges + ex:seed marks."""
+    ids = _id_frame(spark, n_blocks)
+    edges = synth_chain_edges_int(spark, n_blocks).select(
         F.concat(F.lit("n"), F.col("src")).alias("s"),
         F.lit("ex:next").alias("p"),
         F.concat(F.lit("n"), F.col("dst")).alias("o"),
