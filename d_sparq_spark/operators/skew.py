@@ -39,13 +39,14 @@ def salted_aggregate(
     The salt needs ROW-level spread even when rows are byte-identical
     (e.g. the input was projected to the key columns): a hash of the
     columns alone would then collapse the hot key into one salt bucket
-    and silently defeat the mitigation. monotonically_increasing_id gives
-    every row a distinct value; the salt only routes partials, so result
-    values are unaffected by its (retry-dependent) assignment."""
-    salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in df.columns], F.monotonically_increasing_id()),
-        F.lit(salt_buckets),
-    )
+    and silently defeat the mitigation. monotonically_increasing_id alone
+    gives every row a distinct value, so it is the WHOLE hash input —
+    hashing the data columns too (an earlier form) spent per-row codegen
+    on every column of what is by definition the widest, largest relation
+    in the job for zero extra spread (review r4). The salt only routes
+    partials, so result values are unaffected by its (retry-dependent)
+    assignment."""
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
     phase1 = df.withColumn("__dsq_salt", salt).groupBy(*key_cols, "__dsq_salt").agg(*aggs())
     return phase1.groupBy(*key_cols).agg(*merges())
 
@@ -73,10 +74,9 @@ def salted_broadcast_left(
     unchanged (each left row matches exactly its own salt's copy)."""
     big_s = big.withColumn(
         "__dsq_salt",
-        F.pmod(
-            F.xxhash64(*[F.col(c) for c in big.columns], F.monotonically_increasing_id()),
-            F.lit(salt_buckets),
-        ).cast("long"),
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)).cast(
+            "long"
+        ),
     )
     small_s = small.withColumn(
         "__dsq_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<long>"))

@@ -27,7 +27,10 @@ from d_sparq_spark.sources.tables import load_table
 
 
 def _tokens() -> F.Column:
-    return F.split(F.col("text"), " ")
+    # delegate to the canonical tokenizer so a future change there (e.g.
+    # the review-r4 whitespace-class fix to BPE_RE) can't silently fork
+    # this module from the oracle mirrors generated off text.py (review r4)
+    return T.tokens(F.col("text"))
 
 
 def _shingles(tokens: F.Column, n: int = 3) -> F.Column:
@@ -247,7 +250,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    n_tok = F.size(_tokens()).cast("long")
+    n_tok = T.n_tokens_ws(F.col("text"))
     w = (
         Window.partitionBy("lang")
         .orderBy("doc_id")
@@ -283,7 +286,7 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow scan + one tiny hash agg; at 100 TB this is the cheapest
     whole-corpus statistic in the pipeline."""
     docs = load_table(spark, sf_dir, "documents")
-    n_tok = F.size(_tokens()).cast("long")
+    n_tok = T.n_tokens_ws(F.col("text"))
     return (
         docs.select((F.floor(n_tok / 16) * 16).alias("bucket_lo"), n_tok.alias("n_tok"))
         .groupBy("bucket_lo")
@@ -413,7 +416,7 @@ WITH scored AS (
 ),
 ranked AS (
   SELECT doc_id, lang, quality,
-         percent_rank() OVER (PARTITION BY lang ORDER BY quality, doc_id) AS pr
+         percent_rank() OVER (PARTITION BY lang ORDER BY quality NULLS LAST, doc_id) AS pr
   FROM scored
 )
 SELECT doc_id, lang, quality FROM ranked WHERE pr >= 0.3
@@ -434,7 +437,12 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.select(
         "doc_id", "lang", T.quality_score(F.col("text")).alias("quality")
     )
-    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    # explicit NULLS LAST: an empty-text doc scores NULL (alpha_ratio's
+    # r4 fix) and Spark's ASC default is NULLS FIRST vs DuckDB's LAST —
+    # without the pin, one empty doc shifts every rank in its language
+    w = Window.partitionBy("lang").orderBy(
+        F.col("quality").asc_nulls_last(), "doc_id"
+    )
     return (
         scored.withColumn("pr", F.percent_rank().over(w))
         .filter(F.col("pr") >= 0.3)

@@ -62,3 +62,32 @@ def test_semantic_dedup_flags_some_dups(spark):
         for r in df.groupBy("is_dup").agg(F.count("*").alias("n")).collect()
     }
     assert counts.get(True, 0) > 0 and counts.get(False, 0) > 0
+
+
+def test_quality_filter_null_scores_sort_last_both_engines(spark, tmp_path):
+    """Review r4: an empty-text doc scores NULL (alpha_ratio's deliberate
+    NULL), and Spark's ASC default is NULLS FIRST vs DuckDB's NULLS LAST
+    — unpinned, one empty doc shifts every percent_rank in its language.
+    Build a mini corpus WITH an empty doc and run the full driver-style
+    compare on it."""
+    import os
+
+    sfdir = str(tmp_path / "sf_null")
+    os.makedirs(sfdir)
+    for t in os.listdir(SF_ORACLE):
+        if t.endswith(".parquet") and t != "documents.parquet":
+            os.symlink(os.path.join(SF_ORACLE, t), os.path.join(sfdir, t))
+    docs = [
+        (0, "good words here and more of them", "en", "web", 33),
+        (1, "", "en", "web", 0),  # NULL quality score
+        (2, "short text", "en", "web", 10),
+        (3, "autre texte de qualite raisonnable", "fr", "web", 34),
+    ]
+    import pandas as pd
+
+    # single parquet FILE (pandas), matching the testdata layout — a Spark
+    # write would make a directory DuckDB's read_parquet can't open as-is
+    pd.DataFrame(
+        docs, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(os.path.join(sfdir, "documents.parquet"), index=False)
+    compare_query(spark, "q_quality_filter", sfdir)
