@@ -66,7 +66,14 @@ def ship_package(spark: SparkSession) -> None:
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zip_path = os.path.join("/tmp", "d_sparq_spark_pkg.zip")
+    # unique per-process path: a fixed shared name races a concurrent
+    # driver on the same host (its rewrite truncates the zip mid-fetch
+    # for this session's executors — review r4 wave 7)
+    import uuid
+
+    zip_path = os.path.join(
+        "/tmp", f"d_sparq_spark_pkg_{os.getpid()}_{uuid.uuid4().hex[:8]}.zip"
+    )
     with zipfile.ZipFile(zip_path, "w") as zf:
         for root, _dirs, files in os.walk(pkg_dir):
             for f in files:

@@ -30,6 +30,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def ns_long_to_timestamp():
+    """ns-long 'ts' -> TIMESTAMP via integer FLOOR division (ns -> us).
+
+    Integer division keeps full precision (double division loses bits
+    above 2^53); `div` truncates toward zero, which rounds pre-1970
+    values UP by one microsecond — the CASE subtracts the borrow when the
+    remainder is negative so the truncation is a true floor, matching
+    DuckDB's ns->us semantics. SHARED by the batch loader and the
+    streaming source (review r4 wave 7: the expression was copy-pasted,
+    and the negative-remainder borrow is exactly the part a one-sided fix
+    would fork)."""
+    from pyspark.sql import functions as F
+
+    return F.timestamp_micros(
+        F.expr("ts div 1000 - CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END")
+    )
+
+
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalize events.ts to a session-tz TIMESTAMP regardless of how the
     generator wrote it. Parquet TIMESTAMP(NANOS) is rejected outright by
@@ -46,25 +64,25 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # micros-precision file reads fine without mutating session state
     # (review r4). When the NANOS read fails, the conf must stay set for
     # the session — Spark captures SQLConf at EXECUTION time, so a
-    # set/restore around this lazy read would break the plan later.
+    # set/restore around this lazy read would break the plan later. But
+    # when the RETRY fails too (missing path, corrupt footer — review r4
+    # wave 7), the failure was never the NANOS case: restore the conf
+    # before re-raising so an unrelated error can't leave the whole
+    # session running under nanosAsLong.
     try:
         df = spark.read.parquet(table_path(sf_dir, "events"))
     except Exception:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, "events"))
+        _CONF = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(_CONF, None)
+        spark.conf.set(_CONF, "true")
+        try:
+            df = spark.read.parquet(table_path(sf_dir, "events"))
+        except Exception:
+            spark.conf.unset(_CONF) if prev is None else spark.conf.set(_CONF, prev)
+            raise
     ts_type = dict(df.dtypes)["ts"]
     if ts_type == "bigint":
-        # integer FLOOR division (ns -> us) keeps full precision (double
-        # division would lose bits above 2^53). `div` truncates toward
-        # zero, which rounds pre-1970 values UP by one microsecond —
-        # subtract the borrow when the remainder is negative so the
-        # truncation is a true floor, matching DuckDB's ns->us semantics.
-        return df.withColumn(
-            "ts",
-            F.timestamp_micros(
-                F.expr("ts div 1000 - CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END")
-            ),
-        )
+        return df.withColumn("ts", ns_long_to_timestamp())
     if ts_type != "timestamp":
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

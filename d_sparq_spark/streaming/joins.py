@@ -48,22 +48,11 @@ def stream_stream_funnel(spark, sf_dir: str, name: str) -> DataFrame:
     interval join, append-mode memory sink, availableNow trigger. Finite
     complete input makes the result deterministic and equal to the batch
     q_join_range."""
-    from d_sparq_spark.streaming.windows import stream_events
+    from d_sparq_spark.streaming.windows import run_stream_to_batch, stream_events
 
     s, _ = funnel_sides(stream_events(spark, sf_dir, with_watermark="10 minutes"))
     _, p = funnel_sides(stream_events(spark, sf_dir, with_watermark="10 minutes"))
-    q = (
-        funnel_join(s, p)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            f"streaming query {name!r} did not finish within 300 s — "
-            "refusing to return a partial memory-sink snapshot"
-        )
-    return spark.table(name)
+    # shared runner (review r4 wave 7: this block was a verbatim copy of
+    # run_stream_to_batch differing only in outputMode — timeout/stop
+    # fixes there must apply here too)
+    return run_stream_to_batch(s, lambda _df: funnel_join(s, p), name, "append")

@@ -62,16 +62,32 @@ def stream_events(spark, sf_dir: str, with_watermark: str | None = "10 minutes")
     match; the normalization then mirrors sources/tables._load_events."""
     from d_sparq_spark.sources.tables import table_path
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # keyed on the applicationId, not id(spark): a freed session object's
     # address can be reused by a NEW session, which would then hit a stale
     # cached dtype for the same sf_dir
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _TS_IS_LONG_CACHE:
-        _TS_IS_LONG_CACHE[key] = (
-            dict(spark.read.parquet(table_path(sf_dir, "events")).dtypes)["ts"]
-            == "bigint"
-        )
+        # probe WITHOUT mutating session state first (review r4 wave 7:
+        # an unconditional nanosAsLong set here re-introduced the global
+        # conf flip _load_events was changed to avoid — a lazy batch plan
+        # built earlier would execute under the flipped conf). Only a
+        # genuine NANOS file (probe read fails, conf'd retry succeeds)
+        # flips it, mirroring _load_events exactly.
+        try:
+            _TS_IS_LONG_CACHE[key] = (
+                dict(spark.read.parquet(table_path(sf_dir, "events")).dtypes)["ts"]
+                == "bigint"
+            )
+        except Exception:
+            _CONF = "spark.sql.legacy.parquet.nanosAsLong"
+            prev = spark.conf.get(_CONF, None)
+            spark.conf.set(_CONF, "true")
+            try:
+                dict(spark.read.parquet(table_path(sf_dir, "events")).dtypes)
+            except Exception:
+                spark.conf.unset(_CONF) if prev is None else spark.conf.set(_CONF, prev)
+                raise
+            _TS_IS_LONG_CACHE[key] = True
     ts_is_long = _TS_IS_LONG_CACHE[key]
     schema = (
         f"event_id long, ts {'long' if ts_is_long else 'timestamp'}, "
@@ -87,19 +103,17 @@ def stream_events(spark, sf_dir: str, with_watermark: str | None = "10 minutes")
     )
     ev = raw
     if ts_is_long:
-        # floor, not truncate-toward-zero — must mirror sources/tables.py
-        ev = raw.withColumn(
-            "ts",
-            F.timestamp_micros(
-                F.expr("ts div 1000 - CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END")
-            ),
-        )
+        from d_sparq_spark.sources.tables import ns_long_to_timestamp
+
+        ev = raw.withColumn("ts", ns_long_to_timestamp())
     if with_watermark:
         ev = ev.withWatermark("ts", with_watermark)
     return ev
 
 
-def run_stream_to_batch(stream_df: DataFrame, agg_fn, name: str) -> DataFrame:
+def run_stream_to_batch(
+    stream_df: DataFrame, agg_fn, name: str, output_mode: str = "complete"
+) -> DataFrame:
     """Run a windowed aggregation over a finite stream with
     trigger(availableNow) into a memory sink; returns the final table.
     Used for batch-vs-stream equivalence tests and the rows-only harness
@@ -109,7 +123,7 @@ def run_stream_to_batch(stream_df: DataFrame, agg_fn, name: str) -> DataFrame:
         agg_fn(stream_df)
         .writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
