@@ -126,6 +126,14 @@ def lsh_candidate_pairs(
     signature pipeline — measured +1.5s on q_dedup_near): a too-narrow
     signature raises at execution instead of silently blowing up."""
     needed = num_bands * rows_per_band
+    if needed <= 0:
+        # the per-row guard below fails OPEN here: size(sig) >= 0 always
+        # holds, every band slice is empty, and the join degenerates to
+        # the all-pairs blowup silently (review r4)
+        raise ValueError(
+            f"lsh_candidate_pairs: num_bands={num_bands} x "
+            f"rows_per_band={rows_per_band} must be positive"
+        )
     guarded_id = F.when(F.size("signature") >= needed, F.col(id_col)).otherwise(
         F.raise_error(
             F.lit(
@@ -212,16 +220,20 @@ def simhash(text: F.Column, bits: int = 64) -> F.Column:
     computed a set fingerprint — repeated-token frequency, the signal
     separating near-dups from merely overlapping vocabularies, never
     reached the votes)."""
-    toks = F.split(text, " ")
+    # hash each token ONCE into a long array, then vote over the
+    # precomputed hashes: the 64 per-bit aggregates are separate lambda
+    # trees, so an xxhash64(t) inside each would re-hash every token 64x
+    # (review r4; same hash-once discipline as _signatures above)
+    hashes = F.transform(F.split(text, " "), lambda t: F.xxhash64(t))
 
     def vote(bit_idx: int):
-        return lambda a, t: a + F.when(
-            F.shiftright(F.xxhash64(t), bit_idx).bitwiseAND(F.lit(1)) == 1, 1
+        return lambda a, h: a + F.when(
+            F.shiftright(h, bit_idx).bitwiseAND(F.lit(1)) == 1, 1
         ).otherwise(-1)
 
     out = F.lit(0).cast("long")
     for i in range(bits):
-        votes = F.aggregate(toks, F.lit(0).cast("long"), vote(i))
+        votes = F.aggregate(hashes, F.lit(0).cast("long"), vote(i))
         bit = F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         out = out.bitwiseOR(F.shiftleft(bit, i))
     return out

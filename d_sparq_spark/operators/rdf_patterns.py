@@ -78,6 +78,15 @@ def match_pattern(
     return df.select(*proj)
 
 
+def _stats_dict(stats) -> dict:
+    """Normalize predicate stats to {p: cnt} — accepts the stats DataFrame
+    or an already-collected dict (shared by order_by_selectivity and bgp;
+    the collect is metadata-scale, bounded by #predicates)."""
+    if isinstance(stats, dict):
+        return stats
+    return {r["p"]: r["cnt"] for r in stats.select("p", "cnt").collect()}
+
+
 def order_by_selectivity(
     patterns: list[TriplePattern], stats: DataFrame | dict | None
 ) -> list[TriplePattern]:
@@ -87,10 +96,7 @@ def order_by_selectivity(
     SPARQL engine collects once per engine, not once per star)."""
     if stats is None:
         return list(patterns)
-    if isinstance(stats, dict):
-        counts = stats
-    else:
-        counts = {r["p"]: r["cnt"] for r in stats.select("p", "cnt").collect()}
+    counts = _stats_dict(stats)
     big = max(counts.values(), default=0) + 1
 
     def cost(tp: TriplePattern) -> int:
@@ -145,8 +151,8 @@ def bgp(
     their shared variables (the reference's pipelined inter-star join —
     here a hash join). Stats normalize to a dict ONCE here: passing the
     DataFrame down would re-run the aggregation + collect per star."""
-    if stats is not None and not isinstance(stats, dict):
-        stats = {r["p"]: r["cnt"] for r in stats.select("p", "cnt").collect()}
+    if stats is not None:
+        stats = _stats_dict(stats)
     return reduce(join_bindings, (star_join(triples, star, stats) for star in stars))
 
 

@@ -228,8 +228,16 @@ def q_load_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reused by a new one (sources/derived_rdf._cache_key rationale)
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _LOAD_CACHE:
+        import hashlib
+
+        # disk path keyed by the FULL sf_dir, like the memo key — a bare
+        # basename aliased /a/sf0.1 and /b/sf0.1 onto one store dir, so a
+        # cache hit could serve the OTHER directory's data (review r4)
+        tag = hashlib.sha256(sf_dir.rstrip("/").encode()).hexdigest()[:12]
         base = os.path.join(
-            "/tmp", "d_sparq_store_cache", os.path.basename(sf_dir.rstrip("/"))
+            "/tmp",
+            "d_sparq_store_cache",
+            f"{os.path.basename(sf_dir.rstrip('/'))}_{tag}",
         )
         nt_dir, store = base + "_nt", base + "_store"
         format_ntriples(derive_triples(spark, sf_dir)).write.mode("overwrite").text(nt_dir)
