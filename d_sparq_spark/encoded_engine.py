@@ -74,26 +74,36 @@ class _EncodedTranslator(Translator):
     the column-pruned replacement for the old decode-everything fallback
     (round-2 VERDICT item 3)."""
 
-    def __init__(self, *args, dictionary: DataFrame | None = None, **kwargs):
+    def __init__(
+        self,
+        *args,
+        dictionary: DataFrame | None = None,
+        dict_broadcast_ok=None,
+        **kwargs,
+    ):
         super().__init__(*args, **kwargs)
         self.dictionary = dictionary
+        # zero-arg size gate supplied by the engine (review r4: the hint
+        # was unconditional; the dictionary is data-sized)
+        self.dict_broadcast_ok = dict_broadcast_ok or (lambda: True)
 
     def _spawn(self, triples, stats, graph_var=None):
         return _EncodedTranslator(
             triples, stats, services=self.services, graph_var=graph_var,
-            dictionary=self.dictionary,
+            dictionary=self.dictionary, dict_broadcast_ok=self.dict_broadcast_ok,
         )
 
     def _decode_shadow(self, df: DataFrame, variables: list[str]) -> DataFrame:
-        """One broadcast dictionary join per referenced encoded column —
-        never the store, never unreferenced columns."""
+        """One dictionary join per referenced encoded column — never the
+        store, never unreferenced columns; broadcast only when the
+        engine's size gate allows."""
         for v in variables:
             d = self.dictionary.select(
                 F.col("id").alias(f"__did_{v}"), F.col("term").alias(f"__lex__{v}")
             )
-            df = df.join(
-                F.broadcast(d), df[v] == F.col(f"__did_{v}"), "left"
-            ).drop(f"__did_{v}")
+            if self.dict_broadcast_ok():
+                d = F.broadcast(d)
+            df = df.join(d, df[v] == F.col(f"__did_{v}"), "left").drop(f"__did_{v}")
         return df
 
     def _filter(self, node: A.Filter) -> DataFrame:
@@ -137,6 +147,7 @@ class EncodedSparqlEngine:
             )
         self.triples = triples_enc
         self.dict = dictionary.select("id", "term")
+        self._dict_small: bool | None = None
         self.catalog = catalog
         self.services = services or {}
         stats = None
@@ -349,7 +360,8 @@ class EncodedSparqlEngine:
                 t if _is_var(t) else ids.get(t, _MISSING_ID) for t in root.terms
             )
             df = _EncodedTranslator(
-                self.triples, self._stats, catalog=self.catalog, dictionary=self.dict
+                self.triples, self._stats, catalog=self.catalog, dictionary=self.dict,
+                dict_broadcast_ok=self._dict_fits_broadcast,
             ).eval(A.Describe(terms, child))
             return self._decode(df, df.columns)
         if isinstance(root, (A.Ask, A.Construct)):
@@ -364,7 +376,8 @@ class EncodedSparqlEngine:
                 return self._lexical_fallback(tree)
             rewritten = self._rewrite(root.child, ids)
             tr = _EncodedTranslator(
-                self.triples, self._stats, catalog=self.catalog, dictionary=self.dict
+                self.triples, self._stats, catalog=self.catalog, dictionary=self.dict,
+                dict_broadcast_ok=self._dict_fits_broadcast,
             )
             if isinstance(root, A.Ask):
                 return tr.eval(A.Ask(rewritten))
@@ -394,7 +407,8 @@ class EncodedSparqlEngine:
             return self._lexical_fallback(tree)
         structural = self._rewrite(structural, ids)
         tr = _EncodedTranslator(
-            self.triples, self._stats, catalog=self.catalog, dictionary=self.dict
+            self.triples, self._stats, catalog=self.catalog, dictionary=self.dict,
+            dict_broadcast_ok=self._dict_fits_broadcast,
         )
         bound = tr.eval(structural)
         lex = Translator(bound.sparkSession.createDataFrame([], "s string, p string, o string"))
@@ -440,6 +454,16 @@ class EncodedSparqlEngine:
             node_df = _eval_with_precomputed(lex, w_shallow)
         return node_df
 
+    def _dict_fits_broadcast(self) -> bool:
+        """Dictionary-broadcast size gate, computed ONCE per engine on
+        first decode (the dictionary is data-sized — an unconditional
+        hint OOMs the driver at scale; review r4). 10M terms mirrors
+        bulk_load's encode gate; the one-time count is trivial next to
+        any decode that needs it."""
+        if self._dict_small is None:
+            self._dict_small = self.dict.count() <= 10_000_000
+        return self._dict_small
+
     def _lexical_fallback(self, tree) -> DataFrame:
         """Early-decode fallback for the shapes the encoded path still
         can't run: SERVICE (endpoint stores have their own dictionaries)
@@ -451,7 +475,9 @@ class EncodedSparqlEngine:
         columns in place. Stats/catalog are ID-keyed and don't apply."""
         from d_sparq_spark.operators.dictionary import decode_triples
 
-        store = decode_triples(self.triples, self.dict)
+        store = decode_triples(
+            self.triples, self.dict, broadcast_dict=self._dict_fits_broadcast()
+        )
         return Translator(store, services=self.services).eval(tree)
 
     def _decode(self, df: DataFrame, cols) -> DataFrame:
@@ -463,7 +489,9 @@ class EncodedSparqlEngine:
 
         dtypes = dict(df.dtypes)
         id_cols = [c for c in cols if dtypes.get(c) == "bigint"]
-        return decode_columns(df, self.dict, id_cols)
+        return decode_columns(
+            df, self.dict, id_cols, broadcast_dict=self._dict_fits_broadcast()
+        )
 
 
 class _Precomputed:

@@ -88,8 +88,19 @@ def build_dictionary(triples: DataFrame) -> DataFrame:
     )
 
 
-def encode_triples(triples: DataFrame, dictionary: DataFrame, broadcast_dict: bool = True) -> DataFrame:
-    """triples(s,p,o[,g] string) -> encoded longs via per-position dict joins."""
+def encode_triples(
+    triples: DataFrame, dictionary: DataFrame, broadcast_dict: bool = False
+) -> DataFrame:
+    """triples(s,p,o[,g] string) -> encoded longs via per-position dict joins.
+
+    broadcast_dict defaults to FALSE (review r4: the True default
+    contradicted the module rule that the hint must be size-gated — the
+    dictionary is data-sized, and an unconditional broadcast OOMs the
+    driver at scale). Callers with a bounded dictionary opt in; bulk_load
+    gates on term count. The joins are INNER by design here: the encode
+    dictionary is built FROM these triples, so every term maps — an
+    unmapped term means a wrong dictionary and surfaces as missing rows
+    in the load-pipeline count checks."""
     d = dictionary.select("id", "term")
     if broadcast_dict:
         d = F.broadcast(d)
@@ -104,8 +115,15 @@ def encode_triples(triples: DataFrame, dictionary: DataFrame, broadcast_dict: bo
     return enc.select(*cols)
 
 
-def decode_triples(enc: DataFrame, dictionary: DataFrame, broadcast_dict: bool = True) -> DataFrame:
-    """encoded (s,p,o[,g] long) -> lexical strings."""
+def decode_triples(
+    enc: DataFrame, dictionary: DataFrame, broadcast_dict: bool = False
+) -> DataFrame:
+    """encoded (s,p,o[,g] long) -> lexical strings.
+
+    LEFT joins (review r4): an inner join against a stale or partial
+    dictionary silently DROPPED every triple with an unmapped id — data
+    loss with no error. Unmapped ids now surface as NULL terms, the same
+    contract as decode_columns."""
     d = dictionary.select("id", "term")
     if broadcast_dict:
         d = F.broadcast(d)
@@ -113,7 +131,7 @@ def decode_triples(enc: DataFrame, dictionary: DataFrame, broadcast_dict: bool =
     dec = enc
     for pos in cols:
         dec = (
-            dec.join(d, dec[pos] == d.id)
+            dec.join(d, dec[pos] == d.id, "left")
             .drop(pos, "id")
             .withColumnRenamed("term", pos)
         )
@@ -124,7 +142,7 @@ def decode_columns(
     df: DataFrame,
     dictionary: DataFrame,
     columns: list[str],
-    broadcast_dict: bool = True,
+    broadcast_dict: bool = False,
 ) -> DataFrame:
     """Decode selected long columns of a binding table back to terms —
     the single implementation behind EncodedSparqlEngine._decode (review

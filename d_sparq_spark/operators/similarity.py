@@ -379,21 +379,34 @@ def kmeans_centroids(
     cents = (
         base.orderBy(id_col).limit(k)
         .select(F.row_number().over(Window.orderBy(id_col)).alias("cid"), F.col("v").alias("c"))
+        .localCheckpoint()  # k rows; truncates the per-iteration lineage
     )
     for _ in range(iters):
+        # argmin via min-of-struct — map-side-combinable aggregate, not a
+        # per-point window shuffle (review r4: this float quantizer now
+        # matches kmeans_exact_int's documented scale shape)
         assigned = (
             base.crossJoin(F.broadcast(cents))
             .withColumn("d", _sq_dist(F.col("v"), F.col("c")))
-            .withColumn(
-                "rn",
-                F.row_number().over(Window.partitionBy(id_col).orderBy("d", "cid")),
+            .groupBy(id_col)
+            .agg(
+                F.min(F.struct(F.col("d"), F.col("cid"))).alias("m"),
+                F.first("v").alias("v"),
             )
-            .filter(F.col("rn") == 1)
+            .select(F.col("m.cid").alias("cid"), "v")
         )
-        cents = assigned.groupBy("cid").agg(
-            F.array(
-                *[F.avg(F.col("v")[i]) for i in range(dim)]
-            ).alias("c")
+        upd = assigned.groupBy("cid").agg(
+            F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("c")
+        )
+        # empty clusters keep their previous centroid (review r4: they
+        # were silently dropped — the inverted file then had fewer cells
+        # than n_centroids and cid semantics drifted between iterations);
+        # same contract as kmeans_exact_int below
+        cents = (
+            cents.alias("o")
+            .join(upd.alias("n"), "cid", "left")
+            .select("cid", F.coalesce(F.col("n.c"), F.col("o.c")).alias("c"))
+            .localCheckpoint()
         )
     return cents
 
@@ -419,27 +432,40 @@ def ivf_cosine_topk(
     file); a query scores only vectors in its n_probe nearest cells. At
     scale: centroids broadcast, the candidate join is keyed on cid —
     cost ~ n_probe/n_centroids of brute force, recall rises with n_probe."""
+    # kmeans_centroids localCheckpoints its k-row result, so the two
+    # consumers below reuse it instead of re-running the Lloyd iterations
+    # once per join side (review r4)
     cents = kmeans_centroids(embeddings, n_centroids, id_col=id_col, vec_col=vec_col)
-
-    def assign(df, n_cells, out):
-        return (
-            df.crossJoin(F.broadcast(cents))
-            .withColumn("d", _sq_dist(F.col("v"), F.col("c")))
-            .withColumn("rn", F.row_number().over(Window.partitionBy(df["_id"]).orderBy("d", "cid")))
-            .filter(F.col("rn") <= n_cells)
-            .select(df["_id"].alias(out), "cid", "v")
-        )
 
     base = embeddings.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    inverted = assign(base, 1, "cid_id").withColumnRenamed("v", "cv")
+    # inverted-file build (every vector, nearest cell): min-of-struct
+    # argmin — map-side-combinable, no per-point window shuffle over the
+    # full corpus (review r4)
+    inverted = (
+        base.crossJoin(F.broadcast(cents))
+        .withColumn("d", _sq_dist(F.col("v"), F.col("c")))
+        .groupBy("_id")
+        .agg(F.min(F.struct(F.col("d"), F.col("cid"))).alias("m"), F.first("v").alias("cv"))
+        .select(F.col("_id").alias("cid_id"), F.col("m.cid").alias("cid"), "cv")
+    )
     qbase = queries.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    probes = assign(qbase, n_probe, "qid").withColumnRenamed("v", "qv")
+    # probe side: top-n_probe cells per QUERY — the query set is the
+    # small side, so the window shuffle is metadata-scale
+    probes = (
+        qbase.crossJoin(F.broadcast(cents))
+        .withColumn("d", _sq_dist(F.col("v"), F.col("c")))
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("_id").orderBy("d", "cid"))
+        )
+        .filter(F.col("rn") <= n_probe)
+        .select(F.col("_id").alias("qid"), "cid", F.col("v").alias("qv"))
+    )
     scored = (
         probes.join(inverted, "cid")
         .filter(F.col("qid") != F.col("cid_id"))

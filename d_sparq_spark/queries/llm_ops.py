@@ -1043,6 +1043,10 @@ def q_lang_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w") != ""
     )
     counts = tok.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    # session-lifetime cache by design: query builders return lazy plans, so
+    # there is no post-execution unpersist hook here. The pinned set is small
+    # (one row per (lang, token)), storage is MEMORY_AND_DISK and LRU-evicted,
+    # so across a long harness session old entries age out rather than OOM.
     counts = counts.persist()
     tot = counts.groupBy("lang").agg(F.sum("c").alias("n"))
     glob = counts.groupBy("w").agg(F.sum("c").alias("g"))
@@ -1111,7 +1115,9 @@ def q_dup_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.size(ts) >= 8)
         .select("doc_id", F.explode(grams).alias("g"))
     )
-    sh = sh.persist()  # feeds both the cross-doc counts and the per-doc join
+    sh = sh.persist()  # feeds both the cross-doc counts and the per-doc join;
+    # session-lifetime by design (lazy builder — no unpersist hook); bounded
+    # by the shingle map size, MEMORY_AND_DISK + LRU eviction caps the cost
     nd = sh.groupBy("g").agg(F.count_distinct("doc_id").alias("n_docs"))
     return (
         sh.join(nd, "g")

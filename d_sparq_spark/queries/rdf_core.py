@@ -107,7 +107,8 @@ def q_dict_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dict_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     triples = derive_triples(spark, sf_dir)
     d = build_dictionary(triples)
-    return decode_triples(encode_triples(triples, d), d)
+    # bounded derived-store dictionary: broadcast is safe and fast here
+    return decode_triples(encode_triples(triples, d, broadcast_dict=True), d, broadcast_dict=True)
 
 
 # --- q_triple_pattern: single-pattern scan (A4) --------------------------------
@@ -154,7 +155,7 @@ def q_star_join_enc(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles at scale — 8-byte keys, not strings), decode the bindings."""
     triples = derive_triples(spark, sf_dir)
     d = build_dictionary(triples).cache()
-    enc = encode_triples(triples, d)
+    enc = encode_triples(triples, d, broadcast_dict=True)
 
     consts = {"ex:mktsegment": None, "foaf:name": None, "ex:acctbal": None, "BUILDING": None}
     for row in d.filter(F.col("term").isin(*consts)).collect():

@@ -103,7 +103,7 @@ def encoded_quad_store_cached(spark: SparkSession, sf_dir: str):
 
         quads = derive_quads(spark, sf_dir)
         d = build_dictionary(quads).cache()
-        enc = encode_triples(quads, d).cache()
+        enc = encode_triples(quads, d, broadcast_dict=True).cache()  # bounded derived dict
         _ENC_QUAD_CACHE[key] = (enc, d)
     return _ENC_QUAD_CACHE[key]
 
@@ -266,6 +266,6 @@ def encoded_store_cached(spark: SparkSession, sf_dir: str):
 
         triples = derive_triples_cached(spark, sf_dir)
         d = build_dictionary(triples).cache()
-        enc = encode_triples(triples, d).cache()
+        enc = encode_triples(triples, d, broadcast_dict=True).cache()  # bounded derived dict
         _ENC_CACHE[key] = (enc, d)
     return _ENC_CACHE[key]
