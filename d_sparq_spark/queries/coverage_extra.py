@@ -517,3 +517,43 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+# --- q_schema_evolution: mergeSchema over heterogeneous parquet parts -------------
+
+_ORACLE_SCHEMA_EVOLUTION = """
+SELECT doc_id, lang,
+       CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
+FROM documents
+"""
+
+
+@register("q_schema_evolution", oracle=_ORACLE_SCHEMA_EVOLUTION)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at the source: a dataset whose early files lack a
+    later-added column must read as one relation with NULLs where the
+    column predates its introduction — the contract every long-lived
+    100 TB dataset depends on (columns get added; history is not
+    rewritten). Fixture: even docs written WITHOUT n_chars, odd docs
+    WITH it; spark.read.option('mergeSchema', true) unions the footers.
+    Scale note: mergeSchema reads every file footer at planning — on a
+    million-file dataset pin the schema explicitly instead; this query
+    exercises the evolution semantics, not the discovery cost."""
+    import shutil
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = os.path.join(
+        "/tmp", "d_sparq_evo_cache", os.path.basename(sf_dir.rstrip("/"))
+    )
+    shutil.rmtree(base, ignore_errors=True)  # wholesale replace, like every cache here
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.parquet(
+        os.path.join(base, "v1")
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "n_chars"
+    ).write.parquet(os.path.join(base, "v2"))
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(base, "v1"), os.path.join(base, "v2"))
+        .select("doc_id", "lang", "n_chars")
+    )

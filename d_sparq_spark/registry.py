@@ -130,7 +130,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "q_tpch_q11", "q_tpch_q12", "q_tpch_q16", "q_tpch_q19", "q_tpch_q20",
     "q_tpch_q22",
     "q_dedup_leakage", "q_lang_salience", "q_dup_span_ratio",
-    "q_semantic_dedup", "q_closure_big_int",
+    "q_semantic_dedup", "q_closure_big_int", "q_schema_evolution",
 })
 
 
