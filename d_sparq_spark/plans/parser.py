@@ -28,10 +28,10 @@ _TOKEN_RE = re.compile(
   | (?P<STRING>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
   | (?P<LANGTAG>@[A-Za-z][A-Za-z0-9-]*)
   | (?P<NUMBER>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
-  | (?P<PNAME>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_][A-Za-z0-9_.-]*)
+  | (?P<PNAME>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?)
   | (?P<NS>[A-Za-z_][A-Za-z0-9_-]*:)
   | (?P<KEYWORD>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<OP><=|>=|!=|\|\||&&|[=<>!*/+\-(){},.;a|^?])
+  | (?P<OP><=|>=|!=|\|\||&&|[=<>!*/+\-(){},.;|^?])
     """,
     re.VERBOSE,
 )
@@ -87,10 +87,9 @@ def tokenize(s: str) -> list[Token]:
         if kind == "WS":
             continue
         text = m.group()
-        if kind == "KEYWORD" and text.lower() not in _KEYWORDS and text.lower() not in _FUNCS:
-            # bare identifier — not valid standalone, but xsd:double style
-            # casts arrive as PNAME, so anything here is an error later.
-            pass
+        # bare identifiers reach here as KEYWORD tokens; invalid ones are
+        # rejected later at the grammar level (xsd:double-style casts
+        # arrive as PNAME, so no per-token validation is possible here)
         out.append(Token(kind, text))
     out.append(Token("EOF", ""))
     return out
@@ -347,10 +346,10 @@ class Parser:
         for _ in range(2):
             if self.at_kw("limit"):
                 self.next()
-                limit = int(self.next().text)
+                limit = self._int_operand("LIMIT")
             elif self.at_kw("offset"):
                 self.next()
-                offset = int(self.next().text)
+                offset = self._int_operand("OFFSET")
         if not subquery and self.peek().kind != "EOF":
             raise SyntaxError(f"SPARQL: trailing tokens at {self.peek()}")
 
@@ -436,6 +435,16 @@ class Parser:
         return e
 
     # ---- group graph pattern ----
+    def _int_operand(self, clause: str) -> int:
+        # a non-integer operand must be the same SyntaxError every other
+        # malformed-query path raises, not a leaked ValueError (review r4)
+        t = self.next()
+        import re as _re
+
+        if t.kind != "NUMBER" or not _re.fullmatch(r"[+-]?\d+", t.text):
+            raise SyntaxError(f"SPARQL: {clause} requires an integer, got {t.text!r}")
+        return int(t.text)
+
     def parse_group(self):
         self.eat_op("{")
         elements: list[object] = []  # BGP | ('optional',g) | ...
@@ -488,17 +497,31 @@ class Parser:
                 elements.append(("values", *self.parse_values()))
             elif self.at_op("{"):
                 flush_triples()
-                # subquery: { SELECT ... }
-                if self.peek(1).kind == "KEYWORD" and self.peek(1).text.lower() == "select":
-                    self.next()
-                    sub = self.parse_select(subquery=True)
-                    self.eat_op("}")
-                    elements.append(("group", sub.root))
-                    continue
-                g = self.parse_group()
+
+                def group_or_subquery():
+                    # '{ SELECT ... }' is a subquery usable anywhere a
+                    # group operand is — including either side of UNION
+                    # (review r4: a right-side subquery parsed SELECT/WHERE
+                    # as triple terms; a left-side one skipped the union
+                    # chain and raised on valid SPARQL)
+                    if (
+                        self.peek(1).kind == "KEYWORD"
+                        and self.peek(1).text.lower() == "select"
+                    ):
+                        self.next()
+                        sub = self.parse_select(subquery=True)
+                        self.eat_op("}")
+                        return sub.root
+                    return self.parse_group()
+
+                g = group_or_subquery()
                 while self.at_kw("union"):
                     self.next()
-                    g = A.Union(g, self.parse_group())
+                    if not self.at_op("{"):
+                        raise SyntaxError(
+                            f"SPARQL: UNION must be followed by a group, got {self.peek()}"
+                        )
+                    g = A.Union(g, group_or_subquery())
                 elements.append(("group", g))
             elif self.at_op("."):
                 self.next()

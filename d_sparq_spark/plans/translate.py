@@ -112,7 +112,20 @@ class Translator:
         if isinstance(node, A.LeftJoin):
             left = self.eval(node.left)
             if not left.columns:
-                return self.eval(node.right)
+                right = self.eval(node.right)
+                if not right.columns:
+                    return right
+                # OPTIONAL over the unit solution: right's rows if any,
+                # else ONE all-unbound solution — returning right alone
+                # dropped the mandatory unit row when the optional pattern
+                # matched nothing (review r4). The guard row survives a
+                # TRUE-condition anti join iff right is empty; both sides
+                # of that join are <= 1 row, so the BNLJ is free.
+                nulls = right.sparkSession.range(1).select(
+                    *[F.lit(None).cast(f.dataType).alias(f.name) for f in right.schema]
+                )
+                guard = nulls.join(right.limit(1), F.lit(True), "left_anti")
+                return right.unionByName(guard)
             return join_bindings(left, self.eval(node.right), "left_outer")
         if isinstance(node, A.Union):
             l, r = self.eval(node.left), self.eval(node.right)
@@ -779,7 +792,12 @@ class Translator:
         from itertools import product
 
         how = "left_anti" if anti else "left_semi"
-        r = right.select(*shared).dropDuplicates()
+        # persist: the probe aggregate below MATERIALIZES this projection
+        # at translate time; without the pin the whole right subplan would
+        # run a second time inside the returned plan (review r4). The
+        # cached set is the deduplicated shared-variable projection —
+        # bounded by the distinct binding combinations, not the store.
+        r = right.select(*shared).dropDuplicates().persist()
         stats = r.agg(
             F.count(F.lit(1)).alias("__n"),
             *[F.max(F.col(v).isNull().cast("int")).alias(v) for v in shared],

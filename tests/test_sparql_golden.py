@@ -990,3 +990,52 @@ def test_optional_disjoint_group_keeps_left(engine):
         'SELECT ?n ?v WHERE { p:alice ex:name ?n OPTIONAL { ?z ex:nothere ?v } }'
     )
     assert rows(out) == [("Alice", None)]
+
+
+# ---- review r4 wave 10 regressions (parser + OPTIONAL-unit semantics) ----
+
+
+def test_pname_trailing_dot_terminates_triple(engine):
+    """'o.' with no space: the dot must TERMINATE the triple, not join the
+    prefixed name (review r4: tokenizer produced PNAME('Person.') and the
+    query silently matched nothing)."""
+    out = engine.query("SELECT ?n WHERE { ?x rdf:type Person. ?x ex:name ?n }")
+    assert len(out.collect()) == 5
+    out2 = engine.query('SELECT ?x WHERE { ?x ex:knows p:carol. }')
+    assert rows(out2) == [("p:alice",), ("p:bob",)]
+
+
+def test_union_with_subquery_operand_both_sides(engine):
+    """A '{ SELECT ... }' subquery must work as either UNION operand
+    (review r4: right side parsed SELECT/WHERE as triple terms; left side
+    raised SyntaxError on valid SPARQL)."""
+    q_right = (
+        "SELECT ?n WHERE { { p:eve ex:name ?n } UNION "
+        "{ SELECT ?n WHERE { ?x ex:age \"25\" ; ex:name ?n } } }"
+    )
+    assert rows(engine.query(q_right)) == [("Bob",), ("Dave",), ("Eve",)]
+    q_left = (
+        "SELECT ?n WHERE { { SELECT ?n WHERE { ?x ex:age \"25\" ; ex:name ?n } } "
+        "UNION { p:eve ex:name ?n } }"
+    )
+    assert rows(engine.query(q_left)) == [("Bob",), ("Dave",), ("Eve",)]
+
+
+def test_optional_only_group_keeps_unit_solution(engine):
+    """OPTIONAL over the unit solution: when the optional pattern matches
+    nothing the query must yield ONE all-unbound solution, not zero rows
+    (review r4). When it matches, the bindings flow through unchanged."""
+    empty = engine.query(
+        'SELECT ?n WHERE { OPTIONAL { ?x ex:name ?n . ?x ex:age "99" } }'
+    )
+    assert rows(empty) == [(None,)]
+    some = engine.query(
+        'SELECT ?n WHERE { OPTIONAL { ?x ex:name ?n . ?x ex:age "25" } }'
+    )
+    assert rows(some) == [("Bob",), ("Dave",)]
+
+
+def test_limit_offset_require_integers(engine):
+    for bad in ["LIMIT ?x", "LIMIT 5.5", "OFFSET banana"]:
+        with pytest.raises(SyntaxError):
+            engine.query(f"SELECT ?s WHERE {{ ?s ?p ?o }} {bad}")
