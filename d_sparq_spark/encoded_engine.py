@@ -83,9 +83,11 @@ class _EncodedTranslator(Translator):
     ):
         super().__init__(*args, **kwargs)
         self.dictionary = dictionary
-        # zero-arg size gate supplied by the engine (review r4: the hint
-        # was unconditional; the dictionary is data-sized)
-        self.dict_broadcast_ok = dict_broadcast_ok or (lambda: True)
+        # zero-arg size gate supplied by the engine; the bare default is
+        # NO hint (AQE picks) — defaulting to broadcast would reintroduce
+        # the driver-OOM footgun for any direct construction that forgets
+        # the kwarg (review r4)
+        self.dict_broadcast_ok = dict_broadcast_ok or (lambda: False)
 
     def _spawn(self, triples, stats, graph_var=None):
         return _EncodedTranslator(
@@ -93,18 +95,36 @@ class _EncodedTranslator(Translator):
             dictionary=self.dictionary, dict_broadcast_ok=self.dict_broadcast_ok,
         )
 
+    def _bnode_objects(self, result: DataFrame):
+        """Encoded CBD: bnode-ness comes from the DICTIONARY ('_:' term
+        prefix), so the DESCRIBE expansion fixpoint runs entirely over
+        ids — parity with the lexical engine's closure (review r4: the
+        inherited string probe returned early and encoded DESCRIBE
+        silently dropped blank-node closure triples)."""
+        if self.dictionary is None:
+            return None
+        bn = self.dictionary.filter(F.col("term").startswith("_:")).select(
+            F.col("id").alias("n")
+        )
+        if self.dict_broadcast_ok():
+            bn = F.broadcast(bn)
+        return result.select(F.col("o").alias("n")).join(bn, "n", "left_semi")
+
     def _decode_shadow(self, df: DataFrame, variables: list[str]) -> DataFrame:
         """One dictionary join per referenced encoded column — never the
         store, never unreferenced columns; broadcast only when the
-        engine's size gate allows."""
-        for v in variables:
-            d = self.dictionary.select(
-                F.col("id").alias(f"__did_{v}"), F.col("term").alias(f"__lex__{v}")
-            )
-            if self.dict_broadcast_ok():
-                d = F.broadcast(d)
-            df = df.join(d, df[v] == F.col(f"__did_{v}"), "left").drop(f"__did_{v}")
-        return df
+        engine's size gate allows. Delegates to decode_columns' shadow
+        mode (review r4: this was the second drifted copy of the same
+        per-column prefixed join)."""
+        from d_sparq_spark.operators.dictionary import decode_columns
+
+        return decode_columns(
+            df,
+            self.dictionary,
+            variables,
+            broadcast_dict=self.dict_broadcast_ok(),
+            out_names={v: f"__lex__{v}" for v in variables},
+        )
 
     def _filter(self, node: A.Filter) -> DataFrame:
         if isinstance(node.expr, A.ExistsExpr):
@@ -131,6 +151,12 @@ class EncodedSparqlEngine:
         services: dict | None = None,
     ):
         """triples_enc: (s,p,o) LONG columns; dictionary: (id, term[, kind]).
+        PRECONDITION: dictionary ids must be LEXICOGRAPHIC-RANK-ordered
+        (build_dictionary/assign_ids produce this) — the MIN/MAX group
+        peel relies on decode(min(id)) == min(term); a hash- or
+        append-ordered dictionary would silently return the wrong term
+        there while decode/COUNT/DISTINCT (bijection-only) keep working
+        (review r4).
         catalog (plans/catalog.StoreCatalog) must be built over the SAME
         encoded store — routing is term-type-agnostic (predicate keys are
         the encoded longs, property-table columns are str(id)), so the
@@ -192,12 +218,8 @@ class EncodedSparqlEngine:
                 "endpoint stores have their own dictionaries (decode-early "
                 "fallback handles this internally)"
             )
-        for attr in ("left", "right", "child"):
-            sub = getattr(node, attr, None)
-            if sub is not None and not isinstance(sub, (str, list, tuple)):
-                self._collect_constants(sub, out)
-        if isinstance(node, A.Filter) and isinstance(node.expr, A.ExistsExpr):
-            self._collect_constants(node.expr.group, out)
+        for sub in A.subnodes(node):
+            self._collect_constants(sub, out)
 
     def _values_terms_present(self, node, ids: dict) -> bool:
         if isinstance(node, A.Values):
@@ -205,14 +227,9 @@ class EncodedSparqlEngine:
                 v is not None and v not in ids for row in node.rows for v in row
             ):
                 return False
-        if isinstance(node, A.Filter) and isinstance(node.expr, A.ExistsExpr):
-            if not self._values_terms_present(node.expr.group, ids):
+        for sub in A.subnodes(node):
+            if not self._values_terms_present(sub, ids):
                 return False
-        for attr in ("left", "right", "child"):
-            sub = getattr(node, attr, None)
-            if sub is not None and not isinstance(sub, (str, list, tuple)):
-                if not self._values_terms_present(sub, ids):
-                    return False
         return True
 
     def _rewrite(self, node, ids: dict):
@@ -304,10 +321,12 @@ class EncodedSparqlEngine:
                 "EncodedSparqlEngine: nested subquery ORDER BY/LIMIT/"
                 "projection expressions run on values, not IDs"
             )
-        for attr in ("left", "right", "child"):
-            sub = getattr(node, attr, None)
-            if sub is not None and not isinstance(sub, (str, list, tuple)):
-                self._check_structural(sub)
+        for sub in A.subnodes(node):
+            # includes EXISTS groups (review r4: a BIND nested inside an
+            # EXISTS pattern previously slipped past this check and would
+            # have produced lexical bindings mid-ID-join; it now routes to
+            # the decode-early fallback like every other nested BIND)
+            self._check_structural(sub)
         if isinstance(node, A.Filter) and isinstance(node.expr, A.ExistsExpr):
             self._check_structural(node.expr.group)
 
@@ -366,10 +385,11 @@ class EncodedSparqlEngine:
             return self._decode(df, df.columns)
         if isinstance(root, (A.Ask, A.Construct)):
             # structural queries: rewrite whole tree, evaluate encoded,
-            # decode output columns. Value-level FILTER/BIND in their group
-            # (incl. a TOP-LEVEL value filter — there is no wrapper-peeling
-            # here like the SELECT path has) would compare encoded longs to
-            # literals: decode early instead.
+            # decode output columns. Value-level FILTERs anywhere in the
+            # group (including top level) shadow-decode their referenced
+            # columns in place (_EncodedTranslator._filter); only nested
+            # BIND/aggregates/subquery wrappers force the decode-early
+            # fallback via _check_structural.
             try:
                 self._check_structural(root.child)
             except NotImplementedError:

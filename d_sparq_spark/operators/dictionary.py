@@ -143,12 +143,18 @@ def decode_columns(
     dictionary: DataFrame,
     columns: list[str],
     broadcast_dict: bool = False,
+    out_names: dict | None = None,
 ) -> DataFrame:
     """Decode selected long columns of a binding table back to terms —
-    the single implementation behind EncodedSparqlEngine._decode (review
-    r4: the engine had its own drifted copy)."""
+    the single implementation behind EncodedSparqlEngine._decode AND its
+    shadow decode (review r4: the engine had two drifted copies; the
+    broadcast gate had to be patched in both). out_names maps a column
+    to a DIFFERENT output name, in which case the encoded source column
+    is KEPT alongside the decoded one (the shadow-column contract)."""
     out = df
+    added: list[str] = []
     for c in columns:
+        dst = (out_names or {}).get(c, c)
         # per-column prefixed dict columns: a binding named 'term' or 'id'
         # must not collide with the dictionary's own column names
         d = dictionary.select(
@@ -156,9 +162,10 @@ def decode_columns(
         )
         if broadcast_dict:
             d = F.broadcast(d)
-        out = (
-            out.join(d, out[c] == F.col(f"__did_{c}"), "left")
-            .drop(c, f"__did_{c}")
-            .withColumnRenamed(f"__term_{c}", c)
-        )
-    return out.select(*df.columns)
+        out = out.join(d, out[c] == F.col(f"__did_{c}"), "left").drop(f"__did_{c}")
+        if dst == c:
+            out = out.drop(c)
+        else:
+            added.append(dst)
+        out = out.withColumnRenamed(f"__term_{c}", dst)
+    return out.select(*df.columns, *added)

@@ -303,3 +303,18 @@ class Modify:
     delete_template: list | None
     insert_template: list | None
     where: object
+
+
+def subnodes(node):
+    """Algebra children of a node, by the tree's container conventions:
+    left/right/child attributes, Modify's WHERE group, and the group
+    inside an EXISTS/NOT EXISTS filter expression. The single child
+    enumerator the engine walkers share (review r4: four hand-rolled
+    copies of this loop each had to repeat the EXISTS special case, and
+    all of them silently skipped Modify.where)."""
+    for attr in ("left", "right", "child", "where"):
+        sub = getattr(node, attr, None)
+        if sub is not None and not isinstance(sub, (str, list, tuple)):
+            yield sub
+    if isinstance(node, Filter) and isinstance(node.expr, ExistsExpr):
+        yield node.expr.group

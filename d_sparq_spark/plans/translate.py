@@ -310,6 +310,19 @@ class Translator:
         out = ranked.filter(cond).drop("__rn")
         return self._apply_project(project, out) if project else out
 
+    def _bnode_objects(self, result: DataFrame):
+        """Objects of `result` that are blank nodes, as a 1-column ('n')
+        frame — or None when the store's term representation cannot
+        expose bnode-ness (an encoded store with no dictionary); the CBD
+        expansion then stops at the base description. The encoded
+        translator overrides this with a dictionary id lookup so its
+        DESCRIBE expands CBD exactly like the lexical engine (review r4:
+        it previously returned early and silently dropped blank-node
+        closure triples)."""
+        if dict(self.triples.dtypes)["s"] != "string":
+            return None
+        return result.filter(F.col("o").startswith("_:")).select(F.col("o").alias("n"))
+
     def _describe(self, node: A.Describe) -> DataFrame:
         """DESCRIBE term+ [WHERE group] -> CBD triples (s, p, o).
 
@@ -338,10 +351,10 @@ class Translator:
         subjects = subjects.distinct()
         store = self.triples.select("s", "p", "o")
         result = store.join(subjects, store["s"] == subjects["n"], "left_semi")
-        if dict(self.triples.dtypes)["s"] != "string":
-            return result  # encoded store: bnode lexical forms not visible
         for _ in range(16):
-            bnodes = result.filter(F.col("o").startswith("_:")).select(F.col("o").alias("n"))
+            bnodes = self._bnode_objects(result)
+            if bnodes is None:
+                return result  # bnode-ness not visible in this store
             missing = bnodes.join(
                 result.select(F.col("s").alias("n")), "n", "left_anti"
             ).distinct()

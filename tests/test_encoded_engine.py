@@ -294,3 +294,28 @@ def test_optional_disjoint_group_keeps_left_encoded(engines):
     lex, enc = engines
     q = 'SELECT ?n ?v WHERE { p:alice ex:name ?n OPTIONAL { ?z ex:nothere ?v } }'
     assert _rows(enc.query(q)) == _rows(lex.query(q)) == [("Alice", None)]
+
+
+def test_encoded_describe_expands_bnode_cbd(spark):
+    """Review r4 (reproduced): encoded DESCRIBE returned only the subject
+    triples — the inherited CBD loop's string probe bailed on the bigint
+    store, silently dropping blank-node closure triples. The encoded
+    translator now sources bnode-ness from the dictionary and must match
+    the lexical engine exactly, including a 2-level bnode chain."""
+    triples = spark.createDataFrame(
+        [
+            ("p:alice", "ex:name", "Alice"),
+            ("p:alice", "ex:addr", "_:b1"),
+            ("_:b1", "ex:city", "Paris"),
+            ("_:b1", "ex:geo", "_:b2"),
+            ("_:b2", "ex:lat", "48.85"),
+            ("p:bob", "ex:name", "Bob"),
+        ],
+        "s string, p string, o string",
+    )
+    d = build_dictionary(triples).cache()
+    enc = encode_triples(triples, d, broadcast_dict=True).cache()
+    lex = SparqlEngine(triples).query("DESCRIBE p:alice")
+    encoded = EncodedSparqlEngine(enc, d).query("DESCRIBE p:alice")
+    assert rows(encoded) == rows(lex)
+    assert len(rows(lex)) == 5  # 2 subject triples + 3 through the bnode chain
