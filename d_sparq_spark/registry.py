@@ -67,71 +67,93 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # 50, so it is a per-round query-count cap, not a time budget). Every query
 # is locally oracle-verified each round regardless (tests/
 # test_queries_oracle.py); to get every query a DRIVER-green row across
-# rounds, queries attested in earlier rounds sort to the back so the
-# driver's fixed-size prefix always covers the least-recently-attested set.
-_ATTESTED_PRIOR_ROUNDS: frozenset[str] = frozenset({
-    # round 1 (CORRECTNESS_r01.json)
-    "q_scan_counts", "q_csv_source", "q_json_source", "q_scalar_map",
-    "q_agg_grouping_sets", "q_tfidf", "q_sparql_describe",
-    "q_sparql_describe_where", "q_window_tumbling", "q_window_sliding",
-    "q_window_session", "q_dedup_events", "q_stream_tumbling", "q_gap_fill",
-    "q_flagship", "q_dedup_exact", "q_dedup_sha", "q_dedup_near",
-    "q_ngram_jaccard", "q_dup_clusters", "q_simhash", "q_cosine_topk",
-    "q_cosine_ann", "q_token_counts", "q_quality_score", "q_lang_id",
-    "q_fingerprint", "q_embed_join", "q_multimodal_meta",
-    "q_multimodal_features", "q_pandas_udf_zscore", "q_doc_stats",
-    "q_dedup_embed", "q_dedup_embed_lsh", "q_cosine_ivf", "q_doc_chunks",
-    "q_sample_hash", "q_mix_weighted", "q_pii_redact", "q_rdf_derive",
-    "q_nt_roundtrip", "q_dict_encode", "q_dict_roundtrip",
-    "q_triple_pattern", "q_star_join", "q_star_join_enc", "q_path_join",
-    "q_pred_stats", "q_load_pipeline", "q_agg_basic",
-    # round 2 (CORRECTNESS_r02.json)
-    "q_contamination", "q_dedup_norm", "q_repetition", "q_approx_distinct",
-    "q_pack_sequences", "q_token_histogram", "q_orc_source", "q_text_source",
-    "q_binaryfile_source", "q_pivot", "q_unpivot", "q_udtf_chunks",
-    "q_pred_stats_salted", "q_join_salted", "q_ohlc_hourly",
-    "q_stream_funnel", "q_tpch_q5", "q_dup_clusters_lsh", "q_pagerank",
-    "q_multimodal_resize", "q_multimodal_frames", "q_pandas_udf_scalar",
-    "q_pandas_udf_grouped_agg", "q_nq_roundtrip", "q_agg_distinct",
-    "q_agg_having", "q_agg_rollup", "q_agg_cube", "q_agg_stats",
-    "q_agg_median", "q_agg_group_concat", "q_join_inner", "q_join_broadcast",
-    "q_join_outer", "q_join_full", "q_join_semi", "q_join_anti",
-    "q_join_range", "q_join_asof", "q_join_cross", "q_merge_upsert",
-    "q_scalar_string", "q_scalar_date", "q_scalar_math", "q_scalar_array",
-    "q_explode", "q_project", "q_filter_pred", "q_filter_rlike",
-    "q_json_extract",
-    # round 3 (CORRECTNESS_r03.json)
-    "q_case_when", "q_filter_nullsafe", "q_set_ops", "q_union_by_name",
-    "q_distinct", "q_window_rank", "q_window_frame", "q_window_lag",
-    "q_window_ntile", "q_topk", "q_topk_per_group", "q_window_dist",
-    "q_sparql_path_plus", "q_sparql_path_plus_bound",
-    "q_sparql_path_plus_bound_rev", "q_sparql_path_seq", "q_sparql_path_alt",
-    "q_sparql_path_inv", "q_sparql_path_neg", "q_sparql_path_opt",
-    "q_sparql_path_altcomplex", "q_sparql_path_closure_seq",
-    "q_sparql_expr_fns", "q_sparql_construct", "q_sparql_subquery",
-    "q_sparql_service", "q_sparql_graph_enc", "q_sparql_graph_var_enc",
-    "q_sparql_graph", "q_sparql_graph_var", "q_sparql_star", "q_sparql_path",
-    "q_sparql_optional", "q_sparql_union", "q_sparql_agg",
-    "q_sparql_order_limit", "q_sparql_minus", "q_sparql_not_exists",
-    "q_sparql_bind", "q_sparql_values", "q_sparql_distinct", "q_sparql_ask",
-    "q_sparql_expr", "q_sparql_encoded_star", "q_sparql_encoded_filter",
-    "q_sparql_encoded_agg", "q_sparql_star_pt", "q_sparql_encoded_star_pt",
-    "q_sparql_star_extvp", "q_sparql_update",
-})
+# rounds — and to periodically RE-attest old keys on current code — the
+# ordering is a true LRU over the round each key was last driver-attested:
+# never-attested keys first (oldest registration first, this round's
+# newcomers last within that group), then attested keys oldest-round first.
+# _LAST_ATTESTED is regenerated each round from CORRECTNESS_r{N}.json.
+_LAST_ATTESTED: dict[str, int] = {
+    # round 1
+    "q_scan_counts": 1, "q_csv_source": 1, "q_json_source": 1,
+    "q_scalar_map": 1, "q_agg_grouping_sets": 1, "q_tfidf": 1,
+    "q_sparql_describe": 1, "q_sparql_describe_where": 1,
+    "q_window_tumbling": 1, "q_window_sliding": 1, "q_window_session": 1,
+    "q_dedup_events": 1, "q_stream_tumbling": 1, "q_gap_fill": 1,
+    "q_flagship": 1, "q_dedup_exact": 1, "q_dedup_sha": 1,
+    "q_dedup_near": 1, "q_ngram_jaccard": 1, "q_dup_clusters": 1,
+    "q_simhash": 1, "q_cosine_topk": 1, "q_cosine_ann": 1,
+    "q_token_counts": 1, "q_quality_score": 1, "q_lang_id": 1,
+    "q_fingerprint": 1, "q_embed_join": 1, "q_multimodal_meta": 1,
+    "q_multimodal_features": 1, "q_pandas_udf_zscore": 1, "q_doc_stats": 1,
+    "q_dedup_embed": 1, "q_dedup_embed_lsh": 1, "q_cosine_ivf": 1,
+    "q_doc_chunks": 1, "q_sample_hash": 1, "q_mix_weighted": 1,
+    "q_pii_redact": 1, "q_rdf_derive": 1, "q_nt_roundtrip": 1,
+    "q_dict_encode": 1, "q_dict_roundtrip": 1, "q_triple_pattern": 1,
+    "q_star_join": 1, "q_star_join_enc": 1, "q_path_join": 1,
+    "q_pred_stats": 1, "q_load_pipeline": 1, "q_agg_basic": 1,
+    # round 2
+    "q_contamination": 2, "q_dedup_norm": 2, "q_repetition": 2,
+    "q_approx_distinct": 2, "q_pack_sequences": 2, "q_token_histogram": 2,
+    "q_orc_source": 2, "q_text_source": 2, "q_binaryfile_source": 2,
+    "q_pivot": 2, "q_unpivot": 2, "q_udtf_chunks": 2,
+    "q_pred_stats_salted": 2, "q_join_salted": 2, "q_ohlc_hourly": 2,
+    "q_stream_funnel": 2, "q_tpch_q5": 2, "q_dup_clusters_lsh": 2,
+    "q_pagerank": 2, "q_multimodal_resize": 2, "q_multimodal_frames": 2,
+    "q_pandas_udf_scalar": 2, "q_pandas_udf_grouped_agg": 2,
+    "q_nq_roundtrip": 2, "q_agg_distinct": 2, "q_agg_having": 2,
+    "q_agg_rollup": 2, "q_agg_cube": 2, "q_agg_stats": 2,
+    "q_agg_median": 2, "q_agg_group_concat": 2, "q_join_inner": 2,
+    "q_join_broadcast": 2, "q_join_outer": 2, "q_join_full": 2,
+    "q_join_semi": 2, "q_join_anti": 2, "q_join_range": 2,
+    "q_join_asof": 2, "q_join_cross": 2, "q_merge_upsert": 2,
+    "q_scalar_string": 2, "q_scalar_date": 2, "q_scalar_math": 2,
+    "q_scalar_array": 2, "q_explode": 2, "q_project": 2,
+    "q_filter_pred": 2, "q_filter_rlike": 2, "q_json_extract": 2,
+    # round 3
+    "q_case_when": 3, "q_filter_nullsafe": 3, "q_set_ops": 3,
+    "q_union_by_name": 3, "q_distinct": 3, "q_window_rank": 3,
+    "q_window_frame": 3, "q_window_lag": 3, "q_window_ntile": 3,
+    "q_topk": 3, "q_topk_per_group": 3, "q_window_dist": 3,
+    "q_sparql_path_plus": 3, "q_sparql_path_plus_bound": 3,
+    "q_sparql_path_plus_bound_rev": 3, "q_sparql_path_seq": 3,
+    "q_sparql_path_alt": 3, "q_sparql_path_inv": 3, "q_sparql_path_neg": 3,
+    "q_sparql_path_opt": 3, "q_sparql_path_altcomplex": 3,
+    "q_sparql_path_closure_seq": 3, "q_sparql_expr_fns": 3,
+    "q_sparql_construct": 3, "q_sparql_subquery": 3, "q_sparql_service": 3,
+    "q_sparql_graph_enc": 3, "q_sparql_graph_var_enc": 3,
+    "q_sparql_graph": 3, "q_sparql_graph_var": 3, "q_sparql_star": 3,
+    "q_sparql_path": 3, "q_sparql_optional": 3, "q_sparql_union": 3,
+    "q_sparql_agg": 3, "q_sparql_order_limit": 3, "q_sparql_minus": 3,
+    "q_sparql_not_exists": 3, "q_sparql_bind": 3, "q_sparql_values": 3,
+    "q_sparql_distinct": 3, "q_sparql_ask": 3, "q_sparql_expr": 3,
+    "q_sparql_encoded_star": 3, "q_sparql_encoded_filter": 3,
+    "q_sparql_encoded_agg": 3, "q_sparql_star_pt": 3,
+    "q_sparql_encoded_star_pt": 3, "q_sparql_star_extvp": 3,
+    "q_sparql_update": 3,
+    # round 4
+    "q_bpe_pairs": 4, "q_vocab_coverage": 4, "q_quality_filter": 4,
+    "q_sample_stratified": 4, "q_ngram_topk": 4, "q_retention_cohort": 4,
+    "q_zorder_layout": 4, "q_histogram": 4, "q_dq_audit": 4,
+    "q_scd2_history": 4, "q_tpch_q3": 4, "q_tpch_q10": 4, "q_tpch_q18": 4,
+    "q_triangle_count": 4, "q_degree_dist": 4, "q_sssp": 4, "q_kmeans": 4,
+    "q_lang_confusion": 4, "q_dedup_incremental": 4, "q_skyline": 4,
+    "q_sparql_graph_path": 4, "q_sparql_graph_path_enc": 4,
+    "q_sparql_graph_path_seeded": 4, "q_star_property_table": 4,
+    "q_sparql_typed": 4, "q_schema_evolution": 4, "q_tpch_q6": 4,
+    "q_tpch_q4": 4, "q_tpch_q17": 4, "q_tpch_q21": 4, "q_tpch_q13": 4,
+    "q_tpch_q14": 4, "q_tpch_q15": 4, "q_ann_recall": 4,
+    "q_semantic_dedup": 4, "q_dedup_leakage": 4, "q_lang_salience": 4,
+    "q_dup_span_ratio": 4, "q_sparql_path_plus_big": 4,
+    "q_sparql_path_plus_big_seeded": 4, "q_closure_big_int": 4,
+    "q_tpch_q1": 4, "q_tpch_q2": 4, "q_tpch_q7": 4, "q_tpch_q8": 4,
+    "q_tpch_q9": 4, "q_tpch_q11": 4, "q_tpch_q12": 4, "q_tpch_q16": 4,
+    "q_tpch_q19": 4,
+}
 
-# Queries first registered THIS round (round 4): they sort after the older
-# never-attested queries (round-3 additions, which have waited a full round)
+# Queries first registered THIS round (round 5): they sort after the older
+# never-attested queries (q_tpch_q20/q22, which have waited a full round)
 # but before the already-attested ones — age priority, so no key starves.
-_NEW_THIS_ROUND: frozenset[str] = frozenset({
-    "q_ann_recall", "q_sparql_path_plus_big", "q_sparql_path_plus_big_seeded",
-    "q_tpch_q4", "q_tpch_q6", "q_tpch_q17", "q_tpch_q21",
-    "q_tpch_q13", "q_tpch_q14", "q_tpch_q15",
-    "q_tpch_q1", "q_tpch_q2", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9",
-    "q_tpch_q11", "q_tpch_q12", "q_tpch_q16", "q_tpch_q19", "q_tpch_q20",
-    "q_tpch_q22",
-    "q_dedup_leakage", "q_lang_salience", "q_dup_span_ratio",
-    "q_semantic_dedup", "q_closure_big_int", "q_schema_evolution",
-})
+_NEW_THIS_ROUND: frozenset[str] = frozenset()
 
 
 def all_queries() -> dict[str, Query]:
@@ -141,8 +163,8 @@ def all_queries() -> dict[str, Query]:
     items = sorted(
         _REGISTRY.items(),
         key=lambda kv: (
-            kv[0] in _ATTESTED_PRIOR_ROUNDS,  # attested last
-            kv[0] in _NEW_THIS_ROUND,  # then this round's newcomers
+            _LAST_ATTESTED.get(kv[0], 0),  # never-attested (0) first, then LRU
+            kv[0] in _NEW_THIS_ROUND,  # newcomers after older never-attested
         ),
     )  # stable: registration order within each group
     return dict(items)
