@@ -562,13 +562,25 @@ def kmeans_exact_int(
     return assign(cents).select("vec_id", F.col("cid").alias("cluster"), "dist")
 
 
+def derive_k(n: int, target_cluster_size: int = 1024, k_min: int = 4) -> int:
+    """Scale-safe cluster count for :func:`semantic_dedup`: the within-
+    cluster pairwise stage does sum |c|^2 work, so |c| ~ n/k must stay
+    bounded as the corpus grows. k = max(k_min, ceil(n / target)) keeps
+    expected cluster size at ``target_cluster_size`` regardless of n —
+    at 100 TB (~1e11 docs) that is ~1e8 clusters of ~1e3 vectors, i.e.
+    ~1e17 cosine comparisons instead of the ~1e22 of a fixed small k."""
+    return max(k_min, -(-n // max(1, target_cluster_size)))
+
+
 def semantic_dedup(
     embeddings: DataFrame,
-    k: int = 4,
+    k: int | None = None,
     n_iter: int = 3,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cluster_size: int = 1024,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-shaped semantic deduplication (Abbas et al. 2023): cluster
     the embedding space with the integer-exact k-means, then compare
@@ -588,7 +600,23 @@ def semantic_dedup(
 
     Determinism: assignments are the bit-exact integer k-means; cosines
     are IEEE doubles from exact integer dots/norms (identical expression
-    both engines — the q_dedup_embed discipline)."""
+    both engines — the q_dedup_embed discipline).
+
+    ``k=None`` (the default) derives k from the corpus size via
+    :func:`derive_k` so the default configuration stays scale-safe — a
+    hard-coded small k makes the pairwise stage N^2/k, a scale-killer by
+    configuration. Pass an explicit k only for small-N oracle fixtures.
+    The one extra count() job is the price of a safe default; callers
+    that already know n can pass ``k=derive_k(n)``. ``max_cluster_size``
+    (default 8x target when k was derived) adds a per-row guard that
+    fails the job if any realized cluster exceeds the bound — a skewed
+    cluster is quadratic work the plan cannot see, so fail loudly rather
+    than hang."""
+    if k is None:
+        n = embeddings.count()
+        k = derive_k(n, target_cluster_size)
+        if max_cluster_size is None:
+            max_cluster_size = 8 * target_cluster_size
     assign = kmeans_exact_int(embeddings, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("v")
@@ -596,7 +624,28 @@ def semantic_dedup(
     # persist: the assigned point set feeds BOTH self-join sides and the
     # final projection — without it the k-means assignment pass reruns
     # three times inside the one action (measured 9.5 s -> ~4 s at sf0.1)
-    pts = base.join(assign.select("vec_id", "cluster"), "vec_id").persist()
+    pts = base.join(assign.select("vec_id", "cluster"), "vec_id")
+    if max_cluster_size is not None:
+        # per-row guard, zero extra jobs: fails at execution time if any
+        # realized cluster exceeds the bound (skew == hidden quadratic work).
+        # Folded into the cluster column itself — a detached guard column
+        # would be pruned as dead code and never evaluated.
+        csize = F.count(F.lit(1)).over(Window.partitionBy("cluster"))
+        pts = pts.withColumn(
+            "cluster",
+            F.when(csize <= F.lit(max_cluster_size), F.col("cluster")).otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "semantic_dedup: cluster %s has %s > max_cluster_size=%s "
+                        "vectors; raise k (pairwise work is sum |c|^2)",
+                        F.col("cluster").cast("string"),
+                        csize.cast("string"),
+                        F.lit(str(max_cluster_size)),
+                    )
+                ).cast(dict(pts.dtypes)["cluster"])
+            ),
+        )
+    pts = pts.persist()
     a = pts.select(
         F.col("vec_id").alias("a"), F.col("v").alias("av"),
         F.col("nrm").alias("an"), F.col("cluster").alias("ac"),

@@ -881,8 +881,12 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means partitions the space, cosine pruning runs within clusters
     only (operators/similarity.py semantic_dedup for the scale
     rationale). Output (vec_id, cluster, is_dup) is exact-oracled —
-    assignments bit-exact, cosines deterministic doubles."""
-    return S.semantic_dedup(load_table(spark, sf_dir, "embeddings"))
+    assignments bit-exact, cosines deterministic doubles.
+
+    k=4 here is the explicit small-N ORACLE FIXTURE parameter (the
+    unrolled DuckDB CTEs hard-code the same k); the operator default
+    (k=None) derives a scale-safe k from corpus size via derive_k."""
+    return S.semantic_dedup(load_table(spark, sf_dir, "embeddings"), k=4)
 
 
 @register("q_kmeans", oracle=_kmeans_oracle())

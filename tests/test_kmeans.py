@@ -83,3 +83,53 @@ def test_nonzero_based_ids(spark):
     got = kmeans_exact_int(df, k=3, n_iter=2).collect()
     assert len(got) == 15
     assert {r.cluster for r in got} <= {1000, 1001, 1002}
+
+
+# --- semantic_dedup scale-safe defaults (r5, VERDICT r4 #2) -----------------
+
+from d_sparq_spark.operators.similarity import derive_k, semantic_dedup
+
+
+def test_derive_k_scales_with_corpus():
+    # small corpora hit the floor; big corpora keep |c| ~ target bounded
+    assert derive_k(100) == 4
+    assert derive_k(4096) == 4
+    assert derive_k(1_000_000) == 977  # ceil(1e6/1024)
+    assert derive_k(100_000_000, target_cluster_size=1024) == 97657
+    # expected cluster size stays ~target regardless of n
+    for n in (10_000_000, 1_000_000_000):
+        k = derive_k(n)
+        assert n / k <= 1024 + 1
+
+
+def test_semantic_dedup_default_k_derived(spark):
+    rng = np.random.RandomState(11)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.uniform(-1, 1, size=8)]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    # n=30 -> derive_k floor 4; default path must equal explicit k=4
+    # with the guard disabled (30 rows can't exceed 8*1024 anyway)
+    got_default = {
+        (r.vec_id, r.cluster, r.is_dup) for r in semantic_dedup(df).collect()
+    }
+    got_k4 = {
+        (r.vec_id, r.cluster, r.is_dup) for r in semantic_dedup(df, k=4).collect()
+    }
+    assert got_default == got_k4 and len(got_default) == 30
+
+
+def test_semantic_dedup_cluster_size_guard_raises(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    rng = np.random.RandomState(13)
+    # 20 near-identical vectors -> k-means puts (almost) all in one cluster
+    base = rng.uniform(-1, 1, size=8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base + rng.uniform(-1e-3, 1e-3, size=8)]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises((SparkRuntimeException, Py4JJavaError), match="max_cluster_size"):
+        semantic_dedup(df, k=2, max_cluster_size=5).collect()
