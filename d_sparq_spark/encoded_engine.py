@@ -149,14 +149,19 @@ class EncodedSparqlEngine:
         collect_stats: bool = True,
         catalog=None,
         services: dict | None = None,
+        dict_rank_ordered: bool = True,
     ):
         """triples_enc: (s,p,o) LONG columns; dictionary: (id, term[, kind]).
-        PRECONDITION: dictionary ids must be LEXICOGRAPHIC-RANK-ordered
-        (build_dictionary/assign_ids produce this) — the MIN/MAX group
-        peel relies on decode(min(id)) == min(term); a hash- or
-        append-ordered dictionary would silently return the wrong term
-        there while decode/COUNT/DISTINCT (bijection-only) keep working
-        (review r4).
+        dict_rank_ordered declares whether ids are LEXICOGRAPHIC-RANK-
+        ordered (build_dictionary/assign_ids produce this; append_ids
+        breaks it) — the MIN/MAX group peel relies on decode(min(id)) ==
+        min(term); a hash- or append-ordered dictionary would silently
+        return the wrong term there while decode/COUNT/DISTINCT
+        (bijection-only) keep working (review r4). With the flag False
+        the peel keeps only COUNT aggregates encoded and decodes before
+        MIN/MAX instead — correct at the cost of a bigger decode join.
+        open_store reads the flag from the store's meta/ parquet, so an
+        append-loaded store degrades automatically rather than wrongly.
         catalog (plans/catalog.StoreCatalog) must be built over the SAME
         encoded store — routing is term-type-agnostic (predicate keys are
         the encoded longs, property-table columns are str(id)), so the
@@ -172,6 +177,7 @@ class EncodedSparqlEngine:
                 "single graph's slice instead"
             )
         self.triples = triples_enc
+        self.dict_rank_ordered = dict_rank_ordered
         self.dict = dictionary.select("id", "term")
         self._dict_small: bool | None = None
         self.catalog = catalog
@@ -450,12 +456,16 @@ class EncodedSparqlEngine:
             ):
                 node_df = _apply_enc(node_df, wrappers.pop())
                 continue
+            # MIN/MAX over ids is only order-preserving when the
+            # dictionary is rank-ordered; an append-extended dictionary
+            # restricts the peel to COUNT and decodes before MIN/MAX
+            peelable = ("count", "min", "max") if self.dict_rank_ordered else ("count",)
             if (
                 isinstance(w, A.Group)
                 and w.keys
                 and all(k in node_df.columns for k in w.keys)
                 and all(
-                    a.func in ("count", "min", "max")
+                    a.func in peelable
                     and (a.arg is None or isinstance(a.arg, A.Var))
                     for _, a in w.aggs
                 )

@@ -75,6 +75,7 @@ def bulk_load(
     enc = encode_triples(triples, dictionary, broadcast_dict=n_terms <= 10_000_000)
 
     dictionary.write.mode("overwrite").parquet(os.path.join(store_path, "dict"))
+    _write_meta(spark, store_path, rank_ordered=True)
     # vertical partitioning: one directory per predicate id
     enc.write.mode("overwrite").partitionBy("p").parquet(os.path.join(store_path, "by_p"))
     # every downstream step reads the just-written COLUMNAR store, not the
@@ -111,6 +112,143 @@ def bulk_load(
     return {"n_terms": int(n_terms), "n_triples": int(n_triples_row or 0)}
 
 
+def _write_meta(spark: SparkSession, store_path: str, rank_ordered: bool) -> None:
+    """One-row store manifest written AS PARQUET via Spark (not driver-side
+    JSON) so it works on any filesystem a URI store lives on. Records
+    whether dictionary ids are still globally lexicographic-rank-ordered —
+    the precondition for the encoded engine's MIN/MAX peel."""
+    spark.createDataFrame([(rank_ordered,)], "rank_ordered boolean").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(store_path, "meta"))
+
+
+def _read_meta_rank_ordered(spark: SparkSession, store_path: str) -> bool:
+    """True when the store's dictionary is rank-ordered. Stores loaded
+    before the meta/ manifest existed were always full bulk_load rebuilds,
+    so a missing manifest means rank-ordered."""
+    try:
+        rows = spark.read.parquet(os.path.join(store_path, "meta")).collect()
+    except Exception:
+        return True
+    return bool(rows and rows[0]["rank_ordered"])
+
+
+def append_load(spark: SparkSession, nt_path: str, store_path: str) -> dict:
+    """Incremental load: parse a DELTA N-Triples file into an EXISTING
+    store without re-ranking the dictionary or rewriting the stored
+    triples. Work is O(|delta|) for dictionary + triples plus a
+    partition-pruned stats refresh of only the predicates the delta
+    touched:
+
+    - new terms get ids above the current max via append_ids (delta
+      anti-join, deterministic rank among themselves),
+    - the delta dictionary rows and encoded delta triples are APPENDED
+      (dict/ plain parquet append; by_p/ partitionBy(p) append — new
+      predicates create new directories, existing ones gain files),
+    - meta/ flips rank_ordered=false, which open_store passes to the
+      engine so the MIN/MAX id peel degrades to decode-before-agg
+      instead of silently returning wrong terms,
+    - stats/ merges: untouched predicates keep their old rows verbatim;
+      only the delta's predicates are recomputed, over a partition-
+      pruned read of exactly those by_p directories — stats cost scales
+      with the touched slice, not the store.
+
+    Not concurrent-writer-safe (same as bulk_load): one loader at a time;
+    a failed append can leave orphan part-files that a retry re-appends —
+    production would stage to a temp dir and commit by rename."""
+    triples = parse_ntriples(spark.read.text(nt_path))
+    existing_dict = spark.read.parquet(os.path.join(store_path, "dict"))
+    from d_sparq_spark.operators.dictionary import extend_dictionary
+
+    # localCheckpoint before the self-referencing append: the delta rows
+    # anti-join against dict/ and are then written INTO dict/ — truncate
+    # the lineage so the write cannot observe its own output files.
+    delta_dict = extend_dictionary(existing_dict, triples).localCheckpoint()
+    n_new_terms = delta_dict.count()
+    if n_new_terms:
+        delta_dict.write.mode("append").parquet(os.path.join(store_path, "dict"))
+
+    # encode against the COMBINED dictionary read back from the store (the
+    # just-appended files included), REDUCED to the delta's own terms by a
+    # semi-join first: the encode joins then broadcast a dictionary slice
+    # bounded by 3|delta| distinct terms instead of the full store
+    # dictionary (measured 20.9 s -> the slice scan for a 0.15M-triple
+    # delta against a 6M-term dict). Inner joins stay safe — every delta
+    # term is present by construction after the append above.
+    full_dict = spark.read.parquet(os.path.join(store_path, "dict"))
+    n_terms = full_dict.count()
+    from functools import reduce as _reduce
+
+    from d_sparq_spark.operators.dictionary import _positions
+
+    delta_terms = _reduce(
+        lambda a, b: a.unionByName(b),
+        (triples.select(F.col(c).alias("term")) for c in _positions(triples)),
+    ).distinct()
+    n_delta_terms = delta_terms.count()
+    reduced_dict = full_dict.join(delta_terms, "term", "semi")
+    # persist: the encoded delta feeds the by_p write AND the touched-
+    # predicate list below — without it the 3-way dict encode re-runs
+    # for a projection of a few hundred distinct predicates
+    enc = encode_triples(
+        triples, reduced_dict, broadcast_dict=n_delta_terms <= 10_000_000
+    ).persist()
+    enc.write.mode("append").partitionBy("p").parquet(os.path.join(store_path, "by_p"))
+
+    # a delta that introduced no new terms leaves the dictionary exactly
+    # as it was — only flip the flag when ids actually appended
+    if n_new_terms:
+        _write_meta(spark, store_path, rank_ordered=False)
+
+    store = store_triples(spark, store_path)
+    # materialized layouts are DERIVED from the triple set — an append
+    # would leave them stale and the catalog would route qualifying stars
+    # to artifacts missing the delta (silent wrong results). Rebuild any
+    # that exist; both writers are mode(overwrite), so this is atomic-ish
+    # per artifact. (Layout manifests are local-FS by bulk_load contract.)
+    if os.path.exists(os.path.join(store_path, "ptable", "manifest.json")):
+        from d_sparq_spark.plans.catalog import StoreCatalog
+
+        cat = StoreCatalog().add_property_table(store)
+        if cat.ptable is not None:
+            cat.save_property_table(store_path)
+        else:
+            # a delta can make a previously-functional predicate multi-
+            # valued: no property table is expressible anymore — drop the
+            # stale artifact so open_store stops routing through it
+            import shutil
+
+            shutil.rmtree(os.path.join(store_path, "ptable"), ignore_errors=True)
+    if os.path.exists(os.path.join(store_path, "extvp", "manifest.json")):
+        from d_sparq_spark.operators.extvp import materialize_extvp
+
+        materialize_extvp(store, store_path)
+    # Stats merge is O(touched predicates), not O(store): a predicate the
+    # delta never wrote has bit-identical stats, so keep its old row and
+    # recompute only the delta's predicates — the filter prunes to those
+    # by_p/p=<id> directories (partition pruning), so a delta touching 3
+    # of 10k predicates re-scans 3 directories, not the store. The
+    # touched-predicate list is metadata-scale (distinct predicates are
+    # bounded in any RDF store) — a driver-side list is the A7 contract.
+    touched = [r["p"] for r in enc.select("p").distinct().collect()]
+    enc.unpersist()
+    old_stats = spark.read.parquet(os.path.join(store_path, "stats"))
+    kept = old_stats.filter(~F.col("p").isin(touched)).localCheckpoint()
+    recomputed = predicate_stats(store.filter(F.col("p").isin(touched)))
+    stats = kept.unionByName(recomputed)
+    stats.write.mode("overwrite").parquet(os.path.join(store_path, "stats"))
+    n_triples_row = (
+        spark.read.parquet(os.path.join(store_path, "stats"))
+        .agg(F.sum("cnt").alias("n"))
+        .collect()[0]["n"]
+    )
+    return {
+        "n_terms": int(n_terms),
+        "n_new_terms": int(n_new_terms),
+        "n_triples": int(n_triples_row or 0),
+    }
+
+
 def open_store(spark: SparkSession, store_path: str) -> EncodedSparqlEngine:
     """Reopen a bulk-loaded store as a queryable encoded engine. The
     stats parquet feeds the A7 selectivity ordering without rescanning;
@@ -130,7 +268,13 @@ def open_store(spark: SparkSession, store_path: str) -> EncodedSparqlEngine:
         catalog = cat.load_property_table(spark, store_path)
     if os.path.exists(os.path.join(store_path, "extvp", "manifest.json")):
         catalog = cat.load_extvp(spark, store_path)
-    engine = EncodedSparqlEngine(enc, dictionary, collect_stats=False, catalog=catalog)
+    engine = EncodedSparqlEngine(
+        enc,
+        dictionary,
+        collect_stats=False,
+        catalog=catalog,
+        dict_rank_ordered=_read_meta_rank_ordered(spark, store_path),
+    )
     stats_df = spark.read.parquet(os.path.join(store_path, "stats"))
     engine._stats = {r["p"]: r["cnt"] for r in stats_df.select("p", "cnt").collect()}
     return engine

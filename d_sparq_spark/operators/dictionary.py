@@ -68,6 +68,50 @@ def assign_ids(terms: DataFrame, col: str = "term", num_partitions: int | None =
     )
 
 
+def append_ids(
+    dictionary: DataFrame, new_terms: DataFrame, col: str = "term"
+) -> DataFrame:
+    """Delta-encode NEW terms against an existing dictionary: terms not
+    already present get ids ``max_id+1 ..`` assigned in lexicographic
+    order among themselves (same range-partitioned rank scheme as
+    :func:`assign_ids`, so the delta is deterministic and retry-stable).
+    Returns the DELTA rows only (id, term) — append them to the stored
+    dictionary.
+
+    Work is O(|delta|) plus one anti-join against the existing
+    dictionary — a growing 100 TB store no longer re-ranks every term on
+    every load (the full rebuild re-shuffled the whole term set). The
+    price: the combined dictionary remains a bijection but is NOT
+    globally rank-ordered anymore, so decode(min(id)) != min(term). Any
+    store this touches must record rank_ordered=false in its meta and
+    the encoded engine's MIN/MAX group peel must gate on that flag
+    (encoded_engine.EncodedSparqlEngine dict_rank_ordered)."""
+    existing = dictionary.select(F.col("term"))
+    fresh = new_terms.select(col).distinct().join(existing, on=col, how="left_anti")
+    max_row = dictionary.agg(F.max("id").alias("m")).collect()[0]["m"]
+    base = int(max_row or 0)
+    return assign_ids(fresh, col=col).select(
+        (F.col("id") + F.lit(base)).cast("long").alias("id"), "term"
+    )
+
+
+def extend_dictionary(dictionary: DataFrame, triples: DataFrame) -> DataFrame:
+    """Delta dictionary rows (id, term, kind) for the terms of ``triples``
+    that the existing dictionary lacks — build_dictionary's incremental
+    sibling (same kind classification)."""
+    from functools import reduce
+
+    cols = _positions(triples)
+    terms = reduce(
+        lambda a, b: a.unionByName(b),
+        (triples.select(F.col(c).alias("term")) for c in cols),
+    )
+    delta = append_ids(dictionary, terms)
+    return delta.withColumn(
+        "kind", F.when(F.col("term").rlike(_IRI_RE), "iri").otherwise("literal")
+    )
+
+
 def _positions(df: DataFrame) -> list[str]:
     """Term-carrying columns: s/p/o, plus g for quad stores (B17)."""
     return [c for c in ("s", "p", "o", "g") if c in df.columns]

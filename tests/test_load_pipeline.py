@@ -141,3 +141,134 @@ def test_bulk_load_ptable_skipped_when_no_functional_predicate(spark, tmp_path):
     info = bulk_load(spark, str(nt), store, materialize=("ptable",))
     assert info["n_triples"] == 4
     assert not os.path.exists(os.path.join(store, "ptable", "manifest.json"))
+
+
+# --- incremental dictionary append (r5, VERDICT r4 #3) ----------------------
+
+
+def _nt(path, lines):
+    path.write_text("".join(line + " .\n" for line in lines))
+    return str(path)
+
+
+def test_append_load_parity_with_lexical_engine(spark, tmp_path):
+    """bulk_load base + append_load delta == lexical engine over the union.
+    The delta's terms sort lexicographically BEFORE the base's, so the
+    combined dictionary is append-ordered, not rank-ordered: if the
+    encoded MIN/MAX peel ran anyway, min(id) would decode to a base term
+    while min(term) is a delta term — the parity check below catches
+    exactly that (the engine must take the decode-before-agg path)."""
+    import os
+
+    from d_sparq_spark.load_pipeline import append_load, bulk_load, open_store
+    from d_sparq_spark.sources.ntriples import parse_ntriples
+
+    base = _nt(tmp_path / "base.nt", [
+        '<s:m> <p:x> "mango"', '<s:m> <p:x> "zebra"',
+        '<s:n> <p:x> "melon"', '<s:n> <p:y> "nine"',
+    ])
+    delta = _nt(tmp_path / "delta.nt", [
+        '<s:m> <p:x> "apple"', '<s:a> <p:x> "berry"',
+        '<s:a> <p:y> "arc"', '<s:n> <p:x> "axe"',
+    ])
+    store = os.path.join(str(tmp_path), "store_app")
+    bulk_load(spark, base, store)
+    info = append_load(spark, delta, store)
+    assert info["n_new_terms"] > 0
+    assert info["n_triples"] == 8
+
+    engine = open_store(spark, store)
+    assert engine.dict_rank_ordered is False
+
+    both = parse_ntriples(spark.read.text(base)).unionByName(
+        parse_ntriples(spark.read.text(delta))
+    )
+    from d_sparq_spark.engine import SparqlEngine
+
+    lex = SparqlEngine(both, collect_stats=False)
+    queries = [
+        # MIN/MAX group — the peel-disabled parity the gate exists for
+        "SELECT ?s (MIN(?o) AS ?mn) (MAX(?o) AS ?mx) "
+        "WHERE { ?s <p:x> ?o } GROUP BY ?s",
+        # plain BGP spanning base and delta triples
+        "SELECT ?s ?o WHERE { ?s <p:x> ?o }",
+        # COUNT stays peelable either way
+        "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?s",
+    ]
+    for q in queries:
+        got = sorted(tuple(r) for r in engine.query(q).collect())
+        want = sorted(tuple(r) for r in lex.query(q).collect())
+        assert got == want and len(got) > 0, q
+
+
+def test_append_ids_delta_only_and_bijection(spark, tmp_path):
+    import os
+
+    from d_sparq_spark.load_pipeline import append_load, bulk_load
+
+    base = _nt(tmp_path / "b.nt", ['<s:b> <p:x> "bb"', '<s:c> <p:x> "cc"'])
+    delta = _nt(tmp_path / "d.nt", ['<s:a> <p:x> "aa"', '<s:b> <p:x> "bb"'])
+    store = os.path.join(str(tmp_path), "store_bij")
+    bulk_load(spark, base, store)
+    d0 = spark.read.parquet(os.path.join(store, "dict"))
+    base_ids = {r["term"]: r["id"] for r in d0.collect()}
+    append_load(spark, delta, store)
+    d1 = spark.read.parquet(os.path.join(store, "dict"))
+    rows = d1.collect()
+    ids = [r["id"] for r in rows]
+    terms = [r["term"] for r in rows]
+    assert len(ids) == len(set(ids)) and len(terms) == len(set(terms))  # bijection
+    after = {r["term"]: r["id"] for r in rows}
+    # existing assignments untouched; new terms strictly above old max
+    assert all(after[t] == i for t, i in base_ids.items())
+    new_terms = set(terms) - set(base_ids)
+    assert new_terms == {"s:a", "aa"}
+    assert all(after[t] > max(base_ids.values()) for t in new_terms)
+
+
+def test_append_without_new_terms_keeps_rank_order(spark, tmp_path):
+    import os
+
+    from d_sparq_spark.load_pipeline import append_load, bulk_load, open_store
+
+    base = _nt(tmp_path / "b2.nt", ['<s:a> <p:x> "v1"', '<s:b> <p:x> "v2"'])
+    delta = _nt(tmp_path / "d2.nt", ['<s:b> <p:x> "v1"'])  # all terms known
+    store = os.path.join(str(tmp_path), "store_noflip")
+    bulk_load(spark, base, store)
+    info = append_load(spark, delta, store)
+    assert info["n_new_terms"] == 0 and info["n_triples"] == 3
+    assert open_store(spark, store).dict_rank_ordered is True
+
+
+def test_append_load_rebuilds_stale_ptable(spark, tmp_path):
+    """A delta that makes a predicate multi-valued must not leave the
+    property-table artifact routing queries to pre-delta data."""
+    import os
+
+    from d_sparq_spark.load_pipeline import append_load, bulk_load, open_store
+
+    base = _nt(tmp_path / "b3.nt", [
+        '<s:a> <p:f> "1"', '<s:b> <p:f> "2"', '<s:a> <p:g> "x"', '<s:b> <p:g> "y"',
+    ])
+    store = os.path.join(str(tmp_path), "store_pt")
+    bulk_load(spark, base, store, materialize=("ptable",))
+    assert os.path.exists(os.path.join(store, "ptable", "manifest.json"))
+
+    # delta keeps p:f functional (new subject) -> ptable rebuilt with it
+    delta = _nt(tmp_path / "d3.nt", ['<s:c> <p:f> "3"', '<s:c> <p:g> "z"'])
+    append_load(spark, delta, store)
+    engine = open_store(spark, store)
+    q = "SELECT ?s ?f ?g WHERE { ?s <p:f> ?f ; <p:g> ?g }"
+    got = sorted(tuple(r) for r in engine.query(q).collect())
+    assert got == [
+        ("s:a", "1", "x"), ("s:b", "2", "y"), ("s:c", "3", "z"),
+    ]
+
+    # second delta makes p:f multi-valued -> the rebuilt ptable keeps only
+    # the still-functional p:g and answers stay right (s:a now has TWO f's)
+    delta2 = _nt(tmp_path / "d4.nt", ['<s:a> <p:f> "9"'])
+    append_load(spark, delta2, store)
+    engine2 = open_store(spark, store)
+    assert engine2.catalog is not None and len(engine2.catalog.pt_preds) == 1
+    got2 = sorted(tuple(r) for r in engine2.query(q).collect())
+    assert ("s:a", "9", "x") in got2 and ("s:a", "1", "x") in got2 and len(got2) == 4
