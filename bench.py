@@ -58,6 +58,11 @@ HEADLINE = [
     "q_sparql_path_plus_big",
     "q_sparql_path_plus_big_seeded",
     "q_closure_big_int",    # same closure over LONG ids — the encoding dividend
+    # r5: hub/power-law closure twins — the stride growth cap engages
+    # (composition blows past 8x|E| on the first doubling and is
+    # discarded); seeded vs unbound on a skewed-degree graph
+    "q_sparql_path_plus_hub",
+    "q_sparql_path_plus_hub_seeded",
     # r4: TPC-H completion — the three heaviest new shapes, bench-gated
     "q_tpch_q1",            # the canonical 8-aggregate scan pass
     "q_tpch_q9",            # 5-table profit join (largest join tree in the suite)

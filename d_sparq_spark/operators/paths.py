@@ -25,6 +25,11 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Diagnostics from the LAST seeded_closure stride build on this driver —
+# written when the 8x|E| growth cap discards a composed hop relation.
+# Test/bench introspection only (not thread-safe, not part of the API).
+LAST_WALK_INFO: dict = {}
+
 
 def transitive_closure(
     edges: DataFrame, max_iter: int = 48, group_col: str | None = None
@@ -245,6 +250,7 @@ def seeded_closure(
     # strided relation must stay edge-set-sized, not closure-sized.
     hop, depth = edges, 1
     n_prev = base_n
+    LAST_WALK_INFO.clear()
     while depth < stride:
         composed = (
             hop.alias("l")
@@ -265,6 +271,7 @@ def seeded_closure(
             # guard BEFORE adopting: the composed relation that blew past
             # the cap must be discarded, or every subsequent frontier join
             # pays for a closure-sized hop relation (the cap's whole point)
+            LAST_WALK_INFO.update(cap_engaged=True, cap_n=n2, base_n=base_n)
             break
         hop, depth = nxt, depth * 2
         if n2 == n_prev:

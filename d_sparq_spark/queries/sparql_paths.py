@@ -374,3 +374,48 @@ def q_closure_big_int(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("blk")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+# hub / power-law closure twins (r5): the graph whose 2-hop composition
+# blows past the stride growth cap (sum S_j^2 ~ 22x|E|), proving the
+# cap branch discards the exploded relation instead of adopting it.
+
+from d_sparq_spark.sources.synth_graph import (  # noqa: E402
+    BLOCKH,
+    synth_hub_closure_oracle_sql,
+    synth_hub_triples,
+    synth_hubs_for,
+)
+
+
+@register("q_sparql_path_plus_hub", oracle=synth_hub_closure_oracle_sql(seeded=False))
+def q_sparql_path_plus_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbound p+ over the hub graph (sources/synth_graph.py hub variant):
+    every in-spoke reaches every out-spoke through its hub, so the
+    closure is sum S_j^2 pairs — the doubling closure's worst shape per
+    edge. Output: pair counts per hub slot."""
+    store = synth_hub_triples(spark, synth_hubs_for(spark, sf_dir))
+    pairs = SparqlEngine(store, collect_stats=False).query(
+        "SELECT ?x ?y WHERE { ?x ex:next+ ?y }"
+    )
+    return (
+        pairs.select(F.expr(f"cast(substring(x, 2) as bigint) div {BLOCKH}").alias("hub"))
+        .groupBy("hub")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "q_sparql_path_plus_hub_seeded",
+    oracle=synth_hub_closure_oracle_sql(seeded=True),
+)
+def q_sparql_path_plus_hub_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bound p+ on the hub graph: ~1% of in-spokes carry ex:seed. The
+    seeded walk probes the cap branch directly — the edge set is small
+    enough for the upfront stride build, whose first composition exceeds
+    8x|E| and must be DISCARDED (paths.py growth guard); the walk then
+    finishes on raw single-hops. Exact (x, y) pairs, hash-checked."""
+    store = synth_hub_triples(spark, synth_hubs_for(spark, sf_dir))
+    return SparqlEngine(store, collect_stats=False).query(
+        "SELECT ?x ?y WHERE { ?x ex:seed ?s . ?x ex:next+ ?y }"
+    )

@@ -153,7 +153,9 @@ _LAST_ATTESTED: dict[str, int] = {
 # Queries first registered THIS round (round 5): they sort after the older
 # never-attested queries (q_tpch_q20/q22, which have waited a full round)
 # but before the already-attested ones — age priority, so no key starves.
-_NEW_THIS_ROUND: frozenset[str] = frozenset()
+_NEW_THIS_ROUND: frozenset[str] = frozenset({
+    "q_sparql_path_plus_hub", "q_sparql_path_plus_hub_seeded",
+})
 
 
 def all_queries() -> dict[str, Query]:

@@ -152,3 +152,133 @@ reach AS (
 SELECT src // {BLOCK} AS blk, COUNT(*) AS n_pairs
 FROM reach GROUP BY src // {BLOCK}
 """
+
+
+# --- hub / power-law variant (r5, VERDICT r4 #4) ----------------------------
+#
+# The chain graph never triggers the stride growth cap (paths.py: deepening
+# stops when the composed hop relation blows past 8x|E|) because chain
+# 2-paths grow linearly. This variant is hub-shaped: n_hubs star centers,
+# each with S_j in-spokes and S_j out-spokes where S_j = 64 >> (hash(j) % 5)
+# — a log-uniform degree mix from 64 down to 4 (power-law-ish, skewed join
+# keys). Every in-spoke reaches every out-spoke through its hub, so pairs
+# at distance <= 2 are sum S_j^2 ~ 22x|E| — the composition blows past the
+# 8x cap on the FIRST doubling and the cap branch must discard it. Same
+# oracle discipline as the chain graph: pure integer laws DuckDB replays
+# exactly, so the closure is hash-checkable, not rows-only.
+
+BLOCKH = 129  # hub slot: 1 hub + up to 64 in-spokes + up to 64 out-spokes
+S_MAX = 64
+
+_HJ = "((j * 2654435761 + 40503) % 2147483648)"
+_SJ = f"greatest(1, shiftright({S_MAX}, cast({_HJ} % 5 as int)))"
+_HID = "((id * 1103515245 + 12345) % 2147483648)"
+
+
+def synth_hubs_for(spark: SparkSession, sf_dir: str) -> int:
+    """Hub count follows the dataset: events/250 (footer count, no scan).
+    sf0.1 -> 400 hubs (~20k edges, ~450k closure pairs); sf0.01 -> 40."""
+    return max(4, spark.read.parquet(f"{sf_dir}/events.parquet").count() // 250)
+
+
+def _hub_frame(spark: SparkSession, n_hubs: int) -> DataFrame:
+    return (
+        spark.range(n_hubs)
+        .select(F.col("id").alias("j"))
+        .withColumn("s", F.expr(_SJ))
+    )
+
+
+def synth_hub_edges_int(spark: SparkSession, n_hubs: int) -> DataFrame:
+    """(src, dst) LONG edges of the bipartite hub graph. Node layout per
+    hub j (fixed slot width 129 regardless of realized degree):
+    hub = j*129, in-spokes j*129+1 .. +s, out-spokes j*129+65 .. +64+s."""
+    hubs = _hub_frame(spark, n_hubs)
+    spokes = hubs.select(
+        "j", F.explode(F.sequence(F.lit(0), F.col("s") - 1)).alias("i")
+    )
+    inb = spokes.select(
+        (F.col("j") * BLOCKH + 1 + F.col("i")).alias("src"),
+        (F.col("j") * BLOCKH).alias("dst"),
+    )
+    outb = spokes.select(
+        (F.col("j") * BLOCKH).alias("src"),
+        (F.col("j") * BLOCKH + 1 + S_MAX + F.col("i")).alias("dst"),
+    )
+    return inb.unionByName(outb)
+
+
+def synth_hub_triples(spark: SparkSession, n_hubs: int) -> DataFrame:
+    """(s, p, o) string triples: ex:next hub edges + ex:seed marks on a
+    hash-selected ~1% of in-spokes (in-spoke 1 of hub 0 is always a seed
+    so the bound walk is non-vacuous at every scale)."""
+    edges = synth_hub_edges_int(spark, n_hubs).select(
+        F.concat(F.lit("n"), F.col("src")).alias("s"),
+        F.lit("ex:next").alias("p"),
+        F.concat(F.lit("n"), F.col("dst")).alias("o"),
+    )
+    hubs = _hub_frame(spark, n_hubs)
+    seeds = (
+        hubs.select(
+            "j", F.explode(F.sequence(F.lit(0), F.col("s") - 1)).alias("i")
+        )
+        .select((F.col("j") * BLOCKH + 1 + F.col("i")).alias("id"))
+        .filter((F.expr(_HID) % 97 == 0) | (F.col("id") == 1))
+        .select(
+            F.concat(F.lit("n"), F.col("id")).alias("s"),
+            F.lit("ex:seed").alias("p"),
+            F.lit("y").alias("o"),
+        )
+    )
+    return edges.unionByName(seeds)
+
+
+_SQL_SJ = f"greatest(1, {S_MAX} >> CAST({_HJ} % 5 AS INT))"
+
+_ORACLE_HUB_EDGES = f"""
+nums AS (SELECT row_number() OVER () - 1 AS j FROM events),
+hubs AS (
+  SELECT j, {_SQL_SJ} AS s FROM nums
+  WHERE j < greatest(4, (SELECT COUNT(*) FROM events) // 250)
+),
+spokes AS (
+  SELECT j, s, i FROM hubs CROSS JOIN range(0, {S_MAX}) t(i) WHERE i < s
+),
+edges AS (
+  SELECT j * {BLOCKH} + 1 + i AS src, j * {BLOCKH} AS dst FROM spokes
+  UNION ALL
+  SELECT j * {BLOCKH} AS src, j * {BLOCKH} + 1 + {S_MAX} + i AS dst FROM spokes
+),
+seeds AS (
+  SELECT j * {BLOCKH} + 1 + i AS id FROM spokes
+  WHERE ((((j * {BLOCKH} + 1 + i) * 1103515245 + 12345) % 2147483648) % 97 = 0)
+     OR j * {BLOCKH} + 1 + i = 1
+)
+"""
+
+
+def synth_hub_closure_oracle_sql(seeded: bool) -> str:
+    """Recursive-CTE oracle over the same hub edges. Unbound: closure pair
+    counts per hub slot. Seeded: exact (x, y) pairs from the seed spokes."""
+    if seeded:
+        return f"""
+WITH RECURSIVE
+{_ORACLE_HUB_EDGES},
+sreach AS (
+  SELECT s.id AS sid, e.dst FROM seeds s JOIN edges e ON e.src = s.id
+  UNION
+  SELECT r.sid, e.dst FROM sreach r JOIN edges e ON e.src = r.dst
+)
+SELECT 'n' || CAST(sid AS VARCHAR) AS x, 'n' || CAST(dst AS VARCHAR) AS y FROM sreach
+"""
+    return f"""
+WITH RECURSIVE
+{_ORACLE_HUB_EDGES},
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+)
+SELECT src // {BLOCKH} AS hub, COUNT(*) AS n_pairs
+FROM reach GROUP BY src // {BLOCKH}
+"""

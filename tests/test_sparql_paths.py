@@ -500,3 +500,36 @@ def test_seeded_closure_grow_cap_switches_to_stride(spark):
     full = transitive_closure(e)
     want = full.join(s, full["src"] == s["n"], "left_semi")
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_hub_graph_growth_cap_engages_and_stays_correct(spark):
+    """r5 (VERDICT r4 #4): on the hub graph the FIRST stride composition
+    exceeds 8x|E| (every in-spoke x out-spoke pair materializes at
+    distance 2) — the guard must discard it and the walk must still
+    return the exact seeded closure."""
+    from pyspark.sql import functions as F
+
+    from d_sparq_spark.operators import paths
+    from d_sparq_spark.operators.paths import seeded_closure
+    from d_sparq_spark.sources.synth_graph import BLOCKH, S_MAX, synth_hub_edges_int
+
+    e = synth_hub_edges_int(spark, 16).select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+    )
+    base_n = e.count()
+    # seeds: first in-spoke of every hub
+    s = spark.range(16).select((F.col("id") * BLOCKH + 1).cast("string").alias("n"))
+    got = seeded_closure(e, s)
+    full = transitive_closure(e)
+    want = full.join(s, full["src"] == s["n"], "left_semi")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    assert got.count() > 0
+    assert paths.LAST_WALK_INFO.get("cap_engaged") is True
+    assert paths.LAST_WALK_INFO["cap_n"] > 8 * base_n
+    # degree mix is genuinely skewed: hash law realizes more than one S_j
+    degs = {r["s"] for r in
+            spark.range(16).selectExpr(
+                "greatest(1, shiftright(64, cast(((id * 2654435761 + 40503) % 2147483648) % 5 as int))) as s"
+            ).collect()}
+    assert len(degs) >= 3 and max(degs) == S_MAX
