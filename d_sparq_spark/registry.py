@@ -155,6 +155,7 @@ _LAST_ATTESTED: dict[str, int] = {
 # but before the already-attested ones — age priority, so no key starves.
 _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "q_sparql_path_plus_hub", "q_sparql_path_plus_hub_seeded",
+    "q_ivf_recall",
 })
 
 

@@ -393,3 +393,34 @@ def test_lsh_candidate_pairs_rejects_narrow_signature(spark):
     sig = D.minhash_signature(_docs(spark), num_hashes=16)
     with pytest.raises(Exception, match="signature narrower"):
         D.lsh_candidate_pairs(sig, num_bands=8, rows_per_band=4).collect()
+
+
+def test_ivf_recall_floor_and_probe_all_is_exact(spark):
+    """r5 (VERDICT r4 #5): IVF recall@3 vs the exact quantized top-3 is a
+    deterministic checked metric; probing ALL cells must reproduce the
+    exact result set (the IVF twin degenerates to brute force)."""
+    from d_sparq_spark.queries.llm_ops import q_ivf_recall
+    from tests.conftest import SF_SMOKE
+
+    out = {r["qid"]: r["recall"] for r in q_ivf_recall(spark, SF_SMOKE).collect()}
+    assert len(out) == 5
+    mean = sum(out.values()) / len(out)
+    assert mean >= 0.8  # measured 0.933 at sf0.001 AND sf0.01, deterministic
+    rerun = {r["qid"]: r["recall"] for r in q_ivf_recall(spark, SF_SMOKE).collect()}
+    assert rerun == out
+
+    from d_sparq_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n_cells = 4
+    exact = {
+        (r["qid"], r["cid"], r["rn"])
+        for r in S.scaled_int_cosine_topk(emb, F.col("vec_id") < 3, k=3).collect()
+    }
+    probe_all = {
+        (r["qid"], r["cid"], r["rn"])
+        for r in S.ivf_int_topk(
+            emb, F.col("vec_id") < 3, k=3, n_centroids=n_cells, n_probe=n_cells
+        ).collect()
+    }
+    assert probe_all == exact and len(exact) == 9
