@@ -312,3 +312,62 @@ def test_tpch_q7_nation_filters_cut_facts_before_fact_join(spark):
     assert plan.count("BroadcastHashJoin") >= 3
     # dim filtered at its scan (DataFilters spelling; PushedFilters truncates)
     assert re.search(r"n_name#\d+ IN \(NATION_20,NATION_11\)", plan)
+
+
+# --- broadcast independence (r5, VERDICT r4 #6) -----------------------------
+#
+# Several earlier plan asserts implicitly ride on sf0.001-sized sides
+# AUTO-broadcasting. At 100 TB nothing auto-broadcasts — the only joins
+# that may broadcast are the ones the operators hint EXPLICITLY (k-row
+# centroids, driver-computed offsets, VALUES/ground tuples, reduced dims).
+# This lap disables autoBroadcastJoinThreshold and asserts the hinted
+# joins still broadcast.
+
+_HINTED = [
+    # query -> minimum explicitly-hinted BroadcastHashJoin/NestedLoop count
+    ("q_flagship", 1),        # nation dim is the one EXPLICIT hint in q_flagship
+                              # (the r5 blackout lap showed customer/orders
+                              # auto-broadcast at sf0.001 — exactly the implicit
+                              # reliance this lap exists to separate out)
+    ("q_kmeans", 1),          # k-row centroid crossJoin (similarity.py:522)
+    ("q_ivf_recall", 1),      # centroid probe + exact-topk broadcast query side
+    ("q_cosine_topk", 1),     # broadcast query block (similarity.py:59)
+    ("q_join_broadcast", 1),  # the explicit broadcast-join coverage query
+    ("q_join_salted", 1),     # salted skew join broadcasts the replicated small side
+    ("q_dict_encode", 0),     # dictionary rank: offsets broadcast (BroadcastExchange)
+]
+
+
+@pytest.mark.parametrize("name,min_bcast", [(n, m) for n, m in _HINTED])
+def test_hinted_joins_survive_broadcast_blackout(spark, name, min_bcast):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, name)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    n_b = plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin")
+    assert n_b >= min_bcast, f"{name}: hinted broadcasts vanished under -1:\n{plan[:2000]}"
+    # the offsets/centroids exchanges must still be broadcast-mode
+    if name in ("q_dict_encode", "q_kmeans", "q_ivf_recall"):
+        assert "BroadcastExchange" in plan
+
+
+def test_blackout_does_not_broadcast_unhinted_fact_join(spark):
+    """Counter-probe: with auto-broadcast off, a plain fact join (no hint)
+    must NOT broadcast — proves the lap above is measuring the hints, not
+    a conf leak."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sf = "/root/testdata/sf0.001"
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        plan = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
