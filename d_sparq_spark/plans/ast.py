@@ -318,3 +318,63 @@ def subnodes(node):
             yield sub
     if isinstance(node, Filter) and isinstance(node.expr, ExistsExpr):
         yield node.expr.group
+
+
+def certain_vars(node) -> set:
+    """Variables CERTAINLY bound (never NULL) in every solution of
+    ``node`` — the static analysis behind SPARQL solution-compatibility
+    joins (translate.Translator._join_compat): a shared variable that is
+    certain on BOTH join sides can use a plain equi-join; one that may be
+    unbound needs the IS NULL-compatible condition. Conservative by
+    design — anything not provably bound is treated as maybe-unbound, so
+    an under-approximation only costs plan quality, never correctness."""
+    def pat_vars(p) -> set:
+        out = set()
+        for a in ("s", "p", "o"):
+            v = getattr(p, a, None)
+            if isinstance(v, str) and v.startswith("?"):
+                out.add(v[1:])
+        return out
+
+    if isinstance(node, BGP):
+        out: set = set()
+        for p in node.patterns:
+            out |= pat_vars(p)
+        return out
+    if isinstance(node, Join):
+        return certain_vars(node.left) | certain_vars(node.right)
+    if isinstance(node, (LeftJoin, Minus)):
+        return certain_vars(node.left)
+    if isinstance(node, Union):
+        return certain_vars(node.left) & certain_vars(node.right)
+    if isinstance(node, Filter):
+        return certain_vars(node.child)
+    if isinstance(node, Bind):
+        # the BIND expression may evaluate to error/NULL -> target is maybe
+        return certain_vars(node.child)
+    if isinstance(node, Values):
+        bound = {
+            v
+            for i, v in enumerate(node.varnames)
+            if all(row[i] is not None for row in node.rows)
+        }
+        if node.child is None:
+            return bound
+        return bound | certain_vars(node.child)
+    if isinstance(node, Group):
+        # group keys survive iff certain below; aggregate outputs can be
+        # NULL (MIN over all-unbound) -> maybe
+        return set(node.keys) & certain_vars(node.child)
+    if isinstance(node, Project):
+        base = certain_vars(node.child) & set(node.vars)
+        return base - {v for v, _ in node.exprs}
+    if isinstance(node, (Distinct, OrderBy, Slice)):
+        return certain_vars(node.child)
+    if isinstance(node, Graph):
+        inner = certain_vars(node.child)
+        t = node.term
+        if isinstance(t, str) and t.startswith("?"):
+            inner = inner | {t[1:]}
+        return inner
+    # Service, Reduced, unknown nodes: no guarantee
+    return set()

@@ -360,6 +360,26 @@ class Parser:
                 "FILTER for row-level conditions)"
             )
         if aggs or group_keys is not None:
+            # SPARQL 1.1 §18.2.4.4: in an aggregate query the SELECT list
+            # may contain only grouped variables, aggregate expressions,
+            # and expressions over those — a bare non-grouped variable (or
+            # SELECT *) is a SYNTAX error, not a silent first()/ANY_VALUE
+            # (r5 W3C sweep: agg_projection_restriction).
+            if select_all:
+                raise SyntaxError(
+                    "SPARQL: SELECT * cannot be used with GROUP BY/aggregates"
+                )
+            derived = {n for n, _ in aggs} | {n for n, _ in proj_exprs}
+            keys = set(group_keys or [])
+            bad = sorted({v for v in proj_vars if v not in derived} - keys)
+            for name, e in proj_exprs:
+                bad += sorted(A.expr_vars(e) - keys - derived)
+            if bad:
+                raise SyntaxError(
+                    "SPARQL: non-grouped variable(s) in aggregate SELECT "
+                    f"list: {', '.join('?' + v for v in sorted(set(bad)))} "
+                    "(project only GROUP BY keys and aggregates)"
+                )
             if having is not None:
                 # spec-form HAVING (COUNT(?x) > 5): aggregates cannot run
                 # inside DataFrame.filter — lift each into the Group as a

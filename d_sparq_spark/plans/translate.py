@@ -108,7 +108,10 @@ class Translator:
         if isinstance(node, A.BGP):
             return self._bgp(node)
         if isinstance(node, A.Join):
-            return join_bindings(self.eval(node.left), self.eval(node.right))
+            return self._join_compat(
+                self.eval(node.left), self.eval(node.right),
+                node.left, node.right, "inner",
+            )
         if isinstance(node, A.LeftJoin):
             left = self.eval(node.left)
             if not left.columns:
@@ -126,7 +129,9 @@ class Translator:
                 )
                 guard = nulls.join(right.limit(1), F.lit(True), "left_anti")
                 return right.unionByName(guard)
-            return join_bindings(left, self.eval(node.right), "left_outer")
+            return self._join_compat(
+                left, self.eval(node.right), node.left, node.right, "left_outer"
+            )
         if isinstance(node, A.Union):
             l, r = self.eval(node.left), self.eval(node.right)
             return l.unionByName(r, allowMissingColumns=True)
@@ -776,6 +781,54 @@ class Translator:
             return child if keep else child.limit(0)
         return child.filter(self.expr(e, child))
 
+    def _join_compat(
+        self, left: DataFrame, right: DataFrame, node_l, node_r, how: str
+    ) -> DataFrame:
+        """Join/LeftJoin under SPARQL solution COMPATIBILITY (§18.3): an
+        unbound (NULL) shared variable is compatible with anything, and
+        the merged solution takes whichever side bound it. A plain
+        equi-join treats the NULL as a never-matching key — wrong whenever
+        OPTIONAL/UNION/VALUES-UNDEF left a shared variable partially
+        bound (r5 W3C sweep: double_optional_shared_var,
+        values_undef_wildcard).
+
+        Plan shape: certain_vars (static algebra analysis, zero runtime
+        probes) splits the shared variables into certainly-bound — plain
+        hash-join keys, which is every standard BGP chain, so the fast
+        path is byte-identical to before — and maybe-unbound, which add
+        IS NULL-compatible residual conditions plus a COALESCE merge.
+        With at least one certain key Spark still plans a hash join with
+        residuals; the all-maybe shape degrades to a conditioned join
+        (query-shaped rarity; the 2^k null-pattern split of
+        _compat_semi_anti is the known upgrade if it ever matters)."""
+        shared = sorted(set(left.columns) & set(right.columns))
+        if not shared:
+            return join_bindings(left, right, how)
+        cl, cr = A.certain_vars(node_l), A.certain_vars(node_r)
+        maybe = [v for v in shared if v not in cl or v not in cr]
+        if not maybe:
+            return join_bindings(left, right, how)
+        rr = right
+        for v in shared:
+            rr = rr.withColumnRenamed(v, f"__jc_{v}")
+        cond = F.lit(True)
+        for v in shared:
+            if v in maybe:
+                c = (
+                    left[v].isNull()
+                    | rr[f"__jc_{v}"].isNull()
+                    | (left[v] == rr[f"__jc_{v}"])
+                )
+            else:
+                c = left[v] == rr[f"__jc_{v}"]
+            cond = cond & c
+        out = left.join(rr, cond, how)
+        for v in shared:
+            out = out.withColumn(
+                v, F.coalesce(left[v], rr[f"__jc_{v}"])
+            ).drop(f"__jc_{v}")
+        return out
+
     def _compat_semi_anti(
         self,
         child: DataFrame,
@@ -926,6 +979,13 @@ class Translator:
 
     def expr(self, e, df: DataFrame, numeric: bool = False) -> Column:
         if isinstance(e, A.Var):
+            if e.name not in df.columns:
+                # a variable bound NOWHERE in scope is unbound in every
+                # solution: SPARQL evaluates it as a type error, so the
+                # expression yields NULL (FILTER drops, BOUND() is false,
+                # COALESCE falls through) — not an analysis crash (r5
+                # W3C sweep: filter_unbound_var_is_error_row_dropped)
+                return F.lit(None)
             c = F.col(e.name)
             # try_cast, not cast: under ANSI mode a pushed-down numeric
             # predicate may evaluate over non-numeric terms (e.g. pushed
