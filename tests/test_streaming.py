@@ -271,3 +271,76 @@ def test_stream_dedup_batch_retry_is_idempotent(spark, tmp_path):
     proc(spark.createDataFrame([(9, "a")], "doc_id long, text string"), 1)
     nxt = spark.read.schema(SD.VERDICT_SCHEMA).parquet(verdict_dir + "/batch_id=1")
     assert [r["verdict"] for r in nxt.collect()] == ["dup_in_batch"]
+
+
+def test_watermark_drops_late_rows_exact_split(spark, tmp_path):
+    """r5 (VERDICT r4 #8): the suite proved stream==batch on replay but
+    never asserted DROPPED late data. Four micro-batches (file source,
+    maxFilesPerTrigger=1, mtime-ordered) drive the documented watermark
+    life cycle with a 30-min delay on 1-hour tumbling windows. A late row
+    is dropped only once its window's state was EVICTED (eviction uses
+    the during-batch watermark; a late row landing in the same batch its
+    window finalizes still counts — measured, not assumed):
+
+      b0: 10:00, 10:10, 12:00      -> wm after b0 = 11:30
+      b1: 11:45 (end 12:00 > 11:30 KEPT), 12:30
+          window [10:00,11:00) evicted at end of b1 -> emits count 2
+      b2 (wm 12:00): 10:20 -> window end 11:00 <= 12:00, state gone:
+          DROPPED (numRowsDroppedByWatermark). 12:15 -> end 13:00 >
+          12:00: late but KEPT. 13:30 advances wm.
+      b3 (wm 13:00): dummy 14:30 -> evicts [12:00,13:00) = 3 rows
+          (12:00 + 12:30 + the late-kept 12:15). availableNow then runs
+          one final EMPTY batch with wm 14:00, flushing [13:00,14:00)=1
+          (measured: the final commit batch is part of the contract).
+    """
+    import os
+    import time
+
+    src = str(tmp_path / "wm_src")
+    os.makedirs(src)
+
+    def write_file(name, ts_list, mtime):
+        df = spark.createDataFrame(
+            [(f"2024-01-01 {t}:00",) for t in ts_list], "raw string"
+        ).select(F.col("raw").cast("timestamp").alias("ts"))
+        part = str(tmp_path / ("stage_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(part)
+        pf = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+        dst = os.path.join(src, name + ".parquet")
+        os.rename(os.path.join(part, pf), dst)
+        os.utime(dst, (mtime, mtime))
+
+    t0 = time.time() - 1000
+    write_file("b0", ["10:00", "10:10", "12:00"], t0)
+    write_file("b1", ["11:45", "12:30"], t0 + 100)
+    write_file("b2", ["10:20", "12:15", "13:30"], t0 + 200)
+    write_file("b3", ["14:30"], t0 + 300)
+
+    stream = (
+        spark.readStream.schema("ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "30 minutes")
+    )
+    agg = stream.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_wm_late_drop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {
+        r["w"].start.strftime("%H:%M"): r["n"]
+        for r in spark.table("t_wm_late_drop").collect()
+    }
+    assert got == {"10:00": 2, "11:00": 1, "12:00": 3, "13:00": 1}, got
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    assert dropped == 1, q.recentProgress  # exactly the 10:20 row
