@@ -147,3 +147,90 @@ def results_csv(df: DataFrame, limit: int | None = None) -> str:
             out.append(m.group(1) if m else s)
         w.writerow(out)
     return buf.getvalue()
+
+
+# --- large-result streaming path (r5, VERDICT r4 #9) -------------------------
+#
+# results_json/results_csv collect the full result when limit=None — right
+# for endpoint-sized answers, wrong when a SELECT/CONSTRUCT result is
+# data-scale. The iterator forms below pull one partition at a time via
+# toLocalIterator, so driver memory is bounded by a partition while the
+# emitted document is byte-identical to the collect form.
+
+
+def iter_results_json(df: DataFrame, limit: int | None = None):
+    """Yield the SPARQL 1.1 JSON results document as string chunks —
+    header first, then one chunk per binding row, then the closer. Driver
+    memory is O(partition), not O(result); ''.join(...) equals
+    results_json(df) byte for byte."""
+    cols = df.columns
+    if limit is not None:
+        df = df.limit(limit)
+    head = json.dumps({"head": {"vars": cols}}, ensure_ascii=False)
+    yield head[:-1] + ', "results": {"bindings": ['
+    first = True
+    for r in df.toLocalIterator():
+        b = {}
+        for c in cols:
+            t = term_to_json(r[c])
+            if t is not None:
+                b[c] = t
+        chunk = json.dumps(b, ensure_ascii=False)
+        yield chunk if first else ", " + chunk
+        first = False
+    yield "]}}"
+
+
+def iter_results_csv(df: DataFrame, limit: int | None = None):
+    """Yield the CSV results document line by line (header first), same
+    lexical rules as results_csv; ''.join(...) equals results_csv(df)."""
+    import csv
+    import io
+
+    cols = df.columns
+    if limit is not None:
+        df = df.limit(limit)
+
+    def line(values) -> str:
+        buf = io.StringIO()
+        csv.writer(buf, lineterminator="\r\n").writerow(values)
+        return buf.getvalue()
+
+    yield line(cols)
+    for r in df.toLocalIterator():
+        out = []
+        for c in cols:
+            v = r[c]
+            if v is None:
+                out.append("")
+                continue
+            if isinstance(v, bool):
+                out.append("true" if v else "false")
+                continue
+            s = _double_lexical(v) if isinstance(v, float) else str(v)
+            m = _TYPED.match(s) or _TAGGED.match(s)
+            out.append(m.group(1) if m else s)
+        yield line(out)
+
+
+def write_results(
+    df: DataFrame, path: str, fmt: str = "json", limit: int | None = None
+) -> int:
+    """Stream a results document to a local file without materializing the
+    result on the driver. Returns the number of binding rows written.
+    For genuinely data-scale output prefer a distributed sink
+    (df.write.parquet) — this is the endpoint-format path made safe for
+    results bigger than driver memory."""
+    if fmt not in ("json", "csv"):
+        raise ValueError(f"write_results: unknown format {fmt!r}")
+    it = iter_results_json(df, limit) if fmt == "json" else iter_results_csv(df, limit)
+    n = 0
+    overhead = 2 if fmt == "json" else 1  # header + closer / header line
+    # newline="" so the CSV's spec-mandated \r\n terminators are
+    # written verbatim (text-mode translation would corrupt them on
+    # platforms where os.linesep differs)
+    with open(path, "w", encoding="utf-8", newline="") as f:
+        for i, chunk in enumerate(it):
+            f.write(chunk)
+            n = i + 1
+    return max(0, n - overhead)
