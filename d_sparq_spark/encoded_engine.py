@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from d_sparq_spark.operators.rdf_patterns import TriplePattern
+from d_sparq_spark.operators.rdf_patterns import TriplePattern, _is_var
 from d_sparq_spark.plans import ast as A
 from d_sparq_spark.plans.parser import parse_sparql
 from d_sparq_spark.plans.translate import Translator
@@ -37,10 +37,6 @@ from d_sparq_spark.plans.translate import Translator
 _MISSING_ID = -(2**62)  # never assigned by the dictionary (ids are >= 1)
 
 _STRUCTURAL = (A.BGP, A.Join, A.LeftJoin, A.Union, A.Minus, A.Values, A.Graph)
-
-
-def _is_var(t: object) -> bool:
-    return isinstance(t, str) and t.startswith("?")
 
 
 def _subst_expr_vars(e, mapping: dict):
@@ -73,6 +69,10 @@ class _EncodedTranslator(Translator):
     dropped — bindings stay encoded for every surrounding join. This is
     the column-pruned replacement for the old decode-everything fallback
     (round-2 VERDICT item 3)."""
+
+    # shared-variable bindings are dictionary ids — compatibility merges
+    # reconcile toward the id type, never string (Translator._ID_TYPED doc)
+    _ID_TYPED = True
 
     def __init__(
         self,
@@ -328,13 +328,11 @@ class EncodedSparqlEngine:
                 "projection expressions run on values, not IDs"
             )
         for sub in A.subnodes(node):
-            # includes EXISTS groups (review r4: a BIND nested inside an
-            # EXISTS pattern previously slipped past this check and would
-            # have produced lexical bindings mid-ID-join; it now routes to
-            # the decode-early fallback like every other nested BIND)
+            # subnodes includes EXISTS groups (review r4: a BIND nested
+            # inside an EXISTS pattern previously slipped past this check)
+            # — walking them AGAIN here doubled the visit count per
+            # nesting level, 2^depth on EXISTS-in-EXISTS chains (review r5)
             self._check_structural(sub)
-        if isinstance(node, A.Filter) and isinstance(node.expr, A.ExistsExpr):
-            self._check_structural(node.expr.group)
 
     # -- structural/value split ----------------------------------------------
 
@@ -355,6 +353,17 @@ class EncodedSparqlEngine:
     def query(self, sparql: str) -> DataFrame:
         tree = parse_sparql(sparql)
         root = tree.root if isinstance(tree, A.SelectQuery) else tree
+        if isinstance(root, (A.Modify, A.InsertData, A.DeleteData)):
+            # UPDATE mutates the store: the encoded engine's store is an
+            # immutable relation and _rewrite never visits Modify.where
+            # (review r5) — fail with intent instead of a raw eval
+            # TypeError (or, worse, a future encoded path matching nothing
+            # because WHERE constants were never rewritten to ids)
+            raise NotImplementedError(
+                "EncodedSparqlEngine: SPARQL UPDATE is not supported on an "
+                "encoded store — run updates through SparqlEngine and "
+                "re-encode (bulk_load/append_load)"
+            )
 
         consts: set = set()
         try:

@@ -125,11 +125,19 @@ def _write_meta(spark: SparkSession, store_path: str, rank_ordered: bool) -> Non
 def _read_meta_rank_ordered(spark: SparkSession, store_path: str) -> bool:
     """True when the store's dictionary is rank-ordered. Stores loaded
     before the meta/ manifest existed were always full bulk_load rebuilds,
-    so a missing manifest means rank-ordered."""
+    so a MISSING manifest means rank-ordered — but only path-not-found may
+    default True: any other read failure (corrupt footer, permissions)
+    must propagate rather than fail OPEN into the order-dependent MIN/MAX
+    peel on a possibly append-ordered store (review r5)."""
+    from pyspark.errors import AnalysisException
+
     try:
         rows = spark.read.parquet(os.path.join(store_path, "meta")).collect()
-    except Exception:
-        return True
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return True
+        raise
     return bool(rows and rows[0]["rank_ordered"])
 
 
@@ -166,6 +174,13 @@ def append_load(spark: SparkSession, nt_path: str, store_path: str) -> dict:
     delta_dict = extend_dictionary(existing_dict, triples).localCheckpoint()
     n_new_terms = delta_dict.count()
     if n_new_terms:
+        # flip the flag BEFORE the dict append (review r5): a crash after
+        # the append but before a late flag write would leave an append-
+        # ordered dictionary still marked rank-ordered, and the retry's
+        # anti-join would find no new terms so the flag would never flip —
+        # silently wrong MIN/MAX peels forever. Degrading first is safe in
+        # both directions (worst case: a rank-ordered store loses the peel).
+        _write_meta(spark, store_path, rank_ordered=False)
         delta_dict.write.mode("append").parquet(os.path.join(store_path, "dict"))
 
     # encode against the COMBINED dictionary read back from the store (the
@@ -177,14 +192,9 @@ def append_load(spark: SparkSession, nt_path: str, store_path: str) -> dict:
     # term is present by construction after the append above.
     full_dict = spark.read.parquet(os.path.join(store_path, "dict"))
     n_terms = full_dict.count()
-    from functools import reduce as _reduce
+    from d_sparq_spark.operators.dictionary import distinct_terms
 
-    from d_sparq_spark.operators.dictionary import _positions
-
-    delta_terms = _reduce(
-        lambda a, b: a.unionByName(b),
-        (triples.select(F.col(c).alias("term")) for c in _positions(triples)),
-    ).distinct()
+    delta_terms = distinct_terms(triples)
     n_delta_terms = delta_terms.count()
     reduced_dict = full_dict.join(delta_terms, "term", "semi")
     # persist: the encoded delta feeds the by_p write AND the touched-
@@ -194,11 +204,6 @@ def append_load(spark: SparkSession, nt_path: str, store_path: str) -> dict:
         triples, reduced_dict, broadcast_dict=n_delta_terms <= 10_000_000
     ).persist()
     enc.write.mode("append").partitionBy("p").parquet(os.path.join(store_path, "by_p"))
-
-    # a delta that introduced no new terms leaves the dictionary exactly
-    # as it was — only flip the flag when ids actually appended
-    if n_new_terms:
-        _write_meta(spark, store_path, rank_ordered=False)
 
     store = store_triples(spark, store_path)
     # materialized layouts are DERIVED from the triple set — an append

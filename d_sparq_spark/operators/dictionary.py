@@ -95,18 +95,24 @@ def append_ids(
     )
 
 
+def distinct_terms(triples: DataFrame) -> DataFrame:
+    """One-column (term) relation of the DISTINCT terms across a triple/
+    quad frame's s/p/o(/g) — the shared front half of build_dictionary,
+    extend_dictionary, and append_load's dictionary-slice reduction."""
+    from functools import reduce
+
+    cols = _positions(triples)
+    return reduce(
+        lambda a, b: a.unionByName(b),
+        (triples.select(F.col(c).alias("term")) for c in cols),
+    ).distinct()
+
+
 def extend_dictionary(dictionary: DataFrame, triples: DataFrame) -> DataFrame:
     """Delta dictionary rows (id, term, kind) for the terms of ``triples``
     that the existing dictionary lacks — build_dictionary's incremental
     sibling (same kind classification)."""
-    from functools import reduce
-
-    cols = _positions(triples)
-    terms = reduce(
-        lambda a, b: a.unionByName(b),
-        (triples.select(F.col(c).alias("term")) for c in cols),
-    )
-    delta = append_ids(dictionary, terms)
+    delta = append_ids(dictionary, distinct_terms(triples))
     return delta.withColumn(
         "kind", F.when(F.col("term").rlike(_IRI_RE), "iri").otherwise("literal")
     )

@@ -593,9 +593,12 @@ def ivf_int_topk(
         embeddings, k=n_centroids, n_iter=n_iter,
         id_col=id_col, vec_col=vec_col, with_centroids=True,
     )
+    # persist: the quantized base feeds BOTH the inverted file and the
+    # query side — the module's semantic_dedup discipline (unpersisted,
+    # the scan+quantize+norm pass runs once per consuming subtree)
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), quantize(F.col(vec_col)).alias("v")
-    ).withColumn("nrm", int_dot(F.col("v"), F.col("v")))
+    ).withColumn("nrm", int_dot(F.col("v"), F.col("v"))).persist()
     inv = base.join(
         assign.select("vec_id", F.col("cluster").alias("cid")), "vec_id"
     )

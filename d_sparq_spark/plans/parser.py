@@ -31,7 +31,7 @@ _TOKEN_RE = re.compile(
   | (?P<PNAME>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?)
   | (?P<NS>[A-Za-z_][A-Za-z0-9_-]*:)
   | (?P<KEYWORD>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<OP><=|>=|!=|\|\||&&|[=<>!*/+\-(){},.;|^?])
+  | (?P<OP><=|>=|!=|\|\||&&|[=<>!*/+\-(){},.;|^?\[\]])
     """,
     re.VERBOSE,
 )
@@ -189,7 +189,7 @@ class Parser:
             if self.at_op("."):
                 self.next()
                 continue
-            self.parse_triples_same_subject(out)
+            self.parse_triples_same_subject(out, allow_bnpl=False)
         self.eat_op("}")
         return out
 
@@ -262,7 +262,7 @@ class Parser:
             if self.at_op("."):
                 self.next()
                 continue
-            self.parse_triples_same_subject(template)
+            self.parse_triples_same_subject(template, allow_bnpl=False)
         self.eat_op("}")
         if self.at_kw("where"):
             self.next()
@@ -359,7 +359,16 @@ class Parser:
                 "SELECT list (it filters groups, not solutions — use "
                 "FILTER for row-level conditions)"
             )
-        if aggs or group_keys is not None:
+        if aggs or group_keys is not None or any(
+            self._contains_agg(e) for _, e in proj_exprs
+        ):
+            # Expressions OVER aggregates — (MAX(?a) - MIN(?a) AS ?spread)
+            # — lift their nested aggregates into the Group as hidden
+            # columns (same device as HAVING), leaving the expression a
+            # plain post-Group computation; this also makes a query whose
+            # only aggregates are nested count as an aggregate query
+            # (implicit single group) per §18.2.4 (review r5).
+            proj_exprs = [(n, self._lift_having_aggs(e, aggs)) for n, e in proj_exprs]
             # SPARQL 1.1 §18.2.4.4: in an aggregate query the SELECT list
             # may contain only grouped variables, aggregate expressions,
             # and expressions over those — a bare non-grouped variable (or
@@ -427,6 +436,18 @@ class Parser:
         if offset or limit is not None:
             root = A.Slice(offset, limit, root)
         return A.SelectQuery(root=root)
+
+    def _contains_agg(self, e) -> bool:
+        if isinstance(e, A.Aggregate):
+            return True
+        if isinstance(e, A.BinOp):
+            rights = e.right if isinstance(e.right, (list, tuple)) else [e.right]
+            return self._contains_agg(e.left) or any(self._contains_agg(i) for i in rights)
+        if isinstance(e, A.UnOp):
+            return self._contains_agg(e.operand)
+        if isinstance(e, A.FuncCall):
+            return any(self._contains_agg(a) for a in e.args)
+        return False
 
     def _lift_having_aggs(self, e, aggs: list):
         """Rewrite aggregates inside a HAVING expression to variable
@@ -580,12 +601,40 @@ class Parser:
         return node
 
     # ---- triples ----
-    def parse_triples_same_subject(self, out: list) -> None:
+    def parse_triples_same_subject(self, out: list, allow_bnpl: bool = True) -> None:
+        if self.at_op("["):
+            # blankNodePropertyList as SUBJECT: [ p o ; ... ] (propList) —
+            # the trailing property list is OPTIONAL per the grammar
+            # (TriplesNode PropertyList). The continuation test must be
+            # "next token can START a verb", not "next is .\/}": OPTIONAL/
+            # FILTER/GRAPH/... may follow a triples block without a dot,
+            # and treating the keyword as a predicate either errors on
+            # valid SPARQL or silently emits a bogus constant-predicate
+            # pattern (review r5)
+            s = self._bnpl(out, allow_bnpl)
+            if not self._at_verb_start():
+                return
+            self._parse_property_list(out, s, allow_bnpl)
+            return
         s = self.parse_term()
+        self._parse_property_list(out, s, allow_bnpl)
+
+    def _at_verb_start(self) -> bool:
+        """Can the next token begin a verb (IRI/PNAME/var/'a'/path
+        operators)? Group-level keywords (OPTIONAL, FILTER, ...) and
+        structural tokens can't."""
+        t = self.peek()
+        if t.kind in ("VAR", "PNAME", "IRIREF", "NS"):
+            return True
+        if t.kind == "KEYWORD" and t.text.lower() == "a":
+            return True
+        return t.kind == "OP" and t.text in ("^", "!", "(")
+
+    def _parse_property_list(self, out: list, s, allow_bnpl: bool = True) -> None:
         while True:
             p = self.parse_verb()
             while True:
-                o = self.parse_term()
+                o = self._bnpl(out, allow_bnpl) if self.at_op("[") else self.parse_term()
                 self._emit_pattern(out, s, p, o)
                 if self.at_op(","):
                     self.next()
@@ -597,6 +646,30 @@ class Parser:
                     break
                 continue
             break
+
+    def _bnpl(self, out: list, allow_bnpl: bool) -> str:
+        """'[' propertyListNotEmpty? ']' — a blank node in a query pattern
+        is a NON-DISTINGUISHED variable (SPARQL 1.1 §4.1.4), so it
+        desugars to a parser-fresh variable (the same device as sequence
+        paths; SELECT * hides __-prefixed columns). Inner patterns emit
+        into the same BGP. Not allowed in CONSTRUCT/UPDATE templates:
+        a template bnode means a FRESH bnode per solution, which a shared
+        variable (or constant label) cannot express — clear error instead
+        of wrong semantics."""
+        if not allow_bnpl:
+            raise SyntaxError(
+                "SPARQL: blank node property lists are not supported in "
+                "CONSTRUCT/UPDATE templates (use an explicit variable or "
+                "per-solution _:label where supported)"
+            )
+        self.eat_op("[")
+        v = self.fresh_var()
+        if self.at_op("]"):
+            self.next()
+            return v
+        self._parse_property_list(out, v, allow_bnpl)
+        self.eat_op("]")
+        return v
 
     def _emit_pattern(self, out: list, s, p, o) -> None:
         if isinstance(p, tuple) and p[0] == "seq":

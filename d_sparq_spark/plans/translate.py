@@ -177,12 +177,22 @@ class Translator:
                 for i, v in enumerate(node.varnames)
                 if v in shared
             )
-            if not has_undef:
+            # the equi fast path needs compatibility to coincide with
+            # equality on BOTH sides: no UNDEF in the VALUES rows AND every
+            # shared variable certainly bound in the child — a child var
+            # OPTIONAL left NULL is compatible with any VALUES binding and
+            # an equi-join would drop that solution (review r5; the same
+            # rule _join_compat applies via certain_vars)
+            child_certain = A.certain_vars(node.child)
+            if not has_undef and all(v in child_certain for v in shared):
                 return join_bindings(child, vdf)
             # UNDEF in a shared column is compatible with ANYTHING (an
             # equi-join would treat the NULL as a never-matching key and
             # silently drop the row); VALUES is query-literal-sized, so
-            # the conditioned broadcast join costs nothing at any scale
+            # the conditioned broadcast join costs nothing at any scale.
+            # Reconcile dtypes first: an all-UNDEF column types as string
+            # while the child side may carry bigint ids (review r5).
+            child, vdf = self._reconcile_shared_types(child, vdf, shared)
             rv = vdf
             for v in shared:
                 rv = rv.withColumnRenamed(v, f"__val_{v}")
@@ -781,6 +791,35 @@ class Translator:
             return child if keep else child.limit(0)
         return child.filter(self.expr(e, child))
 
+    # Shared-variable columns in THIS engine hold lexical strings; any
+    # numeric column on one side of a compatibility merge (a BIND output,
+    # a padded NULL) reconciles toward string so coalesce keeps lexical
+    # comparison semantics. _EncodedTranslator flips this: its bindings
+    # are bigint dictionary ids and a string-typed side can only be an
+    # all-NULL padding column (an all-UNDEF VALUES column, a subquery
+    # projecting an unbound var) — coercing the merge to STRING there
+    # turns ids into digit strings that the bigint-only decode then skips,
+    # leaking raw ids into results (review r5).
+    _ID_TYPED = False
+
+    def _reconcile_shared_types(
+        self, left: DataFrame, right: DataFrame, shared: list[str]
+    ) -> tuple[DataFrame, DataFrame]:
+        lt, rt = dict(left.dtypes), dict(right.dtypes)
+        for v in shared:
+            if lt[v] == rt[v]:
+                continue
+            target = (
+                (rt[v] if lt[v] == "string" else lt[v])
+                if self._ID_TYPED
+                else "string"
+            )
+            if lt[v] != target:
+                left = left.withColumn(v, F.col(v).cast(target))
+            if rt[v] != target:
+                right = right.withColumn(v, F.col(v).cast(target))
+        return left, right
+
     def _join_compat(
         self, left: DataFrame, right: DataFrame, node_l, node_r, how: str
     ) -> DataFrame:
@@ -808,6 +847,7 @@ class Translator:
         maybe = [v for v in shared if v not in cl or v not in cr]
         if not maybe:
             return join_bindings(left, right, how)
+        left, right = self._reconcile_shared_types(left, right, shared)
         rr = right
         for v in shared:
             rr = rr.withColumnRenamed(v, f"__jc_{v}")

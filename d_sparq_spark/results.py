@@ -99,22 +99,11 @@ def term_to_json(value: object) -> dict | None:
 
 
 def results_json(df: DataFrame, limit: int | None = None) -> str:
-    """SELECT bindings -> SPARQL 1.1 JSON results document (collects —
-    see module docstring for why that is correct here)."""
-    rows = df.limit(limit).collect() if limit is not None else df.collect()
-    cols = df.columns
-    bindings = []
-    for r in rows:
-        b = {}
-        for c in cols:
-            t = term_to_json(r[c])
-            if t is not None:
-                b[c] = t
-        bindings.append(b)
-    return json.dumps(
-        {"head": {"vars": cols}, "results": {"bindings": bindings}},
-        ensure_ascii=False,
-    )
+    """SELECT bindings -> SPARQL 1.1 JSON results document. Delegates to
+    the streaming iterator so the two forms cannot diverge (review r5:
+    the row serialization existed twice); endpoint-sized results pay only
+    the per-partition job granularity of toLocalIterator."""
+    return "".join(iter_results_json(df, limit))
 
 
 def ask_json(result: bool) -> str:
@@ -124,29 +113,8 @@ def ask_json(result: bool) -> str:
 def results_csv(df: DataFrame, limit: int | None = None) -> str:
     """CSV results per the spec: header of variable names, lexical forms
     (typed/tagged literals reduced to their lexical value), unbound ->
-    empty field."""
-    import csv
-    import io
-
-    rows = df.limit(limit).collect() if limit is not None else df.collect()
-    buf = io.StringIO()
-    w = csv.writer(buf, lineterminator="\r\n")
-    w.writerow(df.columns)
-    for r in rows:
-        out = []
-        for c in df.columns:
-            v = r[c]
-            if v is None:
-                out.append("")
-                continue
-            if isinstance(v, bool):
-                out.append("true" if v else "false")
-                continue
-            s = _double_lexical(v) if isinstance(v, float) else str(v)
-            m = _TYPED.match(s) or _TAGGED.match(s)
-            out.append(m.group(1) if m else s)
-        w.writerow(out)
-    return buf.getvalue()
+    empty field. Delegates to the streaming iterator (review r5)."""
+    return "".join(iter_results_csv(df, limit))
 
 
 # --- large-result streaming path (r5, VERDICT r4 #9) -------------------------

@@ -319,3 +319,13 @@ def test_encoded_describe_expands_bnode_cbd(spark):
     encoded = EncodedSparqlEngine(enc, d).query("DESCRIBE p:alice")
     assert rows(encoded) == rows(lex)
     assert len(rows(lex)) == 5  # 2 subject triples + 3 through the bnode chain
+
+
+def test_encoded_update_rejected_with_clear_error(engines):
+    """r5 review: UPDATE through the encoded engine used to die with a raw
+    eval TypeError (Modify.where never id-rewritten) — must refuse."""
+    import pytest
+
+    _, enc = engines
+    with pytest.raises(NotImplementedError, match="UPDATE"):
+        enc.query('INSERT DATA { <s:a> <p:b> "c" }')

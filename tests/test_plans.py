@@ -360,9 +360,8 @@ def test_blackout_does_not_broadcast_unhinted_fact_join(spark):
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        sf = "/root/testdata/sf0.001"
-        o = spark.read.parquet(f"{sf}/orders.parquet")
-        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF}/orders.parquet")
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
         plan = (
             li.join(o, li.l_orderkey == o.o_orderkey)
             ._jdf.queryExecution().executedPlan().toString()

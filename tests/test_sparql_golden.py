@@ -1137,6 +1137,16 @@ W3C_GOLDENS = [
      "SELECT ?c (COUNT(*) AS ?n) WHERE { ?x ex:city ?c } GROUP BY ?c "
      "HAVING (COUNT(*) > 1)",
      [("Paris", 2)]),
+    ("agg_expr_over_aggregates",
+     'SELECT ?c (CONCAT(MIN(?a), "-", MAX(?a)) AS ?mm) WHERE '
+     "{ ?x ex:city ?c ; ex:age ?a } GROUP BY ?c",
+     [("London", "25-25"), ("Paris", "25-30")]),
+    ("agg_implicit_group_from_nested_only",
+     'SELECT (CONCAT(MIN(?a), "/", MAX(?a)) AS ?mm) WHERE { ?x ex:age ?a }',
+     [("25/35",)]),
+    ("values_compatible_with_optional_unbound",
+     'SELECT ?n ?a WHERE { ?x ex:name ?n OPTIONAL { ?x ex:age ?a } VALUES ?a { "25" } }',
+     [("Bob", "25"), ("Dave", "25"), ("Eve", "25")]),
     ("agg_count_distinct",
      "SELECT (COUNT(DISTINCT ?c) AS ?n) WHERE { ?x ex:city ?c }",
      [(3,)]),
@@ -1162,6 +1172,16 @@ W3C_GOLDENS = [
      'SELECT ?n WHERE { VALUES (?c ?a) { ("Paris" UNDEF) } '
      "?x ex:city ?c ; ex:age ?a ; ex:name ?n }",
      [("Alice",), ("Dave",)]),
+    # r5 review finding: PROJECT the UNDEF-valued var — on the encoded
+    # engine a string-NULL/bigint coalesce used to leak raw dictionary ids
+    ("values_undef_projected",
+     'SELECT ?n ?a WHERE { VALUES (?c ?a) { ("Paris" UNDEF) } '
+     "?x ex:city ?c ; ex:age ?a ; ex:name ?n }",
+     [("Alice", "30"), ("Dave", "25")]),
+    ("subquery_unbound_padded_var_rejoined",
+     'SELECT ?n ?a WHERE { { SELECT ?x ?a WHERE { ?x ex:city "Paris" } } '
+     "?x ex:age ?a ; ex:name ?n }",
+     [("Alice", "30"), ("Dave", "25")]),
     # -- MINUS domain rules --------------------------------------------------------
     ("minus_disjoint_domains_removes_nothing",
      'SELECT ?n WHERE { ?x ex:name ?n MINUS { ?y ex:city "Paris" } }',
@@ -1199,6 +1219,27 @@ W3C_GOLDENS = [
     ("str_functions_combo",
      'SELECT ?n WHERE { ?x ex:name ?n FILTER(CONTAINS(LCASE(?n), "a") && STRLEN(?n) >= 5) }',
      [("Alice",), ("Carol",)]),
+    # -- blank node property lists (r5: [ ... ] desugars to fresh vars) -----
+    ("bnpl_subject",
+     'SELECT ?n WHERE { [ ex:name ?n ; ex:city "Paris" ] }',
+     [("Alice",), ("Dave",)]),
+    ("bnpl_object",
+     'SELECT ?n WHERE { ?x ex:knows [ ex:name "Carol" ] . ?x ex:name ?n }',
+     [("Alice",), ("Bob",)]),
+    ("bnpl_nested",
+     "SELECT ?n WHERE { [ ex:knows [ ex:knows [ ex:name ?n ] ] ] }",
+     [("Carol",)]),
+    ("bnpl_anon_subject",
+     "SELECT ?n WHERE { [] ex:name ?n ; ex:city ?c FILTER(?c = \"Berlin\") }",
+     [("Eve",)]),
+    ("bnpl_bare_triple",
+     'SELECT ?k WHERE { [ ex:age "30" ; ex:knows ?k ] . }',
+     [("p:bob",), ("p:carol",)]),
+    # r5 review finding: a group keyword may follow a bare [ ... ] without
+    # a dot — it must not be consumed as a predicate
+    ("bnpl_then_optional",
+     "SELECT ?n ?a WHERE { [ ex:name ?n ; ex:knows ?x ] OPTIONAL { ?x ex:age ?a } }",
+     [("Alice", "25"), ("Alice", "35"), ("Bob", "35")]),
     ("union_disjoint_projections",
      "SELECT ?n ?c WHERE { { ?x ex:name ?n } UNION { ?x ex:city ?c } }",
      [("Alice", None), ("Bob", None), ("Carol", None), ("Dave", None), ("Eve", None),
@@ -1221,6 +1262,13 @@ def test_w3c_agg_projection_restriction_raises(w3c_engine):
         w3c_engine.query(
             "SELECT ?c ?x WHERE { ?x ex:city ?c } GROUP BY ?c"
         ).collect()
+
+
+def test_w3c_bnpl_rejected_in_construct_template(w3c_engine):
+    with pytest.raises(SyntaxError, match="blank node property list"):
+        w3c_engine.query(
+            "CONSTRUCT { ?x ex:via [ ex:name ?n ] } WHERE { ?x ex:name ?n }"
+        )
 
 
 def test_w3c_ask_true_false(w3c_engine):
