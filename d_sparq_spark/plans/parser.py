@@ -1,9 +1,11 @@
 """Recursive-descent SPARQL parser for the SURVEY.md §2.B subset.
 
-Supported: PREFIX, SELECT [DISTINCT] (vars | * | (expr AS ?v) | aggregates),
-ASK, WHERE { triples with ; and , shorthand, FILTER (incl. EXISTS / NOT
-EXISTS / regex / IN), OPTIONAL, UNION, MINUS, BIND, VALUES }, GROUP BY,
-HAVING, ORDER BY ASC()/DESC(), LIMIT, OFFSET.
+Supported: PREFIX, SELECT [DISTINCT] (vars | * | (expr AS ?v) | aggregates
+incl. expressions over aggregates), ASK, WHERE { triples with ; and ,
+shorthand, blank node property lists [ p o ; ... ], RDF collections
+( e1 e2 ), FILTER (incl. EXISTS / NOT EXISTS / regex / IN), OPTIONAL,
+UNION, MINUS, BIND, VALUES }, GROUP BY, HAVING, ORDER BY ASC()/DESC(),
+LIMIT, OFFSET.
 
 Terms: variables (?x), prefixed names (kept lexically unless their prefix
 was declared — the engine's stores use prefixed lexical terms), <iri>,
@@ -602,7 +604,7 @@ class Parser:
 
     # ---- triples ----
     def parse_triples_same_subject(self, out: list, allow_bnpl: bool = True) -> None:
-        if self.at_op("["):
+        if self.at_op("[") or (allow_bnpl and self.at_op("(")):
             # blankNodePropertyList as SUBJECT: [ p o ; ... ] (propList) —
             # the trailing property list is OPTIONAL per the grammar
             # (TriplesNode PropertyList). The continuation test must be
@@ -611,7 +613,7 @@ class Parser:
             # and treating the keyword as a predicate either errors on
             # valid SPARQL or silently emits a bogus constant-predicate
             # pattern (review r5)
-            s = self._bnpl(out, allow_bnpl)
+            s = self._parse_node(out, allow_bnpl)
             if not self._at_verb_start():
                 return
             self._parse_property_list(out, s, allow_bnpl)
@@ -634,7 +636,11 @@ class Parser:
         while True:
             p = self.parse_verb()
             while True:
-                o = self._bnpl(out, allow_bnpl) if self.at_op("[") else self.parse_term()
+                o = (
+                    self._parse_node(out, allow_bnpl)
+                    if self.at_op("[") or self.at_op("(")
+                    else self.parse_term()
+                )
                 self._emit_pattern(out, s, p, o)
                 if self.at_op(","):
                     self.next()
@@ -646,6 +652,44 @@ class Parser:
                     break
                 continue
             break
+
+    def _collection(self, out: list, allow_bnpl: bool) -> str:
+        """'(' object* ')' — RDF collection (SPARQL 1.1 §4.3.3): desugars
+        to an rdf:first/rdf:rest chain of fresh non-distinguished
+        variables ending in rdf:nil; '()' is the constant rdf:nil. Only
+        valid in triple NODE positions (subject/object) — expression and
+        path parentheses never reach here."""
+        self.eat_op("(")
+        if self.at_op(")"):
+            self.next()
+            return "rdf:nil"
+        head = cur = self.fresh_var()
+        first = True
+        while not self.at_op(")"):
+            if not first:
+                nxt = self.fresh_var()
+                self._emit_pattern(out, cur, "rdf:rest", nxt)
+                cur = nxt
+            el = self._parse_node(out, allow_bnpl)
+            self._emit_pattern(out, cur, "rdf:first", el)
+            first = False
+        self.next()
+        self._emit_pattern(out, cur, "rdf:rest", "rdf:nil")
+        return head
+
+    def _parse_node(self, out: list, allow_bnpl: bool):
+        """A triple node: term, blank node property list, or collection."""
+        if self.at_op("["):
+            return self._bnpl(out, allow_bnpl)
+        if self.at_op("("):
+            if not allow_bnpl:
+                raise SyntaxError(
+                    "SPARQL: collections are not supported in "
+                    "CONSTRUCT/UPDATE templates (fresh-bnode-per-solution "
+                    "semantics)"
+                )
+            return self._collection(out, allow_bnpl)
+        return self.parse_term()
 
     def _bnpl(self, out: list, allow_bnpl: bool) -> str:
         """'[' propertyListNotEmpty? ']' — a blank node in a query pattern

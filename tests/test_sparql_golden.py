@@ -1274,3 +1274,45 @@ def test_w3c_bnpl_rejected_in_construct_template(w3c_engine):
 def test_w3c_ask_true_false(w3c_engine):
     assert [tuple(r) for r in w3c_engine.query('ASK { ?x ex:city "Paris" }').collect()] == [(True,)]
     assert [tuple(r) for r in w3c_engine.query('ASK { ?x ex:city "Tokyo" }').collect()] == [(False,)]
+
+
+# --- RDF collections (r5: ( e1 e2 ) desugars to rdf:first/rdf:rest) ---------
+
+LIST_TRIPLES = [
+    ("s:menu", "ex:items", "_:l1"),
+    ("_:l1", "rdf:first", "a"), ("_:l1", "rdf:rest", "_:l2"),
+    ("_:l2", "rdf:first", "b"), ("_:l2", "rdf:rest", "_:l3"),
+    ("_:l3", "rdf:first", "c"), ("_:l3", "rdf:rest", "rdf:nil"),
+    ("s:empty", "ex:items", "rdf:nil"),
+]
+
+
+@pytest.fixture(scope="module", params=["lexical", "encoded"])
+def list_engine(spark, request):
+    triples = spark.createDataFrame(LIST_TRIPLES, "s string, p string, o string")
+    if request.param == "lexical":
+        return SparqlEngine(triples, collect_stats=False)
+    d = build_dictionary(triples).cache()
+    return EncodedSparqlEngine(encode_triples(triples, d).cache(), d, collect_stats=False)
+
+
+def test_collection_object_exact_match(list_engine):
+    out = list_engine.query('SELECT ?s WHERE { ?s ex:items ( "a" "b" "c" ) }')
+    assert rows(out) == [("s:menu",)]
+    # the rdf:nil terminator makes the match EXACT-length: a prefix misses
+    assert rows(list_engine.query('SELECT ?s WHERE { ?s ex:items ( "a" "b" ) }')) == []
+
+
+def test_collection_empty_is_nil(list_engine):
+    out = list_engine.query("SELECT ?s WHERE { ?s ex:items () }")
+    assert rows(out) == [("s:empty",)]
+
+
+def test_collection_variable_element(list_engine):
+    out = list_engine.query('SELECT ?x WHERE { ?s ex:items ( ?x "b" "c" ) }')
+    assert rows(out) == [("a",)]
+
+
+def test_collection_as_subject(list_engine):
+    out = list_engine.query('SELECT ?e WHERE { ( "a" "b" "c" ) rdf:first ?e }')
+    assert rows(out) == [("a",)]
