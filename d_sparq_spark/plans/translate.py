@@ -844,7 +844,14 @@ class Translator:
         if not shared:
             return join_bindings(left, right, how)
         cl, cr = A.certain_vars(node_l), A.certain_vars(node_r)
-        maybe = [v for v in shared if v not in cl or v not in cr]
+        # the hidden GRAPH ?g column is projected into every pattern by
+        # this translator and is never NULL — certain_vars (pure algebra)
+        # can't see it, and demoting it to a residual condition would turn
+        # a g-only join inside GRAPH ?g into a nested loop
+        maybe = [
+            v for v in shared
+            if (v not in cl or v not in cr) and v != self.graph_var
+        ]
         if not maybe:
             return join_bindings(left, right, how)
         left, right = self._reconcile_shared_types(left, right, shared)

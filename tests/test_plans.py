@@ -370,3 +370,22 @@ def test_blackout_does_not_broadcast_unhinted_fact_join(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "BroadcastHashJoin" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_graph_var_join_stays_hash_join(spark):
+    """r5: inside GRAPH ?g two groups sharing ONLY the hidden graph
+    binding must still hash-join on g — certain_vars can't see the
+    translator-projected column, so _join_compat special-cases it; a
+    demotion to a residual condition would plan a nested loop."""
+    from d_sparq_spark.engine import SparqlEngine
+    from d_sparq_spark.sources.derived_rdf import derive_quads
+
+    store = derive_quads(spark, SF)
+    df = SparqlEngine(store, collect_stats=False).query(
+        "SELECT ?g ?n ?c WHERE { GRAPH ?g { { ?x foaf:name ?n } "
+        '{ ?y ex:mktsegment ?c } } }'
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert df.count() > 0
