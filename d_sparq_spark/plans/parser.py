@@ -258,6 +258,20 @@ class Parser:
 
     def parse_construct(self) -> A.Construct:
         self.eat_kw("construct")
+        if self.at_kw("where"):
+            # CONSTRUCT WHERE { triples } shorthand (SPARQL 1.1 §10.2.3):
+            # the pattern doubles as the template. The spec restricts the
+            # group to a plain triples block — _require_plain_template
+            # rejects paths, and parsing via _triple_block (template
+            # rules: no bnpl/collections, no FILTER/OPTIONAL keywords —
+            # they'd be consumed as terms and raise) enforces the rest.
+            self.next()
+            tmpl = self._require_plain_template(
+                self._triple_block(), "CONSTRUCT WHERE"
+            )
+            if self.peek().kind != "EOF":
+                raise SyntaxError(f"SPARQL: trailing tokens at {self.peek()}")
+            return A.Construct(tmpl, A.BGP(list(tmpl)))
         self.eat_op("{")
         template: list[TriplePattern] = []
         while not self.at_op("}"):

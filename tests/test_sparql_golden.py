@@ -1316,3 +1316,16 @@ def test_collection_variable_element(list_engine):
 def test_collection_as_subject(list_engine):
     out = list_engine.query('SELECT ?e WHERE { ( "a" "b" "c" ) rdf:first ?e }')
     assert rows(out) == [("a",)]
+
+
+def test_construct_where_shorthand(w3c_engine):
+    """CONSTRUCT WHERE { triples } (SPARQL 1.1 §10.2.3): the pattern
+    doubles as the template; equals the explicit two-block form."""
+    short = w3c_engine.query('CONSTRUCT WHERE { ?x ex:name ?n ; ex:age ?a }')
+    full = w3c_engine.query(
+        "CONSTRUCT { ?x ex:name ?n . ?x ex:age ?a } "
+        "WHERE { ?x ex:name ?n ; ex:age ?a }"
+    )
+    assert bag(short) == bag(full) and short.count() == 8
+    with pytest.raises(SyntaxError):
+        w3c_engine.query("CONSTRUCT WHERE { ?x ex:knows+ ?y }")
