@@ -73,25 +73,10 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # newcomers last within that group), then attested keys oldest-round first.
 # _LAST_ATTESTED is regenerated each round from CORRECTNESS_r{N}.json.
 _LAST_ATTESTED: dict[str, int] = {
-    # round 1
-    "q_scan_counts": 1, "q_csv_source": 1, "q_json_source": 1,
-    "q_scalar_map": 1, "q_agg_grouping_sets": 1, "q_tfidf": 1,
-    "q_sparql_describe": 1, "q_sparql_describe_where": 1,
-    "q_window_tumbling": 1, "q_window_sliding": 1, "q_window_session": 1,
-    "q_dedup_events": 1, "q_stream_tumbling": 1, "q_gap_fill": 1,
-    "q_flagship": 1, "q_dedup_exact": 1, "q_dedup_sha": 1,
-    "q_dedup_near": 1, "q_ngram_jaccard": 1, "q_dup_clusters": 1,
-    "q_simhash": 1, "q_cosine_topk": 1, "q_cosine_ann": 1,
-    "q_token_counts": 1, "q_quality_score": 1, "q_lang_id": 1,
-    "q_fingerprint": 1, "q_embed_join": 1, "q_multimodal_meta": 1,
-    "q_multimodal_features": 1, "q_pandas_udf_zscore": 1, "q_doc_stats": 1,
-    "q_dedup_embed": 1, "q_dedup_embed_lsh": 1, "q_cosine_ivf": 1,
-    "q_doc_chunks": 1, "q_sample_hash": 1, "q_mix_weighted": 1,
-    "q_pii_redact": 1, "q_rdf_derive": 1, "q_nt_roundtrip": 1,
-    "q_dict_encode": 1, "q_dict_roundtrip": 1, "q_triple_pattern": 1,
-    "q_star_join": 1, "q_star_join_enc": 1, "q_path_join": 1,
-    "q_pred_stats": 1, "q_load_pipeline": 1, "q_agg_basic": 1,
-    # round 2
+    # last attested round 1
+    "q_star_join_enc": 1, "q_path_join": 1, "q_pred_stats": 1,
+    "q_load_pipeline": 1, "q_agg_basic": 1,
+    # last attested round 2
     "q_contamination": 2, "q_dedup_norm": 2, "q_repetition": 2,
     "q_approx_distinct": 2, "q_pack_sequences": 2, "q_token_histogram": 2,
     "q_orc_source": 2, "q_text_source": 2, "q_binaryfile_source": 2,
@@ -99,64 +84,76 @@ _LAST_ATTESTED: dict[str, int] = {
     "q_pred_stats_salted": 2, "q_join_salted": 2, "q_ohlc_hourly": 2,
     "q_stream_funnel": 2, "q_tpch_q5": 2, "q_dup_clusters_lsh": 2,
     "q_pagerank": 2, "q_multimodal_resize": 2, "q_multimodal_frames": 2,
-    "q_pandas_udf_scalar": 2, "q_pandas_udf_grouped_agg": 2,
-    "q_nq_roundtrip": 2, "q_agg_distinct": 2, "q_agg_having": 2,
-    "q_agg_rollup": 2, "q_agg_cube": 2, "q_agg_stats": 2,
-    "q_agg_median": 2, "q_agg_group_concat": 2, "q_join_inner": 2,
-    "q_join_broadcast": 2, "q_join_outer": 2, "q_join_full": 2,
-    "q_join_semi": 2, "q_join_anti": 2, "q_join_range": 2,
-    "q_join_asof": 2, "q_join_cross": 2, "q_merge_upsert": 2,
-    "q_scalar_string": 2, "q_scalar_date": 2, "q_scalar_math": 2,
-    "q_scalar_array": 2, "q_explode": 2, "q_project": 2,
-    "q_filter_pred": 2, "q_filter_rlike": 2, "q_json_extract": 2,
-    # round 3
+    "q_pandas_udf_scalar": 2, "q_pandas_udf_grouped_agg": 2, "q_nq_roundtrip": 2,
+    "q_agg_distinct": 2, "q_agg_having": 2, "q_agg_rollup": 2,
+    "q_agg_cube": 2, "q_agg_stats": 2, "q_agg_median": 2,
+    "q_agg_group_concat": 2, "q_join_inner": 2, "q_join_broadcast": 2,
+    "q_join_outer": 2, "q_join_full": 2, "q_join_semi": 2,
+    "q_join_anti": 2, "q_join_range": 2, "q_join_asof": 2,
+    "q_join_cross": 2, "q_merge_upsert": 2, "q_scalar_string": 2,
+    "q_scalar_date": 2, "q_scalar_math": 2, "q_scalar_array": 2,
+    "q_explode": 2, "q_project": 2, "q_filter_pred": 2,
+    "q_filter_rlike": 2, "q_json_extract": 2,
+    # last attested round 3
     "q_case_when": 3, "q_filter_nullsafe": 3, "q_set_ops": 3,
     "q_union_by_name": 3, "q_distinct": 3, "q_window_rank": 3,
     "q_window_frame": 3, "q_window_lag": 3, "q_window_ntile": 3,
     "q_topk": 3, "q_topk_per_group": 3, "q_window_dist": 3,
-    "q_sparql_path_plus": 3, "q_sparql_path_plus_bound": 3,
-    "q_sparql_path_plus_bound_rev": 3, "q_sparql_path_seq": 3,
-    "q_sparql_path_alt": 3, "q_sparql_path_inv": 3, "q_sparql_path_neg": 3,
-    "q_sparql_path_opt": 3, "q_sparql_path_altcomplex": 3,
-    "q_sparql_path_closure_seq": 3, "q_sparql_expr_fns": 3,
-    "q_sparql_construct": 3, "q_sparql_subquery": 3, "q_sparql_service": 3,
-    "q_sparql_graph_enc": 3, "q_sparql_graph_var_enc": 3,
-    "q_sparql_graph": 3, "q_sparql_graph_var": 3, "q_sparql_star": 3,
-    "q_sparql_path": 3, "q_sparql_optional": 3, "q_sparql_union": 3,
-    "q_sparql_agg": 3, "q_sparql_order_limit": 3, "q_sparql_minus": 3,
-    "q_sparql_not_exists": 3, "q_sparql_bind": 3, "q_sparql_values": 3,
-    "q_sparql_distinct": 3, "q_sparql_ask": 3, "q_sparql_expr": 3,
-    "q_sparql_encoded_star": 3, "q_sparql_encoded_filter": 3,
-    "q_sparql_encoded_agg": 3, "q_sparql_star_pt": 3,
-    "q_sparql_encoded_star_pt": 3, "q_sparql_star_extvp": 3,
-    "q_sparql_update": 3,
-    # round 4
+    "q_sparql_path_plus": 3, "q_sparql_path_plus_bound": 3, "q_sparql_path_plus_bound_rev": 3,
+    "q_sparql_path_seq": 3, "q_sparql_path_alt": 3, "q_sparql_path_inv": 3,
+    "q_sparql_path_neg": 3, "q_sparql_path_opt": 3, "q_sparql_path_altcomplex": 3,
+    "q_sparql_path_closure_seq": 3, "q_sparql_expr_fns": 3, "q_sparql_construct": 3,
+    "q_sparql_subquery": 3, "q_sparql_service": 3, "q_sparql_graph_enc": 3,
+    "q_sparql_graph_var_enc": 3, "q_sparql_graph": 3, "q_sparql_graph_var": 3,
+    "q_sparql_star": 3, "q_sparql_path": 3, "q_sparql_optional": 3,
+    "q_sparql_union": 3, "q_sparql_agg": 3, "q_sparql_order_limit": 3,
+    "q_sparql_minus": 3, "q_sparql_not_exists": 3, "q_sparql_bind": 3,
+    "q_sparql_values": 3, "q_sparql_distinct": 3, "q_sparql_ask": 3,
+    "q_sparql_expr": 3, "q_sparql_encoded_star": 3, "q_sparql_encoded_filter": 3,
+    "q_sparql_encoded_agg": 3, "q_sparql_star_pt": 3, "q_sparql_encoded_star_pt": 3,
+    "q_sparql_star_extvp": 3, "q_sparql_update": 3,
+    # last attested round 4
     "q_bpe_pairs": 4, "q_vocab_coverage": 4, "q_quality_filter": 4,
     "q_sample_stratified": 4, "q_ngram_topk": 4, "q_retention_cohort": 4,
     "q_zorder_layout": 4, "q_histogram": 4, "q_dq_audit": 4,
-    "q_scd2_history": 4, "q_tpch_q3": 4, "q_tpch_q10": 4, "q_tpch_q18": 4,
-    "q_triangle_count": 4, "q_degree_dist": 4, "q_sssp": 4, "q_kmeans": 4,
-    "q_lang_confusion": 4, "q_dedup_incremental": 4, "q_skyline": 4,
-    "q_sparql_graph_path": 4, "q_sparql_graph_path_enc": 4,
-    "q_sparql_graph_path_seeded": 4, "q_star_property_table": 4,
+    "q_scd2_history": 4, "q_tpch_q3": 4, "q_tpch_q10": 4,
+    "q_tpch_q18": 4, "q_triangle_count": 4, "q_degree_dist": 4,
+    "q_sssp": 4, "q_kmeans": 4, "q_lang_confusion": 4,
+    "q_dedup_incremental": 4, "q_skyline": 4, "q_sparql_graph_path": 4,
+    "q_sparql_graph_path_enc": 4, "q_sparql_graph_path_seeded": 4, "q_star_property_table": 4,
     "q_sparql_typed": 4, "q_schema_evolution": 4, "q_tpch_q6": 4,
-    "q_tpch_q4": 4, "q_tpch_q17": 4, "q_tpch_q21": 4, "q_tpch_q13": 4,
-    "q_tpch_q14": 4, "q_tpch_q15": 4, "q_ann_recall": 4,
-    "q_semantic_dedup": 4, "q_dedup_leakage": 4, "q_lang_salience": 4,
-    "q_dup_span_ratio": 4, "q_sparql_path_plus_big": 4,
-    "q_sparql_path_plus_big_seeded": 4, "q_closure_big_int": 4,
-    "q_tpch_q1": 4, "q_tpch_q2": 4, "q_tpch_q7": 4, "q_tpch_q8": 4,
-    "q_tpch_q9": 4, "q_tpch_q11": 4, "q_tpch_q12": 4, "q_tpch_q16": 4,
-    "q_tpch_q19": 4,
+    "q_tpch_q4": 4, "q_tpch_q17": 4, "q_tpch_q21": 4,
+    "q_tpch_q13": 4, "q_tpch_q14": 4, "q_tpch_q15": 4,
+    "q_ann_recall": 4, "q_semantic_dedup": 4, "q_dedup_leakage": 4,
+    "q_lang_salience": 4, "q_dup_span_ratio": 4, "q_sparql_path_plus_big": 4,
+    "q_sparql_path_plus_big_seeded": 4, "q_closure_big_int": 4, "q_tpch_q1": 4,
+    "q_tpch_q2": 4, "q_tpch_q7": 4, "q_tpch_q8": 4,
+    "q_tpch_q9": 4, "q_tpch_q11": 4, "q_tpch_q12": 4,
+    "q_tpch_q16": 4, "q_tpch_q19": 4,
+    # last attested round 5
+    "q_scan_counts": 5, "q_csv_source": 5, "q_json_source": 5,
+    "q_scalar_map": 5, "q_agg_grouping_sets": 5, "q_tfidf": 5,
+    "q_sparql_describe": 5, "q_sparql_describe_where": 5, "q_window_tumbling": 5,
+    "q_window_sliding": 5, "q_window_session": 5, "q_dedup_events": 5,
+    "q_stream_tumbling": 5, "q_gap_fill": 5, "q_flagship": 5,
+    "q_dedup_exact": 5, "q_dedup_sha": 5, "q_dedup_near": 5,
+    "q_ngram_jaccard": 5, "q_dup_clusters": 5, "q_simhash": 5,
+    "q_cosine_topk": 5, "q_cosine_ann": 5, "q_token_counts": 5,
+    "q_quality_score": 5, "q_lang_id": 5, "q_fingerprint": 5,
+    "q_embed_join": 5, "q_multimodal_meta": 5, "q_multimodal_features": 5,
+    "q_pandas_udf_zscore": 5, "q_doc_stats": 5, "q_dedup_embed": 5,
+    "q_dedup_embed_lsh": 5, "q_cosine_ivf": 5, "q_doc_chunks": 5,
+    "q_sample_hash": 5, "q_mix_weighted": 5, "q_pii_redact": 5,
+    "q_rdf_derive": 5, "q_nt_roundtrip": 5, "q_dict_encode": 5,
+    "q_dict_roundtrip": 5, "q_triple_pattern": 5, "q_star_join": 5,
+    "q_tpch_q20": 5, "q_tpch_q22": 5, "q_ivf_recall": 5,
+    "q_sparql_path_plus_hub": 5, "q_sparql_path_plus_hub_seeded": 5,
 }
 
-# Queries first registered THIS round (round 5): they sort after the older
-# never-attested queries (q_tpch_q20/q22, which have waited a full round)
-# but before the already-attested ones — age priority, so no key starves.
-_NEW_THIS_ROUND: frozenset[str] = frozenset({
-    "q_sparql_path_plus_hub", "q_sparql_path_plus_hub_seeded",
-    "q_ivf_recall",
-})
+# Queries first registered THIS round (round 6): they sort after any older
+# never-attested queries but before the already-attested ones — age
+# priority, so no key starves.
+_NEW_THIS_ROUND: frozenset[str] = frozenset()
 
 
 def all_queries() -> dict[str, Query]:
