@@ -405,11 +405,22 @@ class EncodedSparqlEngine:
             # columns in place (_EncodedTranslator._filter); only nested
             # BIND/aggregates/subquery wrappers force the decode-early
             # fallback via _check_structural.
+            # CONSTRUCT solution modifiers (ORDER BY/LIMIT/OFFSET) order and
+            # slice the SOLUTION sequence — value-level, so they cannot run
+            # over ids (dictionary rank != value order for typed numerics).
+            # Peel them here and re-apply over the DECODED bindings below,
+            # keeping the structural pattern on the encoded fast path.
+            inner = root.child
+            wrappers: list = []
+            if isinstance(root, A.Construct):
+                while isinstance(inner, (A.OrderBy, A.Slice)):
+                    wrappers.append(inner)
+                    inner = inner.child
             try:
-                self._check_structural(root.child)
+                self._check_structural(inner)
             except NotImplementedError:
                 return self._lexical_fallback(tree)
-            rewritten = self._rewrite(root.child, ids)
+            rewritten = self._rewrite(inner, ids)
             tr = _EncodedTranslator(
                 self.triples, self._stats, catalog=self.catalog, dictionary=self.dict,
                 dict_broadcast_ok=self._dict_fits_broadcast,
@@ -426,6 +437,16 @@ class EncodedSparqlEngine:
             lex = Translator(
                 bound.sparkSession.createDataFrame([], "s string, p string, o string")
             )
+            for w in reversed(wrappers):  # innermost (OrderBy) first
+                decoded = _eval_with_precomputed(
+                    lex, _shallow_with_child(w, _Precomputed(decoded))
+                )
+            if len(root.template) > 1 and any(
+                isinstance(w, A.Slice) for w in wrappers
+            ):
+                # same re-execution hazard as Translator._construct: a
+                # LIMIT re-runs per template part — pin the solution set
+                decoded = decoded.localCheckpoint(eager=False)
             return _eval_with_precomputed(
                 lex, A.Construct(root.template, _Precomputed(decoded))
             )

@@ -58,6 +58,13 @@ _FUNCS = {
     "timezone",
 }
 
+# xsd constructor functions usable as expressions (casts); shared by
+# parse_primary and GROUP BY's FunctionCall condition form.
+_CAST_FNS = (
+    "xsd:double", "xsd:decimal", "xsd:integer", "xsd:float",
+    "xsd:int", "xsd:long", "xsd:string", "xsd:boolean",
+)
+
 # numeric XSD datatypes: a typed literal of one of these becomes a numeric
 # expression literal (value comparison), per SPARQL operator mapping
 _NUMERIC_XSD = {
@@ -269,9 +276,10 @@ class Parser:
             tmpl = self._require_plain_template(
                 self._triple_block(), "CONSTRUCT WHERE"
             )
+            child = self._apply_construct_modifiers(A.BGP(list(tmpl)))
             if self.peek().kind != "EOF":
                 raise SyntaxError(f"SPARQL: trailing tokens at {self.peek()}")
-            return A.Construct(tmpl, A.BGP(list(tmpl)))
+            return A.Construct(tmpl, child)
         self.eat_op("{")
         template: list[TriplePattern] = []
         while not self.at_op("}"):
@@ -283,9 +291,32 @@ class Parser:
         if self.at_kw("where"):
             self.next()
         child = self.parse_group()
+        child = self._apply_construct_modifiers(child)
         if self.peek().kind != "EOF":
             raise SyntaxError(f"SPARQL: trailing tokens at {self.peek()}")
         return A.Construct(template, child)
+
+    def _apply_construct_modifiers(self, child):
+        """CONSTRUCT solution modifiers (grammar [10] ConstructQuery allows
+        a full SolutionModifier): ORDER BY orders the solution sequence,
+        LIMIT/OFFSET slices it, BEFORE template instantiation — so
+        `CONSTRUCT {...} WHERE {...} ORDER BY ?x LIMIT 10` emits the
+        triples of the first 10 solutions, then dedups (a graph is a set).
+        GROUP BY/HAVING on CONSTRUCT is rejected: grouped solutions have no
+        per-solution template instantiation in this subset (aggregate in a
+        SELECT subquery instead)."""
+        if self.at_kw("group", "having"):
+            raise SyntaxError(
+                "SPARQL: GROUP BY/HAVING on CONSTRUCT is not supported "
+                "(aggregate in a SELECT subquery inside WHERE instead)"
+            )
+        order_keys = self._parse_order_clause()
+        offset, limit = self._parse_limit_offset()
+        if order_keys:
+            child = A.OrderBy(order_keys, child)
+        if offset or limit is not None:
+            child = A.Slice(offset, limit, child)
+        return child
 
     # ---- SELECT ----
     def parse_select(self, subquery: bool = False) -> A.SelectQuery:
@@ -326,46 +357,18 @@ class Parser:
         root: object = self.parse_group()
 
         group_keys: list[str] | None = None
+        group_binds: list[tuple[str, object]] = []
         having = None
-        order_keys: list[tuple[object, bool]] = []
-        offset, limit = 0, None
 
         if self.at_kw("group"):
             self.next()
             self.eat_kw("by")
-            group_keys = []
-            while self.peek().kind == "VAR":
-                group_keys.append(self.next().text[1:])
+            group_keys, group_binds = self._parse_group_conditions()
         if self.at_kw("having"):
             self.next()
             having = self.parse_expr()
-        if self.at_kw("order"):
-            self.next()
-            self.eat_kw("by")
-            while True:
-                if self.at_kw("asc", "desc"):
-                    asc = self.next().text.lower() == "asc"
-                    self.eat_op("(")
-                    e = self.parse_expr()
-                    self.eat_op(")")
-                    order_keys.append((e, asc))
-                elif self.peek().kind == "VAR":
-                    order_keys.append((A.Var(self.next().text[1:]), True))
-                elif self.at_op("("):
-                    self.next()
-                    e = self.parse_expr()
-                    self.eat_op(")")
-                    order_keys.append((e, True))
-                else:
-                    break
-        # LIMIT/OFFSET in either order
-        for _ in range(2):
-            if self.at_kw("limit"):
-                self.next()
-                limit = self._int_operand("LIMIT")
-            elif self.at_kw("offset"):
-                self.next()
-                offset = self._int_operand("OFFSET")
+        order_keys = self._parse_order_clause()
+        offset, limit = self._parse_limit_offset()
         if not subquery and self.peek().kind != "EOF":
             raise SyntaxError(f"SPARQL: trailing tokens at {self.peek()}")
 
@@ -411,6 +414,12 @@ class Parser:
                 # hidden __h column (reused when the SELECT list already
                 # computes the same aggregate) and filter on the column.
                 having = self._lift_having_aggs(having, aggs)
+            # GROUP BY expressions (SPARQL 1.1 GroupCondition: `(expr AS
+            # ?v)`, bare `(expr)` / BuiltInCall) extend each solution with
+            # the computed value BEFORE grouping (§18.2.4 step 1) — a Bind
+            # under the Group; the bound name then grouped like a variable.
+            for name, e in group_binds:
+                root = A.Bind(e, name, root)
             root = A.Group(keys=group_keys or [], aggs=aggs, child=root)
             if having is not None:
                 root = A.Filter(having, root)
@@ -492,6 +501,96 @@ class Parser:
         return e
 
     # ---- group graph pattern ----
+    def _parse_group_conditions(self) -> tuple[list[str], list[tuple[str, object]]]:
+        """GroupCondition* (SPARQL 1.1 grammar [20]): Var | '(' Expression
+        ('AS' Var)? ')' | BuiltInCall | FunctionCall. Expression conditions
+        return as (name, expr) binds applied under the Group; an unnamed
+        condition gets a hidden __gN key (legal per spec — it shapes the
+        groups but is not projectable, matching §18.2.4's sample rule)."""
+        keys: list[str] = []
+        binds: list[tuple[str, object]] = []
+        while True:
+            t = self.peek()
+            if t.kind == "VAR":
+                keys.append(self.next().text[1:])
+                continue
+            if self.at_op("("):
+                self.next()
+                e = self.parse_expr()
+                if self.at_kw("as"):
+                    self.next()
+                    var = self.next()
+                    if var.kind != "VAR":
+                        raise SyntaxError(
+                            "SPARQL: expected variable after AS in GROUP BY"
+                        )
+                    name = var.text[1:]
+                else:
+                    name = f"__g{len(binds)}"
+                self.eat_op(")")
+            elif (
+                t.kind == "KEYWORD"
+                and t.text.lower() in _FUNCS
+                and self.peek(1).kind == "OP"
+                and self.peek(1).text == "("
+            ) or (
+                t.kind == "PNAME"
+                and t.text.lower() in _CAST_FNS
+                and self.peek(1).kind == "OP"
+                and self.peek(1).text == "("
+            ):
+                e = self.parse_primary()
+                name = f"__g{len(binds)}"
+            else:
+                break
+            if self._contains_agg(e):
+                raise SyntaxError(
+                    "SPARQL: aggregates are not allowed in GROUP BY "
+                    "expressions (group first, aggregate in SELECT/HAVING)"
+                )
+            binds.append((name, e))
+            keys.append(name)
+        if not keys:
+            raise SyntaxError("SPARQL: GROUP BY requires at least one condition")
+        return keys, binds
+
+    def _parse_order_clause(self) -> list[tuple[object, bool]]:
+        """OrderClause? — empty list when the next token is not ORDER."""
+        order_keys: list[tuple[object, bool]] = []
+        if not self.at_kw("order"):
+            return order_keys
+        self.next()
+        self.eat_kw("by")
+        while True:
+            if self.at_kw("asc", "desc"):
+                asc = self.next().text.lower() == "asc"
+                self.eat_op("(")
+                e = self.parse_expr()
+                self.eat_op(")")
+                order_keys.append((e, asc))
+            elif self.peek().kind == "VAR":
+                order_keys.append((A.Var(self.next().text[1:]), True))
+            elif self.at_op("("):
+                self.next()
+                e = self.parse_expr()
+                self.eat_op(")")
+                order_keys.append((e, True))
+            else:
+                break
+        return order_keys
+
+    def _parse_limit_offset(self) -> tuple[int, int | None]:
+        """LimitOffsetClauses? — LIMIT/OFFSET in either order."""
+        offset, limit = 0, None
+        for _ in range(2):
+            if self.at_kw("limit"):
+                self.next()
+                limit = self._int_operand("LIMIT")
+            elif self.at_kw("offset"):
+                self.next()
+                offset = self._int_operand("OFFSET")
+        return offset, limit
+
     def _int_operand(self, clause: str) -> int:
         # a non-integer operand must be the same SyntaxError every other
         # malformed-query path raises, not a leaked ValueError (review r4)
@@ -1103,7 +1202,7 @@ class Parser:
                 return A.ExistsExpr(self.parse_group(), negated=True)
         if (
             t.kind == "PNAME"
-            and t.text.lower() in ("xsd:double", "xsd:decimal", "xsd:integer", "xsd:float", "xsd:int", "xsd:long", "xsd:string", "xsd:boolean")
+            and t.text.lower() in _CAST_FNS
             and self.peek(1).kind == "OP" and self.peek(1).text == "("
         ):
             self.next()

@@ -487,6 +487,13 @@ class Translator:
         """CONSTRUCT: instantiate each template pattern against the
         bindings, union, dedup (a graph is a set of triples)."""
         child = self.eval(node.child)
+        if len(node.template) > 1 and self._contains_slice(node.child):
+            # solution modifiers on CONSTRUCT: each template pattern
+            # re-reads the child, and a LIMIT re-executes per reader —
+            # without a total order the re-runs may pick DIFFERENT rows,
+            # instantiating the template against inconsistent solution
+            # sets. Pin the (small: it is post-LIMIT) solution sequence.
+            child = child.localCheckpoint(eager=False)
 
         def term_col(term):
             if isinstance(term, str) and term.startswith("?"):
@@ -500,6 +507,12 @@ class Translator:
             for tp in node.template
         ]
         return reduce(lambda a, b: a.unionByName(b), parts).dropDuplicates()
+
+    @staticmethod
+    def _contains_slice(node) -> bool:
+        while node is not None and not isinstance(node, A.Slice):
+            node = getattr(node, "child", None)
+        return node is not None
 
     # ------------- BGP: star decomposition + greedy star chaining -------------
 

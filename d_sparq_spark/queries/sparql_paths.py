@@ -419,3 +419,23 @@ def q_sparql_path_plus_hub_seeded(spark: SparkSession, sf_dir: str) -> DataFrame
     return SparqlEngine(store, collect_stats=False).query(
         "SELECT ?x ?y WHERE { ?x ex:seed ?s . ?x ex:next+ ?y }"
     )
+
+_q(
+    # solution modifiers on CONSTRUCT (grammar [10]: ConstructQuery carries
+    # a full SolutionModifier): ORDER BY + LIMIT select WHICH solutions
+    # instantiate the template — the 10 lexically-largest BUILDING
+    # balances. The ORDER BY key is the acctbal literal (a plain string,
+    # so LEXICAL order — identical bytewise in Spark and DuckDB), with the
+    # subject as a deterministic tie-break.
+    "q_sparql_construct_ordered",
+    'CONSTRUCT { ?c ex:topbal ?b } WHERE { ?c ex:acctbal ?b ; '
+    'ex:mktsegment "BUILDING" } ORDER BY DESC(?b) ?c LIMIT 10',
+    """
+    WITH sol AS (
+      SELECT 'c:' || c_custkey AS c, printf('%.2f', c_acctbal) AS b
+      FROM customer WHERE c_mktsegment = 'BUILDING'
+      ORDER BY b DESC, c LIMIT 10
+    )
+    SELECT DISTINCT c AS s, 'ex:topbal' AS p, b AS o FROM sol
+    """,
+)

@@ -340,3 +340,21 @@ def q_sparql_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT ?c ?n (STR(?n) AS ?n_str) WHERE { ?c ex:bal ?b ; foaf:name ?n "
         'FILTER(?b > "5000"^^xsd:decimal && LANG(?n) = "en") }'
     )
+
+_q(
+    # GROUP BY expression (SPARQL 1.1 GroupCondition `(expr AS ?var)`,
+    # grammar rule [20]): solutions extend with the computed key BEFORE
+    # grouping (§18.2.4 step 1) — here customers group by market segment
+    # crossed with the leading character of the acctbal literal ('-' for
+    # negative balances, a digit otherwise).
+    "q_sparql_group_expr",
+    "SELECT ?seg ?d (COUNT(*) AS ?n) WHERE "
+    "{ ?x ex:mktsegment ?seg ; ex:acctbal ?b } "
+    "GROUP BY ?seg (SUBSTR(?b, 1, 1) AS ?d)",
+    """
+    SELECT c_mktsegment AS seg,
+           substr(printf('%.2f', c_acctbal), 1, 1) AS d,
+           COUNT(*) AS n
+    FROM customer GROUP BY 1, 2
+    """,
+)

@@ -153,7 +153,9 @@ _LAST_ATTESTED: dict[str, int] = {
 # Queries first registered THIS round (round 6): they sort after any older
 # never-attested queries but before the already-attested ones — age
 # priority, so no key starves.
-_NEW_THIS_ROUND: frozenset[str] = frozenset()
+_NEW_THIS_ROUND: frozenset[str] = frozenset({
+    "q_sparql_group_expr", "q_sparql_construct_ordered",
+})
 
 
 def all_queries() -> dict[str, Query]:

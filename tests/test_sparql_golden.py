@@ -1244,6 +1244,42 @@ W3C_GOLDENS = [
      "SELECT ?n ?c WHERE { { ?x ex:name ?n } UNION { ?x ex:city ?c } }",
      [("Alice", None), ("Bob", None), ("Carol", None), ("Dave", None), ("Eve", None),
       (None, "Paris"), (None, "London"), (None, "Paris"), (None, "Berlin")]),
+    # -- GROUP BY expressions (r6: GroupCondition grammar rule [20]) ----------
+    ("group_expr_named",
+     "SELECT ?ini (COUNT(*) AS ?n) WHERE { ?x ex:name ?nm } "
+     "GROUP BY (SUBSTR(?nm, 1, 1) AS ?ini)",
+     [("A", 1), ("B", 1), ("C", 1), ("D", 1), ("E", 1)]),
+    ("group_expr_hidden_builtin",
+     "SELECT (COUNT(*) AS ?n) WHERE { ?x ex:name ?nm } GROUP BY STRLEN(?nm)",
+     [(1,), (2,), (2,)]),
+    ("group_expr_mixed_with_var_key",
+     "SELECT ?c ?short (COUNT(*) AS ?n) WHERE { ?x ex:city ?c ; ex:name ?nm } "
+     "GROUP BY ?c (STRLEN(?nm) < 4 AS ?short)",
+     [("Berlin", True, 1), ("London", True, 1), ("Paris", False, 2)]),
+    ("group_expr_key_used_in_select_expr",
+     'SELECT (CONCAT("grp:", ?ini) AS ?g) (COUNT(*) AS ?n) '
+     "WHERE { ?x ex:name ?nm } GROUP BY (SUBSTR(?nm, 1, 1) AS ?ini)",
+     [("grp:A", 1), ("grp:B", 1), ("grp:C", 1), ("grp:D", 1), ("grp:E", 1)]),
+    ("group_expr_cast_fn_condition",
+     "SELECT ?band (COUNT(*) AS ?n) WHERE { ?x ex:age ?a } "
+     "GROUP BY (xsd:integer(?a) > 26 AS ?band)",
+     [(True, 2), (False, 2)]),
+    # -- CONSTRUCT solution modifiers (r6: grammar rule [10]) -----------------
+    ("construct_order_limit",
+     "CONSTRUCT { ?x ex:n ?n } WHERE { ?x ex:name ?n } ORDER BY ?n LIMIT 2",
+     [("p:alice", "ex:n", "Alice"), ("p:bob", "ex:n", "Bob")]),
+    ("construct_where_shorthand_offset",
+     "CONSTRUCT WHERE { ?x ex:name ?n } ORDER BY ?n OFFSET 3",
+     [("p:dave", "ex:name", "Dave"), ("p:eve", "ex:name", "Eve")]),
+    ("construct_multi_template_limit",
+     "CONSTRUCT { ?x ex:n ?n . ?x a Named } WHERE { ?x ex:name ?n } "
+     "ORDER BY ?n LIMIT 2",
+     [("p:alice", "ex:n", "Alice"), ("p:alice", "rdf:type", "Named"),
+      ("p:bob", "ex:n", "Bob"), ("p:bob", "rdf:type", "Named")]),
+    ("construct_order_desc_expr_limit",
+     "CONSTRUCT { ?x ex:top ?a } WHERE { ?x ex:age ?a . ?x ex:name ?n } "
+     "ORDER BY DESC(xsd:integer(?a)) ?n LIMIT 2",
+     [("p:carol", "ex:top", "35"), ("p:alice", "ex:top", "30")]),
 ]
 
 
@@ -1261,6 +1297,39 @@ def test_w3c_agg_projection_restriction_raises(w3c_engine):
     with pytest.raises((SyntaxError, ValueError)):
         w3c_engine.query(
             "SELECT ?c ?x WHERE { ?x ex:city ?c } GROUP BY ?c"
+        ).collect()
+
+
+def test_w3c_group_by_rejects_aggregate_condition(w3c_engine):
+    """SPARQL 1.1 grammar: a GroupCondition is an expression over solution
+    variables — an aggregate cannot key the grouping it defines."""
+    with pytest.raises(SyntaxError, match="aggregates are not allowed"):
+        w3c_engine.query(
+            "SELECT (COUNT(*) AS ?c) WHERE { ?x ex:age ?a } "
+            "GROUP BY (SUM(?a) AS ?s)"
+        )
+
+
+def test_w3c_group_by_requires_condition(w3c_engine):
+    with pytest.raises(SyntaxError, match="at least one condition"):
+        w3c_engine.query("SELECT ?n WHERE { ?x ex:name ?n } GROUP BY")
+
+
+def test_w3c_construct_rejects_group_by(w3c_engine):
+    with pytest.raises(SyntaxError, match="GROUP BY/HAVING on CONSTRUCT"):
+        w3c_engine.query(
+            "CONSTRUCT { ?x ex:n ?n } WHERE { ?x ex:name ?n } GROUP BY ?n"
+        )
+
+
+def test_w3c_group_expr_hidden_key_not_projectable(w3c_engine):
+    """An unnamed GROUP BY expression shapes the groups but binds no
+    user-visible variable — projecting the source var still raises the
+    §18.2.4.4 restriction."""
+    with pytest.raises((SyntaxError, ValueError)):
+        w3c_engine.query(
+            "SELECT ?nm (COUNT(*) AS ?n) WHERE { ?x ex:name ?nm } "
+            "GROUP BY STRLEN(?nm)"
         ).collect()
 
 
