@@ -174,8 +174,15 @@ class Parser:
         if self.at_kw("describe"):
             self.next()
             terms = [self.parse_term()]
+            # solution-modifier keywords end the term list (they are not
+            # valid bare-identifier resource names) — otherwise
+            # `DESCRIBE x LIMIT 2` swallows LIMIT as a term and the
+            # modifiers-need-WHERE error below can never fire
             while self.peek().kind in ("VAR", "IRIREF", "PNAME") or (
-                self.peek().kind == "KEYWORD" and not self.at_kw("where")
+                self.peek().kind == "KEYWORD"
+                and not self.at_kw(
+                    "where", "order", "limit", "offset", "group", "having"
+                )
             ):
                 terms.append(self.parse_term())
             child = None
@@ -183,6 +190,20 @@ class Parser:
                 if self.at_kw("where"):
                     self.next()
                 child = self.parse_group()
+                # DescribeQuery (grammar [11]) carries a SolutionModifier:
+                # ORDER BY/LIMIT/OFFSET select WHICH solutions contribute
+                # described resources. (On the encoded engine this shape
+                # takes the documented decode-early fallback — value-level
+                # wrappers under Describe.) Without a WHERE group the
+                # solution sequence is a single empty solution — modifiers
+                # would be vacuous; rejected for clarity.
+                child = self._apply_construct_modifiers(child)
+            elif self.at_kw("order", "limit", "offset", "group", "having"):
+                raise SyntaxError(
+                    "SPARQL: DESCRIBE solution modifiers require a WHERE "
+                    "group (without one there is no solution sequence to "
+                    "order or slice)"
+                )
             if self.peek().kind != "EOF":
                 raise SyntaxError(f"SPARQL: trailing tokens at {self.peek()}")
             return A.Describe(tuple(terms), child)

@@ -1333,6 +1333,24 @@ def test_w3c_group_expr_hidden_key_not_projectable(w3c_engine):
         ).collect()
 
 
+def test_w3c_describe_solution_modifiers(w3c_engine):
+    """DESCRIBE with ORDER BY/LIMIT (grammar [11]): modifiers slice the
+    solution sequence, so only the selected solutions' resources are
+    described."""
+    out = w3c_engine.query("DESCRIBE ?x WHERE { ?x ex:name ?n } ORDER BY ?n LIMIT 1")
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [
+        ("p:alice", "ex:age", "30"), ("p:alice", "ex:city", "Paris"),
+        ("p:alice", "ex:knows", "p:bob"), ("p:alice", "ex:knows", "p:carol"),
+        ("p:alice", "ex:name", "Alice"), ("p:alice", "rdf:type", "Person"),
+    ]
+
+
+def test_w3c_describe_modifiers_require_where(w3c_engine):
+    with pytest.raises(SyntaxError, match="require a WHERE"):
+        w3c_engine.query("DESCRIBE p:alice LIMIT 2")
+
+
 def test_w3c_bnpl_rejected_in_construct_template(w3c_engine):
     with pytest.raises(SyntaxError, match="blank node property list"):
         w3c_engine.query(
