@@ -39,12 +39,71 @@ from d_sparq_spark.operators.dictionary import build_dictionary, encode_triples
 from d_sparq_spark.operators.rdf_patterns import predicate_stats
 from d_sparq_spark.sources.ntriples import parse_ntriples
 
+# Default bucket count for the term-bucketed dict/ layout. Every append
+# anti-joins its delta terms against the dictionary; with dict/ written as
+# a Spark bucketed table CLUSTERED BY (term), that join shuffles ONLY the
+# delta (O(|delta|)) — the dictionary side reads its buckets in place, no
+# O(dict) exchange per load. 16 suits the local test scale; a 100 TB store
+# sizes this so one bucket ~ one executor's memory (e.g. 4096) — recorded
+# in the manifest, so appends always match the layout they find.
+DICT_BUCKETS = 16
+
+
+def _dict_table_name(store_path: str) -> str:
+    """Session-catalog name for the store's bucketed dictionary table —
+    derived from the absolute store path, so two stores never collide and
+    the same store maps to the same name across calls."""
+    import hashlib
+
+    digest = hashlib.md5(os.path.abspath(store_path).encode()).hexdigest()[:12]
+    return f"dsparq_dict_{digest}"
+
+
+def _register_dict_table(spark: SparkSession, store_path: str, buckets: int) -> DataFrame:
+    """(Re-)register dict/ as an EXTERNAL bucketed table in the session
+    catalog and return it. The files already carry Spark bucket ids in
+    their names; registration only attaches the CLUSTERED BY metadata that
+    lets the planner use bucketed scans (the in-memory catalog is
+    per-session, so reopening a store re-runs this — metadata-only, no
+    data pass). DROP+CREATE keeps the entry honest if an earlier session
+    object registered a different layout under the same name."""
+    name = _dict_table_name(store_path)
+    path = os.path.join(store_path, "dict")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(
+        f"CREATE TABLE {name} (id BIGINT, term STRING, kind STRING) "
+        f"USING PARQUET CLUSTERED BY (term) SORTED BY (term) "
+        f"INTO {int(buckets)} BUCKETS LOCATION '{path}'"
+    )
+    return spark.table(name)
+
+
+def _write_dict_bucketed(
+    df: DataFrame, store_path: str, buckets: int, mode: str
+) -> None:
+    """Write dictionary rows into dict/ as a bucketed table. The
+    repartition uses the same murmur3 hash as bucketBy, so each task holds
+    exactly one bucket's rows — one file per bucket per write instead of
+    tasks x buckets small files."""
+    name = _dict_table_name(store_path)
+    (
+        df.select("id", "term", "kind")
+        .repartition(int(buckets), F.col("term"))
+        .write.mode(mode)
+        .format("parquet")
+        .bucketBy(int(buckets), "term")
+        .sortBy("term")
+        .option("path", os.path.join(store_path, "dict"))
+        .saveAsTable(name)
+    )
+
 
 def bulk_load(
     spark: SparkSession,
     nt_path: str,
     store_path: str,
     materialize: tuple = (),
+    dict_buckets: int = DICT_BUCKETS,
 ) -> dict:
     """Parse, encode, and lay out a triple store. Returns load statistics
     (small driver-side summary, not data). ``materialize`` opts into
@@ -72,10 +131,21 @@ def bulk_load(
     # only hint the broadcast under ~10M terms and let AQE pick the
     # strategy above that (review r4: the hint used to be unconditional)
     n_terms = dictionary.count()
-    enc = encode_triples(triples, dictionary, broadcast_dict=n_terms <= 10_000_000)
 
-    dictionary.write.mode("overwrite").parquet(os.path.join(store_path, "dict"))
-    _write_meta(spark, store_path, rank_ordered=True)
+    # dict/ lands FIRST, as a term-bucketed table: appends then anti-join
+    # their deltas against a bucketed scan (no O(dict) shuffle per load),
+    # and the encode below reads the WRITTEN store — a durable barrier, so
+    # a task retry can never re-sample assign_ids' range boundaries into a
+    # different id assignment mid-encode.
+    _write_dict_bucketed(dictionary, store_path, dict_buckets, mode="overwrite")
+    dictionary.unpersist()
+    dict_table = _register_dict_table(spark, store_path, dict_buckets)
+    # ids are DENSE 1..n ranks here, so the id watermark == n_terms.
+    _write_meta(
+        spark, store_path, rank_ordered=True,
+        n_terms=int(n_terms), max_id=int(n_terms), dict_buckets=int(dict_buckets),
+    )
+    enc = encode_triples(triples, dict_table, broadcast_dict=n_terms <= 10_000_000)
     # vertical partitioning: one directory per predicate id
     enc.write.mode("overwrite").partitionBy("p").parquet(os.path.join(store_path, "by_p"))
     # every downstream step reads the just-written COLUMNAR store, not the
@@ -108,37 +178,67 @@ def bulk_load(
         .agg(F.sum("cnt").alias("n"))
         .collect()[0]["n"]
     )
-    dictionary.unpersist()
     return {"n_terms": int(n_terms), "n_triples": int(n_triples_row or 0)}
 
 
-def _write_meta(spark: SparkSession, store_path: str, rank_ordered: bool) -> None:
+def _write_meta(
+    spark: SparkSession,
+    store_path: str,
+    rank_ordered: bool,
+    n_terms: int | None = None,
+    max_id: int | None = None,
+    dict_buckets: int | None = None,
+) -> None:
     """One-row store manifest written AS PARQUET via Spark (not driver-side
-    JSON) so it works on any filesystem a URI store lives on. Records
-    whether dictionary ids are still globally lexicographic-rank-ordered —
-    the precondition for the encoded engine's MIN/MAX peel."""
-    spark.createDataFrame([(rank_ordered,)], "rank_ordered boolean").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(store_path, "meta"))
+    JSON) so it works on any filesystem a URI store lives on. Records:
+
+    - rank_ordered: dictionary ids still globally lexicographic-rank-
+      ordered — the precondition for the encoded engine's MIN/MAX peel;
+    - max_id: the id WATERMARK — every allocated id is <= max_id (ids may
+      be sparse below it after a crashed append reserved a range), so the
+      next append allocates above it WITHOUT a max(id) scan of the
+      dictionary — O(1) instead of O(dict) per load;
+    - n_terms: dictionary row count (upper bound after a crashed append —
+      used for broadcast gating and load stats, never for id math);
+    - dict_buckets: bucket count of the term-bucketed dict/ layout (NULL =
+      legacy plain-parquet dictionary)."""
+    spark.createDataFrame(
+        [(rank_ordered, n_terms, max_id, dict_buckets)],
+        "rank_ordered boolean, n_terms long, max_id long, dict_buckets int",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(store_path, "meta"))
 
 
-def _read_meta_rank_ordered(spark: SparkSession, store_path: str) -> bool:
-    """True when the store's dictionary is rank-ordered. Stores loaded
-    before the meta/ manifest existed were always full bulk_load rebuilds,
-    so a MISSING manifest means rank-ordered — but only path-not-found may
-    default True: any other read failure (corrupt footer, permissions)
-    must propagate rather than fail OPEN into the order-dependent MIN/MAX
-    peel on a possibly append-ordered store (review r5)."""
+def _read_meta(spark: SparkSession, store_path: str) -> dict:
+    """Store manifest with legacy defaults. Stores loaded before the meta/
+    manifest existed were always full bulk_load rebuilds, so a MISSING
+    manifest means rank-ordered — but only path-not-found may default:
+    any other read failure (corrupt footer, permissions) must propagate
+    rather than fail OPEN into the order-dependent MIN/MAX peel on a
+    possibly append-ordered store (review r5). Manifests written before
+    the counter fields existed surface them as None (callers fall back to
+    scanning)."""
     from pyspark.errors import AnalysisException
 
     try:
-        rows = spark.read.parquet(os.path.join(store_path, "meta")).collect()
+        df = spark.read.parquet(os.path.join(store_path, "meta"))
+        rows = df.collect()
     except AnalysisException as e:
         msg = str(e)
         if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
-            return True
+            return {"rank_ordered": True, "n_terms": None, "max_id": None,
+                    "dict_buckets": None}
         raise
-    return bool(rows and rows[0]["rank_ordered"])
+    row = rows[0].asDict() if rows else {}
+    return {
+        "rank_ordered": bool(row.get("rank_ordered", True)),
+        "n_terms": row.get("n_terms"),
+        "max_id": row.get("max_id"),
+        "dict_buckets": row.get("dict_buckets"),
+    }
+
+
+def _read_meta_rank_ordered(spark: SparkSession, store_path: str) -> bool:
+    return _read_meta(spark, store_path)["rank_ordered"]
 
 
 def append_load(spark: SparkSession, nt_path: str, store_path: str) -> dict:
@@ -148,14 +248,21 @@ def append_load(spark: SparkSession, nt_path: str, store_path: str) -> dict:
     partition-pruned stats refresh of only the predicates the delta
     touched:
 
-    - new terms get ids above the current max via append_ids (delta
-      anti-join, deterministic rank among themselves),
+    - new terms get ids above the manifest's id WATERMARK via append_ids
+      (delta anti-join, deterministic rank among themselves) — the
+      watermark read is O(1), not a max(id) scan of the dictionary,
+    - the anti-join and the encode's dictionary-slice semi-join run
+      against the term-BUCKETED dict table, so the dictionary side never
+      shuffles — per-append exchange volume is O(|delta|),
     - the delta dictionary rows and encoded delta triples are APPENDED
-      (dict/ plain parquet append; by_p/ partitionBy(p) append — new
+      (dict/ bucketed-table append; by_p/ partitionBy(p) append — new
       predicates create new directories, existing ones gain files),
-    - meta/ flips rank_ordered=false, which open_store passes to the
-      engine so the MIN/MAX id peel degrades to decode-before-agg
-      instead of silently returning wrong terms,
+    - meta/ flips rank_ordered=false AND advances the watermark BEFORE
+      the dict append (reserve-then-write): a crash between the two
+      leaves an id GAP, never a collision — the dictionary stays a
+      bijection under retries. open_store passes the flag to the engine
+      so the MIN/MAX id peel degrades to decode-before-agg instead of
+      silently returning wrong terms,
     - stats/ merges: untouched predicates keep their old rows verbatim;
       only the delta's predicates are recomputed, over a partition-
       pruned read of exactly those by_p directories — stats cost scales
@@ -165,33 +272,69 @@ def append_load(spark: SparkSession, nt_path: str, store_path: str) -> dict:
     a failed append can leave orphan part-files that a retry re-appends —
     production would stage to a temp dir and commit by rename."""
     triples = parse_ntriples(spark.read.text(nt_path))
-    existing_dict = spark.read.parquet(os.path.join(store_path, "dict"))
+    meta = _read_meta(spark, store_path)
+    buckets = meta["dict_buckets"]
+    if buckets:
+        existing_dict = _register_dict_table(spark, store_path, buckets)
+    else:  # legacy plain-parquet dictionary (pre-bucketing store)
+        existing_dict = spark.read.parquet(os.path.join(store_path, "dict"))
+    watermark = meta["max_id"]
+    n_terms_old = meta["n_terms"]
+    if watermark is None:  # legacy manifest: pay the scans once; the meta
+        # write below records the counters for every later append
+        watermark = int(
+            existing_dict.agg(F.max("id").alias("m")).collect()[0]["m"] or 0
+        )
+    if n_terms_old is None:
+        n_terms_old = existing_dict.count()
     from d_sparq_spark.operators.dictionary import extend_dictionary
 
     # localCheckpoint before the self-referencing append: the delta rows
     # anti-join against dict/ and are then written INTO dict/ — truncate
     # the lineage so the write cannot observe its own output files.
-    delta_dict = extend_dictionary(existing_dict, triples).localCheckpoint()
+    delta_dict = extend_dictionary(
+        existing_dict, triples, base_id=watermark
+    ).localCheckpoint()
     n_new_terms = delta_dict.count()
+    n_terms = int(n_terms_old) + int(n_new_terms)
     if n_new_terms:
-        # flip the flag BEFORE the dict append (review r5): a crash after
-        # the append but before a late flag write would leave an append-
-        # ordered dictionary still marked rank-ordered, and the retry's
-        # anti-join would find no new terms so the flag would never flip —
-        # silently wrong MIN/MAX peels forever. Degrading first is safe in
-        # both directions (worst case: a rank-ordered store loses the peel).
-        _write_meta(spark, store_path, rank_ordered=False)
-        delta_dict.write.mode("append").parquet(os.path.join(store_path, "dict"))
+        # reserve BEFORE the dict append (review r5 + r6): flipping the
+        # flag late could leave an append-ordered dictionary marked
+        # rank-ordered after a crash (silently wrong MIN/MAX peels), and
+        # advancing the watermark late could hand a retry's NEXT delta the
+        # same id range twice (collision). Reserving first is safe in both
+        # directions — worst case a rank-ordered store loses the peel and
+        # the id space gains a gap.
+        _write_meta(
+            spark, store_path, rank_ordered=False,
+            n_terms=n_terms, max_id=int(watermark) + int(n_new_terms),
+            dict_buckets=buckets,
+        )
+        if buckets:
+            _write_dict_bucketed(delta_dict, store_path, buckets, mode="append")
+        else:
+            delta_dict.write.mode("append").parquet(os.path.join(store_path, "dict"))
+    elif meta["max_id"] is None:
+        # legacy store, no new terms: still record the counters (and the
+        # existing rank order) so the next append skips the scans
+        _write_meta(
+            spark, store_path, rank_ordered=meta["rank_ordered"],
+            n_terms=n_terms, max_id=int(watermark), dict_buckets=buckets,
+        )
 
     # encode against the COMBINED dictionary read back from the store (the
     # just-appended files included), REDUCED to the delta's own terms by a
     # semi-join first: the encode joins then broadcast a dictionary slice
     # bounded by 3|delta| distinct terms instead of the full store
     # dictionary (measured 20.9 s -> the slice scan for a 0.15M-triple
-    # delta against a 6M-term dict). Inner joins stay safe — every delta
-    # term is present by construction after the append above.
-    full_dict = spark.read.parquet(os.path.join(store_path, "dict"))
-    n_terms = full_dict.count()
+    # delta against a 6M-term dict; the bucketed table makes the slice's
+    # semi-join exchange O(|delta|) too). Inner joins stay safe — every
+    # delta term is present by construction after the append above.
+    full_dict = (
+        _register_dict_table(spark, store_path, buckets)
+        if buckets
+        else spark.read.parquet(os.path.join(store_path, "dict"))
+    )
     from d_sparq_spark.operators.dictionary import distinct_terms
 
     delta_terms = distinct_terms(triples)

@@ -69,7 +69,10 @@ def assign_ids(terms: DataFrame, col: str = "term", num_partitions: int | None =
 
 
 def append_ids(
-    dictionary: DataFrame, new_terms: DataFrame, col: str = "term"
+    dictionary: DataFrame,
+    new_terms: DataFrame,
+    col: str = "term",
+    base_id: int | None = None,
 ) -> DataFrame:
     """Delta-encode NEW terms against an existing dictionary: terms not
     already present get ids ``max_id+1 ..`` assigned in lexicographic
@@ -85,11 +88,18 @@ def append_ids(
     globally rank-ordered anymore, so decode(min(id)) != min(term). Any
     store this touches must record rank_ordered=false in its meta and
     the encoded engine's MIN/MAX group peel must gate on that flag
-    (encoded_engine.EncodedSparqlEngine dict_rank_ordered)."""
+    (encoded_engine.EncodedSparqlEngine dict_rank_ordered).
+
+    ``base_id``: the id watermark to allocate above. Callers holding a
+    store manifest pass its recorded watermark (O(1)) instead of paying a
+    full max(id) scan of the dictionary here; None keeps the scan."""
     existing = dictionary.select(F.col("term"))
     fresh = new_terms.select(col).distinct().join(existing, on=col, how="left_anti")
-    max_row = dictionary.agg(F.max("id").alias("m")).collect()[0]["m"]
-    base = int(max_row or 0)
+    if base_id is None:
+        max_row = dictionary.agg(F.max("id").alias("m")).collect()[0]["m"]
+        base = int(max_row or 0)
+    else:
+        base = int(base_id)
     return assign_ids(fresh, col=col).select(
         (F.col("id") + F.lit(base)).cast("long").alias("id"), "term"
     )
@@ -108,11 +118,13 @@ def distinct_terms(triples: DataFrame) -> DataFrame:
     ).distinct()
 
 
-def extend_dictionary(dictionary: DataFrame, triples: DataFrame) -> DataFrame:
+def extend_dictionary(
+    dictionary: DataFrame, triples: DataFrame, base_id: int | None = None
+) -> DataFrame:
     """Delta dictionary rows (id, term, kind) for the terms of ``triples``
     that the existing dictionary lacks — build_dictionary's incremental
-    sibling (same kind classification)."""
-    delta = append_ids(dictionary, distinct_terms(triples))
+    sibling (same kind classification). ``base_id`` as in append_ids."""
+    delta = append_ids(dictionary, distinct_terms(triples), base_id=base_id)
     return delta.withColumn(
         "kind", F.when(F.col("term").rlike(_IRI_RE), "iri").otherwise("literal")
     )

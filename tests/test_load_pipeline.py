@@ -272,3 +272,97 @@ def test_append_load_rebuilds_stale_ptable(spark, tmp_path):
     assert engine2.catalog is not None and len(engine2.catalog.pt_preds) == 1
     got2 = sorted(tuple(r) for r in engine2.query(q).collect())
     assert ("s:a", "9", "x") in got2 and ("s:a", "1", "x") in got2 and len(got2) == 4
+
+
+# --- term-bucketed dictionary layout + id watermark (r6) ---------------------
+
+
+def test_dict_bucketed_antijoin_has_no_dict_side_exchange(spark, tmp_path):
+    """The dict/ layout is a Spark bucketed table CLUSTERED BY (term): a
+    delta anti-join must read the dictionary's buckets in place — the only
+    Exchange in the plan belongs to the (small) delta side. Broadcast is
+    disabled so the plan cannot cheat its way past the bucketing."""
+    import os
+
+    from d_sparq_spark.load_pipeline import (
+        _read_meta, _register_dict_table, bulk_load,
+    )
+
+    base = _nt(tmp_path / "bk.nt", [f'<s:{i}> <p:x> "v{i}"' for i in range(50)])
+    store = os.path.join(str(tmp_path), "store_bk")
+    bulk_load(spark, base, store)
+    meta = _read_meta(spark, store)
+    assert meta["dict_buckets"] and meta["max_id"] == meta["n_terms"] > 0
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t = _register_dict_table(spark, store, meta["dict_buckets"])
+        delta = spark.createDataFrame([("zzz",), ("v1",)], "term string")
+        plan = (
+            delta.join(t, "term", "left_anti")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Bucketed: true" in plan
+    # exactly one Exchange: the delta side (the bucketed scan needs none)
+    assert plan.count("Exchange") == 1
+
+
+def test_append_watermark_reservation_never_collides(spark, tmp_path):
+    """Reserve-then-append: a crash after the meta write but before the
+    dict append leaves an id GAP. The next (retried or unrelated) append
+    must allocate above the reserved range — the bijection survives."""
+    import os
+
+    from d_sparq_spark.load_pipeline import _read_meta, _write_meta, append_load, bulk_load
+
+    base = _nt(tmp_path / "wb.nt", ['<s:b> <p:x> "bb"'])
+    store = os.path.join(str(tmp_path), "store_wm")
+    bulk_load(spark, base, store)
+    meta = _read_meta(spark, store)
+
+    # simulate the crashed append: watermark advanced by 7, no rows landed
+    _write_meta(
+        spark, store, rank_ordered=False,
+        n_terms=meta["n_terms"] + 7, max_id=meta["max_id"] + 7,
+        dict_buckets=meta["dict_buckets"],
+    )
+    delta = _nt(tmp_path / "wd.nt", ['<s:a> <p:x> "aa"'])
+    info = append_load(spark, delta, store)
+    assert info["n_new_terms"] == 2
+    d = spark.read.parquet(os.path.join(store, "dict"))
+    rows = d.collect()
+    ids = [r["id"] for r in rows]
+    assert len(ids) == len(set(ids))  # bijection despite the gap
+    new_ids = sorted(r["id"] for r in rows if r["term"] in ("s:a", "aa"))
+    assert min(new_ids) > meta["max_id"] + 7  # above the reserved range
+    assert _read_meta(spark, store)["max_id"] == meta["max_id"] + 9
+
+
+def test_append_legacy_store_without_manifest_counters(spark, tmp_path):
+    """A store whose meta predates the counters (or is missing entirely)
+    appends through the plain-parquet path: the scans run once, then the
+    refreshed manifest records counters for every later append."""
+    import os
+    import shutil
+
+    from d_sparq_spark.load_pipeline import _read_meta, append_load, bulk_load, open_store
+
+    base = _nt(tmp_path / "lb.nt", ['<s:b> <p:x> "bb"', '<s:c> <p:x> "cc"'])
+    store = os.path.join(str(tmp_path), "store_legacy")
+    bulk_load(spark, base, store)
+    shutil.rmtree(os.path.join(store, "meta"))  # legacy: no manifest at all
+
+    delta = _nt(tmp_path / "ld.nt", ['<s:a> <p:x> "aa"'])
+    append_load(spark, delta, store)
+    meta = _read_meta(spark, store)
+    assert meta["rank_ordered"] is False and meta["dict_buckets"] is None
+    assert meta["n_terms"] == 7 and meta["max_id"] == 7
+
+    engine = open_store(spark, store)
+    got = sorted(tuple(r) for r in engine.query(
+        "SELECT ?s ?o WHERE { ?s <p:x> ?o }"
+    ).collect())
+    assert got == [("s:a", "aa"), ("s:b", "bb"), ("s:c", "cc")]
