@@ -68,7 +68,9 @@ def _register_dict_table(spark: SparkSession, store_path: str, buckets: int) -> 
     data pass). DROP+CREATE keeps the entry honest if an earlier session
     object registered a different layout under the same name."""
     name = _dict_table_name(store_path)
-    path = os.path.join(store_path, "dict")
+    # escape the path for the SQL literal (a quote in a store path would
+    # otherwise break the statement AFTER dict/ was already written)
+    path = os.path.join(store_path, "dict").replace("'", "''")
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     spark.sql(
         f"CREATE TABLE {name} (id BIGINT, term STRING, kind STRING) "
@@ -139,7 +141,9 @@ def bulk_load(
     # different id assignment mid-encode.
     _write_dict_bucketed(dictionary, store_path, dict_buckets, mode="overwrite")
     dictionary.unpersist()
-    dict_table = _register_dict_table(spark, store_path, dict_buckets)
+    # saveAsTable just registered the table with the same bucket spec —
+    # a plain lookup suffices (review r6: DROP+CREATE here was churn)
+    dict_table = spark.table(_dict_table_name(store_path))
     # ids are DENSE 1..n ranks here, so the id watermark == n_terms.
     _write_meta(
         spark, store_path, rank_ordered=True,
@@ -228,9 +232,14 @@ def _read_meta(spark: SparkSession, store_path: str) -> dict:
             return {"rank_ordered": True, "n_terms": None, "max_id": None,
                     "dict_buckets": None}
         raise
+    # FAIL CLOSED on a present-but-damaged manifest (review r6): a
+    # zero-row meta or one missing the flag column means the store's
+    # history is unknown — treating it as rank-ordered would re-enable
+    # the MIN/MAX id peel on a possibly append-ordered dictionary
+    # (silently wrong aggregates). Only path-not-found may default True.
     row = rows[0].asDict() if rows else {}
     return {
-        "rank_ordered": bool(row.get("rank_ordered", True)),
+        "rank_ordered": bool(rows and row["rank_ordered"]),
         "n_terms": row.get("n_terms"),
         "max_id": row.get("max_id"),
         "dict_buckets": row.get("dict_buckets"),
@@ -330,8 +339,12 @@ def append_load(spark: SparkSession, nt_path: str, store_path: str) -> dict:
     # delta against a 6M-term dict; the bucketed table makes the slice's
     # semi-join exchange O(|delta|) too). Inner joins stay safe — every
     # delta term is present by construction after the append above.
+    # the table is already registered above; saveAsTable(append) writes
+    # through the catalog and invalidates its file-listing cache, so a
+    # fresh name lookup sees the appended files (review r6: re-running
+    # DROP+CREATE here was churn)
     full_dict = (
-        _register_dict_table(spark, store_path, buckets)
+        spark.table(_dict_table_name(store_path))
         if buckets
         else spark.read.parquet(os.path.join(store_path, "dict"))
     )

@@ -320,6 +320,51 @@ def subnodes(node):
         yield node.expr.group
 
 
+def scope_vars(node) -> set:
+    """ALL variables in-scope of ``node`` (SPARQL 1.1 §18.2.1) — the MAY-
+    bind over-approximation dual to certain_vars' MUST-bind one. Used to
+    reject spec-forbidden reassignment (`GROUP BY (expr AS ?v)` where ?v
+    is already in scope). A subquery Project limits scope to its projected
+    variables, exactly as the spec's visibility rule says."""
+    out: set = set()
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if n is None:
+            continue
+        if isinstance(n, BGP):
+            for p in n.patterns:
+                for a in ("s", "p", "o", "g"):
+                    v = getattr(p, a, None)
+                    if isinstance(v, str) and v.startswith("?"):
+                        out.add(v[1:])
+            continue
+        if isinstance(n, Bind):
+            out.add(n.var)
+        elif isinstance(n, Values):
+            out |= set(n.varnames)
+        elif isinstance(n, Graph):
+            t = n.term
+            if isinstance(t, str) and t.startswith("?"):
+                out.add(t[1:])
+        elif isinstance(n, Group):
+            out |= set(n.keys) | {name for name, _ in n.aggs}
+        elif isinstance(n, Project) and n.vars:
+            # subquery projection: only the projected vars escape
+            out |= set(n.vars)
+            continue
+        elif isinstance(n, Minus):
+            # MINUS's right side binds nothing in the outer scope
+            stack.append(n.left)
+            continue
+        elif isinstance(n, Filter):
+            # an EXISTS group's vars do not escape the filter expression
+            stack.append(n.child)
+            continue
+        stack.extend(subnodes(n))
+    return out
+
+
 def certain_vars(node) -> set:
     """Variables CERTAINLY bound (never NULL) in every solution of
     ``node`` — the static analysis behind SPARQL solution-compatibility

@@ -197,7 +197,7 @@ class Parser:
                 # wrappers under Describe.) Without a WHERE group the
                 # solution sequence is a single empty solution — modifiers
                 # would be vacuous; rejected for clarity.
-                child = self._apply_construct_modifiers(child)
+                child = self._apply_construct_modifiers(child, form="DESCRIBE")
             elif self.at_kw("order", "limit", "offset", "group", "having"):
                 raise SyntaxError(
                     "SPARQL: DESCRIBE solution modifiers require a WHERE "
@@ -317,18 +317,18 @@ class Parser:
             raise SyntaxError(f"SPARQL: trailing tokens at {self.peek()}")
         return A.Construct(template, child)
 
-    def _apply_construct_modifiers(self, child):
+    def _apply_construct_modifiers(self, child, form: str = "CONSTRUCT"):
         """CONSTRUCT solution modifiers (grammar [10] ConstructQuery allows
         a full SolutionModifier): ORDER BY orders the solution sequence,
         LIMIT/OFFSET slices it, BEFORE template instantiation — so
         `CONSTRUCT {...} WHERE {...} ORDER BY ?x LIMIT 10` emits the
         triples of the first 10 solutions, then dedups (a graph is a set).
-        GROUP BY/HAVING on CONSTRUCT is rejected: grouped solutions have no
-        per-solution template instantiation in this subset (aggregate in a
-        SELECT subquery instead)."""
+        GROUP BY/HAVING on CONSTRUCT/DESCRIBE is rejected: grouped
+        solutions have no per-solution template instantiation in this
+        subset (aggregate in a SELECT subquery instead)."""
         if self.at_kw("group", "having"):
             raise SyntaxError(
-                "SPARQL: GROUP BY/HAVING on CONSTRUCT is not supported "
+                f"SPARQL: GROUP BY/HAVING on {form} is not supported "
                 "(aggregate in a SELECT subquery inside WHERE instead)"
             )
         order_keys = self._parse_order_clause()
@@ -385,6 +385,20 @@ class Parser:
             self.next()
             self.eat_kw("by")
             group_keys, group_binds = self._parse_group_conditions()
+            # §18.2.1: `(expr AS ?v)` may not reassign a variable already
+            # in scope of the group — the Bind would silently OVERWRITE
+            # the pattern binding otherwise (review r6). Hidden __gN keys
+            # are parser-owned and cannot clash.
+            clash = sorted(
+                n for n, _ in group_binds
+                if not n.startswith("__") and n in A.scope_vars(root)
+            )
+            if clash:
+                raise SyntaxError(
+                    "SPARQL: GROUP BY (expr AS ?v) cannot reassign "
+                    "in-scope variable(s): "
+                    + ", ".join("?" + v for v in clash)
+                )
         if self.at_kw("having"):
             self.next()
             having = self.parse_expr()

@@ -353,6 +353,13 @@ class Translator:
         subjects = None
         if node.child is not None and var_terms:
             bindings = self.eval(node.child)
+            if self._contains_slice(node.child):
+                # DESCRIBE solution modifiers: the per-variable branches,
+                # the bnode-fixpoint probes, and the caller's final action
+                # each re-execute the child — an un-pinned LIMIT could
+                # pick DIFFERENT solutions per reader (same hazard as
+                # _construct). The sliced set is small; pin it.
+                bindings = bindings.localCheckpoint(eager=False)
             parts = [bindings.select(F.col(v[1:]).alias("n")) for v in var_terms]
             subjects = reduce(lambda a, b: a.unionByName(b), parts)
         if consts:

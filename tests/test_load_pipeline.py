@@ -366,3 +366,28 @@ def test_append_legacy_store_without_manifest_counters(spark, tmp_path):
         "SELECT ?s ?o WHERE { ?s <p:x> ?o }"
     ).collect())
     assert got == [("s:a", "aa"), ("s:b", "bb"), ("s:c", "cc")]
+
+
+def test_read_meta_fails_closed_on_damaged_manifest(spark, tmp_path):
+    """A PRESENT meta/ with zero rows (or a missing flag column) means the
+    store's append history is unknown — the reader must disable the
+    MIN/MAX peel (rank_ordered False), and a column-less manifest must
+    raise, never default open (review r6)."""
+    import os
+
+    from d_sparq_spark.load_pipeline import _read_meta
+
+    store = str(tmp_path / "store_dmg")
+    spark.createDataFrame(
+        [], "rank_ordered boolean, n_terms long, max_id long, dict_buckets int"
+    ).write.parquet(os.path.join(store, "meta"))
+    assert _read_meta(spark, store)["rank_ordered"] is False
+
+    store2 = str(tmp_path / "store_dmg2")
+    spark.createDataFrame([(1,)], "bogus int").write.parquet(
+        os.path.join(store2, "meta")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        _read_meta(spark, store2)

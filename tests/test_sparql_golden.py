@@ -1310,6 +1310,22 @@ def test_w3c_group_by_rejects_aggregate_condition(w3c_engine):
         )
 
 
+def test_w3c_group_by_rejects_inscope_reassignment(w3c_engine):
+    """SPARQL 1.1 §18.2.1: `GROUP BY (expr AS ?v)` may not reassign a
+    variable already in scope — otherwise the bind silently OVERWRITES
+    the pattern binding (review r6)."""
+    with pytest.raises(SyntaxError, match="reassign"):
+        w3c_engine.query(
+            "SELECT ?nm (COUNT(*) AS ?c) WHERE { ?x ex:name ?nm } "
+            "GROUP BY (STR(?x) AS ?nm)"
+        )
+
+
+def test_w3c_describe_group_by_error_names_describe(w3c_engine):
+    with pytest.raises(SyntaxError, match="on DESCRIBE"):
+        w3c_engine.query("DESCRIBE ?x WHERE { ?x ex:name ?n } GROUP BY ?n")
+
+
 def test_w3c_group_by_requires_condition(w3c_engine):
     with pytest.raises(SyntaxError, match="at least one condition"):
         w3c_engine.query("SELECT ?n WHERE { ?x ex:name ?n } GROUP BY")
