@@ -353,7 +353,7 @@ class EncodedSparqlEngine:
     def query(self, sparql: str) -> DataFrame:
         tree = parse_sparql(sparql)
         root = tree.root if isinstance(tree, A.SelectQuery) else tree
-        if isinstance(root, (A.Modify, A.InsertData, A.DeleteData)):
+        if isinstance(root, (A.Modify, A.InsertData, A.DeleteData, A.GraphManage)):
             # UPDATE mutates the store: the encoded engine's store is an
             # immutable relation and _rewrite never visits Modify.where
             # (review r5) — fail with intent instead of a raw eval

@@ -61,16 +61,23 @@ class SparqlEngine:
         return self._translator.eval(parse_sparql(sparql))
 
     def update(self, sparql: str, execution_id: str | None = None) -> DataFrame:
-        """SPARQL 1.1 Update subset (INSERT DATA / DELETE DATA /
-        DELETE WHERE / DELETE..INSERT..WHERE): FUNCTIONAL — returns the
-        new triples relation and leaves this engine's store untouched
-        (wrap the result in a new SparqlEngine, or persist it). That is
-        the Spark-idiomatic shape: at 100 TB the same delete/insert plans
-        drive a MERGE into a lakehouse table or a partition rewrite;
-        immutable DataFrames keep the update testable and retry-safe.
-        Graph-set semantics hold: inserting an existing triple or
-        deleting an absent one is a no-op (anti-join both ways, never a
-        full-store dropDuplicates)."""
+        """SPARQL 1.1 Update (INSERT DATA / DELETE DATA / DELETE WHERE /
+        [WITH g] DELETE..INSERT..WHERE with GRAPH blocks, and the graph
+        management ops CLEAR / DROP / CREATE / COPY / MOVE / ADD / LOAD):
+        FUNCTIONAL — returns the new triples (or quads) relation and
+        leaves this engine's store untouched (wrap the result in a new
+        SparqlEngine, or persist it). That is the Spark-idiomatic shape:
+        at 100 TB the same delete/insert plans drive a MERGE into a
+        lakehouse table or a partition rewrite; immutable DataFrames keep
+        the update testable and retry-safe. Graph-set semantics hold:
+        inserting an existing triple or deleting an absent one is a no-op
+        (anti-join both ways, never a full-store dropDuplicates).
+
+        Store models: a (s,p,o) relation is the DEFAULT graph only —
+        GRAPH-targeted forms raise. A quad (s,p,o,g) relation holds NAMED
+        graphs only (no default graph is modeled, matching the query
+        side, where a plain pattern matches the union): every template /
+        DATA triple must be graph-scoped via WITH or a GRAPH block."""
         from functools import reduce
 
         from pyspark.sql import functions as F
@@ -79,21 +86,33 @@ class SparqlEngine:
 
         tree = parse_sparql(sparql)
         t = self.triples
-        if "g" in t.columns:
-            raise ValueError(
-                "SparqlEngine.update: quad stores are not updatable — a "
-                "triple-level delete would silently hit EVERY named graph; "
-                "update a single graph's slice instead"
-            )
+        is_quad = "g" in t.columns
         spark = t.sparkSession
         schema = ", ".join(f"{c} {dt}" for c, dt in t.dtypes)
+        on = ["s", "p", "o"] + (["g"] if is_quad else [])
 
-        def ground_df(triples):
+        if isinstance(tree, A.GraphManage):
+            return self._graph_manage(tree, t, is_quad)
+
+        def ground_df(triples, quads=()):
             # dedup: a triple repeated WITHIN one DATA block must still
             # insert/delete once (graph-set semantics)
-            return spark.createDataFrame(
-                [(tp.s, tp.p, tp.o) for tp in triples], schema
-            ).dropDuplicates()
+            rows = []
+            if triples:
+                if is_quad:
+                    raise ValueError(
+                        "SparqlEngine.update: this quad store models no "
+                        "default graph — put DATA triples in a GRAPH block"
+                    )
+                rows = [(tp.s, tp.p, tp.o) for tp in triples]
+            if quads:
+                if not is_quad:
+                    raise ValueError(
+                        "SparqlEngine.update: GRAPH blocks target named "
+                        "graphs — this store has no g column"
+                    )
+                rows = rows + [(tp.s, tp.p, tp.o, g) for g, tp in quads]
+            return spark.createDataFrame(rows, schema).dropDuplicates()
 
         def _bnode_labels(template) -> list[str]:
             seen: list[str] = []
@@ -115,7 +134,7 @@ class SparqlEngine:
 
             execution_id = uuid.uuid4().hex
 
-        def instantiate(template, bindings: DataFrame) -> DataFrame:
+        def instantiate(template, bindings: DataFrame, quads=(), with_graph=None) -> DataFrame:
             # Each template blank-node label instantiates as a FRESH bnode
             # per solution — shared across the template's triples within
             # one solution, distinct across solutions (and labels). The id
@@ -124,7 +143,20 @@ class SparqlEngine:
             # (NULL -> '~', which no prefixed part can start with) so
             # crafted values containing the separator cannot make two
             # distinct solutions share one bnode.
-            labels = _bnode_labels(template)
+            template = list(template or ())
+            quad_tps = list(quads or ())
+            if template and is_quad and with_graph is None:
+                raise ValueError(
+                    "SparqlEngine.update: this quad store models no "
+                    "default graph — scope the template with WITH or a "
+                    "GRAPH block"
+                )
+            if (quad_tps or with_graph is not None) and not is_quad:
+                raise ValueError(
+                    "SparqlEngine.update: WITH/GRAPH target named graphs — "
+                    "this store has no g column"
+                )
+            labels = _bnode_labels(template + [tp for _, tp in quad_tps])
             bmap: dict[str, F.Column] = {}
             if labels:
                 from pyspark.sql.window import Window
@@ -175,38 +207,194 @@ class SparqlEngine:
                     term_col(tp.s).alias("s"),
                     term_col(tp.p).alias("p"),
                     term_col(tp.o).alias("o"),
+                    *([F.lit(with_graph).alias("g")] if is_quad else []),
                 )
                 for tp in template
+            ] + [
+                bindings.select(
+                    term_col(tp.s).alias("s"),
+                    term_col(tp.p).alias("p"),
+                    term_col(tp.o).alias("o"),
+                    term_col(g).alias("g"),
+                )
+                for g, tp in quad_tps
             ]
             # unbound variables (e.g. from OPTIONAL) instantiate nothing, per spec
+            if not parts:
+                return spark.createDataFrame([], schema)
             return reduce(lambda a, b: a.unionByName(b), parts).na.drop().dropDuplicates()
 
-        on = ["s", "p", "o"]
         if isinstance(tree, A.InsertData):
-            new = ground_df(tree.triples)
+            new = ground_df(tree.triples, tree.quads)
             return t.unionByName(new.join(t, on, "left_anti"))
         if isinstance(tree, A.DeleteData):
-            return t.join(F.broadcast(ground_df(tree.triples)), on, "left_anti")
+            return t.join(
+                F.broadcast(ground_df(tree.triples, tree.quads)), on, "left_anti"
+            )
         if isinstance(tree, A.Modify):
             # Blank nodes are ILLEGAL in a DELETE template (SPARQL 1.1
             # Update §3.1.3.2 — there is no bnode to match by label); the
             # INSERT template instantiates them fresh per solution above.
-            if _bnode_labels(tree.delete_template):
+            if _bnode_labels(
+                list(tree.delete_template or ())
+                + [tp for _, tp in tree.delete_quads]
+            ):
                 raise SyntaxError(
                     "SPARQL UPDATE: blank nodes are not permitted in a "
                     "DELETE template"
                 )
-            bindings = self._translator.eval(tree.where)
-            out = t
-            if tree.delete_template:
-                out = out.join(
-                    instantiate(tree.delete_template, bindings), on, "left_anti"
+            where = tree.where
+            wg = tree.with_graph
+            if wg is not None and is_quad:
+                # WITH <g>: the WHERE matches against graph g (§3.1.4).
+                # An explicit GRAPH inside the WHERE would escape that
+                # scope per spec — this subset rejects the combination
+                # instead of silently evaluating g-inside-g to empty.
+                if self._contains_graph_node(where):
+                    raise SyntaxError(
+                        "SPARQL UPDATE: GRAPH inside WHERE does not "
+                        "combine with WITH in this subset — drop WITH and "
+                        "scope each block explicitly"
+                    )
+                where = A.Graph(wg, where)
+            elif wg is not None:
+                raise ValueError(
+                    "SparqlEngine.update: WITH targets a named graph — "
+                    "this store has no g column"
                 )
-            if tree.insert_template:
-                ins = instantiate(tree.insert_template, bindings)
+            bindings = self._translator.eval(where)
+            out = t
+            if tree.delete_template or tree.delete_quads:
+                out = out.join(
+                    instantiate(
+                        tree.delete_template, bindings, tree.delete_quads, wg
+                    ),
+                    on,
+                    "left_anti",
+                )
+            if tree.insert_template or tree.insert_quads:
+                ins = instantiate(
+                    tree.insert_template, bindings, tree.insert_quads, wg
+                )
                 out = out.unionByName(ins.join(out, on, "left_anti"))
             return out
         raise ValueError("SparqlEngine.update: not an UPDATE request — use query()")
+
+    @staticmethod
+    def _contains_graph_node(node) -> bool:
+        from d_sparq_spark.plans import ast as A
+
+        stack = [node]
+        while stack:
+            n = stack.pop()
+            if isinstance(n, A.Graph):
+                return True
+            stack.extend(A.subnodes(n))
+        return False
+
+    def _graph_manage(self, node, t: DataFrame, is_quad: bool) -> DataFrame:
+        """Graph management ops, functional like update(). On a triple
+        store only the DEFAULT graph exists; on a quad store only NAMED
+        graphs exist (the model has no default graph). CREATE is a no-op
+        by design: the store records no empty graphs (allowed by §3.2.2
+        for such stores), so there is nothing to create — and nothing for
+        a later CLEAR/DROP of that name to find, which is why non-SILENT
+        ops on an absent graph raise instead."""
+        from d_sparq_spark.plans import ast as A  # noqa: F401  (symmetry)
+        from pyspark.sql import functions as F
+
+        spark = t.sparkSession
+        op, src, dst, silent = node.op, node.src, node.dst, node.silent
+        on = ["s", "p", "o"] + (["g"] if is_quad else [])
+        empty = t.filter(F.lit(False))
+
+        def graph_exists(name) -> bool:
+            return bool(t.filter(F.col("g") == name).take(1))
+
+        def need(name) -> None:
+            if not silent and not graph_exists(name):
+                raise ValueError(
+                    f"SPARQL UPDATE: graph <{name}> does not exist "
+                    "(use SILENT to ignore)"
+                )
+
+        if op == "load":
+            from d_sparq_spark.sources.ntriples import parse_ntriples
+
+            path = str(src)
+            for prefix in ("file://", "file:"):
+                if path.startswith(prefix):
+                    path = path[len(prefix):]
+                    break
+            try:
+                loaded = parse_ntriples(spark.read.text(path))
+            except Exception:
+                if silent:  # LOAD SILENT: failure to read keeps the store
+                    return t
+                raise
+            if is_quad:
+                if dst is None:
+                    raise ValueError(
+                        "SPARQL UPDATE: LOAD into a quad store needs "
+                        "INTO GRAPH <g> (no default graph is modeled)"
+                    )
+                loaded = loaded.withColumn("g", F.lit(dst))
+            elif dst is not None:
+                raise ValueError(
+                    "SPARQL UPDATE: LOAD INTO GRAPH targets a named "
+                    "graph — this store has no g column"
+                )
+            return t.unionByName(loaded.join(t, on, "left_anti"))
+
+        if op in ("clear", "drop"):
+            if not is_quad:
+                if src in ("DEFAULT", "ALL"):
+                    return empty
+                if src == "NAMED":
+                    return t  # no named graphs exist: nothing to clear
+                if silent:
+                    return t
+                raise ValueError(
+                    f"SPARQL UPDATE: graph <{src}> does not exist — this "
+                    "store has only the default graph (use SILENT)"
+                )
+            if src in ("ALL", "NAMED"):
+                return empty  # every row belongs to a named graph
+            if src == "DEFAULT":
+                return t  # no default graph is modeled: nothing to clear
+            need(src)
+            return t.filter(F.col("g") != src)
+
+        if op == "create":
+            return t  # no empty-graph bookkeeping (documented above)
+
+        # copy / move / add
+        if not is_quad:
+            if src == "DEFAULT" and dst == "DEFAULT":
+                return t
+            if silent:
+                return t
+            raise ValueError(
+                f"SPARQL UPDATE: {op.upper()} with named graphs needs a "
+                "quad store (this store has no g column)"
+            )
+        if src == "DEFAULT" or dst == "DEFAULT":
+            if silent:
+                return t
+            raise ValueError(
+                f"SPARQL UPDATE: {op.upper()} DEFAULT — this quad store "
+                "models no default graph (use SILENT to ignore)"
+            )
+        if src == dst:
+            return t
+        need(src)
+        moved = t.filter(F.col("g") == src).withColumn("g", F.lit(dst))
+        if op == "add":
+            return t.unionByName(moved.join(t, on, "left_anti"))
+        keep = (F.col("g") != dst) if op == "copy" else (
+            ~F.col("g").isin(src, dst)
+        )
+        return t.filter(keep).unionByName(moved)
 
     def explain(self, sparql: str, mode: str = "formatted") -> str:
         import contextlib

@@ -282,27 +282,49 @@ class SelectQuery:
 
 @dataclass
 class InsertData:
-    """INSERT DATA { constant triples } — ground triples, no variables."""
+    """INSERT DATA { constant triples / GRAPH blocks } — ground terms, no
+    variables. ``triples`` hold the default-graph block; ``quads`` the
+    (graph_iri, TriplePattern) pairs from GRAPH <g> { ... } blocks."""
 
     triples: list  # all-constant TriplePatterns
+    quads: tuple = ()
 
 
 @dataclass
 class DeleteData:
-    """DELETE DATA { constant triples }."""
+    """DELETE DATA { constant triples / GRAPH blocks }."""
 
     triples: list
+    quads: tuple = ()
 
 
 @dataclass
 class Modify:
-    """DELETE {tmpl} INSERT {tmpl} WHERE {group} (either template may be
-    absent). DELETE WHERE {g} parses as delete_template = g's patterns
-    with where = g."""
+    """[WITH <g>] DELETE {tmpl} INSERT {tmpl} WHERE {group} (either
+    template may be absent). DELETE WHERE {g} parses as delete_template =
+    g's patterns with where = g. Template GRAPH blocks land in the
+    *_quads fields; with_graph scopes the plain template blocks AND the
+    WHERE pattern (SPARQL 1.1 Update §3.1.4)."""
 
     delete_template: list | None
     insert_template: list | None
     where: object
+    delete_quads: tuple = ()
+    insert_quads: tuple = ()
+    with_graph: str | None = None
+
+
+@dataclass
+class GraphManage:
+    """SPARQL 1.1 Update graph management: CLEAR/DROP/CREATE (src = graph
+    iri or 'DEFAULT'/'NAMED'/'ALL'), COPY/MOVE/ADD (src -> dst, each a
+    graph iri or 'DEFAULT'), LOAD (src = document iri/path, dst = target
+    graph or None for the default graph)."""
+
+    op: str  # 'clear' | 'drop' | 'create' | 'copy' | 'move' | 'add' | 'load'
+    src: object
+    dst: object = None
+    silent: bool = False
 
 
 def subnodes(node):

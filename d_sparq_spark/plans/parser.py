@@ -167,8 +167,10 @@ class Parser:
             if self.peek().kind != "EOF":
                 raise SyntaxError(f"SPARQL: trailing tokens at {self.peek()}")
             return A.Ask(group)
-        if self.at_kw("insert", "delete"):
+        if self.at_kw("insert", "delete", "with"):
             return self.parse_update()
+        if self.at_kw("load", "clear", "drop", "create", "copy", "move", "add"):
+            return self.parse_graph_manage()
         if self.at_kw("construct"):
             return self.parse_construct()
         if self.at_kw("describe"):
@@ -235,29 +237,54 @@ class Parser:
         return tmpl
 
     def parse_update(self):
-        """INSERT DATA {t} | DELETE DATA {t} | DELETE WHERE {g} |
-        [DELETE {tmpl}] [INSERT {tmpl}] WHERE {g}. Named-graph (WITH /
-        GRAPH) update forms and LOAD/CLEAR management ops are not
-        supported — the engine is a query processor over DataFrames, not
-        a graph store manager."""
+        """INSERT DATA {q} | DELETE DATA {q} | [WITH <g>] DELETE WHERE {g}
+        | [WITH <g>] [DELETE {qtmpl}] [INSERT {qtmpl}] WHERE {g}, where
+        {q}/{qtmpl} blocks may mix plain triples with GRAPH <g> { ... }
+        sub-blocks (SPARQL 1.1 Update §3.1). USING/USING NAMED dataset
+        clauses are not supported — scope the update with WITH or GRAPH
+        blocks instead."""
+        with_graph = None
+        if self.at_kw("with"):
+            self.next()
+            g = self.parse_term()
+            if isinstance(g, str) and (g.startswith("?") or g.startswith("_:")):
+                raise SyntaxError("SPARQL UPDATE: WITH takes a constant graph IRI")
+            with_graph = g
+        if not self.at_kw("insert", "delete"):
+            raise SyntaxError(
+                f"SPARQL UPDATE: expected INSERT or DELETE, got {self.peek()}"
+            )
         is_insert = self.at_kw("insert")
         self.next()
         if self.at_kw("data"):
+            if with_graph is not None:
+                # grammar [41]/[38]: WITH belongs to Modify only
+                raise SyntaxError(
+                    "SPARQL UPDATE: WITH does not combine with DATA forms "
+                    "(put the triples in a GRAPH block instead)"
+                )
             self.next()
-            triples = self._require_plain_template(self._triple_block(), "DATA")
-            bad = [tp for tp in triples for t in (tp.s, tp.p, tp.o)
-                   if isinstance(t, str) and t.startswith("?")]
-            if bad:
+            triples, quads = self._quad_block("DATA")
+            all_terms = [
+                t for tp in list(triples) + [tp for _, tp in quads]
+                for t in (tp.s, tp.p, tp.o)
+            ] + [g for g, _ in quads]
+            if any(isinstance(t, str) and t.startswith("?") for t in all_terms):
                 raise SyntaxError("SPARQL UPDATE: DATA forms take ground triples only")
-            node = A.InsertData(triples) if is_insert else A.DeleteData(triples)
+            node = (
+                A.InsertData(triples, quads)
+                if is_insert
+                else A.DeleteData(triples, quads)
+            )
             if self.peek().kind != "EOF":
                 raise SyntaxError(f"SPARQL: trailing tokens at {self.peek()}")
             return node
         if is_insert:
-            ins = self._require_plain_template(self._triple_block(), "INSERT")
+            ins, ins_q = self._quad_block("INSERT")
+            self._reject_using()
             self.eat_kw("where")
             group = self.parse_group()
-            node = A.Modify(None, ins, group)
+            node = A.Modify(None, ins, group, (), ins_q, with_graph)
         elif self.at_kw("where"):
             self.next()
             group = self.parse_group()
@@ -268,21 +295,102 @@ class Parser:
                     "SPARQL UPDATE: DELETE WHERE takes a plain BGP "
                     "(property paths/filters have no deletable template form)"
                 )
-            node = A.Modify(list(group.patterns), None, group)
+            node = A.Modify(
+                list(group.patterns), None, group, (), (), with_graph
+            )
         else:
-            del_tmpl = self._require_plain_template(self._triple_block(), "DELETE")
-            ins_tmpl = None
+            del_tmpl, del_q = self._quad_block("DELETE")
+            ins_tmpl, ins_q = None, ()
             if self.at_kw("insert"):
                 self.next()
-                ins_tmpl = self._require_plain_template(
-                    self._triple_block(), "INSERT"
-                )
+                ins_tmpl, ins_q = self._quad_block("INSERT")
+            self._reject_using()
             self.eat_kw("where")
             group = self.parse_group()
-            node = A.Modify(del_tmpl, ins_tmpl, group)
+            node = A.Modify(del_tmpl, ins_tmpl, group, del_q, ins_q, with_graph)
         if self.peek().kind != "EOF":
             raise SyntaxError(f"SPARQL: trailing tokens at {self.peek()}")
         return node
+
+    def _reject_using(self) -> None:
+        if self.at_kw("using"):
+            raise SyntaxError(
+                "SPARQL UPDATE: USING/USING NAMED dataset clauses are not "
+                "supported — scope the update with WITH or GRAPH blocks"
+            )
+
+    def _quad_block(self, what: str) -> tuple[list, tuple]:
+        """{ triples and GRAPH <g> { triples } sub-blocks } -> (plain
+        default-graph template, ((graph, tp), ...) quad template). Both
+        halves are held to the plain-template rules (no paths/bnpl)."""
+        self.eat_op("{")
+        triples: list = []
+        quads: list = []
+        while not self.at_op("}"):
+            if self.at_op("."):
+                self.next()
+                continue
+            if self.at_kw("graph"):
+                self.next()
+                g = self.parse_term()
+                if isinstance(g, str) and g.startswith("_:"):
+                    raise SyntaxError(
+                        f"SPARQL UPDATE: {what} GRAPH blocks cannot be "
+                        "named by a blank node"
+                    )
+                inner = self._require_plain_template(self._triple_block(), what)
+                quads.extend((g, tp) for tp in inner)
+                continue
+            self.parse_triples_same_subject(triples, allow_bnpl=False)
+        self.eat_op("}")
+        return self._require_plain_template(triples, what), tuple(quads)
+
+    def parse_graph_manage(self) -> A.GraphManage:
+        """Graph management (SPARQL 1.1 Update §3.2): CLEAR/DROP/CREATE
+        (GRAPH <iri> | DEFAULT | NAMED | ALL), COPY/MOVE/ADD
+        ((GRAPH? <iri> | DEFAULT) TO (GRAPH? <iri> | DEFAULT)), and
+        LOAD <doc> [INTO GRAPH <iri>]."""
+        op = self.next().text.lower()
+        silent = False
+        if self.at_kw("silent"):
+            silent = True
+            self.next()
+        if op == "load":
+            src = self.parse_term()
+            dst = None
+            if self.at_kw("into"):
+                self.next()
+                self.eat_kw("graph")
+                dst = self.parse_term()
+            node = A.GraphManage("load", src, dst, silent)
+        elif op in ("clear", "drop", "create"):
+            if self.at_kw("graph"):
+                self.next()
+                src = self.parse_term()
+            elif op != "create" and self.at_kw("default", "named", "all"):
+                src = self.next().text.upper()
+            else:
+                allowed = "GRAPH <iri>" if op == "create" else (
+                    "GRAPH <iri> | DEFAULT | NAMED | ALL"
+                )
+                raise SyntaxError(f"SPARQL UPDATE: {op.upper()} takes {allowed}")
+            node = A.GraphManage(op, src, None, silent)
+        else:  # copy / move / add
+            src = self._graph_or_default()
+            self.eat_kw("to")
+            dst = self._graph_or_default()
+            node = A.GraphManage(op, src, dst, silent)
+        if self.peek().kind != "EOF":
+            raise SyntaxError(f"SPARQL: trailing tokens at {self.peek()}")
+        return node
+
+    def _graph_or_default(self):
+        if self.at_kw("default"):
+            self.next()
+            return "DEFAULT"
+        if self.at_kw("graph"):
+            self.next()
+        return self.parse_term()
 
     def parse_construct(self) -> A.Construct:
         self.eat_kw("construct")

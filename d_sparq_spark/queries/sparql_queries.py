@@ -358,3 +358,60 @@ _q(
     FROM customer GROUP BY 1, 2
     """,
 )
+
+
+_ORACLE_UPDATE_GRAPH = """
+WITH c AS (SELECT COUNT(*) n FROM customer),
+     na AS (SELECT COUNT(*) n FROM nation),
+     r AS (SELECT COUNT(*) n FROM region),
+     nx AS (SELECT COUNT(*) n FROM nation a
+            WHERE EXISTS (SELECT 1 FROM nation b WHERE b.n_nationkey = a.n_nationkey + 1))
+SELECT * FROM (
+  SELECT 'g:customer' AS g, 'rdf:type' AS p, n FROM c
+  UNION ALL SELECT 'g:customer', 'foaf:name', n FROM c
+  UNION ALL SELECT 'g:customer', 'ex:nation', n FROM c
+  UNION ALL SELECT 'g:customer', 'ex:acctbal', n FROM c
+  UNION ALL SELECT 'g:customer', 'ex:mktsegment', n FROM c
+  UNION ALL SELECT 'g:nation', 'rdf:type', n FROM na
+  UNION ALL SELECT 'g:nation', 'foaf:name', n FROM na
+  UNION ALL SELECT 'g:nation', 'ex:region', n FROM na
+  UNION ALL SELECT 'g:nation', 'ex:prev', n FROM nx
+  UNION ALL SELECT 'g:region', 'rdf:type', n FROM r
+  UNION ALL SELECT 'g:region', 'foaf:name', n FROM r
+  UNION ALL SELECT 'g:archive', 'rdf:type', n FROM r
+  UNION ALL SELECT 'g:archive', 'foaf:name', n FROM r
+)
+"""
+
+
+@register("q_sparql_update_graph", oracle=_ORACLE_UPDATE_GRAPH)
+def q_sparql_update_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 Update named-graph surface end-to-end on the quad store
+    (r6): WITH-scoped DELETE/INSERT renames ex:next to ex:prev inside
+    g:nation only, then ADD copies g:region into a fresh g:archive —
+    validated by per-(graph, predicate) counts against the relational
+    source. Functional updates: each step returns a new quad relation."""
+    from d_sparq_spark.sources.derived_rdf import derive_quads
+
+    eng = SparqlEngine(derive_quads(spark, sf_dir), collect_stats=False)
+    # each functional update embeds the previous relation's plan several
+    # times (anti-join + union per template) — a chained pipeline must
+    # truncate lineage between steps or the plan grows exponentially
+    # (production would persist each version to the lakehouse anyway)
+    step1 = eng.update(
+        "WITH <g:nation> DELETE { ?n ex:next ?m } INSERT { ?n ex:prev ?m } "
+        "WHERE { ?n ex:next ?m }"
+    ).localCheckpoint(eager=False)
+    step2 = SparqlEngine(step1, collect_stats=False).update(
+        "ADD <g:nation> TO <g:archive>"
+    ).localCheckpoint(eager=False)
+    # archive only region-shaped rows: drop the nation-only predicates by
+    # a second update, exercising DELETE with a GRAPH block + variable o
+    step3 = SparqlEngine(step2, collect_stats=False).update(
+        "DELETE { GRAPH <g:archive> { ?s ?p ?o } } WHERE "
+        "{ GRAPH <g:archive> { ?s ?p ?o } }"
+    ).localCheckpoint(eager=False)
+    step4 = SparqlEngine(step3, collect_stats=False).update(
+        "ADD <g:region> TO <g:archive>"
+    )
+    return step4.groupBy("g", "p").agg(F.count(F.lit(1)).alias("n"))

@@ -1432,3 +1432,138 @@ def test_construct_where_shorthand(w3c_engine):
     assert bag(short) == bag(full) and short.count() == 8
     with pytest.raises(SyntaxError):
         w3c_engine.query("CONSTRUCT WHERE { ?x ex:knows+ ?y }")
+
+
+# --------- SPARQL 1.1 Update: named graphs + graph management (r6) ----------
+
+QUAD_ROWS = [
+    ("s:a", "p:x", "1", "g:one"), ("s:b", "p:x", "2", "g:one"),
+    ("s:c", "p:y", "3", "g:two"),
+]
+
+
+@pytest.fixture()
+def quad_engine(spark):
+    quads = spark.createDataFrame(
+        QUAD_ROWS, "s string, p string, o string, g string"
+    )
+    return SparqlEngine(quads, collect_stats=False)
+
+
+def qrows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_update_insert_delete_data_graph_blocks(quad_engine):
+    out = quad_engine.update(
+        'INSERT DATA { GRAPH <g:two> { <s:d> <p:y> "4" } '
+        'GRAPH <g:one> { <s:a> <p:x> "1" } }'  # existing quad: set no-op
+    )
+    assert qrows(out) == sorted(QUAD_ROWS + [("s:d", "p:y", "4", "g:two")])
+    out2 = SparqlEngine(out, collect_stats=False).update(
+        'DELETE DATA { GRAPH <g:two> { <s:d> <p:y> "4" } '
+        'GRAPH <g:nine> { <s:zz> <p:zz> "zz" } }'  # absent quad: no-op
+    )
+    assert qrows(out2) == sorted(QUAD_ROWS)
+
+
+def test_update_with_modify_scopes_where_and_templates(quad_engine):
+    out = quad_engine.update(
+        "WITH <g:one> DELETE { ?s <p:x> ?o } INSERT { ?s <p:z> ?o } "
+        "WHERE { ?s <p:x> ?o }"
+    )
+    assert qrows(out) == [
+        ("s:a", "p:z", "1", "g:one"), ("s:b", "p:z", "2", "g:one"),
+        ("s:c", "p:y", "3", "g:two"),
+    ]
+
+
+def test_update_template_graph_block_with_variable_graph(quad_engine):
+    """INSERT { GRAPH ?g {...} } — the graph target is a WHERE-bound
+    variable; each solution instantiates into its own graph."""
+    out = quad_engine.update(
+        'INSERT { GRAPH ?g { ?s <p:tag> "seen" } } '
+        "WHERE { GRAPH ?g { ?s <p:x> ?o } }"
+    )
+    tagged = [r for r in out.collect() if r["p"] == "p:tag"]
+    assert sorted((r["s"], r["g"]) for r in tagged) == [
+        ("s:a", "g:one"), ("s:b", "g:one"),
+    ]
+
+
+def test_update_graph_management_ops(quad_engine):
+    e = quad_engine
+    assert qrows(e.update("CLEAR GRAPH <g:one>")) == [("s:c", "p:y", "3", "g:two")]
+    assert qrows(e.update("COPY <g:one> TO <g:two>")) == [
+        ("s:a", "p:x", "1", "g:one"), ("s:a", "p:x", "1", "g:two"),
+        ("s:b", "p:x", "2", "g:one"), ("s:b", "p:x", "2", "g:two"),
+    ]
+    assert qrows(e.update("MOVE GRAPH <g:one> TO GRAPH <g:three>")) == [
+        ("s:a", "p:x", "1", "g:three"), ("s:b", "p:x", "2", "g:three"),
+        ("s:c", "p:y", "3", "g:two"),
+    ]
+    assert qrows(e.update("ADD <g:one> TO <g:two>")) == sorted(
+        QUAD_ROWS + [("s:a", "p:x", "1", "g:two"), ("s:b", "p:x", "2", "g:two")]
+    )
+    assert e.update("DROP ALL").count() == 0
+    assert e.update("DROP NAMED").count() == 0
+    # CREATE: no empty-graph bookkeeping -> no-op; CLEAR DEFAULT: no
+    # default graph modeled -> no-op; src == dst -> no-op
+    assert qrows(e.update("CREATE GRAPH <g:new>")) == sorted(QUAD_ROWS)
+    assert qrows(e.update("CLEAR DEFAULT")) == sorted(QUAD_ROWS)
+    assert qrows(e.update("COPY <g:one> TO <g:one>")) == sorted(QUAD_ROWS)
+
+
+def test_update_graph_management_errors(quad_engine, spark):
+    e = quad_engine
+    with pytest.raises(ValueError, match="does not exist"):
+        e.update("CLEAR GRAPH <g:nope>")
+    assert qrows(e.update("CLEAR SILENT GRAPH <g:nope>")) == sorted(QUAD_ROWS)
+    with pytest.raises(ValueError, match="does not exist"):
+        e.update("COPY <g:nope> TO <g:two>")
+    with pytest.raises(ValueError, match="no default graph"):
+        e.update("COPY DEFAULT TO <g:two>")
+    with pytest.raises(SyntaxError, match="WITH does not combine"):
+        e.update('WITH <g:one> INSERT DATA { <a> <b> "c" }')
+    with pytest.raises(SyntaxError, match="USING"):
+        e.update(
+            "DELETE { ?s ?p ?o } USING <g:one> WHERE { ?s ?p ?o }"
+        )
+    with pytest.raises(SyntaxError, match="GRAPH inside WHERE"):
+        e.update(
+            "WITH <g:one> DELETE { ?s ?p ?o } WHERE { GRAPH <g:two> { ?s ?p ?o } }"
+        )
+    with pytest.raises(ValueError, match="no default graph"):
+        # plain template triple on a quad store without WITH
+        e.update('INSERT { ?s <p:t> "x" } WHERE { GRAPH <g:one> { ?s <p:x> ?o } }')
+    # triple store rejections
+    t3 = spark.createDataFrame([("s:a", "p:x", "1")], "s string, p string, o string")
+    e3 = SparqlEngine(t3, collect_stats=False)
+    with pytest.raises(ValueError, match="no g column"):
+        e3.update('INSERT DATA { GRAPH <g:x> { <a> <b> "c" } }')
+    with pytest.raises(ValueError, match="no g column"):
+        e3.update('WITH <g:x> DELETE { ?s ?p ?o } WHERE { ?s ?p ?o }')
+    with pytest.raises(ValueError, match="quad store"):
+        e3.update("COPY <g:a> TO <g:b>")
+    assert e3.update("CLEAR DEFAULT").count() == 0
+    assert e3.update("CLEAR NAMED").count() == 1  # no named graphs: no-op
+
+
+def test_update_load_into_graph(quad_engine, spark, tmp_path):
+    nt = tmp_path / "load.nt"
+    nt.write_text('<s:new> <p:x> "9" .\n<s:a> <p:x> "1" .\n')
+    out = quad_engine.update(f"LOAD <file://{nt}> INTO GRAPH <g:one>")
+    assert qrows(out) == sorted(QUAD_ROWS + [
+        ("s:a", "p:x", "1", "g:one"), ("s:new", "p:x", "9", "g:one"),
+    ])[1:]  # the duplicate (s:a...) quad inserted once (set semantics)
+    # triple store LOAD (default graph)
+    t3 = spark.createDataFrame([("s:a", "p:x", "1")], "s string, p string, o string")
+    e3 = SparqlEngine(t3, collect_stats=False)
+    out3 = e3.update(f"LOAD <file://{nt}>")
+    assert sorted(tuple(r) for r in out3.collect()) == [
+        ("s:a", "p:x", "1"), ("s:new", "p:x", "9"),
+    ]
+    # LOAD SILENT of an unreadable document keeps the store
+    assert e3.update("LOAD SILENT <file:///nope/missing.nt>").count() == 1
+    with pytest.raises(Exception):
+        e3.update("LOAD <file:///nope/missing.nt>")
