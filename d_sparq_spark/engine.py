@@ -88,8 +88,12 @@ class SparqlEngine:
         t = self.triples
         is_quad = "g" in t.columns
         spark = t.sparkSession
-        schema = ", ".join(f"{c} {dt}" for c, dt in t.dtypes)
         on = ["s", "p", "o"] + (["g"] if is_quad else [])
+        # schema in the FIXED (s,p,o[,g]) row order ground_df/instantiate
+        # build — t.dtypes order would scramble values on a store whose
+        # columns arrive in another order (review r6)
+        dtypes = dict(t.dtypes)
+        schema = ", ".join(f"{c} {dtypes[c]}" for c in on)
 
         if isinstance(tree, A.GraphManage):
             return self._graph_manage(tree, t, is_quad)
@@ -225,7 +229,19 @@ class SparqlEngine:
             return reduce(lambda a, b: a.unionByName(b), parts).na.drop().dropDuplicates()
 
         if isinstance(tree, A.InsertData):
-            new = ground_df(tree.triples, tree.quads)
+            if _bnode_labels(
+                list(tree.triples) + [tp for _, tp in tree.quads]
+            ):
+                # INSERT DATA blank nodes mint FRESH nodes per execution
+                # (spec: a DATA bnode denotes a new node, not the label) —
+                # route through the same instantiation as Modify templates
+                # over the unit solution (review r6: the label used to be
+                # inserted verbatim, so re-running the request anti-joined
+                # into a no-op instead of creating a new node).
+                unit = spark.range(1).select()
+                new = instantiate(tree.triples, unit, tree.quads)
+            else:
+                new = ground_df(tree.triples, tree.quads)
             return t.unionByName(new.join(t, on, "left_anti"))
         if isinstance(tree, A.DeleteData):
             return t.join(
@@ -299,14 +315,23 @@ class SparqlEngine:
         by design: the store records no empty graphs (allowed by §3.2.2
         for such stores), so there is nothing to create — and nothing for
         a later CLEAR/DROP of that name to find, which is why non-SILENT
-        ops on an absent graph raise instead."""
-        from d_sparq_spark.plans import ast as A  # noqa: F401  (symmetry)
+        ops on an absent graph raise instead. That existence probe is the
+        one EAGER Spark job in the otherwise-lazy update API (a take(1)
+        over the current lineage) — the graph-store protocol demands the
+        error at request time; SILENT requests skip the probe ONLY where
+        absence cannot change the result (CLEAR/DROP filter to a no-op by
+        themselves; COPY/MOVE must still probe, because executing their
+        destructive half against an absent source would wipe the
+        destination instead of no-opping, review r6)."""
         from pyspark.sql import functions as F
+
+        from d_sparq_spark.plans import ast as A
 
         spark = t.sparkSession
         op, src, dst, silent = node.op, node.src, node.dst, node.silent
         on = ["s", "p", "o"] + (["g"] if is_quad else [])
         empty = t.filter(F.lit(False))
+        _sentinels = (A.DEFAULT_GRAPH, A.NAMED_GRAPHS, A.ALL_GRAPHS)
 
         def graph_exists(name) -> bool:
             return bool(t.filter(F.col("g") == name).take(1))
@@ -344,13 +369,15 @@ class SparqlEngine:
                     "SPARQL UPDATE: LOAD INTO GRAPH targets a named "
                     "graph — this store has no g column"
                 )
-            return t.unionByName(loaded.join(t, on, "left_anti"))
+            # a dump may repeat a triple across lines: graph-set semantics
+            # insert it once (review r6)
+            return t.unionByName(loaded.dropDuplicates().join(t, on, "left_anti"))
 
         if op in ("clear", "drop"):
             if not is_quad:
-                if src in ("DEFAULT", "ALL"):
+                if src in (A.DEFAULT_GRAPH, A.ALL_GRAPHS):
                     return empty
-                if src == "NAMED":
+                if src is A.NAMED_GRAPHS:
                     return t  # no named graphs exist: nothing to clear
                 if silent:
                     return t
@@ -358,9 +385,9 @@ class SparqlEngine:
                     f"SPARQL UPDATE: graph <{src}> does not exist — this "
                     "store has only the default graph (use SILENT)"
                 )
-            if src in ("ALL", "NAMED"):
+            if src in (A.ALL_GRAPHS, A.NAMED_GRAPHS):
                 return empty  # every row belongs to a named graph
-            if src == "DEFAULT":
+            if src is A.DEFAULT_GRAPH:
                 return t  # no default graph is modeled: nothing to clear
             need(src)
             return t.filter(F.col("g") != src)
@@ -370,7 +397,7 @@ class SparqlEngine:
 
         # copy / move / add
         if not is_quad:
-            if src == "DEFAULT" and dst == "DEFAULT":
+            if src is A.DEFAULT_GRAPH and dst is A.DEFAULT_GRAPH:
                 return t
             if silent:
                 return t
@@ -378,7 +405,7 @@ class SparqlEngine:
                 f"SPARQL UPDATE: {op.upper()} with named graphs needs a "
                 "quad store (this store has no g column)"
             )
-        if src == "DEFAULT" or dst == "DEFAULT":
+        if src in _sentinels or dst in _sentinels:
             if silent:
                 return t
             raise ValueError(
@@ -387,7 +414,16 @@ class SparqlEngine:
             )
         if src == dst:
             return t
-        need(src)
+        if not graph_exists(src):
+            # absent source: error, or a SILENT NO-OP — never "run the
+            # destructive half anyway" (review r6: COPY/MOVE SILENT of an
+            # absent graph used to wipe the destination)
+            if silent:
+                return t
+            raise ValueError(
+                f"SPARQL UPDATE: graph <{src}> does not exist "
+                "(use SILENT to ignore)"
+            )
         moved = t.filter(F.col("g") == src).withColumn("g", F.lit(dst))
         if op == "add":
             return t.unionByName(moved.join(t, on, "left_anti"))

@@ -314,12 +314,27 @@ class Modify:
     with_graph: str | None = None
 
 
+@dataclass(frozen=True)
+class GraphSentinel:
+    """DEFAULT/NAMED/ALL keyword targets of graph-management ops. A
+    distinct type, NOT the bare strings: parse_term strips angle
+    brackets, so a user graph named <ALL> would otherwise alias the ALL
+    keyword and CLEAR GRAPH <ALL> would wipe the store (review r6)."""
+
+    name: str
+
+
+DEFAULT_GRAPH = GraphSentinel("DEFAULT")
+NAMED_GRAPHS = GraphSentinel("NAMED")
+ALL_GRAPHS = GraphSentinel("ALL")
+
+
 @dataclass
 class GraphManage:
     """SPARQL 1.1 Update graph management: CLEAR/DROP/CREATE (src = graph
-    iri or 'DEFAULT'/'NAMED'/'ALL'), COPY/MOVE/ADD (src -> dst, each a
-    graph iri or 'DEFAULT'), LOAD (src = document iri/path, dst = target
-    graph or None for the default graph)."""
+    iri or a GraphSentinel), COPY/MOVE/ADD (src -> dst, each a graph iri
+    or DEFAULT_GRAPH), LOAD (src = document iri/path, dst = target graph
+    or None for the default graph)."""
 
     op: str  # 'clear' | 'drop' | 'create' | 'copy' | 'move' | 'add' | 'load'
     src: object

@@ -271,6 +271,18 @@ class Parser:
             ] + [g for g, _ in quads]
             if any(isinstance(t, str) and t.startswith("?") for t in all_terms):
                 raise SyntaxError("SPARQL UPDATE: DATA forms take ground triples only")
+            if not is_insert and any(
+                isinstance(t, str) and t.startswith("_:") for t in all_terms
+            ):
+                # spec (Update §3.1.2 / grammar [39] QuadData): DELETE DATA
+                # must not contain blank nodes — there is no node a label
+                # could denote for deletion. INSERT DATA bnodes are legal
+                # and mint FRESH nodes (engine.update routes them through
+                # the same per-execution minting as Modify templates).
+                raise SyntaxError(
+                    "SPARQL UPDATE: blank nodes are not permitted in "
+                    "DELETE DATA"
+                )
             node = (
                 A.InsertData(triples, quads)
                 if is_insert
@@ -288,16 +300,8 @@ class Parser:
         elif self.at_kw("where"):
             self.next()
             group = self.parse_group()
-            if not isinstance(group, A.BGP) or any(
-                not isinstance(tp, TriplePattern) for tp in group.patterns
-            ):
-                raise SyntaxError(
-                    "SPARQL UPDATE: DELETE WHERE takes a plain BGP "
-                    "(property paths/filters have no deletable template form)"
-                )
-            node = A.Modify(
-                list(group.patterns), None, group, (), (), with_graph
-            )
+            tmpl, quads = self._delete_where_template(group)
+            node = A.Modify(tmpl, None, group, tuple(quads), (), with_graph)
         else:
             del_tmpl, del_q = self._quad_block("DELETE")
             ins_tmpl, ins_q = None, ()
@@ -311,6 +315,40 @@ class Parser:
         if self.peek().kind != "EOF":
             raise SyntaxError(f"SPARQL: trailing tokens at {self.peek()}")
         return node
+
+    def _delete_where_template(self, group) -> tuple[list, list]:
+        """DELETE WHERE { QuadPattern }: the group doubles as the implicit
+        delete template — plain triples plus GRAPH blocks (grammar rule
+        [40] QuadPattern; the graph name may be a variable, bound by the
+        same pattern). Anything else (paths, filters, OPTIONAL, ...) has
+        no deletable template form."""
+        def plain(patterns) -> list:
+            if any(not isinstance(tp, TriplePattern) for tp in patterns):
+                raise SyntaxError(
+                    "SPARQL UPDATE: DELETE WHERE takes plain triple "
+                    "patterns (property paths have no deletable template "
+                    "form)"
+                )
+            return list(patterns)
+
+        tmpl: list = []
+        quads: list = []
+        stack = [group]
+        while stack:
+            n = stack.pop()
+            if isinstance(n, A.Join):
+                stack.extend((n.left, n.right))
+            elif isinstance(n, A.BGP):
+                tmpl.extend(plain(n.patterns))
+            elif isinstance(n, A.Graph) and isinstance(n.child, A.BGP):
+                quads.extend((n.term, tp) for tp in plain(n.child.patterns))
+            else:
+                raise SyntaxError(
+                    "SPARQL UPDATE: DELETE WHERE takes plain triples and "
+                    "GRAPH blocks only (filters/OPTIONAL/paths have no "
+                    "deletable template form)"
+                )
+        return tmpl, quads
 
     def _reject_using(self) -> None:
         if self.at_kw("using"):
@@ -368,7 +406,11 @@ class Parser:
                 self.next()
                 src = self.parse_term()
             elif op != "create" and self.at_kw("default", "named", "all"):
-                src = self.next().text.upper()
+                src = {
+                    "default": A.DEFAULT_GRAPH,
+                    "named": A.NAMED_GRAPHS,
+                    "all": A.ALL_GRAPHS,
+                }[self.next().text.lower()]
             else:
                 allowed = "GRAPH <iri>" if op == "create" else (
                     "GRAPH <iri> | DEFAULT | NAMED | ALL"
@@ -387,7 +429,7 @@ class Parser:
     def _graph_or_default(self):
         if self.at_kw("default"):
             self.next()
-            return "DEFAULT"
+            return A.DEFAULT_GRAPH
         if self.at_kw("graph"):
             self.next()
         return self.parse_term()

@@ -1567,3 +1567,69 @@ def test_update_load_into_graph(quad_engine, spark, tmp_path):
     assert e3.update("LOAD SILENT <file:///nope/missing.nt>").count() == 1
     with pytest.raises(Exception):
         e3.update("LOAD <file:///nope/missing.nt>")
+
+
+def test_update_copy_silent_absent_source_is_noop(quad_engine):
+    """review r6: COPY/MOVE SILENT of an absent source must leave the
+    store unchanged — not execute only the destructive half and wipe the
+    destination graph."""
+    e = quad_engine
+    assert qrows(e.update("COPY SILENT <g:nope> TO <g:one>")) == sorted(QUAD_ROWS)
+    assert qrows(e.update("MOVE SILENT <g:nope> TO <g:two>")) == sorted(QUAD_ROWS)
+
+
+def test_update_load_dedups_within_document(quad_engine, tmp_path):
+    nt = tmp_path / "dup.nt"
+    nt.write_text('<s:n> <p:x> "9" .\n<s:n> <p:x> "9" .\n')
+    out = quad_engine.update(f"LOAD <file://{nt}> INTO GRAPH <g:one>")
+    assert out.filter("s = 's:n'").count() == 1
+
+
+def test_update_delete_where_graph_blocks(quad_engine):
+    """DELETE WHERE { GRAPH <g> { ... } } (grammar [40] QuadPattern) —
+    including the variable-graph form."""
+    out = quad_engine.update("DELETE WHERE { GRAPH <g:one> { ?s <p:x> ?o } }")
+    assert qrows(out) == [("s:c", "p:y", "3", "g:two")]
+    out2 = quad_engine.update("DELETE WHERE { GRAPH ?g { ?s ?p ?o } }")
+    assert out2.count() == 0
+
+
+def test_update_insert_data_bnodes_fresh_delete_data_bnodes_illegal(engine):
+    out = engine.update(
+        "INSERT DATA { _:n rdf:type Person }", execution_id="e1"
+    )
+    out2 = SparqlEngine(out, collect_stats=False).update(
+        "INSERT DATA { _:n rdf:type Person }", execution_id="e2"
+    )
+    # two executions mint two DISTINCT fresh nodes, not a verbatim-label
+    # no-op (review r6)
+    fresh = [r["s"] for r in out2.filter("p = 'rdf:type' AND o = 'Person'").collect()
+             if r["s"].startswith("_:")]
+    assert len(fresh) == 2 and len(set(fresh)) == 2
+    with pytest.raises(SyntaxError, match="DELETE DATA"):
+        engine.update('DELETE DATA { _:n ex:name "x" }')
+
+
+def test_update_graph_named_like_sentinel_is_not_the_keyword(spark):
+    """review r6: a graph literally named <ALL> must not alias the ALL
+    keyword — CLEAR GRAPH <ALL> clears that one graph only."""
+    quads = spark.createDataFrame(
+        [("s:a", "p:x", "1", "ALL"), ("s:b", "p:x", "2", "g:keep")],
+        "s string, p string, o string, g string",
+    )
+    e = SparqlEngine(quads, collect_stats=False)
+    out = e.update("CLEAR GRAPH <ALL>")
+    assert qrows(out) == [("s:b", "p:x", "2", "g:keep")]
+    assert e.update("CLEAR ALL").count() == 0
+
+
+def test_update_quad_store_with_shuffled_column_order(spark):
+    """review r6: ground rows are built (s,p,o,g) — a store whose columns
+    arrive in another order must not get its values scrambled."""
+    quads = spark.createDataFrame(
+        [("g:one", "s:a", "p:x", "1")], "g string, s string, p string, o string"
+    )
+    e = SparqlEngine(quads, collect_stats=False)
+    out = e.update('INSERT DATA { GRAPH <g:two> { <s:b> <p:y> "2" } }')
+    got = {(r["s"], r["p"], r["o"], r["g"]) for r in out.collect()}
+    assert got == {("s:a", "p:x", "1", "g:one"), ("s:b", "p:y", "2", "g:two")}
