@@ -186,6 +186,35 @@ def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_stream_funnel(spark, sf_dir, name)
 
 
+_ORACLE_STREAM_ENRICH = """
+SELECT event_id, e.user_id, c_mktsegment AS segment,
+       c_nationkey AS nation, value
+FROM events e LEFT JOIN customer ON e.user_id = c_custkey
+"""
+
+
+@register("q_stream_enrich", oracle=_ORACLE_STREAM_ENRICH)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-static join (r6): events readStream left-joins the
+    broadcast customer dimension, append-mode memory sink. STATELESS, so
+    — unlike the windowed streaming entries — the streamed result is
+    EXACTLY the batch join and carries a full DuckDB oracle: the one
+    streaming query in the registry with a hash-checked oracle."""
+    from d_sparq_spark.sources.tables import load_table
+    from d_sparq_spark.streaming.joins import stream_static_enrich
+    from d_sparq_spark.streaming.windows import run_stream_to_batch, stream_events
+
+    customers = load_table(spark, sf_dir, "customer")
+    name = "stream_enrich_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    stream = stream_events(spark, sf_dir, with_watermark=None)
+    return run_stream_to_batch(
+        stream,
+        lambda s: stream_static_enrich(s, customers),
+        name,
+        output_mode="append",
+    )
+
+
 # --- gap-fill / resample (time-series regularization) ------------------------------
 
 _ORACLE_GAP_FILL = """

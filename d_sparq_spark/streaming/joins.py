@@ -56,3 +56,25 @@ def stream_stream_funnel(spark, sf_dir: str, name: str) -> DataFrame:
     # run_stream_to_batch differing only in outputMode — timeout/stop
     # fixes there must apply here too)
     return run_stream_to_batch(s, lambda _df: funnel_join(s, p), name, "append")
+
+
+def stream_static_enrich(events_stream: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static dimension enrichment (r6) — THE production streaming
+    join: an unbounded event stream left-joins a bounded dimension table.
+    No watermark and no state store are needed (the static side is fully
+    available every micro-batch; Spark re-plans the join per batch, so a
+    refreshed dimension snapshot is picked up on the next trigger), and
+    the stream side stays append-only. The dimension is broadcast-hinted:
+    at any scale the dim is metadata-sized next to the stream, and the
+    hint keeps every micro-batch a map-side join instead of re-shuffling
+    the batch's events."""
+    dim = F.broadcast(
+        customers.select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_nationkey").alias("nation"),
+        )
+    )
+    return events_stream.join(dim, "user_id", "left").select(
+        "event_id", "user_id", "segment", "nation", "value"
+    )

@@ -344,3 +344,31 @@ def test_watermark_drops_late_rows_exact_split(spark, tmp_path):
         for op in p.get("stateOperators", [])
     )
     assert dropped == 1, q.recentProgress  # exactly the 10:20 row
+
+
+def test_stream_static_enrich_equals_batch_and_broadcasts(spark):
+    """r6: the stream-static dimension join is stateless, so the streamed
+    result must equal the batch join EXACTLY; the dimension side must
+    broadcast (no per-batch shuffle of the events)."""
+    from pyspark.sql import functions as F
+
+    from d_sparq_spark.sources.tables import load_table
+    from d_sparq_spark.streaming.joins import stream_static_enrich
+    from d_sparq_spark.streaming.windows import run_stream_to_batch, stream_events
+
+    sf = "/root/testdata/sf0.001"
+    customers = load_table(spark, sf, "customer")
+    streamed = run_stream_to_batch(
+        stream_events(spark, sf, with_watermark=None),
+        lambda s: stream_static_enrich(s, customers),
+        "t_enrich_eq",
+        output_mode="append",
+    )
+    batch = stream_static_enrich(
+        load_table(spark, sf, "events"), customers
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
