@@ -516,6 +516,12 @@ class Parser:
                     raise SyntaxError("SPARQL: expected variable after AS")
                 self.eat_op(")")
                 name = var.text[1:]
+                if name in proj_vars:
+                    # §19.8: the AS target must not already be assigned or
+                    # selected earlier in the SELECT clause
+                    raise SyntaxError(
+                        f"SPARQL: duplicate SELECT target ?{name}"
+                    )
                 if isinstance(expr, A.Aggregate):
                     aggs.append((name, expr))
                 else:
@@ -526,6 +532,19 @@ class Parser:
 
         self.eat_kw("where") if self.at_kw("where") else None
         root: object = self.parse_group()
+
+        # §19.8: SELECT (expr AS ?v) must not reassign a variable the
+        # WHERE pattern already binds (same rule as BIND / GROUP BY
+        # expression targets, r6) — the projection would silently
+        # OVERWRITE the pattern binding.
+        as_targets = {n for n, _ in proj_exprs} | {n for n, _ in aggs}
+        if as_targets:
+            clash = sorted(as_targets & A.scope_vars(root))
+            if clash:
+                raise SyntaxError(
+                    "SPARQL: SELECT (... AS ?v) cannot reassign in-scope "
+                    "variable(s): " + ", ".join("?" + v for v in clash)
+                )
 
         group_keys: list[str] | None = None
         group_binds: list[tuple[str, object]] = []
@@ -887,6 +906,15 @@ class Parser:
             elif el[0] == "minus":
                 node = A.Minus(node if node is not None else A.BGP([]), el[1])
             elif el[0] == "bind":
+                # §10.1: BIND's target must not already be in scope of the
+                # group up to this point — the withColumn would silently
+                # OVERWRITE the pattern binding otherwise (same rule the
+                # GROUP BY (expr AS ?v) form enforces, r6)
+                if node is not None and el[2] in A.scope_vars(node):
+                    raise SyntaxError(
+                        f"SPARQL: BIND(... AS ?{el[2]}) reassigns a "
+                        "variable already in scope of the group"
+                    )
                 node = A.Bind(el[1], el[2], node if node is not None else A.BGP([]))
             elif el[0] == "values":
                 node = A.Values(el[1], el[2], node)

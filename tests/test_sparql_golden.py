@@ -1276,6 +1276,23 @@ W3C_GOLDENS = [
      "ORDER BY ?n LIMIT 2",
      [("p:alice", "ex:n", "Alice"), ("p:alice", "rdf:type", "Named"),
       ("p:bob", "ex:n", "Bob"), ("p:bob", "rdf:type", "Named")]),
+    # -- scoping corners (r6) --------------------------------------------------
+    ("bind_before_pattern_then_filter",
+     'SELECT ?n WHERE { BIND("Alice" AS ?target) ?x ex:name ?n '
+     "FILTER(?n = ?target) }",
+     [("Alice",)]),
+    ("subquery_inner_var_invisible_outside",
+     "SELECT ?a WHERE { { SELECT ?x WHERE { ?x ex:age ?a } } }",
+     [(None,), (None,), (None,), (None,)]),
+    ("union_inside_optional",
+     "SELECT ?n ?v WHERE { ?x ex:name ?n OPTIONAL { { ?x ex:city ?v } "
+     "UNION { ?x ex:age ?v } } }",
+     [("Alice", "Paris"), ("Alice", "30"), ("Bob", "London"), ("Bob", "25"),
+      ("Carol", "35"), ("Dave", "Paris"), ("Dave", "25"), ("Eve", "Berlin")]),
+    ("order_by_nonprojected_then_limit",
+     "SELECT ?n WHERE { ?x ex:name ?n . ?x ex:age ?a } "
+     "ORDER BY DESC(xsd:integer(?a)) LIMIT 2",
+     [("Carol",), ("Alice",)]),
     ("construct_order_desc_expr_limit",
      "CONSTRUCT { ?x ex:top ?a } WHERE { ?x ex:age ?a . ?x ex:name ?n } "
      "ORDER BY DESC(xsd:integer(?a)) ?n LIMIT 2",
@@ -1324,6 +1341,32 @@ def test_w3c_group_by_rejects_inscope_reassignment(w3c_engine):
 def test_w3c_describe_group_by_error_names_describe(w3c_engine):
     with pytest.raises(SyntaxError, match="on DESCRIBE"):
         w3c_engine.query("DESCRIBE ?x WHERE { ?x ex:name ?n } GROUP BY ?n")
+
+
+def test_w3c_bind_rejects_inscope_reassignment(w3c_engine):
+    """§10.1: BIND's target must not already be in scope of the group up
+    to the point of use."""
+    with pytest.raises(SyntaxError, match="reassigns"):
+        w3c_engine.query(
+            'SELECT ?n WHERE { ?x ex:name ?n BIND("X" AS ?n) }'
+        )
+    # ...but the same name is fine when BIND comes FIRST (nothing bound yet)
+    out = w3c_engine.query(
+        'SELECT ?n WHERE { BIND("Eve" AS ?m) ?x ex:name ?n FILTER(?n = ?m) }'
+    )
+    assert rows(out) == [("Eve",)]
+
+
+def test_w3c_select_as_rejects_inscope_reassignment(w3c_engine):
+    """§19.8: SELECT (expr AS ?v) must not reassign a pattern variable."""
+    with pytest.raises(SyntaxError, match="reassign"):
+        w3c_engine.query(
+            "SELECT (STRLEN(?n) AS ?n) WHERE { ?x ex:name ?n }"
+        )
+    with pytest.raises(SyntaxError, match="duplicate SELECT target"):
+        w3c_engine.query(
+            "SELECT (1 AS ?v) (2 AS ?v) WHERE { ?x ex:name ?n }"
+        )
 
 
 def test_w3c_group_by_requires_condition(w3c_engine):
