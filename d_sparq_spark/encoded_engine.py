@@ -180,6 +180,7 @@ class EncodedSparqlEngine:
         self.dict_rank_ordered = dict_rank_ordered
         self.dict = dictionary.select("id", "term")
         self._dict_small: bool | None = None
+        self._dict_plain: bool | None = None
         self.catalog = catalog
         self.services = services or {}
         stats = None
@@ -393,10 +394,7 @@ class EncodedSparqlEngine:
             terms = tuple(
                 t if _is_var(t) else ids.get(t, _MISSING_ID) for t in root.terms
             )
-            df = _EncodedTranslator(
-                self.triples, self._stats, catalog=self.catalog, dictionary=self.dict,
-                dict_broadcast_ok=self._dict_fits_broadcast,
-            ).eval(A.Describe(terms, child))
+            df = self._translator().eval(A.Describe(terms, child))
             return self._decode(df, df.columns)
         if isinstance(root, (A.Ask, A.Construct)):
             # structural queries: rewrite whole tree, evaluate encoded,
@@ -421,10 +419,7 @@ class EncodedSparqlEngine:
             except NotImplementedError:
                 return self._lexical_fallback(tree)
             rewritten = self._rewrite(inner, ids)
-            tr = _EncodedTranslator(
-                self.triples, self._stats, catalog=self.catalog, dictionary=self.dict,
-                dict_broadcast_ok=self._dict_fits_broadcast,
-            )
+            tr = self._translator()
             if isinstance(root, A.Ask):
                 return tr.eval(A.Ask(rewritten))
             # CONSTRUCT: evaluate the group encoded, decode the BINDINGS,
@@ -434,9 +429,7 @@ class EncodedSparqlEngine:
             # absent from the dictionary need no ID at all.
             bound = tr.eval(rewritten)
             decoded = self._decode(bound, bound.columns)
-            lex = Translator(
-                bound.sparkSession.createDataFrame([], "s string, p string, o string")
-            )
+            lex = _empty_lex(bound.sparkSession)
             for w in reversed(wrappers):  # innermost (OrderBy) first
                 decoded = _eval_with_precomputed(
                     lex, _shallow_with_child(w, _Precomputed(decoded))
@@ -462,12 +455,9 @@ class EncodedSparqlEngine:
         except NotImplementedError:
             return self._lexical_fallback(tree)
         structural = self._rewrite(structural, ids)
-        tr = _EncodedTranslator(
-            self.triples, self._stats, catalog=self.catalog, dictionary=self.dict,
-            dict_broadcast_ok=self._dict_fits_broadcast,
-        )
+        tr = self._translator()
         bound = tr.eval(structural)
-        lex = Translator(bound.sparkSession.createDataFrame([], "s string, p string, o string"))
+        lex = _empty_lex(bound.sparkSession)
 
         # Decode as LATE as possible: wrappers that are ID-safe run over the
         # encoded longs first, so the decode join touches the smallest
@@ -487,12 +477,17 @@ class EncodedSparqlEngine:
                 node_df = _apply_enc(node_df, wrappers.pop())
                 continue
             # MIN/MAX over ids is only order-preserving when the
-            # dictionary is rank-ordered; an append-extended dictionary
-            # restricts the peel to COUNT and decodes before MIN/MAX
-            peelable = ("count", "min", "max") if self.dict_rank_ordered else ("count",)
+            # dictionary is rank-ordered AND holds no numeric typed
+            # literals (rank = lexical order; MIN/MAX compare typed
+            # numerics by VALUE since r6, matching ORDER BY) — otherwise
+            # the peel is restricted to COUNT and decodes before MIN/MAX.
+            peelable = (
+                ("count", "min", "max")
+                if self.dict_rank_ordered and self._dict_value_order_safe()
+                else ("count",)
+            )
             if (
                 isinstance(w, A.Group)
-                and w.keys
                 and all(k in node_df.columns for k in w.keys)
                 and all(
                     a.func in peelable
@@ -501,18 +496,52 @@ class EncodedSparqlEngine:
                 )
             ):
                 node_df = _apply_enc(node_df, wrappers.pop())
-                # counts stay plain longs; only keys and min/max are IDs
+                # counts stay plain longs; only keys and min/max are IDs.
+                # May legitimately be [] (keyless COUNT — review r6: the
+                # old `w.keys` guard skipped the peel on the most common
+                # aggregate shape, decoding the whole store under a row
+                # count); the decode below distinguishes [] from None.
                 decoded_cols = list(w.keys) + [
                     v for v, a in w.aggs if a.func in ("min", "max")
                 ]
             break
-        node_df = self._decode(node_df, decoded_cols or node_df.columns)
+        node_df = self._decode(
+            node_df, node_df.columns if decoded_cols is None else decoded_cols
+        )
 
         # re-apply remaining value-level nodes over the lexical bindings
         for w in reversed(wrappers):
             w_shallow = _shallow_with_child(w, _Precomputed(node_df))
             node_df = _eval_with_precomputed(lex, w_shallow)
         return node_df
+
+    def _translator(self) -> "_EncodedTranslator":
+        """The engine's encoded translator, constructed in ONE place —
+        the r4 broadcast-gate bug lived in exactly this kind of drifted
+        copy (review r6: three inline constructions)."""
+        return _EncodedTranslator(
+            self.triples, self._stats, catalog=self.catalog, dictionary=self.dict,
+            dict_broadcast_ok=self._dict_fits_broadcast,
+        )
+
+    def _dict_value_order_safe(self) -> bool:
+        """True when NO dictionary term is a numeric typed literal —
+        then value order == lexical order == id rank order, and the
+        MIN/MAX peel over ids is exact. One early-exit dictionary scan,
+        computed lazily on the first Group peel and cached per engine
+        (a store manifest flag could amortize it across sessions; the
+        scan is linear and column-pruned to `term`)."""
+        if self._dict_plain is None:
+            from d_sparq_spark.plans.translate import _TYPED_RE
+
+            hit = self.dict.filter(
+                F.col("term").rlike(_TYPED_RE)
+                & F.regexp_extract(F.col("term"), _TYPED_RE, 1)
+                .try_cast("double")
+                .isNotNull()
+            ).take(1)
+            self._dict_plain = not hit
+        return self._dict_plain
 
     def _dict_fits_broadcast(self) -> bool:
         """Dictionary-broadcast size gate, computed ONCE per engine on
@@ -552,6 +581,13 @@ class EncodedSparqlEngine:
         return decode_columns(
             df, self.dict, id_cols, broadcast_dict=self._dict_fits_broadcast()
         )
+
+
+def _empty_lex(spark) -> Translator:
+    """A lexical Translator over an empty store — used to re-apply peeled
+    value-level wrappers and CONSTRUCT templates over already-decoded
+    bindings (the store relation is never touched)."""
+    return Translator(spark.createDataFrame([], "s string, p string, o string"))
 
 
 class _Precomputed:

@@ -1007,6 +1007,13 @@ class Translator:
                 return out
             if gv not in keys:
                 keys.append(gv)
+        if not aggs:
+            # GROUP BY with no aggregates in the SELECT list: grouped
+            # solutions project their keys — DISTINCT over the key
+            # columns (groupBy().agg() with zero exprs is a Spark
+            # AssertionError, review r6; the parser guarantees keys is
+            # non-empty when aggs is)
+            return child.select(*keys).dropDuplicates()
         if keys:
             return child.groupBy(*keys).agg(*aggs)
         return child.agg(*aggs)
@@ -1030,10 +1037,23 @@ class Translator:
             if a.distinct:
                 return F.sum_distinct(c.cast(DEC)).cast("double") / F.count_distinct(c)
             return (F.sum(c.cast(DEC)).cast("double") / F.count(c))
-        if a.func == "min":
-            return F.min(c)
-        if a.func == "max":
-            return F.max(c)
+        if a.func in ("min", "max"):
+            if isinstance(a.arg, A.Var) and dict(df.dtypes).get(a.arg.name) == "string":
+                # typed numeric literals compare by VALUE (same device as
+                # _order_cols, so MIN(?o) and ORDER BY ?o LIMIT 1 agree —
+                # review r6 found them answering differently): the struct
+                # key orders by (typed value, lexical term); plain terms
+                # have a NULL value key, which sorts below every typed
+                # numeric in BOTH directions (struct NULL field = smallest),
+                # exactly matching ORDER BY's asc-nulls-first/desc-nulls-
+                # last pair of sort keys.
+                tv = F.when(
+                    c.rlike(_TYPED_RE),
+                    F.regexp_extract(c, _TYPED_RE, 1).try_cast("double"),
+                )
+                key = F.struct(tv.alias("v"), c.alias("t"))
+                return F.min_by(c, key) if a.func == "min" else F.max_by(c, key)
+            return F.min(c) if a.func == "min" else F.max(c)
         if a.func == "group_concat":
             # SPARQL leaves element order undefined; we sort for determinism
             coll = F.collect_set(c) if a.distinct else F.collect_list(c)

@@ -329,3 +329,74 @@ def test_encoded_update_rejected_with_clear_error(engines):
     _, enc = engines
     with pytest.raises(NotImplementedError, match="UPDATE"):
         enc.query('INSERT DATA { <s:a> <p:b> "c" }')
+
+
+# --- r6 review fixes: keyless peel, value-order MIN/MAX, no-agg GROUP BY ----
+
+
+def _mini_engines(spark, rows):
+    from d_sparq_spark.operators.dictionary import build_dictionary, encode_triples
+
+    triples = spark.createDataFrame(rows, "s string, p string, o string")
+    d = build_dictionary(triples)
+    return (
+        SparqlEngine(triples, collect_stats=False),
+        EncodedSparqlEngine(encode_triples(triples, d), d, collect_stats=False),
+    )
+
+
+def test_keyless_count_peels_no_decode_join(spark):
+    """SELECT (COUNT(*) AS ?n): the Group must aggregate over encoded ids
+    — the old `w.keys` guard decoded every binding column under a row
+    count (review r6). No join of any kind belongs in this plan."""
+    from d_sparq_spark.operators.dictionary import build_dictionary, encode_triples
+
+    triples = spark.createDataFrame(
+        [("s:a", "p:x", "1"), ("s:b", "p:y", "2")], "s string, p string, o string"
+    )
+    d = build_dictionary(triples).localCheckpoint()
+    # materialize the store so the plan under inspection holds ONLY the
+    # query's own operators, not the in-memory encode lineage's joins
+    store = encode_triples(triples, d).localCheckpoint()
+    enc = EncodedSparqlEngine(store, d, collect_stats=False)
+    out = enc.query("SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o }")
+    assert [tuple(r) for r in out.collect()] == [(2,)]
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan, plan
+
+
+def test_min_max_typed_numeric_value_order_both_engines(spark):
+    """MIN/MAX over typed numeric literals compare by VALUE, agreeing
+    with ORDER BY (review r6: '"10"^^xsd:int' < '"9"^^xsd:int'
+    lexically); the encoded engine must reach the same answer, which
+    forces its rank-order peel OFF for stores holding such terms."""
+    rows = [
+        ("s:a", "p:v", '"9"^^xsd:int'), ("s:b", "p:v", '"10"^^xsd:int'),
+        ("s:c", "p:v", '"2"^^xsd:int'),
+    ]
+    q = "SELECT (MIN(?o) AS ?lo) (MAX(?o) AS ?hi) WHERE { ?s <p:v> ?o }"
+    for eng in _mini_engines(spark, rows):
+        got = [tuple(r) for r in eng.query(q).collect()]
+        assert got == [('"2"^^xsd:int', '"10"^^xsd:int')], got
+        first = eng.query("SELECT ?o WHERE { ?s <p:v> ?o } ORDER BY ?o LIMIT 1")
+        assert [r["o"] for r in first.collect()] == ['"2"^^xsd:int']
+
+
+def test_min_max_plain_strings_unchanged_and_peel_still_on(spark):
+    """All-plain stores keep lexical MIN/MAX (== value order for them)
+    and the encoded MIN/MAX peel stays available."""
+    rows = [("s:a", "p:v", "pear"), ("s:b", "p:v", "apple")]
+    q = "SELECT (MIN(?o) AS ?lo) WHERE { ?s <p:v> ?o }"
+    lex, enc = _mini_engines(spark, rows)
+    assert [tuple(r) for r in lex.query(q).collect()] == [("apple",)]
+    assert [tuple(r) for r in enc.query(q).collect()] == [("apple",)]
+    assert enc._dict_value_order_safe() is True
+
+
+def test_group_by_without_aggregates_is_distinct_keys(spark):
+    """SELECT ?k ... GROUP BY ?k with no aggregates: grouped solutions
+    project their keys (was a Spark AssertionError, review r6)."""
+    rows = [("s:a", "p:x", "1"), ("s:b", "p:x", "1"), ("s:c", "p:x", "2")]
+    q = "SELECT ?o WHERE { ?s <p:x> ?o } GROUP BY ?o"
+    for eng in _mini_engines(spark, rows):
+        assert sorted(tuple(r) for r in eng.query(q).collect()) == [("1",), ("2",)]
