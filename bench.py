@@ -67,6 +67,9 @@ HEADLINE = [
     "q_tpch_q1",            # the canonical 8-aggregate scan pass
     "q_tpch_q9",            # 5-table profit join (largest join tree in the suite)
     "q_tpch_q16",           # filtered pairs -> count-distinct (dedup-shuffle shape)
+    # r6: the round's two new execution shapes
+    "q_sparql_update_graph",  # chained functional updates over the quad store
+    "q_stream_enrich",        # real readStream + broadcast dim join (memory sink)
 ]
 
 
