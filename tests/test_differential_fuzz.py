@@ -198,3 +198,62 @@ def test_lexical_vs_encoded_agree_on_compat_algebra(spark, seed):
         a = rows(lexical.query(q))
         b = rows(encoded.query(q))
         assert a == b, f"seed={seed} divergence on:\n{q}\nlexical={a[:5]}\nencoded={b[:5]}"
+
+
+# --- r6: aggregate / scope-shape fuzz lap -----------------------------------
+
+
+def _agg_query(rng: random.Random) -> str:
+    """Random aggregate query over the fixture graph: GROUP BY a variable
+    or an expression condition, a random peelable/non-peelable aggregate
+    mix, optional OPTIONAL around one pattern, optional HAVING — the
+    shapes the r6 grammar work added, crossed with the encoded engine's
+    Group peel paths."""
+    agg_pool = [
+        ("(COUNT(*) AS ?n)", None),
+        ("(COUNT(?a) AS ?na)", "ex:age"),
+        ("(MIN(?a) AS ?lo)", "ex:age"),
+        ("(MAX(?a) AS ?hi)", "ex:age"),
+        ("(SAMPLE(?c) AS ?any)", "ex:city"),
+        ("(GROUP_CONCAT(?c; SEPARATOR=\",\") AS ?cs)", "ex:city"),
+    ]
+    n_aggs = rng.randint(1, 2)
+    chosen = rng.sample(agg_pool, n_aggs)
+    pats = ["?x ex:level ?l"]
+    need = {p for _, p in chosen if p}
+    if "ex:age" in need:
+        pats.append("?x ex:age ?a")
+    city_optional = rng.random() < 0.5
+    if "ex:city" in need:
+        pats.append("?x ex:city ?c")
+    body = " . ".join(pats)
+    if "ex:city" in need and city_optional:
+        body = " . ".join(p for p in pats if "ex:city" not in p)
+        body += " OPTIONAL { ?x ex:city ?c }"
+    if rng.random() < 0.5:
+        group = "GROUP BY ?l"
+        key_sel = "?l"
+    else:
+        group = "GROUP BY (xsd:integer(?l) > 2 AS ?big)"
+        key_sel = "?big"
+    having = ""
+    if rng.random() < 0.3:
+        having = " HAVING (COUNT(*) >= 1)"
+    sel = " ".join([key_sel] + [a for a, _ in chosen])
+    return f"SELECT {sel} WHERE {{ {body} }} {group}{having}"
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_lexical_vs_encoded_agree_on_aggregates(spark, seed):
+    rng = random.Random(7000 + seed)
+    graph = _graph(rng)
+    triples = spark.createDataFrame(graph, "s string, p string, o string")
+    d = build_dictionary(triples)
+    enc = encode_triples(triples, d)
+    lexical = SparqlEngine(triples, collect_stats=False)
+    encoded = EncodedSparqlEngine(enc, d, collect_stats=False)
+    for _ in range(2):
+        q = _agg_query(rng)
+        a = sorted(tuple(r) for r in lexical.query(q).collect())
+        b = sorted(tuple(r) for r in encoded.query(q).collect())
+        assert a == b, f"engines disagree on:\n{q}\nlex={a}\nenc={b}"
