@@ -1228,3 +1228,62 @@ def q_dup_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- unigram-LM surprisal quality score (r6) --------------------------------
+
+_ORACLE_SURPRISAL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+lm AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM lm)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(length(bin(tot.total)) - length(bin(lm.cnt))) AS BIGINT) AS sum_bits,
+       CAST(SUM(length(bin(tot.total)) - length(bin(lm.cnt))) AS DOUBLE)
+         / COUNT(*) AS mean_bits
+FROM tok t JOIN lm USING (tok) CROSS JOIN tot
+GROUP BY t.doc_id
+"""
+
+
+@register("q_doc_surprisal", oracle=_ORACLE_SURPRISAL)
+def q_doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram-LM surprisal, bit-length quantized: a
+    token's surprisal -log2(cnt/total) is approximated by the INTEGER
+    floor-log2 difference len(bin(total)) - len(bin(cnt)) — exactly
+    computable on both engines (cross-engine log2/ln differ in the last
+    ulp and sums of them are order-sensitive; bit lengths are integers,
+    so the score is hash-exact). The classic LM-based quality filter
+    shape: low mean_bits = repetitive/common text, high = rare-token
+    text. Scale: the unigram LM is vocabulary-bounded, the corpus total
+    is one broadcast row, and the per-doc aggregate is map-side
+    combinable — the only big shuffle keys tokens, same as TF-IDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    lm = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = lm.agg(F.sum("cnt").cast("long").alias("total"))
+    per_tok = (
+        tok.join(lm, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (F.length(F.bin(F.col("total"))) - F.length(F.bin(F.col("cnt"))))
+            .cast("long")
+            .alias("bits"),
+        )
+    )
+    return (
+        per_tok.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("bits").cast("long").alias("sum_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_bits",
+            (F.col("sum_bits").cast("double") / F.col("n_tokens")).alias("mean_bits"),
+        )
+    )

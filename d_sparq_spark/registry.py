@@ -155,7 +155,7 @@ _LAST_ATTESTED: dict[str, int] = {
 # priority, so no key starves.
 _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "q_sparql_group_expr", "q_sparql_construct_ordered",
-    "q_sparql_update_graph", "q_stream_enrich",
+    "q_sparql_update_graph", "q_stream_enrich", "q_doc_surprisal",
 })
 
 
