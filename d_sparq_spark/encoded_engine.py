@@ -126,6 +126,26 @@ class _EncodedTranslator(Translator):
             out_names={v: f"__lex__{v}" for v in variables},
         )
 
+    def _apply_leftjoin_condition(self, j: DataFrame, cond) -> DataFrame:
+        """OPTIONAL's LeftJoin condition over encoded bindings: same
+        shadow-decode device as _filter — the referenced id columns get
+        lexical shadows, the expression runs over them, the shadows drop
+        (r6: the condition used to compare raw dictionary ids)."""
+        dtypes = dict(j.dtypes)
+        enc = sorted(v for v in A.expr_vars(cond) if dtypes.get(v) == "bigint")
+
+        def ok(frame: DataFrame, e) -> DataFrame:
+            return frame.filter(
+                F.col("__rm").isNotNull()
+                & F.coalesce(self.expr(e, frame).cast("boolean"), F.lit(False))
+            )
+
+        if not enc:
+            return ok(j, cond)
+        shadowed = self._decode_shadow(j, enc)
+        e = _subst_expr_vars(cond, {v: f"__lex__{v}" for v in enc})
+        return ok(shadowed, e).select(*j.columns)
+
     def _filter(self, node: A.Filter) -> DataFrame:
         if isinstance(node.expr, A.ExistsExpr):
             return super()._filter(node)

@@ -158,6 +158,11 @@ class Join:
 class LeftJoin:  # OPTIONAL
     left: object
     right: object
+    # §18.2.2.5 LeftJoin(A, B, F): a top-level FILTER of the OPTIONAL
+    # group that references variables from OUTSIDE the group evaluates
+    # over the MERGED solution — the parser hoists it here; filters whose
+    # variables are all inside stay in the group (equivalent, fast path).
+    cond: object = None
 
 
 @dataclass

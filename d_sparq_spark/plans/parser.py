@@ -902,7 +902,40 @@ class Parser:
             elif el[0] == "group":
                 node = join(node, el[1])
             elif el[0] == "optional":
-                node = A.LeftJoin(node if node is not None else A.BGP([]), el[1])
+                # §18.2.2.5: peel the OPTIONAL group's top-level FILTERs;
+                # those referencing variables from OUTSIDE the group become
+                # the LeftJoin CONDITION (they must see the merged
+                # solution — evaluated inside, an outer var reads as
+                # unbound and kills every right row, review r6). Filters
+                # fully inside keep the in-group fast path. EXISTS filters
+                # stay in place (their semi-join needs its own pattern
+                # evaluation; outer-var-correlated EXISTS-in-OPTIONAL is a
+                # documented subset restriction).
+                right = el[1]
+                peeled: list[object] = []
+                inner = right
+                while isinstance(inner, A.Filter) and not isinstance(
+                    inner.expr, A.ExistsExpr
+                ):
+                    peeled.append(inner.expr)
+                    inner = inner.child
+                cond = None
+                if peeled:
+                    rscope = A.scope_vars(inner)
+                    outside = [
+                        e for e in peeled if not (A.expr_vars(e) <= rscope)
+                    ]
+                    if outside:
+                        for e in peeled:
+                            if e not in outside:
+                                inner = A.Filter(e, inner)
+                        cond = outside[0]
+                        for e in outside[1:]:
+                            cond = A.BinOp("&&", cond, e)
+                        right = inner
+                node = A.LeftJoin(
+                    node if node is not None else A.BGP([]), right, cond
+                )
             elif el[0] == "minus":
                 node = A.Minus(node if node is not None else A.BGP([]), el[1])
             elif el[0] == "bind":

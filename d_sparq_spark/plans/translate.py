@@ -68,6 +68,27 @@ def _lex_form(c: Column) -> Column:
     )
 
 
+def _rebuild_literal(orig: Column, new_lex: Column) -> Column:
+    """Rebuild a string-function result in the ORIGINAL term's form:
+    tagged/typed literals keep their @lang / ^^datatype wrapper around
+    the transformed lexical form (SPARQL: SUBSTR/UCASE/... return a
+    literal with the first argument's language tag); plain terms return
+    the bare result."""
+    return (
+        F.when(
+            orig.rlike(_LANGTAG_RE),
+            F.concat(F.lit('"'), new_lex, F.lit('"@'),
+                     F.regexp_extract(orig, _LANGTAG_RE, 2)),
+        )
+        .when(
+            orig.rlike(_TYPED_RE),
+            F.concat(F.lit('"'), new_lex, F.lit('"^^'),
+                     F.regexp_extract(orig, _TYPED_RE, 2)),
+        )
+        .otherwise(new_lex)
+    )
+
+
 def _is_numeric_expr(e: object) -> bool:
     if isinstance(e, A.Lit):
         return e.is_numeric
@@ -95,6 +116,16 @@ class Translator:
         self.graph_var = graph_var  # GRAPH ?g: project g into every pattern
         self.catalog = catalog  # StoreCatalog: property table + ExtVP routes
         self.spark = triples.sparkSession
+        # bounded pin cache for translate-time persisted projections
+        # (_compat_semi_anti): unbounded persists leaked storage memory
+        # for the session lifetime (review r6). Evicting recomputes the
+        # projection if an old plan re-executes — correct, just slower.
+        self._pinned: list[DataFrame] = []
+
+    def _pin(self, df: DataFrame, cap: int = 16) -> None:
+        self._pinned.append(df)
+        while len(self._pinned) > cap:
+            self._pinned.pop(0).unpersist(blocking=False)
 
     def _spawn(self, triples: DataFrame, stats, graph_var: str | None = None) -> "Translator":
         """Sub-translator for GRAPH evaluation — overridden by the encoded
@@ -114,30 +145,37 @@ class Translator:
             )
         if isinstance(node, A.LeftJoin):
             left = self.eval(node.left)
-            if not left.columns:
-                right = self.eval(node.right)
-                if not right.columns:
-                    return right
-                # OPTIONAL over the unit solution: right's rows if any,
-                # else ONE all-unbound solution — returning right alone
-                # dropped the mandatory unit row when the optional pattern
-                # matched nothing (review r4). The guard row survives a
-                # TRUE-condition anti join iff right is empty; both sides
-                # of that join are <= 1 row, so the BNLJ is free.
-                nulls = right.sparkSession.range(1).select(
-                    *[F.lit(None).cast(f.dataType).alias(f.name) for f in right.schema]
+            unit = not left.columns
+            if unit:
+                # zero-column left (ground pattern / unit solution): keep
+                # its ROW COUNT through the join — the old special branch
+                # returned right's rows even when the ground pattern
+                # matched NOTHING, and lost multiplicity otherwise
+                # (review r6). A marker column makes the general
+                # left-outer path handle 0, 1, and N rows uniformly.
+                left = left.withColumn("__unit", F.lit(1))
+            if node.cond is None:
+                out = self._join_compat(
+                    left, self.eval(node.right), node.left, node.right, "left_outer"
                 )
-                guard = nulls.join(right.limit(1), F.lit(True), "left_anti")
-                return right.unionByName(guard)
-            return self._join_compat(
-                left, self.eval(node.right), node.left, node.right, "left_outer"
-            )
+            else:
+                out = self._leftjoin_cond(left, node)
+            return out.drop("__unit") if unit else out
         if isinstance(node, A.Union):
             l, r = self.eval(node.left), self.eval(node.right)
             return l.unionByName(r, allowMissingColumns=True)
         if isinstance(node, A.Minus):
             left, right = self.eval(node.left), self.eval(node.right)
-            shared = sorted(set(left.columns) & set(right.columns))
+            shared_all = sorted(set(left.columns) & set(right.columns))
+            gv = self.graph_var
+            # the hidden GRAPH ?g column is an implementation detail, not
+            # a user variable: it must NOT satisfy MINUS's domain-overlap
+            # rule (review r6 — with g counted, a right pattern matching
+            # anything in the same graph removed left rows the spec
+            # keeps), but it MUST still correlate the two sides (per-graph
+            # evaluation), so it joins as an always-equal key.
+            shared = [v for v in shared_all if v != gv]
+            gkeys = [gv] if gv is not None and gv in shared_all else []
             if not shared:  # SPARQL MINUS with disjoint domains removes nothing
                 return left
             if len(shared) == 1:
@@ -145,9 +183,10 @@ class Translator:
                 # NULL on either side means no mutual binding, so the row
                 # is kept, which is exactly what a non-matching NULL key
                 # does (and it stays a plain hash join)
-                return left.join(right, on=shared, how="left_anti")
+                return left.join(right, on=shared + gkeys, how="left_anti")
             return self._compat_semi_anti(
-                left, right, shared, anti=True, require_overlap=True
+                left, right, shared, anti=True, require_overlap=True,
+                equal_keys=gkeys,
             )
         if isinstance(node, A.Filter):
             return self._filter(node)
@@ -428,9 +467,21 @@ class Translator:
                 sub = self._spawn(
                     self.triples.filter(F.col("g") == gv).drop("g"), self.stats
                 )
-                parts.append(
-                    sub.eval(node.child).withColumn(term[1:], F.lit(gv).cast(g_type))
-                )
+                part = sub.eval(node.child)
+                name = term[1:]
+                glit = F.lit(gv).cast(g_type)
+                if name in part.columns:
+                    # the inner pattern reuses the graph variable:
+                    # compatibility semantics — keep solutions whose
+                    # binding is unbound or equals this graph, then fill
+                    # (withColumn used to OVERWRITE the inner binding and
+                    # fabricate matches, review r6)
+                    part = part.filter(
+                        F.col(name).isNull() | (F.col(name) == glit)
+                    ).withColumn(name, F.coalesce(F.col(name), glit))
+                else:
+                    part = part.withColumn(name, glit)
+                parts.append(part)
             return reduce(
                 lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
             )
@@ -504,13 +555,22 @@ class Translator:
 
         def term_col(term):
             if isinstance(term, str) and term.startswith("?"):
+                # a template variable the WHERE binds nowhere is legal
+                # SPARQL — every instance is just omitted (review r6:
+                # F.col crashed on it)
+                if term[1:] not in child.columns:
+                    return F.lit(None).cast("string")
                 return F.col(term[1:])
             return F.lit(term)
 
         parts = [
             child.select(
                 term_col(tp.s).alias("s"), term_col(tp.p).alias("p"), term_col(tp.o).alias("o")
-            )
+            # solutions with an UNBOUND template variable instantiate
+            # nothing, per spec (same rule engine.update applies) —
+            # na.drop per part, so one OPTIONAL-missed variable does not
+            # suppress the template's OTHER patterns (review r6)
+            ).na.drop()
             for tp in node.template
         ]
         return reduce(lambda a, b: a.unionByName(b), parts).dropDuplicates()
@@ -753,6 +813,10 @@ class Translator:
         to the shared endpoint variables (plus g under GRAPH ?g — every
         branch binds it, so the union stays graph-correlated)."""
         out_vars = [t[1:] for t in (p.s, p.o) if isinstance(t, str) and t.startswith("?")]
+        # ?x (p|q) ?x binds ONE variable (each branch BGP already applied
+        # the repeated-variable equality) — selecting it twice produced a
+        # duplicate-named frame that crashed downstream (review r6)
+        out_vars = list(dict.fromkeys(out_vars))
         if self.graph_var is not None and self.graph_var not in out_vars:
             out_vars.append(self.graph_var)
         branches = [self._bgp(A.BGP(list(br))).select(*out_vars) for br in p.branches]
@@ -896,6 +960,41 @@ class Translator:
             ).drop(f"__jc_{v}")
         return out
 
+    def _leftjoin_cond(self, left: DataFrame, node: A.LeftJoin) -> DataFrame:
+        """LeftJoin(A, B, F) where F references A-side variables
+        (§18.2.2.5): the condition evaluates over the MERGED solution, so
+        it cannot run inside the right group — there the outer variables
+        read as unbound and kill every right row (review r6). Left
+        solutions get a surrogate id (monotonically_increasing_id is only
+        stable under reuse, hence the localCheckpoint pin); the compat
+        left-outer join merges, F filters the matches, and left rows with
+        NO surviving match come back null-extended — exactly the spec's
+        Filter(F, Join(A,B)) ∪ Diff(A, B, F)."""
+        right = self.eval(node.right).withColumn("__rm", F.lit(1))
+        lid = left.withColumn(
+            "__lid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=False)
+        j = self._join_compat(lid, right, node.left, node.right, "left_outer")
+        matched = self._apply_leftjoin_condition(j, node.cond)
+        rtypes = dict(right.dtypes)
+        unmatched = lid.join(matched.select("__lid"), "__lid", "left_anti")
+        for c in [c for c in j.columns if c not in unmatched.columns]:
+            unmatched = unmatched.withColumn(c, F.lit(None).cast(rtypes[c]))
+        return (
+            matched.select(*j.columns)
+            .unionByName(unmatched.select(*j.columns))
+            .drop("__lid", "__rm")
+        )
+
+    def _apply_leftjoin_condition(self, j: DataFrame, cond) -> DataFrame:
+        """Rows of the merged left-outer frame that HAVE a right match
+        (__rm) and satisfy F (error -> false). Overridden by the encoded
+        translator to shadow-decode the encoded columns F references."""
+        return j.filter(
+            F.col("__rm").isNotNull()
+            & F.coalesce(self.expr(cond, j).cast("boolean"), F.lit(False))
+        )
+
     def _compat_semi_anti(
         self,
         child: DataFrame,
@@ -903,6 +1002,7 @@ class Translator:
         shared: list[str],
         anti: bool,
         require_overlap: bool,
+        equal_keys: list[str] | None = None,
     ) -> DataFrame:
         """Semi/anti join under SPARQL solution COMPATIBILITY: an unbound
         (NULL) variable is compatible with anything — equality is required
@@ -912,6 +1012,11 @@ class Translator:
 
         require_overlap=True adds MINUS's extra condition: the right
         solution must share at least one mutually BOUND variable.
+
+        equal_keys: columns joined by PLAIN equality on every path and
+        excluded from the overlap rule — the hidden GRAPH ?g binding
+        (never NULL, not a user variable): it correlates the two sides
+        per graph without satisfying MINUS's overlap by itself (r6).
 
         Plan shape (the 100 TB concern): the child is split STATICALLY by
         its null-pattern over the shared vars — 2^k branches, k = number
@@ -930,7 +1035,9 @@ class Translator:
         # run a second time inside the returned plan (review r4). The
         # cached set is the deduplicated shared-variable projection —
         # bounded by the distinct binding combinations, not the store.
-        r = right.select(*shared).dropDuplicates().persist()
+        equal_keys = list(equal_keys or ())
+        r = right.select(*(shared + equal_keys)).dropDuplicates().persist()
+        self._pin(r)
         stats = r.agg(
             F.count(F.lit(1)).alias("__n"),
             *[F.max(F.col(v).isNull().cast("int")).alias(v) for v in shared],
@@ -940,7 +1047,7 @@ class Translator:
 
         if r_has_null or len(shared) > 3:
             rr = r
-            for v in shared:
+            for v in shared + equal_keys:
                 rr = rr.withColumnRenamed(v, f"__r_{v}")
             compat = None
             overlap = None
@@ -954,6 +1061,8 @@ class Translator:
                 b = F.col(v).isNotNull() & F.col(f"__r_{v}").isNotNull()
                 overlap = b if overlap is None else overlap | b
             cond = compat & overlap if require_overlap else compat
+            for k in equal_keys:
+                cond = cond & (F.col(k) == F.col(f"__r_{k}"))
             return child.join(rr, cond, how)
 
         parts = []
@@ -965,11 +1074,21 @@ class Translator:
             sub = child.filter(sel)
             bound = [v for v, is_null in zip(shared, mask) if not is_null]
             if bound:
+                on = bound + equal_keys
                 parts.append(
-                    sub.join(r.select(*bound).dropDuplicates(), on=bound, how=how)
+                    sub.join(r.select(*on).dropDuplicates(), on=on, how=how)
                 )
             elif require_overlap:
                 parts.append(sub)  # MINUS: no mutual binding -> never removed
+            elif equal_keys:
+                # EXISTS with no mutually-bound user var: a compatible
+                # right solution must still come from the SAME graph
+                parts.append(
+                    sub.join(
+                        r.select(*equal_keys).dropDuplicates(),
+                        on=equal_keys, how=how,
+                    )
+                )
             else:
                 keep = r_nonempty != anti
                 parts.append(sub if keep else sub.limit(0))
@@ -1133,52 +1252,75 @@ class Translator:
                 raise ValueError("SPARQL regex: pattern must be a literal")
             if len(args) == 3 and isinstance(args[2], A.Lit) and "i" in str(args[2].value):
                 pat = "(?i)" + pat
-            return self.expr(args[0], df).rlike(pat)
+            return _lex_form(self.expr(args[0], df)).rlike(pat)
         if name == "bound":
             return self.expr(args[0], df).isNotNull()
         if name == "str":  # lexical form (typed/tagged literals stripped)
             return _lex_form(self.expr(args[0], df).cast("string"))
+        # String functions operate on the LEXICAL FORM (review r6:
+        # STRLEN('"chat"@en') used to count the quotes and tag);
+        # value-returning ones rebuild the original tag/datatype wrapper.
         if name == "strlen":
-            return F.length(self.expr(args[0], df)).cast("long")
+            return F.length(_lex_form(self.expr(args[0], df))).cast("long")
         if name == "contains":
-            return F.contains(self.expr(args[0], df), self.expr(args[1], df))
+            return F.contains(
+                _lex_form(self.expr(args[0], df)), _lex_form(self.expr(args[1], df))
+            )
         if name == "strstarts":
-            return F.startswith(self.expr(args[0], df), self.expr(args[1], df))
+            return F.startswith(
+                _lex_form(self.expr(args[0], df)), _lex_form(self.expr(args[1], df))
+            )
         if name == "strends":
-            return F.endswith(self.expr(args[0], df), self.expr(args[1], df))
+            return F.endswith(
+                _lex_form(self.expr(args[0], df)), _lex_form(self.expr(args[1], df))
+            )
         if name == "ucase":
-            return F.upper(self.expr(args[0], df))
+            orig = self.expr(args[0], df)
+            return _rebuild_literal(orig, F.upper(_lex_form(orig)))
         if name == "lcase":
-            return F.lower(self.expr(args[0], df))
+            orig = self.expr(args[0], df)
+            return _rebuild_literal(orig, F.lower(_lex_form(orig)))
         if name == "concat":
-            return F.concat(*(self.expr(a, df) for a in args))
+            # simple-literal result (the all-same-tag preservation rule is
+            # a documented subset restriction)
+            return F.concat(*(_lex_form(self.expr(a, df)) for a in args))
         if name == "abs":
             return F.abs(self.expr(args[0], df, numeric=True))
         if name == "coalesce":
             return F.coalesce(*(self.expr(a, df) for a in args))
         if name == "if":
-            return F.when(self.expr(args[0], df), self.expr(args[1], df)).otherwise(
-                self.expr(args[2], df)
+            # a type-error (NULL) condition makes IF itself an error
+            # (§17.4.1.2) — two one-sided WHENs leave it NULL instead of
+            # falling through to the else branch (review r6)
+            c = self.expr(args[0], df)
+            return F.when(c, self.expr(args[1], df)).when(
+                ~c, self.expr(args[2], df)
             )
         if name == "sameterm":
             return self.expr(args[0], df) == self.expr(args[1], df)
         if name == "replace":
-            return F.regexp_replace(
-                self.expr(args[0], df),
-                args[1].value if isinstance(args[1], A.Lit) else self.expr(args[1], df),
-                args[2].value if isinstance(args[2], A.Lit) else self.expr(args[2], df),
+            orig = self.expr(args[0], df)
+            return _rebuild_literal(
+                orig,
+                F.regexp_replace(
+                    _lex_form(orig),
+                    args[1].value if isinstance(args[1], A.Lit) else self.expr(args[1], df),
+                    args[2].value if isinstance(args[2], A.Lit) else self.expr(args[2], df),
+                ),
             )
         if name == "substr":  # SPARQL SUBSTR is 1-based, length optional
-            s = self.expr(args[0], df)
+            orig = self.expr(args[0], df)
+            s = _lex_form(orig)
             start = self.expr(args[1], df, numeric=True).cast("int")
             length = (
                 self.expr(args[2], df, numeric=True).cast("int")
                 if len(args) > 2
                 else F.length(s)
             )
-            return s.substr(start, length)
+            return _rebuild_literal(orig, s.substr(start, length))
         if name in ("strbefore", "strafter"):
-            s = self.expr(args[0], df)
+            orig = self.expr(args[0], df)
+            s = _lex_form(orig)
             if not isinstance(args[1], A.Lit):
                 raise ValueError(f"SPARQL {name}: needle must be a literal")
             needle = str(args[1].value)
@@ -1187,7 +1329,11 @@ class Translator:
             else:
                 pos = F.locate(needle, s)
                 hit = s.substr(pos + len(needle), F.length(s))
-            return F.when(F.contains(s, F.lit(needle)), hit).otherwise(F.lit(""))
+            # hit keeps the first argument's tag; a MISS is an empty
+            # SIMPLE literal per spec
+            return F.when(
+                F.contains(s, F.lit(needle)), _rebuild_literal(orig, hit)
+            ).otherwise(F.lit(""))
         if name == "round":
             return F.round(self.expr(args[0], df, numeric=True), 0)
         if name == "floor":
@@ -1202,8 +1348,13 @@ class Translator:
         if name == "isliteral":
             t = self.expr(args[0], df)
             return t.startswith('"') | (~t.rlike(_IRI_LIKE) & ~t.startswith("_:"))
-        if name == "lang":  # '' for plain / typed literals, per spec
-            return F.regexp_extract(self.expr(args[0], df), _LANGTAG_RE, 2)
+        if name == "lang":
+            # '' for plain/typed literals; ERROR (null) for IRIs and
+            # blank nodes — regexp_extract alone returned '' for those
+            # too, so FILTER(LANG(?x) = "") kept IRI rows (review r6)
+            t = self.expr(args[0], df)
+            is_lit = t.startswith('"') | (~t.rlike(_IRI_LIKE) & ~t.startswith("_:"))
+            return F.when(is_lit, F.regexp_extract(t, _LANGTAG_RE, 2))
         if name == "datatype":
             t = self.expr(args[0], df)
             return (

@@ -1676,3 +1676,137 @@ def test_update_quad_store_with_shuffled_column_order(spark):
     out = e.update('INSERT DATA { GRAPH <g:two> { <s:b> <p:y> "2" } }')
     got = {(r["s"], r["p"], r["o"], r["g"]) for r in out.collect()}
     assert got == {("s:a", "p:x", "1", "g:one"), ("s:b", "p:y", "2", "g:two")}
+
+
+# --- r6 translate review fixes ------------------------------------------------
+
+
+def test_optional_filter_referencing_left_vars(w3c_engine):
+    """§18.2.2.5 LeftJoin(A, B, F): a FILTER inside OPTIONAL that
+    references A-side variables evaluates over the MERGED solution — it
+    used to read them as unbound inside the group and kill every right
+    row (review r6)."""
+    out = w3c_engine.query(
+        "SELECT ?n ?k WHERE { ?x ex:name ?n ; ex:age ?a "
+        "OPTIONAL { ?x ex:knows ?k FILTER(xsd:integer(?a) > 26) } }"
+    )
+    assert bag(out) == Counter([
+        ("Alice", "p:bob"), ("Alice", "p:carol"),
+        ("Bob", None), ("Carol", None), ("Dave", None),
+    ])
+
+
+def test_optional_over_ground_pattern_that_matches_nothing(w3c_engine):
+    """A ground (all-constant) left pattern matching nothing must make
+    the whole OPTIONAL empty — the old unit-solution branch returned the
+    right side's rows instead (review r6)."""
+    ask = w3c_engine.query(
+        'ASK { p:alice ex:age "99" OPTIONAL { ?s ex:name ?n } }'
+    )
+    assert [tuple(r) for r in ask.collect()] == [(False,)]
+    ask2 = w3c_engine.query(
+        'ASK { p:alice ex:age "30" OPTIONAL { ?s ex:name ?n } }'
+    )
+    assert [tuple(r) for r in ask2.collect()] == [(True,)]
+
+
+def test_construct_unbound_template_var_omits_instance(w3c_engine):
+    """Solutions with an unbound template variable instantiate nothing
+    (but only for THAT pattern); a template variable bound nowhere is
+    legal and yields zero instances, not a crash (review r6)."""
+    out = w3c_engine.query(
+        "CONSTRUCT { ?x ex:n ?n . ?x ex:c ?c } "
+        "WHERE { ?x ex:name ?n OPTIONAL { ?x ex:city ?c } }"
+    )
+    rows_ = [tuple(r) for r in out.collect()]
+    assert ("p:carol", "ex:n", "Carol") in rows_  # other pattern survives
+    assert not any(v is None for r in rows_ for v in r)  # no NULL terms
+    assert len([r for r in rows_ if r[1] == "ex:c"]) == 4  # carol has no city
+    empty = w3c_engine.query(
+        "CONSTRUCT { ?x ex:y ?nowhere } WHERE { ?x ex:name ?n }"
+    )
+    assert empty.count() == 0
+
+
+def test_minus_under_graph_var_disjoint_domains(spark):
+    """MINUS inside GRAPH ?g with disjoint USER variable domains removes
+    nothing — the hidden g column must not satisfy the overlap rule
+    (review r6: it did, and same-graph right matches wiped the left)."""
+    quads = spark.createDataFrame(
+        [("s:a", "p:x", "1", "g1"), ("s:b", "p:y", "2", "g1"),
+         ("s:c", "p:x", "3", "g2")],
+        "s string, p string, o string, g string",
+    )
+    e = SparqlEngine(quads, collect_stats=False)
+    out = e.query(
+        "SELECT ?g ?s WHERE { GRAPH ?g { ?s <p:x> ?o MINUS { ?c <p:y> ?z } } }"
+    )
+    assert sorted(tuple(r) for r in out.collect()) == [("g1", "s:a"), ("g2", "s:c")]
+    # sanity: an overlapping variable still removes within the same graph
+    out2 = e.query(
+        "SELECT ?g ?s WHERE { GRAPH ?g { ?s ?p ?o MINUS { ?s <p:y> ?z } } }"
+    )
+    assert sorted(tuple(r) for r in out2.collect()) == [
+        ("g1", "s:a"), ("g2", "s:c")
+    ]
+
+
+def test_altpath_repeated_endpoint_variable(w3c_engine):
+    out = w3c_engine.query("SELECT ?x WHERE { ?x (ex:knows|ex:city) ?x }")
+    assert rows(out) == []  # no self-loops in the fixture; must not crash
+
+
+def test_if_error_condition_is_error(w3c_engine):
+    """§17.4.1.2: IF with a type-error condition is itself an error
+    (unbound result), not the else branch (review r6)."""
+    out = w3c_engine.query(
+        "SELECT ?n ?r WHERE { ?x ex:name ?n OPTIONAL { ?x ex:age ?a } "
+        'BIND(IF(xsd:integer(?a) > 26, "old", "young") AS ?r) }'
+    )
+    assert bag(out) == Counter([
+        ("Alice", "old"), ("Bob", "young"), ("Carol", "old"),
+        ("Dave", "young"), ("Eve", None),
+    ])
+
+
+def test_lang_of_iri_is_error(w3c_engine):
+    """LANG of an IRI is a type error (row dropped in FILTER), not ''."""
+    out = w3c_engine.query(
+        'SELECT ?k WHERE { ?x ex:knows ?k FILTER(LANG(?k) = "") }'
+    )
+    assert rows(out) == []  # ex:knows objects are IRIs
+    out2 = w3c_engine.query(
+        'SELECT ?n WHERE { ?x ex:name ?n FILTER(LANG(?n) = "") }'
+    )
+    assert out2.count() == 5  # plain literals keep LANG() = ''
+
+
+def test_string_functions_use_lexical_form(spark):
+    """String functions operate on the lexical form of tagged/typed
+    literals and rebuild the wrapper on value-returning results
+    (review r6: STRLEN('"chat"@en') counted the quotes and tag)."""
+    from d_sparq_spark.encoded_engine import EncodedSparqlEngine
+    from d_sparq_spark.operators.dictionary import build_dictionary, encode_triples
+
+    triples = spark.createDataFrame(
+        [("s:a", "p:l", '"chat"@en'), ("s:b", "p:l", "cat"),
+         ("s:c", "p:l", '"42"^^xsd:int')],
+        "s string, p string, o string",
+    )
+    d = build_dictionary(triples)
+    engines = [
+        SparqlEngine(triples, collect_stats=False),
+        EncodedSparqlEngine(encode_triples(triples, d), d, collect_stats=False),
+    ]
+    q = (
+        "SELECT ?s (STRLEN(?v) AS ?len) (UCASE(?v) AS ?up) "
+        '(STRSTARTS(?v, "c") AS ?sc) '
+        "WHERE { ?s <p:l> ?v }"
+    )
+    want = sorted([
+        ("s:a", 4, '"CHAT"@en', True),
+        ("s:b", 3, "CAT", True),
+        ("s:c", 2, '"42"^^xsd:int', False),
+    ])
+    for eng in engines:
+        assert sorted(tuple(r) for r in eng.query(q).collect()) == want
