@@ -93,6 +93,7 @@ class _EncodedTranslator(Translator):
         return _EncodedTranslator(
             triples, stats, services=self.services, graph_var=graph_var,
             dictionary=self.dictionary, dict_broadcast_ok=self.dict_broadcast_ok,
+            pin_cache=self._pinned,
         )
 
     def _bnode_objects(self, result: DataFrame):
@@ -133,18 +134,13 @@ class _EncodedTranslator(Translator):
         (r6: the condition used to compare raw dictionary ids)."""
         dtypes = dict(j.dtypes)
         enc = sorted(v for v in A.expr_vars(cond) if dtypes.get(v) == "bigint")
-
-        def ok(frame: DataFrame, e) -> DataFrame:
-            return frame.filter(
-                F.col("__rm").isNotNull()
-                & F.coalesce(self.expr(e, frame).cast("boolean"), F.lit(False))
-            )
-
         if not enc:
-            return ok(j, cond)
+            return super()._apply_leftjoin_condition(j, cond)
         shadowed = self._decode_shadow(j, enc)
         e = _subst_expr_vars(cond, {v: f"__lex__{v}" for v in enc})
-        return ok(shadowed, e).select(*j.columns)
+        # delegate the filter body to the base class so the error-to-false
+        # semantics live in ONE place (drifted-copy prevention, r6)
+        return super()._apply_leftjoin_condition(shadowed, e).select(*j.columns)
 
     def _filter(self, node: A.Filter) -> DataFrame:
         if isinstance(node.expr, A.ExistsExpr):
@@ -201,6 +197,9 @@ class EncodedSparqlEngine:
         self.dict = dictionary.select("id", "term")
         self._dict_small: bool | None = None
         self._dict_plain: bool | None = None
+        # engine-lifetime pin cache shared by every per-query translator
+        # (a per-translator list would never reach its eviction cap)
+        self._qpins: list = []
         self.catalog = catalog
         self.services = services or {}
         stats = None
@@ -501,18 +500,20 @@ class EncodedSparqlEngine:
             # literals (rank = lexical order; MIN/MAX compare typed
             # numerics by VALUE since r6, matching ORDER BY) — otherwise
             # the peel is restricted to COUNT and decodes before MIN/MAX.
-            peelable = (
-                ("count", "min", "max")
-                if self.dict_rank_ordered and self._dict_value_order_safe()
-                else ("count",)
-            )
+            # The dictionary probe runs ONLY for a peel-shaped Group with
+            # min/max aggregates — any other wrapper reaching this check
+            # must not pay a data-sized dict scan (review r6 round 2).
             if (
                 isinstance(w, A.Group)
                 and all(k in node_df.columns for k in w.keys)
                 and all(
-                    a.func in peelable
+                    a.func in ("count", "min", "max")
                     and (a.arg is None or isinstance(a.arg, A.Var))
                     for _, a in w.aggs
+                )
+                and (
+                    all(a.func == "count" for _, a in w.aggs)
+                    or (self.dict_rank_ordered and self._dict_value_order_safe())
                 )
             ):
                 node_df = _apply_enc(node_df, wrappers.pop())
@@ -542,6 +543,7 @@ class EncodedSparqlEngine:
         return _EncodedTranslator(
             self.triples, self._stats, catalog=self.catalog, dictionary=self.dict,
             dict_broadcast_ok=self._dict_fits_broadcast,
+            pin_cache=self._qpins,
         )
 
     def _dict_value_order_safe(self) -> bool:

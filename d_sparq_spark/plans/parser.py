@@ -506,7 +506,14 @@ class Parser:
                 self.next()
                 select_all = True
             elif self.peek().kind == "VAR":
-                proj_vars.append(self.next().text[1:])
+                v = self.next().text[1:]
+                if v in {n for n, _ in proj_exprs} | {n for n, _ in aggs}:
+                    # §19.8 is symmetric: ?v after (expr AS ?v) is the
+                    # same duplicate assignment as the reverse order
+                    # (review r6 round 2 — it produced a duplicate-named
+                    # column frame)
+                    raise SyntaxError(f"SPARQL: duplicate SELECT target ?{v}")
+                proj_vars.append(v)
             elif self.at_op("("):
                 self.next()
                 expr = self.parse_expr()
@@ -903,32 +910,39 @@ class Parser:
                 node = join(node, el[1])
             elif el[0] == "optional":
                 # §18.2.2.5: peel the OPTIONAL group's top-level FILTERs;
-                # those referencing variables from OUTSIDE the group become
-                # the LeftJoin CONDITION (they must see the merged
-                # solution — evaluated inside, an outer var reads as
-                # unbound and kills every right row, review r6). Filters
-                # fully inside keep the in-group fast path. EXISTS filters
-                # stay in place (their semi-join needs its own pattern
-                # evaluation; outer-var-correlated EXISTS-in-OPTIONAL is a
-                # documented subset restriction).
+                # those touching any variable the LEFT side may bind
+                # become the LeftJoin CONDITION (they must see the MERGED
+                # solution — evaluated inside, a left-bound var can read
+                # as unbound and kill every right row, review r6; gating
+                # on "inside the group's may-bind set" was NOT enough — a
+                # var maybe-unbound inside but bound on the left still
+                # merges from the left). Filters disjoint from the left's
+                # scope are equivalent evaluated in place (fast path).
+                # EXISTS filters always stay in place — the walk SKIPS
+                # them rather than stopping (stopping made the hoist
+                # depend on filter declaration order, review r6 round 2);
+                # outer-var-correlated EXISTS-in-OPTIONAL remains a
+                # documented subset restriction.
                 right = el[1]
-                peeled: list[object] = []
+                spine: list[object] = []
                 inner = right
-                while isinstance(inner, A.Filter) and not isinstance(
-                    inner.expr, A.ExistsExpr
-                ):
-                    peeled.append(inner.expr)
+                while isinstance(inner, A.Filter):
+                    spine.append(inner.expr)
                     inner = inner.child
                 cond = None
-                if peeled:
-                    rscope = A.scope_vars(inner)
+                if spine:
+                    lscope = A.scope_vars(node) if node is not None else set()
                     outside = [
-                        e for e in peeled if not (A.expr_vars(e) <= rscope)
+                        e for e in spine
+                        if not isinstance(e, A.ExistsExpr)
+                        and (A.expr_vars(e) & lscope)
                     ]
                     if outside:
-                        for e in peeled:
-                            if e not in outside:
-                                inner = A.Filter(e, inner)
+                        out_ids = {id(e) for e in outside}
+                        for e in reversed(
+                            [e for e in spine if id(e) not in out_ids]
+                        ):
+                            inner = A.Filter(e, inner)
                         cond = outside[0]
                         for e in outside[1:]:
                             cond = A.BinOp("&&", cond, e)

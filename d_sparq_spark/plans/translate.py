@@ -68,6 +68,16 @@ def _lex_form(c: Column) -> Column:
     )
 
 
+def _typed_value_key(c: Column) -> Column:
+    """Numeric VALUE of a typed numeric literal, NULL otherwise — THE
+    ordering key ORDER BY, MIN/MAX, and the encoded peel gate must share
+    (r6: two hand-synced copies of it were exactly how MIN and ORDER BY
+    first drifted apart)."""
+    return F.when(
+        c.rlike(_TYPED_RE), F.regexp_extract(c, _TYPED_RE, 1).try_cast("double")
+    )
+
+
 def _rebuild_literal(orig: Column, new_lex: Column) -> Column:
     """Rebuild a string-function result in the ORIGINAL term's form:
     tagged/typed literals keep their @lang / ^^datatype wrapper around
@@ -109,6 +119,7 @@ class Translator:
         services: dict | None = None,
         graph_var: str | None = None,
         catalog=None,
+        pin_cache: list | None = None,
     ):
         self.triples = triples
         self.stats = stats
@@ -120,7 +131,12 @@ class Translator:
         # (_compat_semi_anti): unbounded persists leaked storage memory
         # for the session lifetime (review r6). Evicting recomputes the
         # projection if an old plan re-executes — correct, just slower.
-        self._pinned: list[DataFrame] = []
+        # SHARED with spawned sub-translators and (via pin_cache) with the
+        # owning engine: per-query translator instances would each start
+        # an empty list and never reach the cap (review r6 round 2).
+        self._pinned: list[DataFrame] = (
+            pin_cache if pin_cache is not None else []
+        )
 
     def _pin(self, df: DataFrame, cap: int = 16) -> None:
         self._pinned.append(df)
@@ -131,7 +147,10 @@ class Translator:
         """Sub-translator for GRAPH evaluation — overridden by the encoded
         engine's translator so nested value filters keep their
         shadow-decode capability inside GRAPH groups."""
-        return type(self)(triples, stats, services=self.services, graph_var=graph_var)
+        return type(self)(
+            triples, stats, services=self.services, graph_var=graph_var,
+            pin_cache=self._pinned,
+        )
 
     # ------------- algebra -------------
 
@@ -314,10 +333,7 @@ class Translator:
         for e, asc in keys:
             c = self.expr(e, child)
             if isinstance(e, A.Var) and dict(child.dtypes).get(e.name) == "string":
-                tv = F.when(
-                    c.rlike(_TYPED_RE),
-                    F.regexp_extract(c, _TYPED_RE, 1).try_cast("double"),
-                )
+                tv = _typed_value_key(c)
                 cols.append(tv.asc() if asc else tv.desc())
             cols.append(c.asc() if asc else c.desc())
         return cols
@@ -1166,11 +1182,15 @@ class Translator:
                 # numeric in BOTH directions (struct NULL field = smallest),
                 # exactly matching ORDER BY's asc-nulls-first/desc-nulls-
                 # last pair of sort keys.
-                tv = F.when(
-                    c.rlike(_TYPED_RE),
-                    F.regexp_extract(c, _TYPED_RE, 1).try_cast("double"),
+                # the key must be NULL when the VALUE is NULL: min_by
+                # skips null-ordered rows like plain MIN skips nulls —
+                # struct(NULL, NULL) is itself non-null and would sort
+                # below every real value, making MIN over a partially
+                # OPTIONAL-bound column return NULL (review r6)
+                key = F.when(
+                    c.isNotNull(),
+                    F.struct(_typed_value_key(c).alias("v"), c.alias("t")),
                 )
-                key = F.struct(tv.alias("v"), c.alias("t"))
                 return F.min_by(c, key) if a.func == "min" else F.max_by(c, key)
             return F.min(c) if a.func == "min" else F.max(c)
         if a.func == "group_concat":

@@ -1810,3 +1810,60 @@ def test_string_functions_use_lexical_form(spark):
     ])
     for eng in engines:
         assert sorted(tuple(r) for r in eng.query(q).collect()) == want
+
+
+# --- r6 review round 2 ---------------------------------------------------------
+
+
+def test_min_skips_unbound_solutions(w3c_engine):
+    """MIN/MAX ignore solutions where the variable is unbound (review r6
+    round 2: the value-order min_by key made MIN return NULL whenever any
+    OPTIONAL row missed)."""
+    out = w3c_engine.query(
+        "SELECT (MIN(?c) AS ?lo) (MAX(?c) AS ?hi) WHERE "
+        "{ ?x ex:name ?n OPTIONAL { ?x ex:city ?c } }"
+    )
+    assert [tuple(r) for r in out.collect()] == [("Berlin", "Paris")]
+
+
+def test_optional_filter_var_maybe_unbound_inside_but_left_bound(w3c_engine):
+    """A filter var that is maybe-unbound INSIDE the group but bound on
+    the LEFT merges from the left — the hoist decision must key on the
+    left's scope, not the group's (review r6 round 2)."""
+    out = w3c_engine.query(
+        "SELECT ?n ?k WHERE { ?x ex:name ?n . ?x ex:city ?c "
+        "OPTIONAL { ?x ex:knows ?k OPTIONAL { ?k ex:city ?c } "
+        'FILTER(?c = "Paris") } }'
+    )
+    got = {(r["n"], r["k"]) for r in out.collect()}
+    # alice (Paris): the carol edge leaves ?c unbound inside, merges
+    # Paris from the left, F holds -> kept; the bob edge binds
+    # ?c=London, INCOMPATIBLE with the left's Paris -> never joins.
+    # bob (London): the merge takes London, F fails -> null-extended.
+    assert got == {
+        ("Alice", "p:carol"), ("Bob", None), ("Dave", None), ("Eve", None),
+    }
+
+
+def test_optional_filter_hoist_is_order_independent(w3c_engine):
+    """A plain outer-var filter hoists regardless of its position
+    relative to an EXISTS filter in the same OPTIONAL group (review r6
+    round 2: the peel used to STOP at the first EXISTS)."""
+    q1 = (
+        "SELECT ?n ?k WHERE { ?x ex:name ?n ; ex:age ?a OPTIONAL { "
+        "?x ex:knows ?k FILTER(xsd:integer(?a) > 26) "
+        "FILTER EXISTS { ?k ex:name ?n2 } } }"
+    )
+    q2 = (
+        "SELECT ?n ?k WHERE { ?x ex:name ?n ; ex:age ?a OPTIONAL { "
+        "?x ex:knows ?k FILTER EXISTS { ?k ex:name ?n2 } "
+        "FILTER(xsd:integer(?a) > 26) } }"
+    )
+    a, b = bag(w3c_engine.query(q1)), bag(w3c_engine.query(q2))
+    assert a == b
+    assert ("Alice", "p:bob") in a and ("Bob", None) in a
+
+
+def test_select_plain_var_after_as_duplicate_raises(w3c_engine):
+    with pytest.raises(SyntaxError, match="duplicate SELECT target"):
+        w3c_engine.query("SELECT (1 AS ?v) ?v WHERE { ?x ex:name ?n }")
