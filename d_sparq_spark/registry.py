@@ -73,27 +73,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # newcomers last within that group), then attested keys oldest-round first.
 # _LAST_ATTESTED is regenerated each round from CORRECTNESS_r{N}.json.
 _LAST_ATTESTED: dict[str, int] = {
-    # last attested round 1
-    "q_star_join_enc": 1, "q_path_join": 1, "q_pred_stats": 1,
-    "q_load_pipeline": 1, "q_agg_basic": 1,
     # last attested round 2
-    "q_contamination": 2, "q_dedup_norm": 2, "q_repetition": 2,
-    "q_approx_distinct": 2, "q_pack_sequences": 2, "q_token_histogram": 2,
-    "q_orc_source": 2, "q_text_source": 2, "q_binaryfile_source": 2,
-    "q_pivot": 2, "q_unpivot": 2, "q_udtf_chunks": 2,
-    "q_pred_stats_salted": 2, "q_join_salted": 2, "q_ohlc_hourly": 2,
-    "q_stream_funnel": 2, "q_tpch_q5": 2, "q_dup_clusters_lsh": 2,
-    "q_pagerank": 2, "q_multimodal_resize": 2, "q_multimodal_frames": 2,
-    "q_pandas_udf_scalar": 2, "q_pandas_udf_grouped_agg": 2, "q_nq_roundtrip": 2,
-    "q_agg_distinct": 2, "q_agg_having": 2, "q_agg_rollup": 2,
-    "q_agg_cube": 2, "q_agg_stats": 2, "q_agg_median": 2,
-    "q_agg_group_concat": 2, "q_join_inner": 2, "q_join_broadcast": 2,
-    "q_join_outer": 2, "q_join_full": 2, "q_join_semi": 2,
-    "q_join_anti": 2, "q_join_range": 2, "q_join_asof": 2,
-    "q_join_cross": 2, "q_merge_upsert": 2, "q_scalar_string": 2,
-    "q_scalar_date": 2, "q_scalar_math": 2, "q_scalar_array": 2,
-    "q_explode": 2, "q_project": 2, "q_filter_pred": 2,
-    "q_filter_rlike": 2, "q_json_extract": 2,
+    "q_merge_upsert": 2, "q_scalar_string": 2, "q_scalar_date": 2,
+    "q_scalar_math": 2, "q_scalar_array": 2, "q_explode": 2,
+    "q_project": 2, "q_filter_pred": 2, "q_filter_rlike": 2,
+    "q_json_extract": 2,
     # last attested round 3
     "q_case_when": 3, "q_filter_nullsafe": 3, "q_set_ops": 3,
     "q_union_by_name": 3, "q_distinct": 3, "q_window_rank": 3,
@@ -148,15 +132,30 @@ _LAST_ATTESTED: dict[str, int] = {
     "q_dict_roundtrip": 5, "q_triple_pattern": 5, "q_star_join": 5,
     "q_tpch_q20": 5, "q_tpch_q22": 5, "q_ivf_recall": 5,
     "q_sparql_path_plus_hub": 5, "q_sparql_path_plus_hub_seeded": 5,
+    # last attested round 6
+    "q_star_join_enc": 6, "q_path_join": 6, "q_pred_stats": 6,
+    "q_load_pipeline": 6, "q_agg_basic": 6, "q_contamination": 6,
+    "q_dedup_norm": 6, "q_repetition": 6, "q_approx_distinct": 6,
+    "q_pack_sequences": 6, "q_token_histogram": 6, "q_orc_source": 6,
+    "q_text_source": 6, "q_binaryfile_source": 6, "q_pivot": 6,
+    "q_unpivot": 6, "q_udtf_chunks": 6, "q_pred_stats_salted": 6,
+    "q_join_salted": 6, "q_ohlc_hourly": 6, "q_stream_funnel": 6,
+    "q_tpch_q5": 6, "q_dup_clusters_lsh": 6, "q_pagerank": 6,
+    "q_multimodal_resize": 6, "q_multimodal_frames": 6, "q_pandas_udf_scalar": 6,
+    "q_pandas_udf_grouped_agg": 6, "q_nq_roundtrip": 6, "q_agg_distinct": 6,
+    "q_agg_having": 6, "q_agg_rollup": 6, "q_agg_cube": 6,
+    "q_agg_stats": 6, "q_agg_median": 6, "q_agg_group_concat": 6,
+    "q_join_inner": 6, "q_join_broadcast": 6, "q_join_outer": 6,
+    "q_join_full": 6, "q_join_semi": 6, "q_join_anti": 6,
+    "q_join_range": 6, "q_join_asof": 6, "q_join_cross": 6,
+    "q_stream_enrich": 6, "q_doc_surprisal": 6, "q_sparql_construct_ordered": 6,
+    "q_sparql_group_expr": 6, "q_sparql_update_graph": 6,
 }
 
-# Queries first registered THIS round (round 6): they sort after any older
+# Queries first registered THIS round (round 7): they sort after any older
 # never-attested queries but before the already-attested ones — age
-# priority, so no key starves.
-_NEW_THIS_ROUND: frozenset[str] = frozenset({
-    "q_sparql_group_expr", "q_sparql_construct_ordered",
-    "q_sparql_update_graph", "q_stream_enrich", "q_doc_surprisal",
-})
+# priority, so no key starves.  (Round 7: empty so far.)
+_NEW_THIS_ROUND: frozenset[str] = frozenset()
 
 
 def all_queries() -> dict[str, Query]:
