@@ -353,6 +353,16 @@ class SparqlEngine:
                     break
             try:
                 loaded = parse_ntriples(spark.read.text(path))
+                if silent:
+                    # SILENT must keep the store intact on ANY failure,
+                    # but malformed content only surfaces lazily when the
+                    # returned relation executes — after update() has
+                    # returned (advice r6). An EAGER checkpoint forces the
+                    # full parse here (content-level errors land in this
+                    # try) and pins the parsed triples so the later union
+                    # never re-reads the file; non-SILENT loads stay lazy
+                    # (they may raise either way).
+                    loaded = loaded.localCheckpoint(eager=True)
             except Exception:
                 if silent:  # LOAD SILENT: failure to read keeps the store
                     return t

@@ -184,8 +184,7 @@ class Translator:
             l, r = self.eval(node.left), self.eval(node.right)
             return l.unionByName(r, allowMissingColumns=True)
         if isinstance(node, A.Minus):
-            left, right = self.eval(node.left), self.eval(node.right)
-            shared_all = sorted(set(left.columns) & set(right.columns))
+            left = self.eval(node.left)
             gv = self.graph_var
             # the hidden GRAPH ?g column is an implementation detail, not
             # a user variable: it must NOT satisfy MINUS's domain-overlap
@@ -193,20 +192,53 @@ class Translator:
             # anything in the same graph removed left rows the spec
             # keeps), but it MUST still correlate the two sides (per-graph
             # evaluation), so it joins as an always-equal key.
-            shared = [v for v in shared_all if v != gv]
-            gkeys = [gv] if gv is not None and gv in shared_all else []
+            #
+            # Exception (advice r6): when ?g occurs EXPLICITLY in the
+            # right pattern's own syntax, the spec scopes that occurrence
+            # to the MINUS right — within each graph it ranges FREELY
+            # over matching terms (the {?g -> graph} binding joins in
+            # only outside, at the Graph node), and it is in dom(mu2).
+            # So: re-evaluate the right with a FRESH hidden graph name
+            # (the user's ?g then binds as an ordinary variable instead
+            # of being scan-forced equal to the graph), correlate on the
+            # fresh key, and count ?g toward compatibility/overlap only
+            # when the LEFT's syntax also mentions it (?g in dom(mu1);
+            # the left's hidden binding is spec-visible there because the
+            # outer Graph join pins it to the enclosing graph anyway).
+            g_explicit = (
+                gv is not None
+                and gv in left.columns
+                and gv in A.scope_vars(node.right)
+            )
+            if g_explicit:
+                sub = self._spawn(self.triples, self.stats, graph_var="__mg")
+                right = sub.eval(node.right)
+                left = left.withColumn("__mg", F.col(gv))
+                gkeys = ["__mg"] if "__mg" in right.columns else []
+                g_in_left = gv in A.scope_vars(node.left)
+                shared_all = sorted(
+                    (set(left.columns) & set(right.columns)) - {"__mg"}
+                )
+                shared = [v for v in shared_all if v != gv or g_in_left]
+            else:
+                right = self.eval(node.right)
+                shared_all = sorted(set(left.columns) & set(right.columns))
+                shared = [v for v in shared_all if v != gv]
+                gkeys = [gv] if gv is not None and gv in shared_all else []
             if not shared:  # SPARQL MINUS with disjoint domains removes nothing
-                return left
+                return left.drop("__mg") if g_explicit else left
             if len(shared) == 1:
                 # single shared var: the equi anti-join IS the spec — a
                 # NULL on either side means no mutual binding, so the row
                 # is kept, which is exactly what a non-matching NULL key
                 # does (and it stays a plain hash join)
-                return left.join(right, on=shared + gkeys, how="left_anti")
-            return self._compat_semi_anti(
-                left, right, shared, anti=True, require_overlap=True,
-                equal_keys=gkeys,
-            )
+                out = left.join(right, on=shared + gkeys, how="left_anti")
+            else:
+                out = self._compat_semi_anti(
+                    left, right, shared, anti=True, require_overlap=True,
+                    equal_keys=gkeys,
+                )
+            return out.drop("__mg") if g_explicit else out
         if isinstance(node, A.Filter):
             return self._filter(node)
         if isinstance(node, A.Bind):
@@ -593,9 +625,19 @@ class Translator:
 
     @staticmethod
     def _contains_slice(node) -> bool:
-        while node is not None and not isinstance(node, A.Slice):
-            node = getattr(node, "child", None)
-        return node is not None
+        # Walk the FULL algebra tree, not just the `child` spine: a LIMIT
+        # inside a subquery under a Join/LeftJoin (e.g. CONSTRUCT ... WHERE
+        # { {SELECT ... LIMIT 5} ?s ?p ?o }) carries the same
+        # nondeterministic re-execution hazard the pin exists for
+        # (advice r6). Conservative over-detection only costs a lazy
+        # localCheckpoint on a query that has an explicit LIMIT somewhere.
+        stack = [node]
+        while stack:
+            n = stack.pop()
+            if isinstance(n, A.Slice):
+                return True
+            stack.extend(A.subnodes(n))
+        return False
 
     # ------------- BGP: star decomposition + greedy star chaining -------------
 

@@ -405,8 +405,9 @@ def q_sparql_update_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     step2 = SparqlEngine(step1, collect_stats=False).update(
         "ADD <g:nation> TO <g:archive>"
     ).localCheckpoint(eager=False)
-    # archive only region-shaped rows: drop the nation-only predicates by
-    # a second update, exercising DELETE with a GRAPH block + variable o
+    # empty g:archive entirely (DELETE WHERE matches every ?s ?p ?o in
+    # the graph), then step4 rebuilds it from g:region — exercising
+    # DELETE with a GRAPH block + all-variable pattern
     step3 = SparqlEngine(step2, collect_stats=False).update(
         "DELETE { GRAPH <g:archive> { ?s ?p ?o } } WHERE "
         "{ GRAPH <g:archive> { ?s ?p ?o } }"

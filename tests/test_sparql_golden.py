@@ -1612,6 +1612,25 @@ def test_update_load_into_graph(quad_engine, spark, tmp_path):
         e3.update("LOAD <file:///nope/missing.nt>")
 
 
+def test_update_load_silent_corrupt_content_keeps_store(spark, tmp_path):
+    """advice r6: SILENT must also cover CONTENT-level failures, which
+    only surface when the parse executes (malformed *lines* are regexp-
+    dropped by design, but a corrupt compressed file raises at read
+    time) — the eager checkpoint inside update() forces them into the
+    request-time try so the store is kept."""
+    t3 = spark.createDataFrame(
+        [("s:a", "p:x", "1")], "s string, p string, o string"
+    )
+    e3 = SparqlEngine(t3, collect_stats=False)
+    bad = tmp_path / "bad.nt.gz"  # .gz extension, not actually gzip
+    bad.write_bytes(b"definitely not gzip content")
+    out = e3.update(f"LOAD SILENT <file://{bad}>")
+    assert sorted(tuple(r) for r in out.collect()) == [("s:a", "p:x", "1")]
+    # non-SILENT stays lazy: the same corrupt load raises at execution
+    with pytest.raises(Exception):
+        e3.update(f"LOAD <file://{bad}>").collect()
+
+
 def test_update_copy_silent_absent_source_is_noop(quad_engine):
     """review r6: COPY/MOVE SILENT of an absent source must leave the
     store unchanged — not execute only the destructive half and wipe the
@@ -1748,6 +1767,77 @@ def test_minus_under_graph_var_disjoint_domains(spark):
     )
     assert sorted(tuple(r) for r in out2.collect()) == [
         ("g1", "s:a"), ("g2", "s:c")
+    ]
+
+
+def test_contains_slice_detects_limit_under_join():
+    """advice r6: the multi-template CONSTRUCT re-execution pin must see a
+    LIMIT hiding in a subquery UNDER A JOIN, not only on the child spine —
+    the nondeterministic-slice hazard is the same wherever the Slice sits."""
+    from d_sparq_spark.plans.parser import parse_sparql
+    from d_sparq_spark.plans.translate import Translator
+
+    node = parse_sparql(
+        "CONSTRUCT { ?s <p:x> ?o . ?s <p:y> ?o } WHERE "
+        "{ { SELECT ?s WHERE { ?s <p:a> ?v } LIMIT 5 } ?s <p:b> ?o }"
+    )
+    assert Translator._contains_slice(node.child)
+    plain = parse_sparql(
+        "CONSTRUCT { ?s <p:x> ?o } WHERE { ?s <p:b> ?o }"
+    )
+    assert not Translator._contains_slice(plain.child)
+
+
+def test_minus_under_graph_var_explicit_g_in_right(spark):
+    """The GRAPH variable used EXPLICITLY inside MINUS's right pattern is
+    spec-scoped to the MINUS right: within each graph it ranges FREELY
+    over matching terms (the {?g -> graph} binding joins in only at the
+    Graph node, and MINUS-right bindings never escape), and since the
+    left does not mention ?g it is not in dom(mu1) — so a right solution
+    overlapping on ?o alone removes the left row even when its free ?g
+    binding differs from the enclosing graph (advice r6: the scan used
+    to force ?g == graph, wrongly keeping s:b)."""
+    quads = spark.createDataFrame(
+        [("s:a", "p:x", "o1", "g1"), ("s:b", "p:x", "o2", "g1"),
+         ("g1", "p:y", "o1", "g1"), ("s:z", "p:y", "o2", "g1"),
+         ("s:c", "p:x", "o1", "g2")],
+        "s string, p string, o string, g string",
+    )
+    query = (
+        "SELECT ?g ?s WHERE { GRAPH ?g { ?s <p:x> ?o MINUS { ?g <p:y> ?o } } }"
+    )
+    e = SparqlEngine(quads, collect_stats=False)
+    assert sorted(tuple(r) for r in e.query(query).collect()) == [("g2", "s:c")]
+    # encoded-engine parity on the same shape
+    from d_sparq_spark.encoded_engine import EncodedSparqlEngine
+    from d_sparq_spark.operators.dictionary import build_dictionary, encode_triples
+
+    d = build_dictionary(quads)
+    enc = EncodedSparqlEngine(encode_triples(quads, d), d, collect_stats=False)
+    assert sorted(tuple(r) for r in enc.query(query).collect()) == [("g2", "s:c")]
+
+
+def test_minus_under_graph_var_explicit_g_both_sides(spark):
+    """?g explicit on BOTH sides of MINUS under GRAPH ?g: the left's ?g
+    is pinned to the enclosing graph (the outer Graph join would do it
+    anyway), the right's ranges freely, and ?g IS in dom(mu1) ∩ dom(mu2)
+    so it participates in compatibility: a right row whose free ?g
+    binding differs from the graph is incompatible and removes nothing."""
+    quads = spark.createDataFrame(
+        [("g1", "p:x", "o1", "g1"), ("s:b", "p:x", "o2", "g1"),
+         ("g1", "p:y", "o1", "g1"), ("s:z", "p:y", "o3", "g1"),
+         ("g2", "p:x", "o3", "g2"),
+         # g3: the right's only candidate binds ?g to a NON-graph term ->
+         # incompatible on ?g -> the left row survives
+         ("g3", "p:x", "o4", "g3"), ("s:w", "p:y", "o4", "g3")],
+        "s string, p string, o string, g string",
+    )
+    e = SparqlEngine(quads, collect_stats=False)
+    out = e.query(
+        "SELECT ?g ?o WHERE { GRAPH ?g { ?g <p:x> ?o MINUS { ?g <p:y> ?o } } }"
+    )
+    assert sorted(tuple(r) for r in out.collect()) == [
+        ("g2", "o3"), ("g3", "o4")
     ]
 
 
