@@ -45,36 +45,159 @@ def transitive_closure(
     lineage so Catalyst analysis stays O(1) per round. max_iter=48 covers
     diameters beyond 2^47 — hitting it means runaway growth, so raise.
 
+    r7 rewrite (the r6 verdict's #1 — stop re-deriving known pairs every
+    round), two stacked changes, both measured on the 1.18M-edge bench
+    graph:
+
+    1. CANONICAL-SPLIT semi-naive composition with exact min-distance
+       labels. The closure is kept as DISJOINT checkpointed delta parts,
+       each pair carrying its exact min-distance ``_d``; round k composes
+       only (pairs at min-distance EXACTLY 2^k) ⋈ closure — never
+       closure ⋈ closure. This is complete: a pair at min-distance
+       L ∈ (2^k, 2^(k+1)] has, on any of its shortest paths, the node at
+       position 2^k, whose prefix is itself shortest (else L was not
+       minimal) — so (x,m) is at EXACTLY 2^k and (m,y) at L−2^k ≤ 2^k is
+       in the closure. It also kills midpoint multiplicity: on unique-
+       shortest-path graphs every new pair is derived exactly once
+       (the old closure⋈closure derived each pair once per midpoint —
+       ~avg-distance/2 times, the dominant waste). Distance labels stay
+       exact (min over derivations; the canonical split realizes L), the
+       dedup-vs-known probe and the per-pair min fuse into ONE aggregation
+       (min over a (_new,_d) struct with known pairs as 0-sentinels), and
+       convergence is free: no pair at exactly 2^k ⇒ no pair beyond 2^k
+       (the prefix argument again), checked in the same count job that
+       materializes the round's lazy checkpoint — one Spark job per round.
+
+    2. HASH-ENCODED iteration for string node ids. The lexical engine's
+       closures shuffle string keys every round; the measured twin
+       (q_closure_big_int vs q_sparql_path_plus_big, BASELINE.md) puts the
+       string tax at ~1.7x. String src/dst are xxhash64-encoded ONCE,
+       injectivity is verified with one aggregate over the distinct terms
+       (count == count_distinct(hash); on a collision — probability
+       ~n²/2^64 — we fall back to lexical iteration, never a wrong
+       answer), the fixpoint runs on 8-byte keys, and one final join pair
+       (broadcast-gated at 2M terms) decodes the result.
+
     ``group_col`` names an extra edge column that partitions the graph
     into independent subgraphs (GRAPH ?g: one closure per named graph).
     Pairs only compose within a group, the group rides every join key,
     and ALL groups converge in one shared fixpoint loop — a 10k-graph
     store is still one plan per round, not 10k driver branches."""
     keys = [group_col] if group_col else []
-    closure = edges.select(*keys, "src", "dst").distinct().localCheckpoint()
-    n = closure.count()
-    for _ in range(max_iter):
-        cond = [F.col("l.dst") == F.col("r.src")] + [
-            F.col(f"l.{k}") == F.col(f"r.{k}") for k in keys
-        ]
-        doubled = (
-            closure.alias("l")
-            .join(closure.alias("r"), cond)
-            .select(
-                *[F.col(f"l.{k}").alias(k) for k in keys],
-                F.col("l.src").alias("src"),
-                F.col("r.dst").alias("dst"),
-            )
+    types = dict(edges.dtypes)
+    if types.get("src") == "string" and types.get("dst") == "string":
+        # pin the deduped edge set ONCE: terms, the encoded edges, and the
+        # fixpoint base all derive from it — without the pin each would
+        # re-execute the upstream scan/filter plan
+        edges = (
+            edges.select(*keys, "src", "dst").distinct().localCheckpoint(eager=False)
         )
-        # ONE shuffle+materialization per round (union->distinct->checkpoint),
-        # fixpoint detected by count of the checkpointed result — cheaper than
-        # a separate anti-join + probe round-trip, and the count scans data
-        # already pinned by the checkpoint.
-        nxt = closure.unionByName(doubled).distinct().localCheckpoint()
-        n2 = nxt.count()
-        if n2 == n:
-            return closure
-        closure, n = nxt, n2
+        terms = (
+            edges.select(F.col("src").alias("term"))
+            .unionByName(edges.select(F.col("dst").alias("term")))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        st = terms.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.xxhash64("term")).alias("h"),
+        ).first()
+        if st["n"] == st["h"]:  # hash is injective on this node set
+            enc = edges.select(
+                *keys,
+                F.xxhash64("src").alias("src"),
+                F.xxhash64("dst").alias("dst"),
+            )
+            pairs = _closure_fixpoint(enc, max_iter, keys)
+            m_src = terms.select(
+                F.xxhash64("term").alias("src"), F.col("term").alias("_t_src")
+            )
+            m_dst = terms.select(
+                F.xxhash64("term").alias("dst"), F.col("term").alias("_t_dst")
+            )
+            if st["n"] <= 2_000_000:
+                m_src, m_dst = F.broadcast(m_src), F.broadcast(m_dst)
+            return (
+                pairs.join(m_src, "src")
+                .join(m_dst, "dst")
+                .select(
+                    *keys,
+                    F.col("_t_src").alias("src"),
+                    F.col("_t_dst").alias("dst"),
+                )
+            )
+    return _closure_fixpoint(edges.select(*keys, "src", "dst"), max_iter, keys)
+
+
+def _closure_fixpoint(edges: DataFrame, max_iter: int, keys: list[str]) -> DataFrame:
+    """The canonical-split doubling loop behind transitive_closure (see
+    its docstring for the algorithm and the completeness argument)."""
+    pair_cols = keys + ["src", "dst"]
+    base = (
+        edges.select(*pair_cols)
+        .distinct()
+        .withColumn("_d", F.lit(1))
+        .localCheckpoint(eager=False)
+    )
+    # one job: materialize the checkpoint + both fixpoint counters
+    r = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("_d") == 1, 1)).alias("e"),
+    ).first()
+    n_exact = r["e"]
+    parts = [base]  # disjoint checkpointed deltas; union = closure
+    delta, step = base, 1
+    for _ in range(max_iter):
+        if n_exact == 0:
+            return reduce(DataFrame.unionByName, parts).select(*pair_cols)
+        exact = delta.filter(F.col("_d") == step)
+        closure = reduce(DataFrame.unionByName, parts)
+        # the same checkpointed relations appear multiple times in one
+        # round's plan (delta ∈ parts, the compose right side, the known
+        # sentinels) — re-alias EVERY projection so each occurrence gets
+        # fresh attribute ids, or the analyzer's attribute dedup fails
+        # with "key not found" (the failure seeded_closure documents)
+        rhs = closure.select(
+            *[F.col(k).alias(f"_r_{k}") for k in keys],
+            F.col("src").alias("_r_src"),
+            F.col("dst").alias("_r_dst"),
+            F.col("_d").alias("_r_d"),
+        )
+        # checkpointed deltas carry no Catalyst stats, so a shrinking
+        # late-round exact side would never auto-broadcast (r4 lesson)
+        lhs = F.broadcast(exact) if n_exact <= 100_000 else exact
+        cand = lhs.join(
+            rhs,
+            [F.col("dst") == F.col("_r_src")]
+            + [F.col(k) == F.col(f"_r_{k}") for k in keys],
+        ).select(
+            *[F.col(k).alias(k) for k in keys],
+            F.col("src").alias("src"),
+            F.col("_r_dst").alias("dst"),
+            (F.lit(step) + F.col("_r_d")).alias("_d"),
+            F.lit(1).alias("_new"),
+        )
+        known = closure.select(
+            *[F.col(c).alias(c) for c in pair_cols],
+            F.col("_d").alias("_d"),
+            F.lit(0).alias("_new"),
+        )
+        delta = (
+            cand.unionByName(known)
+            .groupBy(*pair_cols)
+            .agg(F.min(F.struct("_new", "_d")).alias("_m"))
+            .filter(F.col("_m._new") == 1)
+            .select(*pair_cols, F.col("_m._d").alias("_d"))
+            .localCheckpoint(eager=False)
+        )
+        step *= 2
+        r = delta.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("_d") == step, 1)).alias("e"),
+        ).first()
+        n_exact = r["e"]
+        if r["n"]:
+            parts.append(delta)
     raise RuntimeError(
         f"transitive_closure: no fixpoint within {max_iter} doubling rounds"
     )
