@@ -174,6 +174,126 @@ def lsh_candidate_pairs(
     )
 
 
+# --- cross-engine-deterministic MinHash (q_minhash_recall) ------------------
+#
+# The production MinHash above hashes with xxhash64 — fast, JVM-side, but
+# not reproducible in DuckDB, so its queries are rows-only. This variant
+# swaps ONLY the hash family for engine-agnostic integer arithmetic (the
+# q_fingerprint atoms: 7*len(token) + ascii(first char), rolled with
+# FP_BASE mod FP_PRIME; affine (a*s + b) mod FP_PRIME per hash function;
+# band equality on the raw signature slices instead of a band hash), so
+# the candidate set — and therefore the measured recall — is EXACTLY
+# reproducible in generated SQL. Same shingle semantics, same band/bucket
+# structure, same explode->groupBy(min) shuffle shape as the production
+# path; only the metric query uses it.
+
+DET_MINHASH_PRIME = 1_000_000_007  # == functions.text.FP_PRIME
+DET_MINHASH_BASE = 131  # == functions.text.FP_BASE
+
+
+def det_minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Fixed (a_j, b_j) affine coefficients, LCG-derived from seed 42 —
+    shared verbatim by the Spark operator and the generated DuckDB oracle
+    so both engines evaluate the identical hash family."""
+    a, c, x, out = 1_103_515_245, 12_345, 42, []
+    for _ in range(num_hashes):
+        x = (a * x + c) % DET_MINHASH_PRIME
+        aj = x or 1  # a_j must be nonzero mod P
+        x = (a * x + c) % DET_MINHASH_PRIME
+        out.append((aj, x))
+    return out
+
+
+DET_MINHASH_TOKBASE = 1_000_003  # multiplier combining token hashes
+
+
+def det_shingle_hashes(text: F.Column, k: int = 1) -> F.Column:
+    """array<bigint> of engine-agnostic hashes, one per word k-shingle
+    (same shingle extent as shingles(); documents shorter than k hash the
+    whole token list as one shingle). Each TOKEN is hashed over its full
+    character sequence (codepoint rolling polynomial — a weak len/first-
+    char atom collided enough to wreck the minhash similarity estimate),
+    then a shingle combines its tokens' hashes with a second multiplier.
+    k=1 estimates token-SET Jaccard — the measure the near-dup verify
+    stage thresholds on."""
+
+    def char_roll(t: F.Column) -> F.Column:
+        return F.aggregate(
+            F.split(t, ""),
+            F.lit(0).cast("long"),
+            lambda acc, ch: (acc * DET_MINHASH_BASE + F.ascii(ch).cast("long"))
+            % DET_MINHASH_PRIME,
+        )
+
+    def roll(sl: F.Column) -> F.Column:  # combine a shingle's token hashes
+        return F.aggregate(
+            sl,
+            F.lit(0).cast("long"),
+            lambda acc, h: (acc * DET_MINHASH_TOKBASE + h) % DET_MINHASH_PRIME,
+        )
+
+    toks = F.split(text, " ")
+    th = F.transform(toks, char_roll)
+    if k == 1:
+        return th
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(
+        n >= k, F.transform(idx, lambda i: roll(F.slice(th, i + 1, k)))
+    ).otherwise(F.array(roll(th)))
+
+
+def det_lsh_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    num_bands: int = 8,
+    shingle_k: int = 1,
+) -> DataFrame:
+    """Candidate (a, b) pairs (a < b) from the deterministic MinHash:
+    signature minima via the same explode -> groupBy(min) shape as the
+    production pipeline, banding joins on the raw signature SLICE (array
+    equality) so no band hash enters the cross-engine contract."""
+    if num_hashes % num_bands:
+        raise ValueError(
+            f"det_lsh_candidate_pairs: num_hashes={num_hashes} must divide "
+            f"evenly into num_bands={num_bands}"
+        )
+    rows = num_hashes // num_bands
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(det_shingle_hashes(F.col(text_col), shingle_k)).alias("_s"),
+    )
+    coeffs = det_minhash_coeffs(num_hashes)
+    sig = sh.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a) * F.col("_s") + F.lit(b)) % F.lit(DET_MINHASH_PRIME)).alias(
+                f"_h{j}"
+            )
+            for j, (a, b) in enumerate(coeffs)
+        ]
+    )
+    bands = F.array(
+        *[
+            F.array(*[F.col(f"_h{b * rows + i}") for i in range(rows)])
+            for b in range(num_bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.posexplode(bands).alias("band", "bs"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bs") == F.col("b.bs"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b"))
+        .distinct()
+    )
+
+
 def jaccard_tokens(left_text: F.Column, right_text: F.Column) -> F.Column:
     """Exact token-set Jaccard similarity (engine-agnostic arithmetic)."""
     lt = F.array_distinct(F.split(left_text, " "))

@@ -145,6 +145,73 @@ def q_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.dedup_clusters(docs, D.minhash_near_dups(docs, threshold=0.5))
 
 
+def _minhash_recall_oracle(
+    num_hashes: int = 16, num_bands: int = 8, threshold: float = 0.5
+) -> str:
+    """Generated-SQL oracle for q_minhash_recall (VERDICT r6 #2): the SAME
+    deterministic MinHash family (character-rolling token hash, literal
+    LCG-seeded affine coefficients, band equality on raw signature
+    slices) evaluated in DuckDB, so the candidate set — and the recall
+    against the exact lang-blocked Jaccard pair set — is checked
+    value-exact, not just row-counted."""
+    P, B = D.DET_MINHASH_PRIME, D.DET_MINHASH_BASE
+    rows = num_hashes // num_bands
+    char_roll = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, x) -> (acc * {B} + x) % {P})"
+    )
+    mins = ", ".join(
+        f"min(({a} * s + {b}) % {P}) AS h{j}"
+        for j, (a, b) in enumerate(D.det_minhash_coeffs(num_hashes))
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"[{', '.join(f'h{b * rows + i}' for i in range(rows))}] AS bs FROM sig"
+        for b in range(num_bands)
+    )
+    return f"""
+WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+shp AS (SELECT doc_id, list_transform(toks, t -> {char_roll}) AS shs FROM tk),
+shh AS (SELECT doc_id, unnest(shs) AS s FROM shp),
+sig AS (SELECT doc_id, {mins} FROM shh GROUP BY doc_id),
+banded AS ({band_rows}),
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM banded x JOIN banded y
+         ON x.band = y.band AND x.bs = y.bs AND x.doc_id < y.doc_id),
+truth AS (SELECT a.doc_id AS a, b.doc_id AS b FROM tk a JOIN tk b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(list_distinct(a.toks), list_distinct(b.toks))) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= {threshold})
+SELECT CAST(count(*) AS BIGINT) AS n_true,
+       CAST(count(c.a) AS BIGINT) AS n_hit,
+       CAST(count(c.a) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+FROM truth t LEFT JOIN cand c ON t.a = c.a AND t.b = c.b
+"""
+
+
+@register("q_minhash_recall", oracle=_minhash_recall_oracle())
+def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH recall as a CHECKED metric (VERDICT r6 #2, the last
+    unchecked approximate family): candidates from the cross-engine-
+    deterministic MinHash (operators/dedup.det_lsh_candidate_pairs — same
+    shingles, same band/bucket structure and shuffle shape as the
+    production xxhash64 path, hash family swapped for reproducible
+    integer arithmetic) scored against the exact lang-blocked Jaccard
+    >= 0.5 pair set. Output is one row (n_true, n_hit, recall), value-
+    exact in both engines; a recall floor is asserted in
+    tests/test_llm_operators.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = _jaccard_pairs(docs, threshold=0.5).select("a", "b")
+    cand = D.det_lsh_candidate_pairs(docs).withColumn("__hit", F.lit(1))
+    return truth.join(cand, ["a", "b"], "left").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.count("__hit").cast("long").alias("n_hit"),
+        (
+            F.count("__hit").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("recall"),
+    )
+
+
 @register("q_simhash", oracle=None)
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document (xxhash64-based — not SQL-reproducible,
