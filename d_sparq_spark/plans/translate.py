@@ -27,6 +27,11 @@ from d_sparq_spark.operators.rdf_patterns import (
 from d_sparq_spark.plans import ast as A
 from d_sparq_spark.functions.numeric import DEC
 
+# Diagnostics: number of times GRAPH ?g fell back to the per-graph driver
+# loop (nested GRAPH/SERVICE, g-shadowing). Test introspection only —
+# goldens assert the pattern-free route does NOT bump it (r7).
+GRAPH_FALLBACK_LOOPS = 0
+
 _XSD_CASTS = {
     "xsd:double": "double",
     "xsd:decimal": "double",
@@ -506,6 +511,31 @@ class Translator:
             if self._graph_column_ok(node.child, term[1:]):
                 sub = self._spawn(self.triples, self.stats, graph_var=term[1:])
                 return sub.eval(node.child)
+            name = term[1:]
+            if self._pattern_free(node.child, name):
+                # pattern-free group (VALUES-only / FILTER over literals /
+                # empty group): its solutions are graph-INDEPENDENT, so
+                # eval once and join with the distinct-graph relation as a
+                # plain column — no driver collect, no per-graph plans
+                # (r7, VERDICT r6 #4). A solution that already binds ?g
+                # (VALUES naming it) joins per the compatibility rule:
+                # bound -> must name an existing graph, unbound -> one
+                # row per graph.
+                inner = self._spawn(self.triples, self.stats).eval(node.child)
+                gdf = self.triples.select(F.col("g").alias(name)).distinct()
+                if name in inner.columns:
+                    nn = inner.filter(F.col(name).isNotNull()).join(
+                        gdf, name, "left_semi"
+                    )
+                    nu = (
+                        inner.filter(F.col(name).isNull())
+                        .drop(name)
+                        .crossJoin(gdf)
+                    )
+                    return nn.unionByName(nu)
+                return inner.crossJoin(gdf)
+            global GRAPH_FALLBACK_LOOPS
+            GRAPH_FALLBACK_LOOPS += 1
             g_type = dict(self.triples.dtypes)["g"]  # keep lit dtype == store dtype
             gvals = sorted(
                 r["g"] for r in self.triples.select("g").distinct().collect()
@@ -537,6 +567,57 @@ class Translator:
             self.triples.filter(F.col("g") == F.lit(term)).drop("g"), self.stats
         )
         return sub.eval(node.child)
+
+    @staticmethod
+    def _pattern_free(node, gname: str) -> bool:
+        """True when the group under GRAPH ?g never touches the store
+        (no triple/path patterns, no nested GRAPH/SERVICE, no EXISTS)
+        and never READS the graph variable in an expression — such a
+        group's solutions are identical for every graph, so one
+        evaluation cross-joined with the distinct-graph relation
+        replaces the per-graph driver loop."""
+
+        def has_exists(e) -> bool:
+            if isinstance(e, A.ExistsExpr):
+                return True
+            if isinstance(e, A.BinOp):
+                items = e.right if isinstance(e.right, (list, tuple)) else [e.right]
+                return has_exists(e.left) or any(has_exists(i) for i in items)
+            if isinstance(e, A.UnOp):
+                return has_exists(e.operand)
+            if isinstance(e, A.FuncCall):
+                return any(has_exists(a) for a in e.args)
+            if isinstance(e, A.Aggregate):
+                return e.arg is not None and has_exists(e.arg)
+            return False
+
+        stack = [node]
+        while stack:
+            n = stack.pop()
+            if n is None:
+                continue
+            if isinstance(n, A.BGP):
+                if n.patterns:
+                    return False
+                continue
+            if isinstance(n, (A.Graph, A.Service)):
+                return False
+            exprs: list = []
+            if isinstance(n, (A.Filter, A.Bind)):
+                exprs.append(n.expr)
+            if isinstance(n, A.Project):
+                exprs.extend(e for _, e in n.exprs)
+            if isinstance(n, A.Group):
+                if gname in n.keys:
+                    return False
+                exprs.extend(a for _, a in n.aggs)
+            if isinstance(n, A.OrderBy):
+                exprs.extend(e for e, _ in n.keys)
+            for e in exprs:
+                if has_exists(e) or gname in A.expr_vars(e):
+                    return False
+            stack.extend(A.subnodes(n))
+        return True
 
     @staticmethod
     def _graph_column_ok(node, gname: str) -> bool:

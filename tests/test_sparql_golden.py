@@ -1788,6 +1788,49 @@ def test_contains_slice_detects_limit_under_join():
     assert not Translator._contains_slice(plain.child)
 
 
+def test_graph_var_pattern_free_group_single_plan(spark):
+    """r7 (VERDICT r6 #4): a pattern-free group under GRAPH ?g binds ?g
+    from the store's distinct-g relation as a plain column join — ONE
+    plan, no per-graph driver loop (asserted via the fallback counter),
+    on both engines."""
+    from d_sparq_spark.plans import translate as TR
+
+    quads = spark.createDataFrame(
+        [("s:a", "p:x", "1", "g:a"), ("s:b", "p:x", "2", "g:b"),
+         ("s:c", "p:y", "3", "g:c")],
+        "s string, p string, o string, g string",
+    )
+    engines = [SparqlEngine(quads, collect_stats=False)]
+    from d_sparq_spark.encoded_engine import EncodedSparqlEngine
+    from d_sparq_spark.operators.dictionary import build_dictionary, encode_triples
+
+    d = build_dictionary(quads)
+    engines.append(
+        EncodedSparqlEngine(encode_triples(quads, d), d, collect_stats=False)
+    )
+    before = TR.GRAPH_FALLBACK_LOOPS
+    for e in engines:
+        # empty group: one solution per named graph
+        out = e.query("SELECT ?g WHERE { GRAPH ?g {} }")
+        assert sorted(r["g"] for r in out.collect()) == ["g:a", "g:b", "g:c"]
+        # VALUES-only group: cross product with the graph list
+        out2 = e.query(
+            'SELECT ?g ?x WHERE { GRAPH ?g { VALUES ?x { "1" "2" } } }'
+        )
+        assert out2.count() == 6
+        # VALUES binding ?g itself: bound rows must name an existing
+        # graph; UNDEF rows expand to one row per graph
+        out3 = e.query(
+            "SELECT ?g ?x WHERE { GRAPH ?g { VALUES (?g ?x) "
+            '{ (<g:a> "p") (<g:nope> "q") (UNDEF "r") } } }'
+        )
+        got = sorted(tuple(r) for r in out3.collect())
+        assert got == [
+            ("g:a", "p"), ("g:a", "r"), ("g:b", "r"), ("g:c", "r")
+        ]
+    assert TR.GRAPH_FALLBACK_LOOPS == before  # no driver loop engaged
+
+
 def test_minus_under_graph_var_explicit_g_in_right(spark):
     """The GRAPH variable used EXPLICITLY inside MINUS's right pattern is
     spec-scoped to the MINUS right: within each graph it ranges FREELY
