@@ -107,6 +107,55 @@ def _signatures(
     )
 
 
+def band_signature_rows(
+    with_sig: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """(id, signature) -> (id, band, band_hash) rows, one per band — the
+    LSH bucket keys. Shared by the batch self-join (lsh_candidate_pairs)
+    and the streaming band-store pipeline (streaming/near_dedup.py), which
+    persists exactly these rows between microbatches. Carries the same
+    per-row too-narrow-signature guard as lsh_candidate_pairs (see there
+    for why it is per-row, not an eager probe)."""
+    needed = num_bands * rows_per_band
+    if needed <= 0:
+        # the per-row guard below fails OPEN here: size(sig) >= 0 always
+        # holds, every band slice is empty, and the join degenerates to
+        # the all-pairs blowup silently (review r4)
+        raise ValueError(
+            f"band_signature_rows: num_bands={num_bands} x "
+            f"rows_per_band={rows_per_band} must be positive"
+        )
+    guarded_id = F.when(F.size("signature") >= needed, F.col(id_col)).otherwise(
+        F.raise_error(
+            F.lit(
+                f"lsh_candidate_pairs: signature narrower than {num_bands} "
+                f"bands x {rows_per_band} rows — empty band slices would "
+                "hash every document into one bucket (all-pairs blowup)"
+            )
+        )
+    )
+    return with_sig.withColumn(id_col, guarded_id).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+
+
 def lsh_candidate_pairs(
     with_sig: DataFrame,
     id_col: str = "doc_id",
@@ -134,32 +183,8 @@ def lsh_candidate_pairs(
             f"lsh_candidate_pairs: num_bands={num_bands} x "
             f"rows_per_band={rows_per_band} must be positive"
         )
-    guarded_id = F.when(F.size("signature") >= needed, F.col(id_col)).otherwise(
-        F.raise_error(
-            F.lit(
-                f"lsh_candidate_pairs: signature narrower than {num_bands} "
-                f"bands x {rows_per_band} rows — empty band slices would "
-                "hash every document into one bucket (all-pairs blowup)"
-            )
-        )
-    )
-    with_sig = with_sig.withColumn(id_col, guarded_id)
-    banded = with_sig.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                    )
-                ),
-            )
-        ).alias("band", "band_hash"),
+    banded = band_signature_rows(
+        with_sig, id_col=id_col, num_bands=num_bands, rows_per_band=rows_per_band
     )
     a, b = banded.alias("a"), banded.alias("b")
     return (

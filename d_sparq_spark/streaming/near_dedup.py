@@ -1,0 +1,164 @@
+"""Incremental NEAR-duplicate detection (MinHash-LSH) as a stream of
+microbatches — the near-dup sibling of streaming/dedup.py (VERDICT r6 #5):
+production LLM ingest dedups *near*-duplicates continuously, not only
+exact digests.
+
+Pipeline per microbatch, same idempotent-replay discipline as the exact
+path:
+
+1. MinHash signatures for the batch's documents -> band rows
+   (operators/dedup.band_signature_rows — the SAME rows the batch
+   pipeline buckets on).
+2. Candidates = new band rows ⋈ persisted band store (cross-batch) ∪
+   new ⋈ new (within-batch), bucket-keyed — candidates ~ true near-dup
+   pairs, never n².
+3. Exact token-Jaccard verification fetches texts ONLY for candidate
+   partners (a candidate-selective join against the persisted text
+   layer; in production that layer is the document lake itself).
+4. Emit verified (a, b, jaccard) pairs under batch-<id>; append the
+   batch's band rows and texts under batch-<id>.
+
+Scale design:
+- the band store grows O(corpus x num_bands) rows of (long, int, long) —
+  the documented state bound; band rows, never signatures or bodies,
+  are what later batches join against;
+- every per-batch write lands under batch-<id> and every read excludes
+  the current batch id, so a foreachBatch RETRY reproduces its first
+  attempt exactly (same guarantee streaming/dedup.py documents);
+- pairs are emitted once, in the later document's batch: cross-batch
+  candidates pair new against strictly-earlier stores, within-batch
+  candidates use id order — under doc_id-ascending replay the union over
+  batches equals the one-shot batch twin minhash_near_dups exactly
+  (stream == batch equivalence-tested in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from d_sparq_spark.operators import dedup as D
+
+BANDS_SCHEMA = "doc_id long, band int, band_hash long, batch_id long"
+TEXTS_SCHEMA = "doc_id long, text string, batch_id long"
+PAIRS_SCHEMA = "a long, b long, jaccard double"
+
+
+def _read_layer(
+    spark: SparkSession, path: str, schema: str, before_batch: int
+) -> DataFrame:
+    """A batch-<id> layered parquet store, tolerant ONLY of not existing
+    yet (first batch); excludes rows the current batch's own earlier
+    attempt wrote, so retries see the state the first attempt saw."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.schema(schema).parquet(path + "/batch-*")
+    except AnalysisException:
+        return spark.createDataFrame([], schema)
+    return df.filter(F.col("batch_id") < F.lit(before_batch))
+
+
+def batch_band_rows(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    num_bands: int = 8,
+) -> DataFrame:
+    """(doc_id, band, band_hash) for a document set — signature + banding,
+    the exact rows the batch pipeline's bucket join is keyed on."""
+    sig = D.minhash_signature(
+        docs.select("doc_id", text_col), text_col=text_col, num_hashes=num_hashes
+    ).select("doc_id", "signature")
+    return D.band_signature_rows(
+        sig, num_bands=num_bands, rows_per_band=num_hashes // num_bands
+    )
+
+
+def near_dedup_foreach_batch(
+    store_dir: str,
+    pairs_dir: str,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    text_col: str = "text",
+):
+    """foreachBatch body: verify LSH candidates against the persisted band
+    store, emit near-dup pairs, append this batch's bands + texts."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        docs = batch_df.select("doc_id", F.col(text_col).alias("text"))
+        bands_new = batch_band_rows(
+            docs, num_hashes=num_hashes, num_bands=num_bands
+        ).localCheckpoint()  # pin: bucket join + store append both read it
+        prior_bands = _read_layer(
+            spark, store_dir + "/bands", BANDS_SCHEMA, before_batch=batch_id
+        )
+        # cross-batch candidates: new doc vs strictly-earlier store — the
+        # earlier side is always `a` (ids ascend across batches under
+        # ordered replay; least/greatest keeps a < b regardless)
+        old = prior_bands.select(
+            F.col("doc_id").alias("_oid"), "band", "band_hash"
+        )
+        cross = (
+            bands_new.join(old, ["band", "band_hash"])
+            .select(
+                F.least("_oid", "doc_id").alias("a"),
+                F.greatest("_oid", "doc_id").alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+        )
+        x, y = bands_new.alias("x"), bands_new.alias("y")
+        within = x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        ).select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        cand = cross.unionByName(within).distinct()
+        # exact verification: texts fetched for candidate partners only
+        texts_all = (
+            _read_layer(spark, store_dir + "/texts", TEXTS_SCHEMA, batch_id)
+            .select("doc_id", "text")
+            .unionByName(docs)
+        )
+        ta = texts_all.select(F.col("doc_id").alias("a"), F.col("text").alias("_t1"))
+        tb = texts_all.select(F.col("doc_id").alias("b"), F.col("text").alias("_t2"))
+        pairs = (
+            cand.join(ta, "a")
+            .join(tb, "b")
+            .withColumn("jaccard", D.jaccard_tokens(F.col("_t1"), F.col("_t2")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard")
+        )
+        pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch_id={batch_id}")
+        bands_new.withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        ).write.mode("overwrite").parquet(f"{store_dir}/bands/batch-{batch_id}")
+        docs.withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        ).write.mode("overwrite").parquet(f"{store_dir}/texts/batch-{batch_id}")
+
+    return process
+
+
+def near_dedup_stream(
+    docs_stream: DataFrame,
+    store_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+):
+    """Wire a streaming documents source through the incremental near-dup.
+    trigger(availableNow) drains a finite backlog (the replay-equivalence
+    test); a processing-time trigger runs it as continuous ingest."""
+    return (
+        docs_stream.writeStream.foreachBatch(
+            near_dedup_foreach_batch(store_dir, pairs_dir, threshold, text_col=text_col)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
