@@ -120,6 +120,39 @@ def main() -> None:
         all_q[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
+    # Load-path bench (r7, VERDICT r6 #6): the store build and the
+    # incremental append are first-class BENCH entries so the bulk/append
+    # bands regress visibly instead of living in BASELINE.md prose.
+    # Prep (N-Triples dumps) is untimed — it is test-fixture generation,
+    # not load work; the timed region is exactly bulk_load / append_load.
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from d_sparq_spark.load_pipeline import append_load, bulk_load
+    from d_sparq_spark.sources.derived_rdf import derive_triples_cached
+    from d_sparq_spark.sources.ntriples import format_ntriples
+
+    work = tempfile.mkdtemp(prefix="d_sparq_bench_load_")
+    try:
+        triples = derive_triples_cached(spark, sf_dir)
+        format_ntriples(triples).write.mode("overwrite").text(work + "/nt")
+        # delta = 10% of triples re-subjected to NEW terms: exercises dict
+        # growth + encode + stats-merge, not just the dedup anti-join
+        delta = triples.filter(F.xxhash64("s", "p", "o") % 10 == 0).select(
+            F.concat(F.col("s"), F.lit("-r7delta")).alias("s"), "p", "o"
+        )
+        format_ntriples(delta).write.mode("overwrite").text(work + "/nt_delta")
+        t0 = time.perf_counter()
+        bulk_load(spark, work + "/nt", work + "/store")
+        timings["load_bulk"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        append_load(spark, work + "/nt_delta", work + "/store")
+        timings["load_append"] = round(time.perf_counter() - t0, 4)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
