@@ -79,6 +79,7 @@ class _EncodedTranslator(Translator):
         *args,
         dictionary: DataFrame | None = None,
         dict_broadcast_ok=None,
+        bind_cols: set | None = None,
         **kwargs,
     ):
         super().__init__(*args, **kwargs)
@@ -88,13 +89,42 @@ class _EncodedTranslator(Translator):
         # the driver-OOM footgun for any direct construction that forgets
         # the kwarg (review r4)
         self.dict_broadcast_ok = dict_broadcast_ok or (lambda: False)
+        # output columns produced by nested BIND — LEXICAL values the
+        # engine's final decode must skip (a numeric BIND result is
+        # bigint-typed; decoding it against the dictionary would null it
+        # out). Shared with spawned sub-translators, read by the engine.
+        self.bind_cols: set = bind_cols if bind_cols is not None else set()
 
     def _spawn(self, triples, stats, graph_var=None):
         return _EncodedTranslator(
             triples, stats, services=self.services, graph_var=graph_var,
             dictionary=self.dictionary, dict_broadcast_ok=self.dict_broadcast_ok,
-            pin_cache=self._pinned,
+            pin_cache=self._pinned, bind_cols=self.bind_cols,
         )
+
+    def eval(self, node) -> DataFrame:
+        if isinstance(node, A.Bind):
+            # nested BIND via shadow columns (r7, VERDICT r6 #7): decode
+            # only the referenced encoded variables, compute the value
+            # over the lexical shadows, drop the shadows — the bindings
+            # stay encoded for every surrounding join. Only reachable for
+            # binds _check_structural proved never feed an ID join.
+            child = self.eval(node.child)
+            dtypes = dict(child.dtypes)
+            enc = sorted(
+                v for v in A.expr_vars(node.expr) if dtypes.get(v) == "bigint"
+            )
+            if enc:
+                shadowed = self._decode_shadow(child, enc)
+                e = _subst_expr_vars(node.expr, {v: f"__lex__{v}" for v in enc})
+                out = shadowed.withColumn(node.var, self.expr(e, shadowed)).select(
+                    *child.columns, node.var
+                )
+            else:
+                out = child.withColumn(node.var, self.expr(node.expr, child))
+            self.bind_cols.add(node.var)
+            return out
+        return super().eval(node)
 
     def _bnode_objects(self, result: DataFrame):
         """Encoded CBD: bnode-ness comes from the DICTIONARY ('_:' term
@@ -322,17 +352,66 @@ class EncodedSparqlEngine:
             node.expr = A.ExistsExpr(self._rewrite(node.expr.group, ids), node.expr.negated)
         return node
 
-    def _check_structural(self, node) -> None:
+    @staticmethod
+    def _id_term_vars(node) -> set:
+        """Variables the ENCODED evaluation binds to dictionary ids:
+        triple/path pattern terms (including path branch/closure inner
+        patterns), VALUES columns, GRAPH variables. A nested BIND whose
+        output variable never collides with one of these stays a purely
+        lexical column — safe to carry through the encoded plan."""
+        out: set = set()
+
+        def pat(p) -> None:
+            for a in ("s", "p", "o"):
+                v = getattr(p, a, None)
+                if isinstance(v, str) and v.startswith("?"):
+                    out.add(v[1:])
+            for sub in getattr(p, "patterns", ()) or ():
+                pat(sub)
+            for br in getattr(p, "branches", ()) or ():
+                for sub in br:
+                    pat(sub)
+
+        stack = [node]
+        while stack:
+            n = stack.pop()
+            if n is None:
+                continue
+            if isinstance(n, A.BGP):
+                for p in n.patterns:
+                    pat(p)
+                continue
+            if isinstance(n, A.Values):
+                out |= set(n.varnames)
+            if isinstance(n, A.Graph):
+                t = n.term
+                if isinstance(t, str) and t.startswith("?"):
+                    out.add(t[1:])
+            stack.extend(A.subnodes(n))
+        return out
+
+    def _check_structural(self, node, id_vars: set | None = None) -> None:
         """The encoded path evaluates the structural subtree over IDs.
         Value-level FILTERs nested inside it are handled in place by
         _EncodedTranslator._filter (shadow-column decode of just the
-        referenced variables); nested BIND/aggregates remain on the
-        decode-early fallback — a BIND value becomes a lexical binding
-        that downstream ID joins could not consume."""
-        if isinstance(node, (A.Bind, A.Group)):
+        referenced variables), and since r7 nested BINDs whose output
+        never feeds an ID join run the same way (shadow-decode inputs,
+        lexical output column, _EncodedTranslator.eval). Remaining on the
+        decode-early fallback: nested aggregates, and a BIND whose
+        variable collides with a pattern/VALUES/GRAPH binding — its
+        lexical value would join against dictionary ids."""
+        if id_vars is None:
+            id_vars = self._id_term_vars(node)
+        if isinstance(node, A.Group):
             raise NotImplementedError(
-                "EncodedSparqlEngine: BIND/aggregates nested inside the "
+                "EncodedSparqlEngine: aggregates nested inside the "
                 "structural pattern are not supported on the encoded store"
+            )
+        if isinstance(node, A.Bind) and node.var in id_vars:
+            raise NotImplementedError(
+                "EncodedSparqlEngine: nested BIND feeding an ID join "
+                "(its variable is also bound by a pattern/VALUES/GRAPH) "
+                "is not supported on the encoded store"
             )
         if isinstance(node, (A.OrderBy, A.Slice)) or (
             isinstance(node, A.Project) and node.exprs
@@ -352,7 +431,7 @@ class EncodedSparqlEngine:
             # inside an EXISTS pattern previously slipped past this check)
             # — walking them AGAIN here doubled the visit count per
             # nesting level, 2^depth on EXISTS-in-EXISTS chains (review r5)
-            self._check_structural(sub)
+            self._check_structural(sub, id_vars)
 
     # -- structural/value split ----------------------------------------------
 
@@ -406,15 +485,25 @@ class EncodedSparqlEngine:
         if isinstance(root, A.Describe):
             if root.child is not None:
                 try:  # value-level nodes in the WHERE group: decode early
-                    self._check_structural(root.child)
+                    # DESCRIBE consumes its variable terms as IDs (they
+                    # seed the description lookup) — a nested BIND
+                    # producing one of them must fall back
+                    dvars = {t[1:] for t in root.terms if _is_var(t)}
+                    self._check_structural(
+                        root.child,
+                        self._id_term_vars(root.child) | dvars,
+                    )
                 except NotImplementedError:
                     return self._lexical_fallback(tree)
             child = self._rewrite(root.child, ids) if root.child is not None else None
             terms = tuple(
                 t if _is_var(t) else ids.get(t, _MISSING_ID) for t in root.terms
             )
-            df = self._translator().eval(A.Describe(terms, child))
-            return self._decode(df, df.columns)
+            tr = self._translator()
+            df = tr.eval(A.Describe(terms, child))
+            return self._decode(
+                df, [c for c in df.columns if c not in tr.bind_cols]
+            )
         if isinstance(root, (A.Ask, A.Construct)):
             # structural queries: rewrite whole tree, evaluate encoded,
             # decode output columns. Value-level FILTERs anywhere in the
@@ -447,7 +536,9 @@ class EncodedSparqlEngine:
             # the lexical constant to bigint and crash), and constants
             # absent from the dictionary need no ID at all.
             bound = tr.eval(rewritten)
-            decoded = self._decode(bound, bound.columns)
+            decoded = self._decode(
+                bound, [c for c in bound.columns if c not in tr.bind_cols]
+            )
             lex = _empty_lex(bound.sparkSession)
             for w in reversed(wrappers):  # innermost (OrderBy) first
                 decoded = _eval_with_precomputed(
@@ -527,7 +618,12 @@ class EncodedSparqlEngine:
                 ]
             break
         node_df = self._decode(
-            node_df, node_df.columns if decoded_cols is None else decoded_cols
+            node_df,
+            [
+                c
+                for c in (node_df.columns if decoded_cols is None else decoded_cols)
+                if c not in tr.bind_cols  # nested-BIND outputs are lexical
+            ],
         )
 
         # re-apply remaining value-level nodes over the lexical bindings

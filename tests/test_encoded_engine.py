@@ -111,13 +111,80 @@ def test_nested_filter_under_graph_var_column_pruned(quad_engines, monkeypatch):
     assert len(rows(encoded.query(q))) > 0
 
 
-def test_nested_bind_still_falls_back(engines):
-    # BIND inside the structural pattern produces a lexical binding that
-    # downstream ID joins can't consume — stays on the decode-early path
+def test_nested_bind_shadow_decode_no_fallback(engines, monkeypatch):
+    """r7 (VERDICT r6 #7): a nested BIND whose variable never feeds an ID
+    join runs via shadow columns — inputs decode per-column, the output
+    stays a lexical binding, the surrounding ID joins survive (no
+    whole-store decode fallback)."""
+    import d_sparq_spark.encoded_engine as ee
+
     lexical, encoded = engines
-    q = ("SELECT ?n ?u WHERE { ?x ex:name ?n "
-         "OPTIONAL { ?x ex:city ?c BIND(UCASE(?c) AS ?u) } }")
+
+    def no_fallback(self, tree):
+        raise AssertionError("whole-store decode fallback must not run")
+
+    monkeypatch.setattr(ee.EncodedSparqlEngine, "_lexical_fallback", no_fallback)
+    queries = [
+        # string BIND under OPTIONAL (the shape that used to fall back)
+        "SELECT ?n ?u WHERE { ?x ex:name ?n "
+        "OPTIONAL { ?x ex:city ?c BIND(UCASE(?c) AS ?u) } }",
+        # numeric BIND (bigint output — the final decode must SKIP it,
+        # not null it out against the dictionary)
+        "SELECT ?n ?a2 WHERE { ?x ex:name ?n . ?x ex:age ?a "
+        "BIND(xsd:integer(?a) * 2 AS ?a2) "
+        "FILTER(?a2 > 50) }",
+        # BINDs in both UNION branches, one consumed by a nested FILTER
+        # (lexical ?u meets lexical ?u — no ID join involved)
+        'SELECT ?n ?u WHERE { { ?x ex:name ?n BIND(UCASE(?n) AS ?u) '
+        'FILTER(?u != "ALICE") } UNION '
+        '{ ?x ex:age ?a . ?x ex:name ?n BIND(CONCAT(?n, "!") AS ?u) } }',
+    ]
+    for q in queries:
+        assert rows(encoded.query(q)) == rows(lexical.query(q)), q
+        assert len(rows(encoded.query(q))) > 0, q
+
+
+def test_nested_bind_id_join_survives_in_plan(engines, monkeypatch):
+    """The ID joins around a shadow-decoded nested BIND stay joins over
+    LONGS: the join keys in the executed plan are bigint, and only the
+    BIND's referenced variable is shadow-decoded."""
+    import d_sparq_spark.encoded_engine as ee
+
+    _, encoded = engines
+    calls = []
+    orig = ee._EncodedTranslator._decode_shadow
+
+    def spy(self, df, variables):
+        calls.append(tuple(variables))
+        return orig(self, df, variables)
+
+    monkeypatch.setattr(ee._EncodedTranslator, "_decode_shadow", spy)
+
+    def no_fallback(self, tree):
+        raise AssertionError("whole-store decode fallback must not run")
+
+    monkeypatch.setattr(ee.EncodedSparqlEngine, "_lexical_fallback", no_fallback)
+    df = encoded.query(
+        "SELECT ?xn ?zn ?u WHERE { ?x ex:knows ?y . ?y ex:knows ?z . "
+        "?x ex:name ?xn . ?z ex:name ?zn "
+        "OPTIONAL { ?x ex:city ?c BIND(UCASE(?c) AS ?u) } }"
+    )
+    assert calls == [("c",)]  # only the BIND input, nothing else
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the star/path ID joins survive: equality on encoded longs
+    assert "bigint" in plan or plan.count("Join") >= 3
+    assert len(rows(df)) > 0
+
+
+def test_nested_bind_feeding_id_join_still_falls_back(engines):
+    """A BIND whose variable is also bound by a pattern would put a
+    lexical value into an ID join — that shape must keep the decode-early
+    fallback and still be answer-exact."""
+    lexical, encoded = engines
+    q = ("SELECT ?v WHERE { { ?x ex:city ?v } UNION "
+         '{ ?y ex:name ?n BIND(UCASE(?n) AS ?v) } }')
     assert rows(encoded.query(q)) == rows(lexical.query(q))
+    assert len(rows(encoded.query(q))) > 0
 
 
 def test_join_keys_stay_long_until_decode(engines, spark):
