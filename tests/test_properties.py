@@ -278,3 +278,162 @@ def test_pareto_sweep_null_and_extreme_values(spark):
     )
     got = {r["id"] for r in pareto_sweep(df, "g", "price", "size").collect()}
     assert got == {0, 1, 2, 3, 4, 5}
+
+
+# ---- r7 (VERDICT r6 #8): OPTIONAL/MINUS/FILTER spec semantics vs a ----------
+# ---- brute-force in-Python SPARQL evaluator over random small graphs --------
+
+def _bf_bgp(triples, patterns):
+    """Multiset of solution mappings for a triple-pattern list — the
+    textbook nested-loop definition (SPARQL 1.1 §18.3), no optimization."""
+    sols = [{}]
+    for pat in patterns:
+        nxt = []
+        for mu in sols:
+            for t in triples:
+                m, ok = dict(mu), True
+                for term, val in zip(pat, t):
+                    if term.startswith("?"):
+                        k = term[1:]
+                        if k in m and m[k] != val:
+                            ok = False
+                            break
+                        m[k] = val
+                    elif term != val:
+                        ok = False
+                        break
+                if ok:
+                    nxt.append(m)
+        sols = nxt
+    return sols
+
+
+def _bf_compat(a, b):
+    return all(a[k] == b[k] for k in a.keys() & b.keys())
+
+
+def _bf_leftjoin(A, B, cond=lambda m: True):
+    """LeftJoin(A, B, F) = Filter(F, Join(A,B)) ∪ Diff(A, B, F)
+    (§18.5): joined rows where compatible AND F holds; a bare mu1 exactly
+    when NO mu2 both merges and passes F."""
+    out = []
+    for mu1 in A:
+        ext = [
+            {**mu1, **mu2}
+            for mu2 in B
+            if _bf_compat(mu1, mu2) and cond({**mu1, **mu2})
+        ]
+        out.extend(ext if ext else [mu1])
+    return out
+
+
+def _bf_minus(A, B):
+    """Minus(A, B) (§18.5): keep mu1 unless some mu2 is compatible AND
+    shares at least one bound variable (the domain-overlap rule)."""
+    return [
+        mu1
+        for mu1 in A
+        if all(
+            not _bf_compat(mu1, mu2) or not (mu1.keys() & mu2.keys())
+            for mu2 in B
+        )
+    ]
+
+
+def _sols_of_df(df):
+    return sorted(
+        tuple(sorted((k, v) for k, v in r.asDict().items() if v is not None))
+        for r in df.collect()
+    )
+
+
+def _sols_of_bf(sols, projected):
+    return sorted(
+        tuple(sorted((k, v) for k, v in mu.items() if k in projected))
+        for mu in sols
+    )
+
+
+_small_triples = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),
+        st.sampled_from(["p", "q"]),
+        st.sampled_from(["x", "y", "a", "b"]),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+def _both_engines(spark, data):
+    from d_sparq_spark.encoded_engine import EncodedSparqlEngine
+    from d_sparq_spark.engine import SparqlEngine
+
+    triples = spark.createDataFrame(
+        sorted(set(data)), "s string, p string, o string"
+    )
+    d = build_dictionary(triples)
+    return [
+        SparqlEngine(triples, collect_stats=False),
+        EncodedSparqlEngine(encode_triples(triples, d), d, collect_stats=False),
+    ]
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=_small_triples)
+def test_optional_filter_condition_matches_bruteforce(spark, data):
+    """§18.2.2.5: a FILTER inside OPTIONAL referencing an outer variable
+    is the LeftJoin CONDITION (the r6 fix) — engine == brute force on
+    random graphs, both engines."""
+    data = sorted(set(data))
+    A = _bf_bgp(data, [("?s", "p", "?o")])
+    B = _bf_bgp(data, [("?s", "q", "?o2")])
+    want = _sols_of_bf(
+        _bf_leftjoin(A, B, lambda m: m["o2"] != m["o"]), {"s", "o", "o2"}
+    )
+    q = ("SELECT ?s ?o ?o2 WHERE { ?s <p> ?o "
+         "OPTIONAL { ?s <q> ?o2 FILTER(?o2 != ?o) } }")
+    for e in _both_engines(spark, data):
+        assert _sols_of_df(e.query(q)) == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=_small_triples)
+def test_minus_domain_rules_match_bruteforce(spark, data):
+    """MINUS domain-overlap rule: a shared-variable right removes exactly
+    the compatible solutions; a disjoint-domain right removes NOTHING."""
+    data = sorted(set(data))
+    A = _bf_bgp(data, [("?s", "p", "?o")])
+    shared = _sols_of_bf(_bf_minus(A, _bf_bgp(data, [("?s", "q", "?z")])), {"s", "o"})
+    disjoint = _sols_of_bf(_bf_minus(A, _bf_bgp(data, [("?a", "q", "?b")])), {"s", "o"})
+    for e in _both_engines(spark, data):
+        got_shared = _sols_of_df(
+            e.query("SELECT ?s ?o WHERE { ?s <p> ?o MINUS { ?s <q> ?z } }")
+        )
+        got_disjoint = _sols_of_df(
+            e.query("SELECT ?s ?o WHERE { ?s <p> ?o MINUS { ?a <q> ?b } }")
+        )
+        assert got_shared == shared
+        assert got_disjoint == disjoint
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=_small_triples)
+def test_optional_then_minus_matches_bruteforce(spark, data):
+    """Composition: MINUS over a partially-OPTIONAL left — the right
+    shares ?s (always bound) and ?c (maybe unbound), exercising the
+    compatibility join + overlap rule on NULL-bearing columns."""
+    data = sorted(set(data))
+    A = _bf_leftjoin(
+        _bf_bgp(data, [("?s", "p", "?o")]), _bf_bgp(data, [("?o", "q", "?c")])
+    )
+    want = _sols_of_bf(
+        _bf_minus(A, _bf_bgp(data, [("?s", "q", "?c")])), {"s", "o", "c"}
+    )
+    q = ("SELECT ?s ?o ?c WHERE { ?s <p> ?o OPTIONAL { ?o <q> ?c } "
+         "MINUS { ?s <q> ?c } }")
+    for e in _both_engines(spark, data):
+        assert _sols_of_df(e.query(q)) == want
