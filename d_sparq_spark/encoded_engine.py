@@ -112,7 +112,9 @@ class _EncodedTranslator(Translator):
             child = self.eval(node.child)
             dtypes = dict(child.dtypes)
             enc = sorted(
-                v for v in A.expr_vars(node.expr) if dtypes.get(v) == "bigint"
+                v
+                for v in A.expr_vars(node.expr)
+                if dtypes.get(v) == "bigint" and v not in self.bind_cols
             )
             if enc:
                 shadowed = self._decode_shadow(child, enc)
@@ -163,7 +165,14 @@ class _EncodedTranslator(Translator):
         lexical shadows, the expression runs over them, the shadows drop
         (r6: the condition used to compare raw dictionary ids)."""
         dtypes = dict(j.dtypes)
-        enc = sorted(v for v in A.expr_vars(cond) if dtypes.get(v) == "bigint")
+        # bind_cols: a numeric nested-BIND output is bigint but holds a
+        # VALUE, not a dictionary id — shadow-decoding it would null it
+        # out (review r7); it is used directly, like any lexical column
+        enc = sorted(
+            v
+            for v in A.expr_vars(cond)
+            if dtypes.get(v) == "bigint" and v not in self.bind_cols
+        )
         if not enc:
             return super()._apply_leftjoin_condition(j, cond)
         shadowed = self._decode_shadow(j, enc)
@@ -178,7 +187,9 @@ class _EncodedTranslator(Translator):
         child = self.eval(node.child)
         dtypes = dict(child.dtypes)
         enc = sorted(
-            v for v in A.expr_vars(node.expr) if dtypes.get(v) == "bigint"
+            v
+            for v in A.expr_vars(node.expr)
+            if dtypes.get(v) == "bigint" and v not in self.bind_cols
         )
         if not enc:
             return child.filter(self.expr(node.expr, child))
@@ -613,8 +624,16 @@ class EncodedSparqlEngine:
                 # old `w.keys` guard skipped the peel on the most common
                 # aggregate shape, decoding the whole store under a row
                 # count); the decode below distinguishes [] from None.
+                # min/max over a nested-BIND column computed a lexical
+                # VALUE, not an id — decoding its alias would null it
+                # (review r7).
                 decoded_cols = list(w.keys) + [
-                    v for v, a in w.aggs if a.func in ("min", "max")
+                    v
+                    for v, a in w.aggs
+                    if a.func in ("min", "max")
+                    and not (
+                        isinstance(a.arg, A.Var) and a.arg.name in tr.bind_cols
+                    )
                 ]
             break
         node_df = self._decode(

@@ -282,8 +282,8 @@ def det_lsh_candidate_pairs(
     equality) so no band hash enters the cross-engine contract."""
     if num_hashes % num_bands:
         raise ValueError(
-            f"det_lsh_candidate_pairs: num_hashes={num_hashes} must divide "
-            f"evenly into num_bands={num_bands}"
+            f"det_lsh_candidate_pairs: num_bands={num_bands} must divide "
+            f"num_hashes={num_hashes} evenly"
         )
     rows = num_hashes // num_bands
     sh = docs.select(

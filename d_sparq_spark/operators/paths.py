@@ -108,7 +108,9 @@ def transitive_closure(
                 F.xxhash64("src").alias("src"),
                 F.xxhash64("dst").alias("dst"),
             )
-            pairs = _closure_fixpoint(enc, max_iter, keys)
+            # edges were deduped above and the hash is injective here, so
+            # enc is already distinct — skip the fixpoint's own dedup
+            pairs = _closure_fixpoint(enc, max_iter, keys, deduped=True)
             m_src = terms.select(
                 F.xxhash64("term").alias("src"), F.col("term").alias("_t_src")
             )
@@ -126,19 +128,27 @@ def transitive_closure(
                     F.col("_t_dst").alias("dst"),
                 )
             )
-    return _closure_fixpoint(edges.select(*keys, "src", "dst"), max_iter, keys)
-
-
-def _closure_fixpoint(edges: DataFrame, max_iter: int, keys: list[str]) -> DataFrame:
-    """The canonical-split doubling loop behind transitive_closure (see
-    its docstring for the algorithm and the completeness argument)."""
-    pair_cols = keys + ["src", "dst"]
-    base = (
-        edges.select(*pair_cols)
-        .distinct()
-        .withColumn("_d", F.lit(1))
-        .localCheckpoint(eager=False)
+    # string edges whose hash collided (never observed): iterate lexically
+    # on the ALREADY-DEDUPED edge set; plain non-string edges dedup here
+    pre_deduped = types.get("src") == "string" and types.get("dst") == "string"
+    return _closure_fixpoint(
+        edges.select(*keys, "src", "dst"), max_iter, keys, deduped=pre_deduped
     )
+
+
+def _closure_fixpoint(
+    edges: DataFrame, max_iter: int, keys: list[str], deduped: bool = False
+) -> DataFrame:
+    """The canonical-split doubling loop behind transitive_closure (see
+    its docstring for the algorithm and the completeness argument).
+    ``deduped`` skips the base distinct when the caller already
+    deduplicated the edge set (review r7: the hash-encoded path paid a
+    second full exchange over |E| rows for nothing)."""
+    pair_cols = keys + ["src", "dst"]
+    base = edges.select(*pair_cols)
+    if not deduped:
+        base = base.distinct()
+    base = base.withColumn("_d", F.lit(1)).localCheckpoint(eager=False)
     # one job: materialize the checkpoint + both fixpoint counters
     r = base.agg(
         F.count(F.lit(1)).alias("n"),
