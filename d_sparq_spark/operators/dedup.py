@@ -268,7 +268,7 @@ def det_shingle_hashes(text: F.Column, k: int = 1) -> F.Column:
     ).otherwise(F.array(roll(th)))
 
 
-def det_lsh_candidate_pairs(
+def det_band_signature_rows(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -276,13 +276,13 @@ def det_lsh_candidate_pairs(
     num_bands: int = 8,
     shingle_k: int = 1,
 ) -> DataFrame:
-    """Candidate (a, b) pairs (a < b) from the deterministic MinHash:
-    signature minima via the same explode -> groupBy(min) shape as the
-    production pipeline, banding joins on the raw signature SLICE (array
-    equality) so no band hash enters the cross-engine contract."""
+    """(id, band, bs) rows of the deterministic MinHash — the band key is
+    the raw signature SLICE (array<bigint>), reproducible in generated
+    SQL. Shared by det_lsh_candidate_pairs and the streaming near-dup's
+    oracle-checked variant (q_stream_near_dedup)."""
     if num_hashes % num_bands:
         raise ValueError(
-            f"det_lsh_candidate_pairs: num_bands={num_bands} must divide "
+            f"det_band_signature_rows: num_bands={num_bands} must divide "
             f"num_hashes={num_hashes} evenly"
         )
     rows = num_hashes // num_bands
@@ -305,7 +305,29 @@ def det_lsh_candidate_pairs(
             for b in range(num_bands)
         ]
     )
-    banded = sig.select(F.col(id_col), F.posexplode(bands).alias("band", "bs"))
+    return sig.select(F.col(id_col), F.posexplode(bands).alias("band", "bs"))
+
+
+def det_lsh_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    num_bands: int = 8,
+    shingle_k: int = 1,
+) -> DataFrame:
+    """Candidate (a, b) pairs (a < b) from the deterministic MinHash:
+    signature minima via the same explode -> groupBy(min) shape as the
+    production pipeline, banding joins on the raw signature SLICE (array
+    equality) so no band hash enters the cross-engine contract."""
+    if num_hashes % num_bands:
+        raise ValueError(
+            f"det_lsh_candidate_pairs: num_bands={num_bands} must divide "
+            f"num_hashes={num_hashes} evenly"
+        )
+    banded = det_band_signature_rows(
+        docs, text_col, id_col, num_hashes, num_bands, shingle_k
+    )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

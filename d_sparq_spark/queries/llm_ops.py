@@ -10,6 +10,8 @@ approximate path's plumbing runs AND the exact semantics are proven.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -145,15 +147,11 @@ def q_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.dedup_clusters(docs, D.minhash_near_dups(docs, threshold=0.5))
 
 
-def _minhash_recall_oracle(
-    num_hashes: int = 16, num_bands: int = 8, threshold: float = 0.5
-) -> str:
-    """Generated-SQL oracle for q_minhash_recall (VERDICT r6 #2): the SAME
-    deterministic MinHash family (character-rolling token hash, literal
-    LCG-seeded affine coefficients, band equality on raw signature
-    slices) evaluated in DuckDB, so the candidate set — and the recall
-    against the exact lang-blocked Jaccard pair set — is checked
-    value-exact, not just row-counted."""
+def _det_minhash_cand_ctes(num_hashes: int = 16, num_bands: int = 8) -> str:
+    """The shared WITH-body computing the deterministic-MinHash candidate
+    pair set in DuckDB (tk -> signatures -> banded -> cand) — the SQL
+    mirror of operators/dedup.det_band_signature_rows + the bucket
+    self-join. Used by q_minhash_recall and q_stream_near_dedup."""
     P, B = D.DET_MINHASH_PRIME, D.DET_MINHASH_BASE
     rows = num_hashes // num_bands
     char_roll = (
@@ -177,7 +175,19 @@ shh AS (SELECT doc_id, unnest(shs) AS s FROM shp),
 sig AS (SELECT doc_id, {mins} FROM shh GROUP BY doc_id),
 banded AS ({band_rows}),
 cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM banded x JOIN banded y
-         ON x.band = y.band AND x.bs = y.bs AND x.doc_id < y.doc_id),
+         ON x.band = y.band AND x.bs = y.bs AND x.doc_id < y.doc_id)"""
+
+
+def _minhash_recall_oracle(
+    num_hashes: int = 16, num_bands: int = 8, threshold: float = 0.5
+) -> str:
+    """Generated-SQL oracle for q_minhash_recall (VERDICT r6 #2): the SAME
+    deterministic MinHash family (character-rolling token hash, literal
+    LCG-seeded affine coefficients, band equality on raw signature
+    slices) evaluated in DuckDB, so the candidate set — and the recall
+    against the exact lang-blocked Jaccard pair set — is checked
+    value-exact, not just row-counted."""
+    return f"""{_det_minhash_cand_ctes(num_hashes, num_bands)},
 truth AS (SELECT a.doc_id AS a, b.doc_id AS b FROM tk a JOIN tk b
           ON a.lang = b.lang AND a.doc_id < b.doc_id
           WHERE CAST(len(list_intersect(list_distinct(a.toks), list_distinct(b.toks))) AS DOUBLE)
@@ -210,6 +220,68 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("__hit").cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("recall"),
     )
+
+
+def _stream_near_dedup_oracle(threshold: float = 0.5) -> str:
+    """Oracle for q_stream_near_dedup: the union of streamed per-batch
+    pair emissions equals {candidate pairs} ∩ {token Jaccard >= t} —
+    batch attribution cancels out (a cross-batch pair is emitted in the
+    later doc's batch, a within-batch pair in its own), so the SQL needs
+    no notion of batches at all."""
+    return f"""{_det_minhash_cand_ctes()}
+SELECT c.a, c.b,
+       CAST(len(list_intersect(list_distinct(ta.toks), list_distinct(tb.toks))) AS DOUBLE)
+       / CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS DOUBLE) AS jaccard
+FROM cand c JOIN tk ta ON ta.doc_id = c.a JOIN tk tb ON tb.doc_id = c.b
+WHERE CAST(len(list_intersect(list_distinct(ta.toks), list_distinct(tb.toks))) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS DOUBLE) >= {threshold}
+"""
+
+
+@register("q_stream_near_dedup", oracle=_stream_near_dedup_oracle())
+def q_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming incremental near-dup pipeline (streaming/
+    near_dedup.py: persisted band-signature store + candidate-selective
+    exact verify per microbatch) driven over a 3-file replay of the
+    documents table — with the cross-engine-DETERMINISTIC MinHash as the
+    band function, so the streamed pair set carries a full generated-SQL
+    oracle (the second streaming entry with a hash-checked oracle, after
+    q_stream_enrich). The union of per-batch emissions is independent of
+    file->batch assignment: a cross-batch pair is found when its later
+    document arrives, a within-batch pair in its own batch."""
+    import hashlib
+    import shutil
+
+    from d_sparq_spark.streaming import near_dedup as ND
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = hashlib.sha256(sf_dir.rstrip("/").encode()).hexdigest()[:12]
+    work = os.path.join(
+        "/tmp", f"d_sparq_stream_neardup_{os.path.basename(sf_dir.rstrip('/'))}_{tag}"
+    )
+    shutil.rmtree(work, ignore_errors=True)  # fresh, deterministic replay
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    step = (hi - lo) // 3 + 1
+    for k in range(3):
+        docs.filter(
+            (F.col("doc_id") >= lo + k * step) & (F.col("doc_id") < lo + (k + 1) * step)
+        ).coalesce(1).write.mode("append").parquet(work + "/incoming")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(work + "/incoming")
+    )
+    q = ND.near_dedup_stream(
+        stream,
+        work + "/store",
+        work + "/pairs",
+        work + "/ckpt",
+        threshold=0.5,
+        band_fn=D.det_band_signature_rows,
+        bands_schema="doc_id long, band int, bs array<bigint>, batch_id long",
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(work + "/pairs").select("a", "b", "jaccard")
 
 
 @register("q_simhash", oracle=None)

@@ -156,7 +156,7 @@ _LAST_ATTESTED: dict[str, int] = {
 # never-attested queries but before the already-attested ones — age
 # priority, so no key starves.  (Round 7: empty so far.)
 _NEW_THIS_ROUND: frozenset[str] = frozenset({
-    "q_minhash_recall",
+    "q_minhash_recall", "q_stream_near_dedup",
 })
 
 

@@ -34,6 +34,8 @@ Scale design:
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -82,27 +84,36 @@ def near_dedup_foreach_batch(
     num_hashes: int = 32,
     num_bands: int = 8,
     text_col: str = "text",
+    band_fn=None,
+    bands_schema: str = BANDS_SCHEMA,
 ):
     """foreachBatch body: verify LSH candidates against the persisted band
-    store, emit near-dup pairs, append this batch's bands + texts."""
+    store, emit near-dup pairs, append this batch's bands + texts.
+
+    band_fn maps a (doc_id, text) frame to band rows — defaults to the
+    production xxhash64 banding (batch_band_rows); q_stream_near_dedup
+    passes the cross-engine-deterministic variant so the streamed pair
+    set carries a full generated-SQL oracle. Every non-doc_id column of
+    the band rows is a bucket key (band_hash long, or a raw signature
+    slice array); bands_schema must match band_fn's output + batch_id."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         docs = batch_df.select("doc_id", F.col(text_col).alias("text"))
-        bands_new = batch_band_rows(
-            docs, num_hashes=num_hashes, num_bands=num_bands
-        ).localCheckpoint()  # pin: bucket join + store append both read it
+        fn = band_fn or (
+            lambda d: batch_band_rows(d, num_hashes=num_hashes, num_bands=num_bands)
+        )
+        bands_new = fn(docs).localCheckpoint()  # pin: bucket join + store append
+        keys = [c for c in bands_new.columns if c != "doc_id"]
         prior_bands = _read_layer(
-            spark, store_dir + "/bands", BANDS_SCHEMA, before_batch=batch_id
+            spark, store_dir + "/bands", bands_schema, before_batch=batch_id
         )
         # cross-batch candidates: new doc vs strictly-earlier store — the
         # earlier side is always `a` (ids ascend across batches under
         # ordered replay; least/greatest keeps a < b regardless)
-        old = prior_bands.select(
-            F.col("doc_id").alias("_oid"), "band", "band_hash"
-        )
+        old = prior_bands.select(F.col("doc_id").alias("_oid"), *keys)
         cross = (
-            bands_new.join(old, ["band", "band_hash"])
+            bands_new.join(old, keys)
             .select(
                 F.least("_oid", "doc_id").alias("a"),
                 F.greatest("_oid", "doc_id").alias("b"),
@@ -110,10 +121,10 @@ def near_dedup_foreach_batch(
             .filter(F.col("a") != F.col("b"))
         )
         x, y = bands_new.alias("x"), bands_new.alias("y")
+        key_eq = [F.col(f"x.{k}") == F.col(f"y.{k}") for k in keys]
         within = x.join(
             y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            reduce(lambda a_, b_: a_ & b_, key_eq)
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         ).select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         cand = cross.unionByName(within).distinct()
@@ -150,13 +161,18 @@ def near_dedup_stream(
     checkpoint_dir: str,
     threshold: float = 0.5,
     text_col: str = "text",
+    band_fn=None,
+    bands_schema: str = BANDS_SCHEMA,
 ):
     """Wire a streaming documents source through the incremental near-dup.
     trigger(availableNow) drains a finite backlog (the replay-equivalence
     test); a processing-time trigger runs it as continuous ingest."""
     return (
         docs_stream.writeStream.foreachBatch(
-            near_dedup_foreach_batch(store_dir, pairs_dir, threshold, text_col=text_col)
+            near_dedup_foreach_batch(
+                store_dir, pairs_dir, threshold, text_col=text_col,
+                band_fn=band_fn, bands_schema=bands_schema,
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
