@@ -127,6 +127,11 @@ def bulk_load(
             "and attach a StoreCatalog in-session instead"
         )
     triples = parse_ntriples(spark.read.text(nt_path))
+    if not triples.take(1):
+        # fail BEFORE any write: an all-malformed/empty dump would
+        # otherwise leave a half-written store and crash later with an
+        # opaque empty-parquet schema-inference error (review r7)
+        raise ValueError(f"bulk_load: no triples parsed from {nt_path!r}")
     dictionary = build_dictionary(triples).persist()
     # size-conditional broadcast: the dictionary is data-sized (one row
     # per distinct term) — at 100 TB it cannot collect to the driver, so
@@ -134,6 +139,14 @@ def bulk_load(
     # strategy above that (review r4: the hint used to be unconditional)
     n_terms = dictionary.count()
 
+    # INVALIDATE the manifest before clobbering dict/ (review r7): a
+    # rebuild over a previously-appended store that crashes mid-dict-write
+    # would otherwise leave the OLD watermark next to a NEW dictionary,
+    # and the next append would allocate colliding ids. max_id=None makes
+    # that append pay the one max(id) scan instead — reserve-then-write,
+    # the same discipline append_load documents.
+    _write_meta(spark, store_path, rank_ordered=False, n_terms=None, max_id=None,
+                dict_buckets=int(dict_buckets))
     # dict/ lands FIRST, as a term-bucketed table: appends then anti-join
     # their deltas against a bucketed scan (no O(dict) shuffle per load),
     # and the encode below reads the WRITTEN store — a durable barrier, so
@@ -150,8 +163,11 @@ def bulk_load(
         n_terms=int(n_terms), max_id=int(n_terms), dict_buckets=int(dict_buckets),
     )
     enc = encode_triples(triples, dict_table, broadcast_dict=n_terms <= 10_000_000)
-    # vertical partitioning: one directory per predicate id
-    enc.write.mode("overwrite").partitionBy("p").parquet(os.path.join(store_path, "by_p"))
+    # vertical partitioning: one directory per predicate id (the VP layout
+    # contract lives with its reader in sources/triple_store)
+    from d_sparq_spark.sources.triple_store import write_vp
+
+    write_vp(enc, store_path)
     # every downstream step reads the just-written COLUMNAR store, not the
     # parse+encode lineage — otherwise stats, the triple count, and each
     # ExtVP reduction would re-scan the raw N-Triples text end to end
@@ -159,6 +175,18 @@ def bulk_load(
     stats = predicate_stats(enc)
     stats.write.mode("overwrite").parquet(os.path.join(store_path, "stats"))
 
+    # a REBUILD over an existing store must not keep materialized layouts
+    # derived from the PREVIOUS data: open_store probes their manifests
+    # and would silently route qualifying stars to pre-rebuild answers
+    # (review r7 — append_load already rebuilds/drops stale layouts; this
+    # is the bulk-rebuild mirror image). Remove both up front; the
+    # requested ones are re-materialized below from the new data. A URI
+    # store cannot have them (materialize requires a local path).
+    if "://" not in store_path:
+        import shutil
+
+        for layout in ("ptable", "extvp"):
+            shutil.rmtree(os.path.join(store_path, layout), ignore_errors=True)
     if "ptable" in materialize:
         from d_sparq_spark.plans.catalog import StoreCatalog
 
@@ -177,12 +205,21 @@ def bulk_load(
     # the live `stats` lineage would re-run the whole predicate_stats
     # aggregation (two exact countDistincts over the store) a second time
     # (review r4)
-    n_triples_row = (
+    return {
+        "n_terms": int(n_terms),
+        "n_triples": _count_store_triples(spark, store_path),
+    }
+
+
+def _count_store_triples(spark: SparkSession, store_path: str) -> int:
+    """Triple count from the just-written stats parquet (shared by
+    bulk_load/append_load — review r7 deduplicated the copies)."""
+    n = (
         spark.read.parquet(os.path.join(store_path, "stats"))
         .agg(F.sum("cnt").alias("n"))
         .collect()[0]["n"]
     )
-    return {"n_terms": int(n_terms), "n_triples": int(n_triples_row or 0)}
+    return int(n or 0)
 
 
 def _write_meta(
@@ -280,7 +317,10 @@ def append_load(spark: SparkSession, nt_path: str, store_path: str) -> dict:
     Not concurrent-writer-safe (same as bulk_load): one loader at a time;
     a failed append can leave orphan part-files that a retry re-appends —
     production would stage to a temp dir and commit by rename."""
-    triples = parse_ntriples(spark.read.text(nt_path))
+    # pin the delta parse: it feeds the dictionary extension, the term
+    # reduction, and the encode — without the pin the N-Triples text is
+    # re-read and re-regexed per consumer (review r7)
+    triples = parse_ntriples(spark.read.text(nt_path)).localCheckpoint(eager=False)
     meta = _read_meta(spark, store_path)
     buckets = meta["dict_buckets"]
     if buckets:
@@ -296,13 +336,18 @@ def append_load(spark: SparkSession, nt_path: str, store_path: str) -> dict:
         )
     if n_terms_old is None:
         n_terms_old = existing_dict.count()
-    from d_sparq_spark.operators.dictionary import extend_dictionary
+    from d_sparq_spark.operators.dictionary import distinct_terms, extend_dictionary
 
+    # one union+distinct over the delta, shared by the dictionary
+    # extension AND the encode-slice reduction below (review r7: each
+    # recomputed it)
+    delta_terms = distinct_terms(triples).localCheckpoint(eager=False)
+    n_delta_terms = delta_terms.count()
     # localCheckpoint before the self-referencing append: the delta rows
     # anti-join against dict/ and are then written INTO dict/ — truncate
     # the lineage so the write cannot observe its own output files.
     delta_dict = extend_dictionary(
-        existing_dict, triples, base_id=watermark
+        existing_dict, triples, base_id=watermark, terms=delta_terms
     ).localCheckpoint()
     n_new_terms = delta_dict.count()
     n_terms = int(n_terms_old) + int(n_new_terms)
@@ -348,18 +393,31 @@ def append_load(spark: SparkSession, nt_path: str, store_path: str) -> dict:
         if buckets
         else spark.read.parquet(os.path.join(store_path, "dict"))
     )
-    from d_sparq_spark.operators.dictionary import distinct_terms
-
-    delta_terms = distinct_terms(triples)
-    n_delta_terms = delta_terms.count()
     reduced_dict = full_dict.join(delta_terms, "term", "semi")
-    # persist: the encoded delta feeds the by_p write AND the touched-
-    # predicate list below — without it the 3-way dict encode re-runs
-    # for a projection of a few hundred distinct predicates
+    # persist: the encoded delta feeds the dedup anti-join, the by_p
+    # write, AND the touched-predicate list below — without it the 3-way
+    # dict encode re-runs per consumer
     enc = encode_triples(
         triples, reduced_dict, broadcast_dict=n_delta_terms <= 10_000_000
     ).persist()
-    enc.write.mode("append").partitionBy("p").parquet(os.path.join(store_path, "by_p"))
+    touched = [r["p"] for r in enc.select("p").distinct().collect()]
+    # an RDF graph is a SET of triples: a re-delivered delta (retry after
+    # an un-acked success) or one restating stored triples must be a
+    # no-op, not a duplicate-row append — duplicates double counts and
+    # demote genuinely functional predicates out of the property-table
+    # layout (review r7). Dedup within the delta, then anti-join the
+    # PRE-APPEND store slice, partition-pruned to the touched predicates
+    # (O(touched slice), the same bound the stats merge documents).
+    pre_slice = store_triples(spark, store_path).filter(F.col("p").isin(touched))
+    new_rows = (
+        enc.dropDuplicates(["s", "p", "o"])
+        .join(pre_slice, ["s", "p", "o"], "left_anti")
+        .localCheckpoint()  # pin: written INTO the directory it reads
+    )
+    enc.unpersist()
+    from d_sparq_spark.sources.triple_store import write_vp
+
+    write_vp(new_rows, store_path, mode="append")
 
     store = store_triples(spark, store_path)
     # materialized layouts are DERIVED from the triple set — an append
@@ -381,9 +439,13 @@ def append_load(spark: SparkSession, nt_path: str, store_path: str) -> dict:
 
             shutil.rmtree(os.path.join(store_path, "ptable"), ignore_errors=True)
     if os.path.exists(os.path.join(store_path, "extvp", "manifest.json")):
-        from d_sparq_spark.operators.extvp import materialize_extvp
+        from d_sparq_spark.operators.extvp import refresh_extvp
 
-        materialize_extvp(store, store_path)
+        # incremental: only SS/OS pairs involving a touched predicate can
+        # have changed — untouched pairs keep their files and manifest
+        # entries (review r7: the full rebuild made append cost degenerate
+        # to bulk cost whenever extvp was materialized)
+        refresh_extvp(store, store_path, touched)
     # Stats merge is O(touched predicates), not O(store): a predicate the
     # delta never wrote has bit-identical stats, so keep its old row and
     # recompute only the delta's predicates — the filter prunes to those
@@ -391,22 +453,15 @@ def append_load(spark: SparkSession, nt_path: str, store_path: str) -> dict:
     # of 10k predicates re-scans 3 directories, not the store. The
     # touched-predicate list is metadata-scale (distinct predicates are
     # bounded in any RDF store) — a driver-side list is the A7 contract.
-    touched = [r["p"] for r in enc.select("p").distinct().collect()]
-    enc.unpersist()
     old_stats = spark.read.parquet(os.path.join(store_path, "stats"))
     kept = old_stats.filter(~F.col("p").isin(touched)).localCheckpoint()
     recomputed = predicate_stats(store.filter(F.col("p").isin(touched)))
     stats = kept.unionByName(recomputed)
     stats.write.mode("overwrite").parquet(os.path.join(store_path, "stats"))
-    n_triples_row = (
-        spark.read.parquet(os.path.join(store_path, "stats"))
-        .agg(F.sum("cnt").alias("n"))
-        .collect()[0]["n"]
-    )
     return {
         "n_terms": int(n_terms),
         "n_new_terms": int(n_new_terms),
-        "n_triples": int(n_triples_row or 0),
+        "n_triples": _count_store_triples(spark, store_path),
     }
 
 

@@ -119,12 +119,22 @@ def distinct_terms(triples: DataFrame) -> DataFrame:
 
 
 def extend_dictionary(
-    dictionary: DataFrame, triples: DataFrame, base_id: int | None = None
+    dictionary: DataFrame,
+    triples: DataFrame,
+    base_id: int | None = None,
+    terms: DataFrame | None = None,
 ) -> DataFrame:
     """Delta dictionary rows (id, term, kind) for the terms of ``triples``
     that the existing dictionary lacks — build_dictionary's incremental
-    sibling (same kind classification). ``base_id`` as in append_ids."""
-    delta = append_ids(dictionary, distinct_terms(triples), base_id=base_id)
+    sibling (same kind classification). ``base_id`` as in append_ids.
+    ``terms`` lets a caller that already computed distinct_terms(triples)
+    (append_load pins it for the dictionary-slice reduction too) pass it
+    in instead of paying the union+distinct shuffle twice (review r7)."""
+    delta = append_ids(
+        dictionary,
+        terms if terms is not None else distinct_terms(triples),
+        base_id=base_id,
+    )
     return delta.withColumn(
         "kind", F.when(F.col("term").rlike(_IRI_RE), "iri").otherwise("literal")
     )

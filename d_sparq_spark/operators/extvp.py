@@ -52,6 +52,7 @@ def iter_reductions(
     triples: DataFrame,
     predicates: list | None = None,
     min_selectivity: float = 0.9,
+    pairs: list | None = None,
 ):
     """Yield (kind, p1, p2, reduction_df, ratio) for every genuinely
     reducing SS/OS pair (size ratio < min_selectivity — a reduction that
@@ -59,14 +60,19 @@ def iter_reductions(
     idea). Pair count is |P|^2 — RDF predicate vocabularies are small
     (SURVEY §1.2), and each reduction is one semi-join job. SHARED by the
     parquet materializer below and StoreCatalog.add_extvp (review r4: the
-    two copies of this loop had already drifted on ratio rounding)."""
-    if predicates is None:
-        predicates = [r["p"] for r in triples.select("p").distinct().collect()]
+    two copies of this loop had already drifted on ratio rounding).
+    ``pairs`` restricts the enumeration to an explicit (p1, p2) list —
+    the incremental refresh path (refresh_extvp) recomputes only pairs a
+    delta touched."""
+    if pairs is None:
+        if predicates is None:
+            predicates = [r["p"] for r in triples.select("p").distinct().collect()]
+        pairs = permutations(predicates, 2)
     sizes = {
         r["p"]: r["n"]
         for r in triples.groupBy("p").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    for p1, p2 in permutations(predicates, 2):
+    for p1, p2 in pairs:
         for kind, fn in (("ss", ss_reduction), ("os", os_reduction)):
             red = fn(triples, p1, p2)
             n = red.count()
@@ -97,6 +103,54 @@ def materialize_extvp(
     with open(os.path.join(store_path, "extvp", "manifest.json"), "w") as f:
         json.dump(
             [
+                {"kind": k, "p1": p1, "p2": p2, "ratio": r}
+                for (k, p1, p2), r in written.items()
+            ],
+            f,
+        )
+    return written
+
+
+def refresh_extvp(
+    triples: DataFrame,
+    store_path: str,
+    touched: list,
+    min_selectivity: float = 0.9,
+) -> dict:
+    """Incremental re-materialization after an append (review r7): only
+    pairs involving a TOUCHED predicate can have changed, so recompute
+    exactly those; untouched pairs keep their parquet files and manifest
+    entries verbatim. A recomputed pair that stopped reducing (ratio >=
+    threshold, or emptied) simply drops out of the manifest — its stale
+    files are unreferenced and harmless. Falls back to the full
+    materializer when no manifest exists."""
+    manifest = os.path.join(store_path, "extvp", "manifest.json")
+    if not os.path.exists(manifest):
+        return materialize_extvp(triples, store_path, min_selectivity=min_selectivity)
+    with open(manifest) as f:
+        old_entries = json.load(f)
+    touched_set = set(touched)
+    kept = [
+        e
+        for e in old_entries
+        if e["p1"] not in touched_set and e["p2"] not in touched_set
+    ]
+    all_preds = [r["p"] for r in triples.select("p").distinct().collect()]
+    pairs = [
+        (p1, p2)
+        for p1, p2 in permutations(all_preds, 2)
+        if p1 in touched_set or p2 in touched_set
+    ]
+    written: dict = {}
+    for kind, p1, p2, red, ratio in iter_reductions(
+        triples, min_selectivity=min_selectivity, pairs=pairs
+    ):
+        red.write.mode("overwrite").parquet(_red_path(store_path, kind, p1, p2))
+        written[(kind, p1, p2)] = ratio
+    with open(manifest, "w") as f:
+        json.dump(
+            kept
+            + [
                 {"kind": k, "p1": p1, "p2": p2, "ratio": r}
                 for (k, p1, p2), r in written.items()
             ],

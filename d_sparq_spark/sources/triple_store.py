@@ -25,9 +25,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
-def write_vp(triples_enc: DataFrame, base_path: str) -> None:
-    """Vertical-partitioned copy: one directory per predicate."""
-    triples_enc.write.mode("overwrite").partitionBy("p").parquet(f"{base_path}/by_p")
+def write_vp(triples_enc: DataFrame, base_path: str, mode: str = "overwrite") -> None:
+    """Vertical-partitioned copy: one directory per predicate. This
+    function OWNS the by_p layout contract alongside read_vp — loaders
+    must call it instead of re-spelling the write (review r7: bulk_load
+    and append_load each had an inline copy that could drift)."""
+    triples_enc.write.mode(mode).partitionBy("p").parquet(f"{base_path}/by_p")
 
 
 def read_vp(spark: SparkSession, base_path: str) -> DataFrame:

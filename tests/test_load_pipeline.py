@@ -391,3 +391,110 @@ def test_read_meta_fails_closed_on_damaged_manifest(spark, tmp_path):
 
     with _pytest.raises(Exception):
         _read_meta(spark, store2)
+
+
+def test_bulk_rebuild_drops_stale_layouts(spark, tmp_path):
+    """review r7: a bulk_load REBUILD over a store that had materialized
+    layouts must remove them (when not re-requested) — open_store would
+    otherwise route qualifying stars to artifacts from the PREVIOUS data
+    and silently answer from the pre-rebuild store."""
+    from d_sparq_spark.load_pipeline import bulk_load, open_store
+
+    base = _nt(tmp_path / "b.nt", [
+        '<s:a> <p:name> "A"', '<s:a> <p:bal> "1"',
+        '<s:b> <p:name> "B"', '<s:b> <p:bal> "2"',
+    ])
+    store = str(tmp_path / "store_rb")
+    bulk_load(spark, base, store, materialize=("ptable", "extvp"))
+    assert open_store(spark, store).catalog is not None
+    # rebuild with DIFFERENT data and no layouts requested
+    rebuilt = _nt(tmp_path / "b2.nt", [
+        '<s:c> <p:name> "C"', '<s:c> <p:bal> "9"',
+    ])
+    bulk_load(spark, rebuilt, store)
+    e = open_store(spark, store)
+    assert e.catalog is None  # stale ptable/extvp gone, no silent routing
+    got = sorted(
+        tuple(r)
+        for r in e.query("SELECT ?n ?b WHERE { ?x <p:name> ?n ; <p:bal> ?b }").collect()
+    )
+    assert got == [("C", "9")]
+
+
+def test_bulk_load_empty_dump_raises_before_writing(spark, tmp_path):
+    """review r7: an all-malformed/empty dump must fail with a clear error
+    BEFORE any store write, not crash later on an empty-parquet read."""
+    import pytest
+
+    from d_sparq_spark.load_pipeline import bulk_load
+
+    bad = tmp_path / "bad.nt"
+    bad.write_text("# only a comment\nnot a triple line\n")
+    store = str(tmp_path / "store_empty")
+    with pytest.raises(ValueError, match="no triples parsed"):
+        bulk_load(spark, str(bad), store)
+    import os
+
+    assert not os.path.exists(os.path.join(store, "by_p"))
+
+
+def test_append_redelivered_delta_is_idempotent(spark, tmp_path):
+    """review r7: an RDF graph is a SET of triples — re-delivering the
+    same delta (retry after an un-acked success) or restating stored
+    triples must not append duplicate rows (duplicates double counts and
+    demote functional predicates out of the property-table layout)."""
+    from d_sparq_spark.load_pipeline import append_load, bulk_load, open_store
+
+    base = _nt(tmp_path / "ib.nt", [
+        '<s:a> <p:name> "A"', '<s:b> <p:name> "B"',
+    ])
+    store = str(tmp_path / "store_idem")
+    bulk_load(spark, base, store, materialize=("ptable",))
+    delta = _nt(tmp_path / "id.nt", [
+        '<s:c> <p:name> "C"',        # genuinely new
+        '<s:a> <p:name> "A"',        # restates a stored triple
+        '<s:c> <p:name> "C"',        # duplicate within the delta
+    ])
+    r1 = append_load(spark, delta, store)
+    assert r1["n_triples"] == 3
+    r2 = append_load(spark, delta, store)  # re-delivered: must be a no-op
+    assert r2["n_triples"] == 3 and r2["n_new_terms"] == 0
+    e = open_store(spark, store)
+    # p:name stayed functional -> the property-table layout survived
+    assert e.catalog is not None and e.catalog.ptable is not None
+    got = sorted(
+        r["n"] for r in e.query("SELECT ?n WHERE { ?x <p:name> ?n }").collect()
+    )
+    assert got == ["A", "B", "C"]
+
+
+def test_append_extvp_refresh_matches_full_rematerialization(spark, tmp_path):
+    """review r7: the incremental ExtVP refresh (touched pairs only) must
+    leave the SAME manifest a full re-materialization would produce."""
+    import json
+    import os
+
+    from d_sparq_spark.load_pipeline import append_load, bulk_load, store_triples
+    from d_sparq_spark.operators.extvp import materialize_extvp
+
+    base = _nt(tmp_path / "eb.nt", [
+        '<s:a> <p:x> <s:b>', '<s:b> <p:y> <s:c>',
+        '<s:d> <p:x> <s:e>', '<s:c> <p:z> <s:a>',
+    ])
+    store = str(tmp_path / "store_ev")
+    bulk_load(spark, base, store, materialize=("extvp",))
+    delta = _nt(tmp_path / "ed.nt", [
+        '<s:e> <p:y> <s:f>',   # touches p:y only
+    ])
+    append_load(spark, delta, store)
+
+    def entries(p):
+        with open(os.path.join(p, "extvp", "manifest.json")) as f:
+            return sorted((e["kind"], e["p1"], e["p2"], e["ratio"]) for e in json.load(f))
+
+    incremental = entries(store)
+    # full re-materialization of the SAME post-append store into a copy
+    full_store = str(tmp_path / "store_ev_full")
+    materialize_extvp(store_triples(spark, store), full_store)
+    assert incremental == entries(full_store)
+    assert len(incremental) > 0
