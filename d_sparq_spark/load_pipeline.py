@@ -144,9 +144,23 @@ def bulk_load(
     # would otherwise leave the OLD watermark next to a NEW dictionary,
     # and the next append would allocate colliding ids. max_id=None makes
     # that append pay the one max(id) scan instead — reserve-then-write,
-    # the same discipline append_load documents.
+    # the same discipline append_load documents. dict_buckets=None too:
+    # recording the NEW bucket count before the files exist would register
+    # old/partial files under the wrong CLUSTERED BY spec and let the
+    # bucketed anti-join miss existing terms (review r7 round 2) — None
+    # forces the safe plain-parquet dictionary path until the post-write
+    # manifest lands.
     _write_meta(spark, store_path, rank_ordered=False, n_terms=None, max_id=None,
-                dict_buckets=int(dict_buckets))
+                dict_buckets=None)
+    # stale materialized layouts go NOW, not after the data writes: a
+    # crash mid-rebuild would otherwise leave a cleanly-opening store
+    # whose catalog still routes to pre-rebuild ptable/extvp artifacts
+    # (review r7 round 2). Requested layouts re-materialize below.
+    if "://" not in store_path:
+        import shutil
+
+        for layout in ("ptable", "extvp"):
+            shutil.rmtree(os.path.join(store_path, layout), ignore_errors=True)
     # dict/ lands FIRST, as a term-bucketed table: appends then anti-join
     # their deltas against a bucketed scan (no O(dict) shuffle per load),
     # and the encode below reads the WRITTEN store — a durable barrier, so
@@ -175,18 +189,6 @@ def bulk_load(
     stats = predicate_stats(enc)
     stats.write.mode("overwrite").parquet(os.path.join(store_path, "stats"))
 
-    # a REBUILD over an existing store must not keep materialized layouts
-    # derived from the PREVIOUS data: open_store probes their manifests
-    # and would silently route qualifying stars to pre-rebuild answers
-    # (review r7 — append_load already rebuilds/drops stale layouts; this
-    # is the bulk-rebuild mirror image). Remove both up front; the
-    # requested ones are re-materialized below from the new data. A URI
-    # store cannot have them (materialize requires a local path).
-    if "://" not in store_path:
-        import shutil
-
-        for layout in ("ptable", "extvp"):
-            shutil.rmtree(os.path.join(store_path, layout), ignore_errors=True)
     if "ptable" in materialize:
         from d_sparq_spark.plans.catalog import StoreCatalog
 
@@ -314,9 +316,13 @@ def append_load(spark: SparkSession, nt_path: str, store_path: str) -> dict:
       pruned read of exactly those by_p directories — stats cost scales
       with the touched slice, not the store.
 
-    Not concurrent-writer-safe (same as bulk_load): one loader at a time;
-    a failed append can leave orphan part-files that a retry re-appends —
-    production would stage to a temp dir and commit by rename."""
+    Not concurrent-writer-safe (same as bulk_load): one loader at a time.
+    Re-delivered or overlapping deltas are NO-OPS: the encoded delta
+    dedups and anti-joins the pre-append store slice before the by_p
+    append (an RDF graph is a set of triples), so a retry after an
+    un-acked success appends nothing. A crash mid-append can still leave
+    orphan part-files from the interrupted WRITE itself — production
+    would stage to a temp dir and commit by rename."""
     # pin the delta parse: it feeds the dictionary extension, the term
     # reduction, and the encode — without the pin the N-Triples text is
     # re-read and re-regexed per consumer (review r7)
@@ -418,46 +424,62 @@ def append_load(spark: SparkSession, nt_path: str, store_path: str) -> dict:
     from d_sparq_spark.sources.triple_store import write_vp
 
     write_vp(new_rows, store_path, mode="append")
+    # the predicate list that actually CHANGED: from the post-dedup rows,
+    # not the raw delta — a fully-redundant re-delivered delta appends
+    # nothing, so stats/layouts must not be recomputed for it (review r7
+    # round 2; the pre-dedup `touched` above is only the anti-join prune)
+    touched_new = [r["p"] for r in new_rows.select("p").distinct().collect()]
 
     store = store_triples(spark, store_path)
-    # materialized layouts are DERIVED from the triple set — an append
-    # would leave them stale and the catalog would route qualifying stars
-    # to artifacts missing the delta (silent wrong results). Rebuild any
-    # that exist; both writers are mode(overwrite), so this is atomic-ish
-    # per artifact. (Layout manifests are local-FS by bulk_load contract.)
-    if os.path.exists(os.path.join(store_path, "ptable", "manifest.json")):
-        from d_sparq_spark.plans.catalog import StoreCatalog
+    if touched_new:
+        # Stats merge FIRST, O(touched), not O(store): a predicate the
+        # delta never changed keeps its old row verbatim; only the changed
+        # predicates recompute, over a partition-pruned read of exactly
+        # those by_p/p=<id> directories. The layout refreshes below then
+        # REUSE the fresh per-predicate counts instead of re-aggregating
+        # the store (review r7 round 2). The touched list is metadata-
+        # scale (distinct predicates are bounded in any RDF store) — a
+        # driver-side list is the A7 contract.
+        old_stats = spark.read.parquet(os.path.join(store_path, "stats"))
+        kept = old_stats.filter(~F.col("p").isin(touched_new)).localCheckpoint()
+        recomputed = predicate_stats(store.filter(F.col("p").isin(touched_new)))
+        kept.unionByName(recomputed).write.mode("overwrite").parquet(
+            os.path.join(store_path, "stats")
+        )
+        # materialized layouts are DERIVED from the triple set — an append
+        # would leave them stale and the catalog would route qualifying
+        # stars to artifacts missing the delta (silent wrong results).
+        # (Layout manifests are local-FS by bulk_load contract.)
+        if os.path.exists(os.path.join(store_path, "ptable", "manifest.json")):
+            from d_sparq_spark.plans.catalog import StoreCatalog
 
-        cat = StoreCatalog().add_property_table(store)
-        if cat.ptable is not None:
-            cat.save_property_table(store_path)
-        else:
-            # a delta can make a previously-functional predicate multi-
-            # valued: no property table is expressible anymore — drop the
-            # stale artifact so open_store stops routing through it
-            import shutil
+            cat = StoreCatalog().add_property_table(store)
+            if cat.ptable is not None:
+                cat.save_property_table(store_path)
+            else:
+                # a delta can make a previously-functional predicate
+                # multi-valued: no property table is expressible anymore —
+                # drop the stale artifact so open_store stops routing
+                # through it
+                import shutil
 
-            shutil.rmtree(os.path.join(store_path, "ptable"), ignore_errors=True)
-    if os.path.exists(os.path.join(store_path, "extvp", "manifest.json")):
-        from d_sparq_spark.operators.extvp import refresh_extvp
+                shutil.rmtree(
+                    os.path.join(store_path, "ptable"), ignore_errors=True
+                )
+        if os.path.exists(os.path.join(store_path, "extvp", "manifest.json")):
+            from d_sparq_spark.operators.extvp import refresh_extvp
 
-        # incremental: only SS/OS pairs involving a touched predicate can
-        # have changed — untouched pairs keep their files and manifest
-        # entries (review r7: the full rebuild made append cost degenerate
-        # to bulk cost whenever extvp was materialized)
-        refresh_extvp(store, store_path, touched)
-    # Stats merge is O(touched predicates), not O(store): a predicate the
-    # delta never wrote has bit-identical stats, so keep its old row and
-    # recompute only the delta's predicates — the filter prunes to those
-    # by_p/p=<id> directories (partition pruning), so a delta touching 3
-    # of 10k predicates re-scans 3 directories, not the store. The
-    # touched-predicate list is metadata-scale (distinct predicates are
-    # bounded in any RDF store) — a driver-side list is the A7 contract.
-    old_stats = spark.read.parquet(os.path.join(store_path, "stats"))
-    kept = old_stats.filter(~F.col("p").isin(touched)).localCheckpoint()
-    recomputed = predicate_stats(store.filter(F.col("p").isin(touched)))
-    stats = kept.unionByName(recomputed)
-    stats.write.mode("overwrite").parquet(os.path.join(store_path, "stats"))
+            # incremental: only SS/OS pairs involving a changed predicate
+            # can differ — untouched pairs keep their files and manifest
+            # entries (review r7: the full rebuild made append cost
+            # degenerate to bulk cost whenever extvp was materialized).
+            # Sizes and the predicate universe come from the just-merged
+            # stats parquet — metadata cost, no store re-aggregation.
+            fresh = spark.read.parquet(os.path.join(store_path, "stats")).collect()
+            refresh_extvp(
+                store, store_path, touched_new,
+                sizes={r["p"]: r["cnt"] for r in fresh},
+            )
     return {
         "n_terms": int(n_terms),
         "n_new_terms": int(n_new_terms),

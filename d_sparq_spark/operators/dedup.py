@@ -319,12 +319,8 @@ def det_lsh_candidate_pairs(
     """Candidate (a, b) pairs (a < b) from the deterministic MinHash:
     signature minima via the same explode -> groupBy(min) shape as the
     production pipeline, banding joins on the raw signature SLICE (array
-    equality) so no band hash enters the cross-engine contract."""
-    if num_hashes % num_bands:
-        raise ValueError(
-            f"det_lsh_candidate_pairs: num_bands={num_bands} must divide "
-            f"num_hashes={num_hashes} evenly"
-        )
+    equality) so no band hash enters the cross-engine contract. The
+    divisibility guard lives in det_band_signature_rows (called next)."""
     banded = det_band_signature_rows(
         docs, text_col, id_col, num_hashes, num_bands, shingle_k
     )

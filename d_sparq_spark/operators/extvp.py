@@ -53,6 +53,7 @@ def iter_reductions(
     predicates: list | None = None,
     min_selectivity: float = 0.9,
     pairs: list | None = None,
+    sizes: dict | None = None,
 ):
     """Yield (kind, p1, p2, reduction_df, ratio) for every genuinely
     reducing SS/OS pair (size ratio < min_selectivity — a reduction that
@@ -68,10 +69,11 @@ def iter_reductions(
         if predicates is None:
             predicates = [r["p"] for r in triples.select("p").distinct().collect()]
         pairs = permutations(predicates, 2)
-    sizes = {
-        r["p"]: r["n"]
-        for r in triples.groupBy("p").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+    if sizes is None:
+        sizes = {
+            r["p"]: r["n"]
+            for r in triples.groupBy("p").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
     for p1, p2 in pairs:
         for kind, fn in (("ss", ss_reduction), ("os", os_reduction)):
             red = fn(triples, p1, p2)
@@ -116,6 +118,7 @@ def refresh_extvp(
     store_path: str,
     touched: list,
     min_selectivity: float = 0.9,
+    sizes: dict | None = None,
 ) -> dict:
     """Incremental re-materialization after an append (review r7): only
     pairs involving a TOUCHED predicate can have changed, so recompute
@@ -123,7 +126,10 @@ def refresh_extvp(
     entries verbatim. A recomputed pair that stopped reducing (ratio >=
     threshold, or emptied) simply drops out of the manifest — its stale
     files are unreferenced and harmless. Falls back to the full
-    materializer when no manifest exists."""
+    materializer when no manifest exists. ``sizes`` (per-predicate counts,
+    e.g. read from the store's freshly-merged stats/ parquet) supplies
+    both the ratio denominators and the predicate universe, so the
+    refresh runs no full-store aggregation at all (review r7 round 2)."""
     manifest = os.path.join(store_path, "extvp", "manifest.json")
     if not os.path.exists(manifest):
         return materialize_extvp(triples, store_path, min_selectivity=min_selectivity)
@@ -135,7 +141,10 @@ def refresh_extvp(
         for e in old_entries
         if e["p1"] not in touched_set and e["p2"] not in touched_set
     ]
-    all_preds = [r["p"] for r in triples.select("p").distinct().collect()]
+    if sizes is not None:
+        all_preds = list(sizes)
+    else:
+        all_preds = [r["p"] for r in triples.select("p").distinct().collect()]
     pairs = [
         (p1, p2)
         for p1, p2 in permutations(all_preds, 2)
@@ -143,7 +152,7 @@ def refresh_extvp(
     ]
     written: dict = {}
     for kind, p1, p2, red, ratio in iter_reductions(
-        triples, min_selectivity=min_selectivity, pairs=pairs
+        triples, min_selectivity=min_selectivity, pairs=pairs, sizes=sizes
     ):
         red.write.mode("overwrite").parquet(_red_path(store_path, kind, p1, p2))
         written[(kind, p1, p2)] = ratio

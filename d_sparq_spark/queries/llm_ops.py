@@ -261,6 +261,8 @@ def q_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(work, ignore_errors=True)  # fresh, deterministic replay
     lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if lo is None:  # empty documents table: the oracle is empty too
+        return spark.createDataFrame([], ND.PAIRS_SCHEMA)
     step = (hi - lo) // 3 + 1
     for k in range(3):
         docs.filter(
@@ -278,10 +280,19 @@ def q_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         work + "/ckpt",
         threshold=0.5,
         band_fn=D.det_band_signature_rows,
-        bands_schema="doc_id long, band int, bs array<bigint>, batch_id long",
     )
-    q.awaitTermination(600)
-    return spark.read.parquet(work + "/pairs").select("a", "b", "jaccard")
+    if not q.awaitTermination(600):
+        # timing out must FAIL, not silently return the partial pairs the
+        # finished batches wrote (review r7; streaming/windows.py
+        # precedent) — and stop the orphan before it keeps writing into a
+        # directory the next invocation wipes
+        q.stop()
+        raise TimeoutError("q_stream_near_dedup: replay did not drain in 600s")
+    # explicit schema: a corpus with zero near-dup pairs leaves only
+    # _SUCCESS files, which schema inference cannot read (review r7)
+    return spark.read.schema(ND.PAIRS_SCHEMA).parquet(work + "/pairs").select(
+        "a", "b", "jaccard"
+    )
 
 
 @register("q_simhash", oracle=None)

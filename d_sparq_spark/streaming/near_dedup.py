@@ -47,7 +47,7 @@ PAIRS_SCHEMA = "a long, b long, jaccard double"
 
 
 def _read_layer(
-    spark: SparkSession, path: str, schema: str, before_batch: int
+    spark: SparkSession, path: str, schema, before_batch: int
 ) -> DataFrame:
     """A batch-<id> layered parquet store, tolerant ONLY of not existing
     yet (first batch); excludes rows the current batch's own earlier
@@ -85,7 +85,6 @@ def near_dedup_foreach_batch(
     num_bands: int = 8,
     text_col: str = "text",
     band_fn=None,
-    bands_schema: str = BANDS_SCHEMA,
 ):
     """foreachBatch body: verify LSH candidates against the persisted band
     store, emit near-dup pairs, append this batch's bands + texts.
@@ -95,9 +94,13 @@ def near_dedup_foreach_batch(
     passes the cross-engine-deterministic variant so the streamed pair
     set carries a full generated-SQL oracle. Every non-doc_id column of
     the band rows is a bucket key (band_hash long, or a raw signature
-    slice array); bands_schema must match band_fn's output + batch_id."""
+    slice array); the band store's schema is DERIVED from the band rows
+    + batch_id (review r7: a separately-passed schema string could drift
+    from band_fn's output and silently null the cross-batch join)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.types import LongType, StructField
+
         spark = batch_df.sparkSession
         docs = batch_df.select("doc_id", F.col(text_col).alias("text"))
         fn = band_fn or (
@@ -105,8 +108,9 @@ def near_dedup_foreach_batch(
         )
         bands_new = fn(docs).localCheckpoint()  # pin: bucket join + store append
         keys = [c for c in bands_new.columns if c != "doc_id"]
+        store_schema = bands_new.schema.add(StructField("batch_id", LongType()))
         prior_bands = _read_layer(
-            spark, store_dir + "/bands", bands_schema, before_batch=batch_id
+            spark, store_dir + "/bands", store_schema, before_batch=batch_id
         )
         # cross-batch candidates: new doc vs strictly-earlier store — the
         # earlier side is always `a` (ids ascend across batches under
@@ -162,7 +166,6 @@ def near_dedup_stream(
     threshold: float = 0.5,
     text_col: str = "text",
     band_fn=None,
-    bands_schema: str = BANDS_SCHEMA,
 ):
     """Wire a streaming documents source through the incremental near-dup.
     trigger(availableNow) drains a finite backlog (the replay-equivalence
@@ -171,7 +174,7 @@ def near_dedup_stream(
         docs_stream.writeStream.foreachBatch(
             near_dedup_foreach_batch(
                 store_dir, pairs_dir, threshold, text_col=text_col,
-                band_fn=band_fn, bands_schema=bands_schema,
+                band_fn=band_fn,
             )
         )
         .option("checkpointLocation", checkpoint_dir)
