@@ -126,6 +126,15 @@ class _EncodedTranslator(Translator):
                 out = child.withColumn(node.var, self.expr(node.expr, child))
             self.bind_cols.add(node.var)
             return out
+        if isinstance(node, A.Group):
+            # nested COUNT-only group (see _check_structural): the count
+            # outputs are plain longs — mark them so no later shadow-
+            # decode or final decode treats them as dictionary ids
+            out = super().eval(node)
+            for name, a in node.aggs:
+                if a.func == "count":
+                    self.bind_cols.add(name)
+            return out
         return super().eval(node)
 
     def _bnode_objects(self, result: DataFrame):
@@ -414,10 +423,26 @@ class EncodedSparqlEngine:
         if id_vars is None:
             id_vars = self._id_term_vars(node)
         if isinstance(node, A.Group):
-            raise NotImplementedError(
-                "EncodedSparqlEngine: aggregates nested inside the "
-                "structural pattern are not supported on the encoded store"
+            # COUNT-only nested aggregates run entirely over IDs (r7):
+            # grouping keys stay ids (the dictionary is a bijection, so
+            # per-group multiplicities are identical), COUNT/COUNT
+            # DISTINCT never read values, and the count outputs are plain
+            # longs excluded from every decode by the bind_cols device —
+            # the subquery-count shape without a whole-store decode.
+            # Value aggregates (MIN/SUM/...) still fall back: id order is
+            # not value order.
+            ok = all(
+                a.func == "count"
+                and (a.arg is None or isinstance(a.arg, A.Var))
+                and name not in id_vars  # count var must not feed an ID join
+                for name, a in node.aggs
             )
+            if not ok:
+                raise NotImplementedError(
+                    "EncodedSparqlEngine: nested value aggregates are not "
+                    "supported on the encoded store (COUNT-only groups run "
+                    "encoded)"
+                )
         if isinstance(node, A.Bind) and node.var in id_vars:
             raise NotImplementedError(
                 "EncodedSparqlEngine: nested BIND feeding an ID join "

@@ -195,6 +195,41 @@ def test_nested_bind_id_join_survives_in_plan(engines, monkeypatch):
     assert len(rows(df)) > 0
 
 
+def test_nested_count_group_runs_encoded(engines, monkeypatch):
+    """r7: a COUNT-only subquery aggregate nested in the structural tree
+    runs over IDs (bijection preserves per-group multiplicities; counts
+    are plain longs the decode skips) — no whole-store fallback."""
+    import d_sparq_spark.encoded_engine as ee
+
+    lexical, encoded = engines
+
+    def no_fallback(self, tree):
+        raise AssertionError("whole-store decode fallback must not run")
+
+    monkeypatch.setattr(ee.EncodedSparqlEngine, "_lexical_fallback", no_fallback)
+    queries = [
+        # subquery count joined back to a pattern
+        "SELECT ?n ?cnt WHERE { ?x ex:name ?n "
+        "{ SELECT ?x (COUNT(?y) AS ?cnt) WHERE { ?x ex:knows ?y } GROUP BY ?x } }",
+        # count DISTINCT + a nested filter over the count output
+        "SELECT ?n ?cnt WHERE { ?x ex:name ?n "
+        "{ SELECT ?x (COUNT(DISTINCT ?y) AS ?cnt) WHERE { ?x ex:knows ?y } "
+        "GROUP BY ?x } FILTER(?cnt >= 1) }",
+    ]
+    for q in queries:
+        assert rows(encoded.query(q)) == rows(lexical.query(q)), q
+        assert len(rows(encoded.query(q))) > 0, q
+
+
+def test_nested_value_aggregate_still_falls_back(engines):
+    """Nested MIN reads values — id order is not value order, so the
+    decode-early fallback stays (and stays answer-exact)."""
+    lexical, encoded = engines
+    q = ("SELECT ?n ?m WHERE { ?x ex:name ?n "
+         "{ SELECT ?x (MIN(?y) AS ?m) WHERE { ?x ex:knows ?y } GROUP BY ?x } }")
+    assert rows(encoded.query(q)) == rows(lexical.query(q))
+
+
 def test_nested_bind_feeding_id_join_still_falls_back(engines):
     """A BIND whose variable is also bound by a pattern would put a
     lexical value into an ID join — that shape must keep the decode-early
