@@ -437,3 +437,90 @@ def test_optional_then_minus_matches_bruteforce(spark, data):
          "MINUS { ?s <q> ?c } }")
     for e in _both_engines(spark, data):
         assert _sols_of_df(e.query(q)) == want
+
+
+def _bf_filter(sols, cond):
+    """FILTER at group tail: an expression error (unbound var) is false."""
+    return [mu for mu in sols if cond(mu)]
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data(), triples=_small_triples)
+def test_random_optional_minus_filter_query_matches_bruteforce(spark, data, triples):
+    """Randomized OPTIONAL/MINUS/FILTER queries (random pattern shapes,
+    shared/disjoint variables, constants, repeated variables) rendered to
+    SPARQL text and compared against the brute-force algebra evaluator on
+    random graphs — both engines. Generalizes the three fixed properties
+    above to the whole fragment, and exercises the parser on every case."""
+    triples = sorted(set(triples))
+    draw = data.draw
+    TERMS = ["?a", "?b", "?c", "?d", "x", "y", "a"]
+
+    def pats(n_max=2):
+        return [
+            (draw(st.sampled_from(TERMS)),
+             draw(st.sampled_from(["p", "q"])),
+             draw(st.sampled_from(TERMS)))
+            for _ in range(draw(st.integers(1, n_max)))
+        ]
+
+    def render_pat(p):
+        f = lambda t: t if t.startswith("?") else f"<{t}>"
+        return f"{f(p[0])} <{p[1]}> {f(p[2])} ."
+
+    def filt_parts():
+        v = draw(st.sampled_from(["?a", "?b", "?c", "?d"]))
+        rhs = draw(st.sampled_from(["?a", "?b", "x", "y"]))
+        op = draw(st.sampled_from(["=", "!="]))
+        return v, op, rhs
+
+    def filt_cond(v, op, rhs):
+        def cond(mu):
+            left = mu.get(v[1:])
+            right = mu.get(rhs[1:]) if rhs.startswith("?") else rhs
+            if left is None or right is None:
+                return False  # unbound -> type error -> false
+            return (left == right) if op == "=" else (left != right)
+        return cond
+
+    main = pats(2)
+    opt = pats(2) if draw(st.booleans()) else None
+    opt_f = filt_parts() if opt is not None and draw(st.booleans()) else None
+    minus = pats(2) if draw(st.booleans()) else None
+    tail_f = filt_parts() if draw(st.booleans()) else None
+
+    # brute force
+    sols = _bf_bgp(triples, main)
+    if opt is not None:
+        cond = filt_cond(*opt_f) if opt_f else (lambda mu: True)
+        sols = _bf_leftjoin(sols, _bf_bgp(triples, opt), cond)
+    if minus is not None:
+        sols = _bf_minus(sols, _bf_bgp(triples, minus))
+    if tail_f is not None:
+        sols = _bf_filter(sols, filt_cond(*tail_f))
+
+    # SPARQL text (project only vars the main/optional patterns can bind)
+    proj_vars = sorted({
+        t[1:] for p in main + (opt or []) for t in (p[0], p[2])
+        if t.startswith("?")
+    })
+    body = " ".join(render_pat(p) for p in main)
+    if opt is not None:
+        inner = " ".join(render_pat(p) for p in opt)
+        if opt_f:
+            v, op, rhs = opt_f
+            rr = rhs if rhs.startswith("?") else f"<{rhs}>"
+            inner += f" FILTER({v} {op} {rr})"
+        body += f" OPTIONAL {{ {inner} }}"
+    if minus is not None:
+        body += " MINUS { " + " ".join(render_pat(p) for p in minus) + " }"
+    if tail_f is not None:
+        v, op, rhs = tail_f
+        rr = rhs if rhs.startswith("?") else f"<{rhs}>"
+        body += f" FILTER({v} {op} {rr})"
+    q = f"SELECT {' '.join('?' + v for v in proj_vars)} WHERE {{ {body} }}"
+
+    want = _sols_of_bf(sols, set(proj_vars))
+    for e in _both_engines(spark, triples):
+        assert _sols_of_df(e.query(q)) == want, q
