@@ -221,13 +221,28 @@ def test_nested_count_group_runs_encoded(engines, monkeypatch):
         assert len(rows(encoded.query(q))) > 0, q
 
 
-def test_nested_value_aggregate_still_falls_back(engines):
+def test_nested_value_aggregate_still_falls_back(engines, monkeypatch):
     """Nested MIN reads values — id order is not value order, so the
-    decode-early fallback stays (and stays answer-exact)."""
+    decode-early fallback must RUN (asserted with a recording sentinel:
+    on this rank-ordered fixture MIN over ids would coincidentally match,
+    so parity alone cannot catch a relaxed gate — review r7 round 3)."""
+    import d_sparq_spark.encoded_engine as ee
+
     lexical, encoded = engines
+    calls = []
+    orig = ee.EncodedSparqlEngine._lexical_fallback
+
+    def spy(self, tree):
+        calls.append(1)
+        return orig(self, tree)
+
+    monkeypatch.setattr(ee.EncodedSparqlEngine, "_lexical_fallback", spy)
     q = ("SELECT ?n ?m WHERE { ?x ex:name ?n "
          "{ SELECT ?x (MIN(?y) AS ?m) WHERE { ?x ex:knows ?y } GROUP BY ?x } }")
-    assert rows(encoded.query(q)) == rows(lexical.query(q))
+    got = rows(encoded.query(q))
+    assert calls == [1]  # the decode-early fallback actually ran
+    assert got == rows(lexical.query(q))
+    assert len(got) > 0
 
 
 def test_nested_bind_feeding_id_join_still_falls_back(engines):
