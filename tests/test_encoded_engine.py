@@ -52,6 +52,27 @@ QUERIES = [
 ]
 
 
+QUERIES += [
+    # r7 scoping corners (probed MATCH on both engines; pinned as goldens)
+    # BIND var reused across UNION branches — separate scopes, legal
+    "SELECT ?n WHERE { { ?x ex:name ?n } UNION "
+    "{ ?x ex:city ?c BIND(UCASE(?c) AS ?n) } }",
+    # outer FILTER over a subquery aggregate alias
+    "SELECT ?c ?n WHERE { { SELECT ?c (COUNT(?x) AS ?n) "
+    "WHERE { ?x ex:city ?c } GROUP BY ?c } FILTER(?n > 1) }",
+    # VALUES placed AFTER the patterns (join, not leading table)
+    'SELECT ?n WHERE { ?x ex:name ?n ; ex:city ?c VALUES ?c { "Paris" } }',
+    # GROUP BY expression key consumed by HAVING
+    "SELECT ?k (COUNT(*) AS ?n) WHERE { ?x ex:city ?c } "
+    "GROUP BY (UCASE(?c) AS ?k) HAVING(?n >= 1)",
+    # ORDER BY expression with a tiebreak
+    "SELECT ?n WHERE { ?x ex:name ?n } ORDER BY DESC(STRLEN(?n)) ?n",
+    # nested OPTIONAL chain
+    "SELECT ?n ?c ?a WHERE { ?x ex:name ?n "
+    "OPTIONAL { ?x ex:city ?c OPTIONAL { ?x ex:age ?a } } }",
+]
+
+
 @pytest.mark.parametrize("q", QUERIES)
 def test_encoded_matches_lexical(engines, q):
     lexical, encoded = engines
