@@ -524,3 +524,83 @@ def test_random_optional_minus_filter_query_matches_bruteforce(spark, data, trip
     want = _sols_of_bf(sols, set(proj_vars))
     for e in _both_engines(spark, triples):
         assert _sols_of_df(e.query(q)) == want, q
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data(), quads=st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),
+        st.sampled_from(["p", "q"]),
+        st.sampled_from(["x", "y", "a", "b"]),
+        st.sampled_from(["g1", "g2"]),
+    ),
+    min_size=1, max_size=10,
+))
+def test_random_graph_var_fragment_matches_bruteforce(spark, data, quads):
+    """GRAPH ?g { <random OPTIONAL/MINUS/FILTER fragment> } vs the spec
+    semantics evaluated per graph and joined with {?g -> gi} — the
+    brute-force check of the single-plan hidden-g route (star scans,
+    LeftJoin compatibility, MINUS correlation, filters under GRAPH), on
+    both engines over a quad store."""
+    from d_sparq_spark.encoded_engine import EncodedSparqlEngine
+    from d_sparq_spark.engine import SparqlEngine
+
+    quads = sorted(set(quads))
+    draw = data.draw
+    TERMS = ["?a", "?b", "?c", "x", "y", "a"]
+
+    def pats(n_max=2):
+        return [
+            (draw(st.sampled_from(TERMS)),
+             draw(st.sampled_from(["p", "q"])),
+             draw(st.sampled_from(TERMS)))
+            for _ in range(draw(st.integers(1, n_max)))
+        ]
+
+    def render_pat(p):
+        f = lambda t: t if t.startswith("?") else f"<{t}>"
+        return f"{f(p[0])} <{p[1]}> {f(p[2])} ."
+
+    main = pats(2)
+    opt = pats(1) if draw(st.booleans()) else None
+    minus = pats(1) if draw(st.booleans()) else None
+
+    def eval_fragment(triples):
+        sols = _bf_bgp(triples, main)
+        if opt is not None:
+            sols = _bf_leftjoin(sols, _bf_bgp(triples, opt))
+        if minus is not None:
+            sols = _bf_minus(sols, _bf_bgp(triples, minus))
+        return sols
+
+    # spec: eval per graph, then join each solution with {?g -> gi}
+    want_sols = []
+    for gi in sorted({g for *_, g in quads}):
+        triples = [(s, p, o) for (s, p, o, g) in quads if g == gi]
+        for mu in eval_fragment(triples):
+            if mu.get("g", gi) != gi:
+                continue
+            want_sols.append({**mu, "g": gi})
+
+    proj_vars = sorted({
+        t[1:] for p in main + (opt or []) for t in (p[0], p[2])
+        if t.startswith("?")
+    } | {"g"})
+    body = " ".join(render_pat(p) for p in main)
+    if opt is not None:
+        body += " OPTIONAL { " + " ".join(render_pat(p) for p in opt) + " }"
+    if minus is not None:
+        body += " MINUS { " + " ".join(render_pat(p) for p in minus) + " }"
+    q = (f"SELECT {' '.join('?' + v for v in proj_vars)} "
+         f"WHERE {{ GRAPH ?g {{ {body} }} }}")
+    want = _sols_of_bf(want_sols, set(proj_vars))
+
+    qdf = spark.createDataFrame(quads, "s string, p string, o string, g string")
+    d = build_dictionary(qdf)
+    engines = [
+        SparqlEngine(qdf, collect_stats=False),
+        EncodedSparqlEngine(encode_triples(qdf, d), d, collect_stats=False),
+    ]
+    for e in engines:
+        assert _sols_of_df(e.query(q)) == want, q
