@@ -65,6 +65,7 @@ def iter_reductions(
     ``pairs`` restricts the enumeration to an explicit (p1, p2) list —
     the incremental refresh path (refresh_extvp) recomputes only pairs a
     delta touched."""
+    explicit_sizes = sizes is not None
     if pairs is None:
         if predicates is None:
             predicates = [r["p"] for r in triples.select("p").distinct().collect()]
@@ -75,10 +76,20 @@ def iter_reductions(
             for r in triples.groupBy("p").agg(F.count(F.lit(1)).alias("n")).collect()
         }
     for p1, p2 in pairs:
+        if explicit_sizes and p1 not in sizes:
+            # Fail closed: a zero denominator would make ratio 0.0 — the
+            # pair would always look maximally reducing and a bogus 0.0
+            # would win smallest-first routing from the manifest.
+            raise KeyError(
+                f"iter_reductions: predicate {p1!r} missing from the "
+                "explicitly-passed sizes dict"
+            )
         for kind, fn in (("ss", ss_reduction), ("os", os_reduction)):
             red = fn(triples, p1, p2)
             n = red.count()
-            sz = sizes.get(p1, 0)  # explicitly passed predicate may be absent
+            # internally-computed sizes cover every predicate in triples;
+            # an absent p1 there means red is empty and the n>0 guard skips
+            sz = sizes.get(p1, 0)
             ratio = n / sz if sz else 0.0
             if 0 < n and ratio < min_selectivity:
                 yield kind, p1, p2, red, round(ratio, 4)

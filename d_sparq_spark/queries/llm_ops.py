@@ -256,8 +256,15 @@ def q_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tag = hashlib.sha256(sf_dir.rstrip("/").encode()).hexdigest()[:12]
+    # PID-scoped so concurrent invocations over the same sf_dir (bench +
+    # test harness) cannot wipe each other's in-flight store/checkpoint;
+    # same-process reruns still replay fresh via the rmtree. The dir must
+    # outlive this function (the returned DataFrame reads it lazily), so
+    # it is reclaimed on the next same-PID run, not eagerly.
     work = os.path.join(
-        "/tmp", f"d_sparq_stream_neardup_{os.path.basename(sf_dir.rstrip('/'))}_{tag}"
+        "/tmp",
+        f"d_sparq_stream_neardup_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{tag}_{os.getpid()}",
     )
     shutil.rmtree(work, ignore_errors=True)  # fresh, deterministic replay
     lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()

@@ -73,29 +73,11 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # newcomers last within that group), then attested keys oldest-round first.
 # _LAST_ATTESTED is regenerated each round from CORRECTNESS_r{N}.json.
 _LAST_ATTESTED: dict[str, int] = {
-    # last attested round 2
-    "q_merge_upsert": 2, "q_scalar_string": 2, "q_scalar_date": 2,
-    "q_scalar_math": 2, "q_scalar_array": 2, "q_explode": 2,
-    "q_project": 2, "q_filter_pred": 2, "q_filter_rlike": 2,
-    "q_json_extract": 2,
     # last attested round 3
-    "q_case_when": 3, "q_filter_nullsafe": 3, "q_set_ops": 3,
-    "q_union_by_name": 3, "q_distinct": 3, "q_window_rank": 3,
-    "q_window_frame": 3, "q_window_lag": 3, "q_window_ntile": 3,
-    "q_topk": 3, "q_topk_per_group": 3, "q_window_dist": 3,
-    "q_sparql_path_plus": 3, "q_sparql_path_plus_bound": 3, "q_sparql_path_plus_bound_rev": 3,
-    "q_sparql_path_seq": 3, "q_sparql_path_alt": 3, "q_sparql_path_inv": 3,
-    "q_sparql_path_neg": 3, "q_sparql_path_opt": 3, "q_sparql_path_altcomplex": 3,
-    "q_sparql_path_closure_seq": 3, "q_sparql_expr_fns": 3, "q_sparql_construct": 3,
-    "q_sparql_subquery": 3, "q_sparql_service": 3, "q_sparql_graph_enc": 3,
-    "q_sparql_graph_var_enc": 3, "q_sparql_graph": 3, "q_sparql_graph_var": 3,
-    "q_sparql_star": 3, "q_sparql_path": 3, "q_sparql_optional": 3,
-    "q_sparql_union": 3, "q_sparql_agg": 3, "q_sparql_order_limit": 3,
-    "q_sparql_minus": 3, "q_sparql_not_exists": 3, "q_sparql_bind": 3,
-    "q_sparql_values": 3, "q_sparql_distinct": 3, "q_sparql_ask": 3,
-    "q_sparql_expr": 3, "q_sparql_encoded_star": 3, "q_sparql_encoded_filter": 3,
-    "q_sparql_encoded_agg": 3, "q_sparql_star_pt": 3, "q_sparql_encoded_star_pt": 3,
-    "q_sparql_star_extvp": 3, "q_sparql_update": 3,
+    "q_sparql_bind": 3, "q_sparql_values": 3, "q_sparql_distinct": 3,
+    "q_sparql_ask": 3, "q_sparql_expr": 3, "q_sparql_encoded_star": 3,
+    "q_sparql_encoded_filter": 3, "q_sparql_encoded_agg": 3, "q_sparql_star_pt": 3,
+    "q_sparql_encoded_star_pt": 3, "q_sparql_star_extvp": 3, "q_sparql_update": 3,
     # last attested round 4
     "q_bpe_pairs": 4, "q_vocab_coverage": 4, "q_quality_filter": 4,
     "q_sample_stratified": 4, "q_ngram_topk": 4, "q_retention_cohort": 4,
@@ -150,14 +132,30 @@ _LAST_ATTESTED: dict[str, int] = {
     "q_join_range": 6, "q_join_asof": 6, "q_join_cross": 6,
     "q_stream_enrich": 6, "q_doc_surprisal": 6, "q_sparql_construct_ordered": 6,
     "q_sparql_group_expr": 6, "q_sparql_update_graph": 6,
+    # last attested round 7
+    "q_merge_upsert": 7, "q_scalar_string": 7, "q_scalar_date": 7,
+    "q_scalar_math": 7, "q_scalar_array": 7, "q_explode": 7,
+    "q_project": 7, "q_filter_pred": 7, "q_filter_rlike": 7,
+    "q_json_extract": 7, "q_case_when": 7, "q_filter_nullsafe": 7,
+    "q_set_ops": 7, "q_union_by_name": 7, "q_distinct": 7,
+    "q_window_rank": 7, "q_window_frame": 7, "q_window_lag": 7,
+    "q_window_ntile": 7, "q_topk": 7, "q_topk_per_group": 7,
+    "q_window_dist": 7, "q_sparql_path_plus": 7, "q_sparql_path_plus_bound": 7,
+    "q_sparql_path_plus_bound_rev": 7, "q_sparql_path_seq": 7, "q_sparql_path_alt": 7,
+    "q_sparql_path_inv": 7, "q_sparql_path_neg": 7, "q_sparql_path_opt": 7,
+    "q_sparql_path_altcomplex": 7, "q_sparql_path_closure_seq": 7, "q_sparql_expr_fns": 7,
+    "q_sparql_construct": 7, "q_sparql_subquery": 7, "q_sparql_service": 7,
+    "q_sparql_graph_enc": 7, "q_sparql_graph_var_enc": 7, "q_sparql_graph": 7,
+    "q_sparql_graph_var": 7, "q_sparql_star": 7, "q_sparql_path": 7,
+    "q_sparql_optional": 7, "q_sparql_union": 7, "q_sparql_agg": 7,
+    "q_sparql_order_limit": 7, "q_sparql_minus": 7, "q_sparql_not_exists": 7,
+    "q_minhash_recall": 7, "q_stream_near_dedup": 7,
 }
 
-# Queries first registered THIS round (round 7): they sort after any older
+# Queries first registered THIS round (round 8): they sort after any older
 # never-attested queries but before the already-attested ones — age
-# priority, so no key starves.  (Round 7: empty so far.)
-_NEW_THIS_ROUND: frozenset[str] = frozenset({
-    "q_minhash_recall", "q_stream_near_dedup",
-})
+# priority, so no key starves.
+_NEW_THIS_ROUND: frozenset[str] = frozenset()
 
 
 def all_queries() -> dict[str, Query]:
