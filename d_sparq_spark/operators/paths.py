@@ -30,6 +30,29 @@ from pyspark.sql import functions as F
 # Test/bench introspection only (not thread-safe, not part of the API).
 LAST_WALK_INFO: dict = {}
 
+# Size gates for the metadata-scale closure fast path (r8, VERDICT r7 #1:
+# the canonical-split loop's per-round plan weight is pure overhead when
+# the closure is tiny — the two small bench closures drifted 1.5x while
+# the 1.18M-edge heavies won 0.66-0.70x). An edge set at or below
+# _DRIVER_CLOSURE_MAX_BASE pairs is broadcast-scale by definition (the
+# distributed loop would broadcast it every round anyway), so it is
+# collected once and closed with a driver BFS — zero per-round Spark jobs.
+# The BFS abandons itself back to the distributed loop if the OUTPUT
+# outgrows _DRIVER_CLOSURE_MAX_PAIRS (a tiny edge set can still have a
+# quadratic closure) or the traversal outspends _DRIVER_CLOSURE_MAX_WORK
+# stack pops (dense graphs re-visit; per-source BFS is O(V*E) worst case)
+# — so the driver's exposure is bounded no matter the graph shape.
+_DRIVER_CLOSURE_MAX_BASE = 10_000
+_DRIVER_CLOSURE_MAX_PAIRS = 200_000
+_DRIVER_CLOSURE_MAX_WORK = 2_000_000
+
+# Below this many (deduped) string edges, skip xxhash64 encoding: the
+# prep (terms distinct + injectivity aggregate) and the decode join pair
+# cost more than shuffling a few thousand short strings ever could. The
+# measured ~1.7x string tax the encoding removes is a BIG-graph effect
+# (BASELINE.md q_closure_big_int twin).
+_ENCODE_MIN_EDGES = 50_000
+
 
 def transitive_closure(
     edges: DataFrame, max_iter: int = 48, group_col: str | None = None
@@ -92,69 +115,121 @@ def transitive_closure(
         edges = (
             edges.select(*keys, "src", "dst").distinct().localCheckpoint(eager=False)
         )
-        terms = (
-            edges.select(F.col("src").alias("term"))
-            .unionByName(edges.select(F.col("dst").alias("term")))
-            .distinct()
-            .localCheckpoint(eager=False)
-        )
-        st = terms.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count_distinct(F.xxhash64("term")).alias("h"),
-        ).first()
-        if st["n"] == st["h"]:  # hash is injective on this node set
-            enc = edges.select(
-                *keys,
-                F.xxhash64("src").alias("src"),
-                F.xxhash64("dst").alias("dst"),
+        # the count materializes the checkpoint and gates the encoding:
+        # below _ENCODE_MIN_EDGES the lexical loop (or the driver BFS) is
+        # cheaper than the encode prep + decode joins
+        n_edges = edges.count()
+        if n_edges >= _ENCODE_MIN_EDGES:
+            terms = (
+                edges.select(F.col("src").alias("term"))
+                .unionByName(edges.select(F.col("dst").alias("term")))
+                .distinct()
+                .localCheckpoint(eager=False)
             )
-            # edges were deduped above and the hash is injective here, so
-            # enc is already distinct — skip the fixpoint's own dedup
-            pairs = _closure_fixpoint(enc, max_iter, keys, deduped=True)
-            m_src = terms.select(
-                F.xxhash64("term").alias("src"), F.col("term").alias("_t_src")
-            )
-            m_dst = terms.select(
-                F.xxhash64("term").alias("dst"), F.col("term").alias("_t_dst")
-            )
-            if st["n"] <= 2_000_000:
-                m_src, m_dst = F.broadcast(m_src), F.broadcast(m_dst)
-            return (
-                pairs.join(m_src, "src")
-                .join(m_dst, "dst")
-                .select(
+            st = terms.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct(F.xxhash64("term")).alias("h"),
+            ).first()
+            if st["n"] == st["h"]:  # hash is injective on this node set
+                enc = edges.select(
                     *keys,
-                    F.col("_t_src").alias("src"),
-                    F.col("_t_dst").alias("dst"),
+                    F.xxhash64("src").alias("src"),
+                    F.xxhash64("dst").alias("dst"),
                 )
-            )
-    # string edges whose hash collided (never observed): iterate lexically
-    # on the ALREADY-DEDUPED edge set; plain non-string edges dedup here
-    pre_deduped = types.get("src") == "string" and types.get("dst") == "string"
+                # edges were deduped above and the hash is injective here,
+                # so enc is already distinct — skip the fixpoint's dedup
+                pairs = _closure_fixpoint(
+                    enc, max_iter, keys, deduped=True, n_base=n_edges
+                )
+                m_src = terms.select(
+                    F.xxhash64("term").alias("src"), F.col("term").alias("_t_src")
+                )
+                m_dst = terms.select(
+                    F.xxhash64("term").alias("dst"), F.col("term").alias("_t_dst")
+                )
+                if st["n"] <= 2_000_000:
+                    m_src, m_dst = F.broadcast(m_src), F.broadcast(m_dst)
+                return (
+                    pairs.join(m_src, "src")
+                    .join(m_dst, "dst")
+                    .select(
+                        *keys,
+                        F.col("_t_src").alias("src"),
+                        F.col("_t_dst").alias("dst"),
+                    )
+                )
+        # small string edge set, or a hash collision (never observed):
+        # iterate lexically on the ALREADY-DEDUPED, already-counted set
+        return _closure_fixpoint(edges, max_iter, keys, deduped=True, n_base=n_edges)
     return _closure_fixpoint(
-        edges.select(*keys, "src", "dst"), max_iter, keys, deduped=pre_deduped
+        edges.select(*keys, "src", "dst"), max_iter, keys, deduped=False
     )
 
 
+def _driver_closure(rows, n_keys: int):
+    """Transitive closure of a METADATA-SCALE edge list, on the driver.
+    ``rows``: Row(*group_keys, src, dst). Per-source BFS within each group.
+    Returns the closure as a list of tuples in (*keys, src, dst) order, or
+    None when either budget blows — the caller falls back to the
+    distributed loop, so a bad gate costs bounded driver time, never a
+    wrong answer or an OOM."""
+    adj: dict = {}
+    for row in rows:
+        adj.setdefault((row[:n_keys], row[n_keys]), set()).add(row[n_keys + 1])
+    out: list[tuple] = []
+    work = 0
+    for (g, s), first in adj.items():
+        seen: set = set()
+        stack = list(first)
+        while stack:
+            work += 1
+            if work > _DRIVER_CLOSURE_MAX_WORK:
+                return None
+            d = stack.pop()
+            if d in seen:
+                continue
+            seen.add(d)
+            nbrs = adj.get((g, d))
+            if nbrs:
+                stack.extend(nbrs)
+        out.extend((*g, s, d) for d in seen)
+        if len(out) > _DRIVER_CLOSURE_MAX_PAIRS:
+            return None
+    return out
+
+
 def _closure_fixpoint(
-    edges: DataFrame, max_iter: int, keys: list[str], deduped: bool = False
+    edges: DataFrame,
+    max_iter: int,
+    keys: list[str],
+    deduped: bool = False,
+    n_base: int | None = None,
 ) -> DataFrame:
     """The canonical-split doubling loop behind transitive_closure (see
     its docstring for the algorithm and the completeness argument).
     ``deduped`` skips the base distinct when the caller already
     deduplicated the edge set (review r7: the hash-encoded path paid a
-    second full exchange over |E| rows for nothing)."""
+    second full exchange over |E| rows for nothing); ``n_base`` passes a
+    base pair count the caller already paid for, saving the first
+    counting job."""
     pair_cols = keys + ["src", "dst"]
     base = edges.select(*pair_cols)
     if not deduped:
         base = base.distinct()
     base = base.withColumn("_d", F.lit(1)).localCheckpoint(eager=False)
-    # one job: materialize the checkpoint + both fixpoint counters
-    r = base.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count(F.when(F.col("_d") == 1, 1)).alias("e"),
-    ).first()
-    n_exact = r["e"]
+    if n_base is None:
+        # one job: materialize the checkpoint + the base pair count
+        n_base = base.count()
+    if n_base <= _DRIVER_CLOSURE_MAX_BASE:
+        # metadata-scale fast path: a base this small is what the loop
+        # below would broadcast EVERY round — collect it once instead and
+        # close on the driver (zero per-round jobs; the tiny bench
+        # closures were pure round overhead). Falls through on budget blow.
+        spark = edges.sparkSession
+        out = _driver_closure(base.select(*pair_cols).collect(), len(keys))
+        if out is not None:
+            return spark.createDataFrame(out, base.select(*pair_cols).schema)
+    n_exact = n_base
     parts = [base]  # disjoint checkpointed deltas; union = closure
     delta, step = base, 1
     for _ in range(max_iter):
