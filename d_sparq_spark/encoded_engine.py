@@ -80,6 +80,7 @@ class _EncodedTranslator(Translator):
         dictionary: DataFrame | None = None,
         dict_broadcast_ok=None,
         bind_cols: set | None = None,
+        value_order_safe=None,
         **kwargs,
     ):
         super().__init__(*args, **kwargs)
@@ -89,6 +90,11 @@ class _EncodedTranslator(Translator):
         # the driver-OOM footgun for any direct construction that forgets
         # the kwarg (review r4)
         self.dict_broadcast_ok = dict_broadcast_ok or (lambda: False)
+        # zero-arg probe: True when decode(min(id)) == min(term) (rank-
+        # ordered dictionary with no numeric typed literals) — gates the
+        # nested MIN/MAX-over-ids path. Defaults closed, like the
+        # broadcast gate above.
+        self.value_order_safe = value_order_safe or (lambda: False)
         # output columns produced by nested BIND — LEXICAL values the
         # engine's final decode must skip (a numeric BIND result is
         # bigint-typed; decoding it against the dictionary would null it
@@ -100,9 +106,15 @@ class _EncodedTranslator(Translator):
             triples, stats, services=self.services, graph_var=graph_var,
             dictionary=self.dictionary, dict_broadcast_ok=self.dict_broadcast_ok,
             pin_cache=self._pinned, bind_cols=self.bind_cols,
+            value_order_safe=self.value_order_safe,
         )
 
     def eval(self, node) -> DataFrame:
+        if isinstance(node, _Precomputed):
+            # already-computed child (the nested-aggregate Group rebuild
+            # below) — returned here so super().eval's _group dispatch
+            # can consume it without the instance-level eval hook
+            return node.df
         if isinstance(node, A.Bind):
             # nested BIND via shadow columns (r7, VERDICT r6 #7): decode
             # only the referenced encoded variables, compute the value
@@ -127,12 +139,82 @@ class _EncodedTranslator(Translator):
             self.bind_cols.add(node.var)
             return out
         if isinstance(node, A.Group):
-            # nested COUNT-only group (see _check_structural): the count
-            # outputs are plain longs — mark them so no later shadow-
-            # decode or final decode treats them as dictionary ids
-            out = super().eval(node)
+            # Nested aggregates over the encoded store (r8, VERDICT r7 #3
+            # — r7 shipped COUNT only). Per aggregate, the cheapest sound
+            # route:
+            # - COUNT(*/var): ids preserve multiplicity and boundness —
+            #   runs over ids, output a plain long (bind_cols).
+            # - MIN/MAX(var) over an id column when the engine's
+            #   value_order_safe() probe passes (rank-ordered dictionary,
+            #   no numeric typed literals): min(id) IS the id of
+            #   min(term) — runs over ids and the output stays a genuine
+            #   dictionary id (it may feed later ID joins and decodes
+            #   with the other bindings).
+            # - everything else (SUM/AVG/GROUP_CONCAT/SAMPLE, expression
+            #   args, MIN/MAX without the order guarantee): the shadow-
+            #   decode device proven on nested BIND/FILTER — decode ONLY
+            #   the referenced id columns, aggregate the lexical shadows
+            #   with the base translator's value semantics, output is a
+            #   lexical value (bind_cols). Grouping keys stay ids either
+            #   way (the dictionary is a bijection, so groups and
+            #   multiplicities are identical).
+            child = self.eval(node.child)
+            dtypes = dict(child.dtypes)
+
+            def _is_id(v: str) -> bool:
+                return dtypes.get(v) == "bigint" and v not in self.bind_cols
+
+            shadow_vars: set = set()
+            new_aggs: list = []
+            id_outputs: set = set()
             for name, a in node.aggs:
-                if a.func == "count":
+                if a.func == "count" and (
+                    a.arg is None or isinstance(a.arg, A.Var)
+                ):
+                    new_aggs.append((name, a))
+                    continue
+                if (
+                    a.func in ("min", "max")
+                    and isinstance(a.arg, A.Var)
+                    and _is_id(a.arg.name)
+                    and self.value_order_safe()
+                ):
+                    new_aggs.append((name, a))
+                    id_outputs.add(name)
+                    continue
+                vs = sorted(
+                    v
+                    for v in (A.expr_vars(a.arg) if a.arg is not None else ())
+                    if _is_id(v)
+                )
+                shadow_vars.update(vs)
+                new_aggs.append(
+                    (
+                        name,
+                        A.Aggregate(
+                            a.func,
+                            _subst_expr_vars(
+                                a.arg, {v: f"__lex__{v}" for v in vs}
+                            )
+                            if a.arg is not None
+                            else None,
+                            a.distinct,
+                            a.separator,
+                        ),
+                    )
+                )
+            src = (
+                self._decode_shadow(child, sorted(shadow_vars))
+                if shadow_vars
+                else child
+            )
+            g = _shallow_with_child(node, _Precomputed(src))
+            g.aggs = new_aggs
+            # super(), not self: dispatching the rebuilt Group through
+            # this method again would re-enter this branch forever
+            out = super().eval(g)
+            for name, _a in node.aggs:
+                if name not in id_outputs:
                     self.bind_cols.add(name)
             return out
         return super().eval(node)
@@ -410,38 +492,77 @@ class EncodedSparqlEngine:
             stack.extend(A.subnodes(n))
         return out
 
+    @staticmethod
+    def _lexical_producer_vars(node) -> set:
+        """Variables the encoded evaluation may bind to LEXICAL values
+        rather than dictionary ids: nested BIND outputs and aggregate
+        outputs (counts are longs; shadow-path aggregates are values;
+        MIN/MAX-over-ids outputs are genuine ids, but including them here
+        only makes the static gate conservative, never wrong)."""
+        out: set = set()
+        stack = [node]
+        while stack:
+            n = stack.pop()
+            if n is None:
+                continue
+            if isinstance(n, A.Bind):
+                out.add(n.var)
+            if isinstance(n, A.Group):
+                out.update(name for name, _a in n.aggs)
+            stack.extend(A.subnodes(n))
+        return out
+
     def _check_structural(self, node, id_vars: set | None = None) -> None:
         """The encoded path evaluates the structural subtree over IDs.
         Value-level FILTERs nested inside it are handled in place by
         _EncodedTranslator._filter (shadow-column decode of just the
-        referenced variables), and since r7 nested BINDs whose output
-        never feeds an ID join run the same way (shadow-decode inputs,
-        lexical output column, _EncodedTranslator.eval). Remaining on the
-        decode-early fallback: nested aggregates, and a BIND whose
-        variable collides with a pattern/VALUES/GRAPH binding — its
-        lexical value would join against dictionary ids."""
+        referenced variables); nested BINDs whose output never feeds an
+        ID join run the same way (r7), and since r8 nested aggregates do
+        too (_EncodedTranslator.eval's Group branch: COUNT over ids,
+        MIN/MAX over ids when the dictionary is value-order-safe,
+        everything else over shadow-decoded values). Remaining on the
+        decode-early fallback: a BIND or value-aggregate output that
+        collides with a pattern/VALUES/GRAPH binding — its lexical value
+        would join against dictionary ids."""
         if id_vars is None:
             id_vars = self._id_term_vars(node)
         if isinstance(node, A.Group):
-            # COUNT-only nested aggregates run entirely over IDs (r7):
-            # grouping keys stay ids (the dictionary is a bijection, so
-            # per-group multiplicities are identical), COUNT/COUNT
-            # DISTINCT never read values, and the count outputs are plain
-            # longs excluded from every decode by the bind_cols device —
-            # the subquery-count shape without a whole-store decode.
-            # Value aggregates (MIN/SUM/...) still fall back: id order is
-            # not value order.
-            ok = all(
-                a.func == "count"
-                and (a.arg is None or isinstance(a.arg, A.Var))
-                and name not in id_vars  # count var must not feed an ID join
-                for name, a in node.aggs
-            )
-            if not ok:
+            # Mirror of the translator's per-aggregate routing, decided
+            # statically (and conservatively: arg vars that MIGHT be
+            # lexical at runtime — bind/aggregate outputs — disqualify
+            # the MIN/MAX-over-ids route here; at runtime the dtype check
+            # routes them exactly).
+            lex_vars = None
+            vos = None
+            for name, a in node.aggs:
+                if (
+                    a.func == "count"
+                    and (a.arg is None or isinstance(a.arg, A.Var))
+                    and name not in id_vars  # long must not feed an ID join
+                ):
+                    continue
+                if a.func in ("min", "max") and isinstance(a.arg, A.Var):
+                    if lex_vars is None:
+                        lex_vars = self._lexical_producer_vars(node.child)
+                    if a.arg.name not in lex_vars:
+                        if vos is None:  # lazy: the probe scans the dict
+                            vos = (
+                                self.dict_rank_ordered
+                                and self._dict_value_order_safe()
+                            )
+                        if vos:
+                            continue  # runs over ids; output IS an id
+                if (
+                    a.func
+                    in ("count", "min", "max", "sum", "avg", "group_concat", "sample")
+                    and a.arg is not None
+                    and name not in id_vars  # lexical output, no ID join
+                ):
+                    continue  # shadow-decode value aggregate
                 raise NotImplementedError(
-                    "EncodedSparqlEngine: nested value aggregates are not "
-                    "supported on the encoded store (COUNT-only groups run "
-                    "encoded)"
+                    "EncodedSparqlEngine: nested aggregate "
+                    f"{a.func}({name}) would feed a lexical value into an "
+                    "ID join — decode-early fallback"
                 )
         if isinstance(node, A.Bind) and node.var in id_vars:
             raise NotImplementedError(
@@ -684,6 +805,9 @@ class EncodedSparqlEngine:
             self.triples, self._stats, catalog=self.catalog, dictionary=self.dict,
             dict_broadcast_ok=self._dict_fits_broadcast,
             pin_cache=self._qpins,
+            value_order_safe=lambda: (
+                self.dict_rank_ordered and self._dict_value_order_safe()
+            ),
         )
 
     def _dict_value_order_safe(self) -> bool:

@@ -242,11 +242,77 @@ def test_nested_count_group_runs_encoded(engines, monkeypatch):
         assert len(rows(encoded.query(q))) > 0, q
 
 
-def test_nested_value_aggregate_still_falls_back(engines, monkeypatch):
-    """Nested MIN reads values — id order is not value order, so the
-    decode-early fallback must RUN (asserted with a recording sentinel:
-    on this rank-ordered fixture MIN over ids would coincidentally match,
-    so parity alone cannot catch a relaxed gate — review r7 round 3)."""
+NESTED_VALUE_AGG_QUERIES = [
+    # MIN/MAX over a pattern variable (the r7 fallback shape)
+    "SELECT ?n ?m WHERE { ?x ex:name ?n "
+    "{ SELECT ?x (MIN(?y) AS ?m) WHERE { ?x ex:knows ?y } GROUP BY ?x } }",
+    "SELECT ?n ?m WHERE { ?x ex:name ?n "
+    "{ SELECT ?x (MAX(?c) AS ?m) WHERE { ?x ex:city ?c } GROUP BY ?x } }",
+    # SUM / AVG over numeric values of terms
+    "SELECT ?n ?s WHERE { ?x ex:name ?n "
+    "{ SELECT ?x (SUM(?a) AS ?s) WHERE { ?x ex:age ?a } GROUP BY ?x } }",
+    "SELECT ?n ?s WHERE { ?x ex:name ?n "
+    "{ SELECT ?x (AVG(?a) AS ?s) WHERE { ?x ex:age ?a } GROUP BY ?x } }",
+    # GROUP_CONCAT + mixed with COUNT in one nested group
+    "SELECT ?n ?g ?c WHERE { ?x ex:name ?n "
+    '{ SELECT ?x (GROUP_CONCAT(?y; separator=",") AS ?g) '
+    "(COUNT(?y) AS ?c) WHERE { ?x ex:knows ?y } GROUP BY ?x } }",
+    # expression argument
+    "SELECT ?n ?s WHERE { ?x ex:name ?n "
+    "{ SELECT ?x (SUM(?a + 1) AS ?s) WHERE { ?x ex:age ?a } GROUP BY ?x } }",
+    # nested value FILTER over a MIN output (shadow-decodes the id output)
+    "SELECT ?n ?m WHERE { ?x ex:name ?n "
+    "{ SELECT ?x (MIN(?y) AS ?m) WHERE { ?x ex:knows ?y } GROUP BY ?x } "
+    'FILTER(STR(?m) != "") }',
+]
+
+
+def test_nested_value_aggregates_run_encoded(engines, monkeypatch):
+    """r8 (VERDICT r7 #3): nested value aggregates no longer take the
+    whole-store decode fallback — MIN/MAX ride the rank-ordered ids,
+    SUM/AVG/GROUP_CONCAT the shadow-decode device — with lexical-engine
+    parity. The no-fallback sentinel makes a silently re-tightened gate
+    (or a silently re-relaxed one routing wrong) visible."""
+    import d_sparq_spark.encoded_engine as ee
+
+    lexical, encoded = engines
+
+    def no_fallback(self, tree):
+        raise AssertionError("whole-store decode fallback must not run")
+
+    monkeypatch.setattr(ee.EncodedSparqlEngine, "_lexical_fallback", no_fallback)
+    for q in NESTED_VALUE_AGG_QUERIES:
+        got = rows(encoded.query(q))
+        assert got == rows(lexical.query(q)), q
+        assert len(got) > 0, q
+
+
+def test_nested_minmax_output_feeds_id_join(engines, monkeypatch):
+    """A nested MAX output on the rank-ordered path is a GENUINE
+    dictionary id — it may seed a later triple pattern (an ID join) and
+    must decode with the other bindings. No fallback."""
+    import d_sparq_spark.encoded_engine as ee
+
+    lexical, encoded = engines
+
+    def no_fallback(self, tree):
+        raise AssertionError("whole-store decode fallback must not run")
+
+    monkeypatch.setattr(ee.EncodedSparqlEngine, "_lexical_fallback", no_fallback)
+    q = (
+        "SELECT ?m ?mn WHERE { "
+        "{ SELECT ?x (MAX(?y) AS ?m) WHERE { ?x ex:knows ?y } GROUP BY ?x } "
+        "?m ex:name ?mn }"
+    )
+    got = rows(encoded.query(q))
+    assert got == rows(lexical.query(q))
+    assert len(got) > 0
+
+
+def test_nested_sum_output_feeding_id_join_falls_back(engines, monkeypatch):
+    """A SUM output is a lexical value — if its variable is also bound by
+    a triple pattern, the value would join against ids, so the decode-
+    early fallback must run (recording sentinel) and stay answer-exact."""
     import d_sparq_spark.encoded_engine as ee
 
     lexical, encoded = engines
@@ -258,12 +324,53 @@ def test_nested_value_aggregate_still_falls_back(engines, monkeypatch):
         return orig(self, tree)
 
     monkeypatch.setattr(ee.EncodedSparqlEngine, "_lexical_fallback", spy)
-    q = ("SELECT ?n ?m WHERE { ?x ex:name ?n "
-         "{ SELECT ?x (MIN(?y) AS ?m) WHERE { ?x ex:knows ?y } GROUP BY ?x } }")
+    q = (
+        "SELECT ?s WHERE { "
+        "{ SELECT ?x (SUM(?a) AS ?s) WHERE { ?x ex:age ?a } GROUP BY ?x } "
+        "?s ex:name ?n }"
+    )
     got = rows(encoded.query(q))
-    assert calls == [1]  # the decode-early fallback actually ran
+    assert calls == [1]
     assert got == rows(lexical.query(q))
-    assert len(got) > 0
+
+
+def test_nested_minmax_value_order_unsafe_takes_shadow_path(spark, monkeypatch):
+    """With numeric TYPED literals in the dictionary, id rank order is
+    not value order (\"10\"^^xsd:integer ranks before \"9\"^^xsd:integer
+    but 9 < 10 by value) — nested MIN must take the shadow-decode path
+    and still answer by VALUE, no whole-store fallback, both for a
+    typed-numeric dictionary and for dict_rank_ordered=False."""
+    import d_sparq_spark.encoded_engine as ee
+
+    rows_t = [
+        ("p:a", "ex:score", '"10"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ("p:a", "ex:score", '"9"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ("p:a", "ex:name", "alice"),
+        ("p:b", "ex:score", '"7"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ("p:b", "ex:name", "bob"),
+    ]
+    triples = spark.createDataFrame(rows_t, "s string, p string, o string")
+    d = build_dictionary(triples)
+    enc = encode_triples(triples, d)
+    lexical = SparqlEngine(triples, collect_stats=False)
+
+    def no_fallback(self, tree):
+        raise AssertionError("whole-store decode fallback must not run")
+
+    monkeypatch.setattr(ee.EncodedSparqlEngine, "_lexical_fallback", no_fallback)
+    q = (
+        "SELECT ?n ?m WHERE { ?x ex:name ?n "
+        "{ SELECT ?x (MIN(?v) AS ?m) WHERE { ?x ex:score ?v } GROUP BY ?x } }"
+    )
+    want = rows(lexical.query(q))
+    assert any('"9"' in str(r) for r in want)  # MIN by value, not rank
+    for eng in (
+        ee.EncodedSparqlEngine(enc, d, collect_stats=False),
+        ee.EncodedSparqlEngine(
+            enc, d, collect_stats=False, dict_rank_ordered=False
+        ),
+    ):
+        assert rows(eng.query(q)) == want
 
 
 def test_nested_bind_feeding_id_join_still_falls_back(engines):
