@@ -287,6 +287,9 @@ def q_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         work + "/ckpt",
         threshold=0.5,
         band_fn=D.det_band_signature_rows,
+        # fold layers 0..1 into base-1 when batch 2 runs: the driver's
+        # oracle hash now also gates the compaction path (r8)
+        compact_every=2,
     )
     if not q.awaitTermination(600):
         # timing out must FAIL, not silently return the partial pairs the

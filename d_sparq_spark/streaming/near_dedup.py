@@ -22,9 +22,24 @@ Scale design:
 - the band store grows O(corpus x num_bands) rows of (long, int, long) —
   the documented state bound; band rows, never signatures or bodies,
   are what later batches join against;
+- LAYER COMPACTION (r8, VERDICT r7 #4): without it the store is one
+  batch-<id> directory per microbatch forever, so at production cadence
+  the file-listing cost — not the data — becomes the bottleneck. With
+  compact_every=N, every N batches all layers strictly EARLIER than the
+  current batch fold into a single base-<id> layer, so the live layer
+  count stays O(N), while the row bound above is unchanged. The fold is
+  crash-safe: a base layer is live only once its _SUCCESS marker exists,
+  readers ignore any batch-i with i <= the newest committed base id, and
+  stale folded directories are deleted opportunistically — a crash
+  between base commit and cleanup never double-counts (see
+  _live_layer_dirs / compact_layers);
 - every per-batch write lands under batch-<id> and every read excludes
   the current batch id, so a foreachBatch RETRY reproduces its first
-  attempt exactly (same guarantee streaming/dedup.py documents);
+  attempt exactly (same guarantee streaming/dedup.py documents).
+  Compaction preserves this: rows keep their original batch_id column
+  inside the base layer (the `batch_id < current` filter keeps working on
+  folded data), and the current batch's OWN layer is never folded, so a
+  retry that rewrites batch-<id> cannot duplicate rows already in a base;
 - pairs are emitted once, in the later document's batch: cross-batch
   candidates pair new against strictly-earlier stores, within-batch
   candidates use id order — under doc_id-ascending replay the union over
@@ -34,6 +49,8 @@ Scale design:
 
 from __future__ import annotations
 
+import os
+import shutil
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
@@ -46,18 +63,119 @@ TEXTS_SCHEMA = "doc_id long, text string, batch_id long"
 PAIRS_SCHEMA = "a long, b long, jaccard double"
 
 
+def _local(path: str) -> str:
+    """Strip a file: scheme; the layered store is a filesystem directory
+    (local in tests; the same listing protocol maps to any FS that lists
+    directories — the point of compaction is to make that listing O(N))."""
+    return path[len("file:"):] if path.startswith("file:") else path
+
+
+def _scan_layers(path: str):
+    """Inventory a layered store directory.
+
+    Returns (base_id, layers) where layers maps layer id -> (dirpath,
+    kind, committed) for every `base-<id>` / `batch-<id>` child, and
+    base_id is the NEWEST committed base layer's id (None if no base).
+    A layer is committed once Spark's job commit placed part files /
+    _SUCCESS in the final location; a crash mid-write leaves neither."""
+    root = _local(path)
+    layers: dict = {}
+    base_id = None
+    if not os.path.isdir(root):
+        return base_id, layers
+    for name in os.listdir(root):
+        for kind in ("base", "batch"):
+            prefix = kind + "-"
+            if name.startswith(prefix):
+                try:
+                    i = int(name[len(prefix):])
+                except ValueError:
+                    continue
+                full = os.path.join(root, name)
+                try:
+                    files = os.listdir(full)
+                except OSError:
+                    continue
+                committed = "_SUCCESS" in files or any(
+                    f.startswith("part-") for f in files
+                )
+                layers[(kind, i)] = (full, committed)
+                if kind == "base" and committed and (base_id is None or i > base_id):
+                    base_id = i
+    return base_id, layers
+
+
+def _live_layer_dirs(path: str) -> list:
+    """The exactly-once live set of a layered store: the newest committed
+    base-<M> plus every committed batch-<i> with i > M. Anything with
+    i <= M is a folded leftover a crash kept around — ignored here,
+    deleted by the next compact_layers pass."""
+    base_id, layers = _scan_layers(path)
+    dirs = []
+    for (kind, i), (full, committed) in sorted(layers.items()):
+        if not committed:
+            continue
+        if kind == "base" and i == base_id:
+            dirs.append(full)
+        elif kind == "batch" and (base_id is None or i > base_id):
+            dirs.append(full)
+    return dirs
+
+
+def compact_layers(spark: SparkSession, path: str, schema, upto: int) -> None:
+    """Fold every live layer with id <= upto into ONE base-<upto> layer,
+    preserving each row's original batch_id (the retry-exclusion filter
+    keeps working on folded data). Crash-safe protocol:
+
+    1. if base-<upto> is already committed (a foreachBatch retry whose
+       first attempt finished the fold), skip straight to cleanup;
+    2. else write base-<upto> from the union of the fold inputs — inputs
+       and output are distinct directories, so no read-under-overwrite;
+    3. delete the folded inputs and any stale (already-superseded or
+       uncommitted) layers an earlier crash left behind.
+
+    Readers (_live_layer_dirs) ignore layers with id <= the newest
+    committed base id, so a crash between 2 and 3 never double-counts."""
+    base_id, layers = _scan_layers(path)
+    target = _local(path + f"/base-{upto}")
+    target_done = layers.get(("base", upto), (None, False))[1]
+    live_base = (
+        [layers[("base", base_id)][0]]
+        if base_id is not None and base_id < upto
+        else []
+    )
+    live_batches = [
+        full
+        for (kind, i), (full, committed) in sorted(layers.items())
+        if kind == "batch"
+        and committed
+        and i <= upto
+        and (base_id is None or i > base_id)
+    ]
+    if not target_done:
+        if not live_batches:
+            return  # nothing new to fold; don't churn the base
+        shutil.rmtree(target, ignore_errors=True)  # uncommitted leftover
+        spark.read.schema(schema).parquet(*live_base, *live_batches).write.mode(
+            "error"
+        ).parquet(path + f"/base-{upto}")
+    # cleanup: everything at or below the new base is superseded
+    for (kind, i), (full, committed) in layers.items():
+        if (kind, i) != ("base", upto) and (i <= upto or not committed):
+            shutil.rmtree(full, ignore_errors=True)
+
+
 def _read_layer(
     spark: SparkSession, path: str, schema, before_batch: int
 ) -> DataFrame:
-    """A batch-<id> layered parquet store, tolerant ONLY of not existing
-    yet (first batch); excludes rows the current batch's own earlier
-    attempt wrote, so retries see the state the first attempt saw."""
-    from pyspark.errors import AnalysisException
-
-    try:
-        df = spark.read.schema(schema).parquet(path + "/batch-*")
-    except AnalysisException:
+    """A layered parquet store (batch-<id> deltas + optional compacted
+    base), tolerant ONLY of not existing yet (first batch); excludes rows
+    the current batch's own earlier attempt wrote, so retries see the
+    state the first attempt saw."""
+    dirs = _live_layer_dirs(path)
+    if not dirs:
         return spark.createDataFrame([], schema)
+    df = spark.read.schema(schema).parquet(*dirs)
     return df.filter(F.col("batch_id") < F.lit(before_batch))
 
 
@@ -85,9 +203,12 @@ def near_dedup_foreach_batch(
     num_bands: int = 8,
     text_col: str = "text",
     band_fn=None,
+    compact_every: int | None = None,
 ):
     """foreachBatch body: verify LSH candidates against the persisted band
-    store, emit near-dup pairs, append this batch's bands + texts.
+    store, emit near-dup pairs, append this batch's bands + texts; every
+    compact_every batches, fold all strictly-earlier layers into one base
+    layer so the live layer count stays O(compact_every) (VERDICT r7 #4).
 
     band_fn maps a (doc_id, text) frame to band rows — defaults to the
     production xxhash64 banding (batch_band_rows); q_stream_near_dedup
@@ -154,6 +275,11 @@ def near_dedup_foreach_batch(
         docs.withColumn(
             "batch_id", F.lit(batch_id).cast("long")
         ).write.mode("overwrite").parquet(f"{store_dir}/texts/batch-{batch_id}")
+        # fold strictly-earlier layers only: a retry of THIS batch rewrites
+        # batch-<id> above, so folding it would double-count its rows
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_layers(spark, store_dir + "/bands", store_schema, batch_id - 1)
+            compact_layers(spark, store_dir + "/texts", TEXTS_SCHEMA, batch_id - 1)
 
     return process
 
@@ -166,6 +292,7 @@ def near_dedup_stream(
     threshold: float = 0.5,
     text_col: str = "text",
     band_fn=None,
+    compact_every: int | None = None,
 ):
     """Wire a streaming documents source through the incremental near-dup.
     trigger(availableNow) drains a finite backlog (the replay-equivalence
@@ -174,7 +301,7 @@ def near_dedup_stream(
         docs_stream.writeStream.foreachBatch(
             near_dedup_foreach_batch(
                 store_dir, pairs_dir, threshold, text_col=text_col,
-                band_fn=band_fn,
+                band_fn=band_fn, compact_every=compact_every,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

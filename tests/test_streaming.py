@@ -276,6 +276,91 @@ def test_stream_near_dedup_equals_batch(spark, tmp_path):
     assert bands.count() == docs.count() * 8
 
 
+def test_stream_near_dedup_compaction_parity_and_bound(spark, tmp_path):
+    """r8 (VERDICT r7 #4): with compact_every=2 the per-batch band/text
+    layers fold into a single base layer every two batches. The emitted
+    pair union must be UNCHANGED across the compaction boundary (stream ==
+    batch parity), and the live layer count must stay O(compact_every) —
+    the listing bound that motivates compaction — not O(batches)."""
+    import os as _os
+
+    from d_sparq_spark.operators import dedup as D
+    from d_sparq_spark.streaming import near_dedup as ND
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    store, pairs = str(tmp_path / "store"), str(tmp_path / "pairs")
+    fn = ND.near_dedup_foreach_batch(store, pairs, threshold=0.5, compact_every=2)
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    step = (hi - lo) // 5 + 1
+    for k in range(5):
+        fn(
+            docs.filter(
+                (F.col("doc_id") >= lo + k * step)
+                & (F.col("doc_id") < lo + (k + 1) * step)
+            ),
+            k,
+        )
+    got = _sorted_rows(spark.read.parquet(pairs).select("a", "b", "jaccard"))
+    want = _sorted_rows(D.minhash_near_dups(docs, threshold=0.5))
+    assert len(want) > 0
+    assert got == want
+    # batch 4 folded layers 0..3 into base-3; only its own delta remains
+    assert sorted(_os.listdir(store + "/bands")) == ["base-3", "batch-4"]
+    assert sorted(_os.listdir(store + "/texts")) == ["base-3", "batch-4"]
+    # the fold preserves rows exactly: 8 band rows per document, once each
+    live = ND._read_layer(spark, store + "/bands", ND.BANDS_SCHEMA, 5)
+    assert live.count() == docs.count() * 8
+    # original batch_id values survive the fold (retry-exclusion filter
+    # keeps working on folded data)
+    assert live.select("batch_id").distinct().count() == 5
+
+    # crash window: a folded batch dir the cleanup never deleted (crash
+    # between base commit and rmtree) must be IGNORED by readers — its id
+    # is <= the committed base id, so no row is double-counted
+    stale = live.filter(F.col("batch_id") == 2)
+    stale.write.parquet(store + "/bands/batch-2")
+    assert store + "/bands/batch-2" not in ND._live_layer_dirs(store + "/bands")
+    relive = ND._read_layer(spark, store + "/bands", ND.BANDS_SCHEMA, 5)
+    assert relive.count() == docs.count() * 8
+    # ...and the next compaction pass deletes the leftover
+    ND.compact_layers(spark, store + "/bands", ND.BANDS_SCHEMA, 4)
+    assert sorted(_os.listdir(store + "/bands")) == ["base-4"]
+    assert (
+        ND._read_layer(spark, store + "/bands", ND.BANDS_SCHEMA, 5).count()
+        == docs.count() * 8
+    )
+
+
+def test_stream_near_dedup_retry_across_compaction(spark, tmp_path):
+    """A foreachBatch retry of the batch that PERFORMED the compaction must
+    emit the same pairs and leave the same live store: the committed base
+    is detected and not rebuilt, the rewritten batch-<id> delta is never
+    folded (so its rows exist exactly once), and reads exclude the current
+    batch id exactly as before compaction existed."""
+    import os as _os
+
+    from d_sparq_spark.streaming import near_dedup as ND
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    store, pairs = str(tmp_path / "store"), str(tmp_path / "pairs")
+    fn = ND.near_dedup_foreach_batch(store, pairs, threshold=0.5, compact_every=2)
+    parts = [docs.filter(F.col("doc_id") % 3 == k) for k in range(3)]
+    for k, part in enumerate(parts):
+        fn(part, k)  # batch 2 folds layers 0..1 into base-1
+    assert sorted(_os.listdir(store + "/bands")) == ["base-1", "batch-2"]
+    first_pairs = _sorted_rows(spark.read.parquet(pairs))
+    first_bands = _sorted_rows(
+        ND._read_layer(spark, store + "/bands", ND.BANDS_SCHEMA, 3)
+    )
+    fn(parts[2], 2)  # retry of the compacting batch
+    assert _sorted_rows(spark.read.parquet(pairs)) == first_pairs
+    assert (
+        _sorted_rows(ND._read_layer(spark, store + "/bands", ND.BANDS_SCHEMA, 3))
+        == first_bands
+    )
+    assert sorted(_os.listdir(store + "/bands")) == ["base-1", "batch-2"]
+
+
 def test_stream_near_dedup_batch_retry_is_idempotent(spark, tmp_path):
     """A foreachBatch retry of the SAME near-dup microbatch must emit the
     same pairs and leave the same store state: reads exclude the current
