@@ -336,10 +336,14 @@ class EncodedSparqlEngine:
         self.services = services or {}
         stats = None
         if collect_stats:
-            stats = {  # counts only — same rationale as SparqlEngine
-                r["p"]: r["cnt"]
+            stats = {  # count + approx ndv, same single scan as SparqlEngine
+                r["p"]: (r["cnt"], r["ndv_s"], r["ndv_o"])
                 for r in triples_enc.groupBy("p")
-                .agg(F.count(F.lit(1)).alias("cnt"))
+                .agg(
+                    F.count(F.lit(1)).alias("cnt"),
+                    F.approx_count_distinct("s").alias("ndv_s"),
+                    F.approx_count_distinct("o").alias("ndv_o"),
+                )
                 .collect()
             }
         self._stats = stats

@@ -44,13 +44,20 @@ class SparqlEngine:
         self.triples = triples
         stats = None
         if collect_stats:
-            # A7 ordering needs only the per-predicate counts; the full
-            # predicate_stats (distinct-subject/object cardinalities) is
-            # the A11 *reporting* operator and 3x this aggregation's cost
+            # A7+A11 ordering wants count AND distinct-subject/object
+            # cardinality per predicate (rdf_patterns.order_by_selectivity's
+            # join-cardinality model). approx_count_distinct keeps this the
+            # SAME single scan the count-only collection was — the HLL
+            # sketches ride the existing groupBy — and the optimizer only
+            # needs the order of magnitude (exact ndv would triple the cost)
             stats = {
-                r["p"]: r["cnt"]
+                r["p"]: (r["cnt"], r["ndv_s"], r["ndv_o"])
                 for r in triples.groupBy("p")
-                .agg(F.count(F.lit(1)).alias("cnt"))
+                .agg(
+                    F.count(F.lit(1)).alias("cnt"),
+                    F.approx_count_distinct("s").alias("ndv_s"),
+                    F.approx_count_distinct("o").alias("ndv_o"),
+                )
                 .collect()
             }
         self._translator = Translator(triples, stats, services=services, catalog=catalog)

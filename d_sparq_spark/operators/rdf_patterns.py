@@ -12,9 +12,10 @@ by pipelining bindings (index nested-loop). Spark-first:
   triple store is bucketed by s the joins are co-partitioned (no shuffle),
 - star-to-star (path) joins are ordinary equi-joins on the shared
   variable — Spark's shuffle/broadcast hash join replaces pipelining,
-- pattern order within a star is chosen by ascending predicate count
-  (A7 selectivity reordering) when a stats DataFrame is supplied; AQE/CBO
-  refine at runtime.
+- pattern order within a star is chosen by a greedy join-cardinality
+  estimate over predicate count + distinct-subject/object stats (A7
+  selectivity reordering driven by the A11 statistics; raw-count order
+  when only counts are available); AQE/CBO refine at runtime.
 
 Works identically over lexical (string) and encoded (long) triple stores —
 patterns just carry constants of the matching type.
@@ -79,33 +80,96 @@ def match_pattern(
 
 
 def _stats_dict(stats) -> dict:
-    """Normalize predicate stats to {p: cnt} — accepts the stats DataFrame
-    or an already-collected dict (shared by order_by_selectivity and bgp;
-    the collect is metadata-scale, bounded by #predicates)."""
+    """Normalize predicate stats to {p: cnt | (cnt, ndv_s, ndv_o)} —
+    accepts the stats DataFrame (ndv columns picked up when present) or an
+    already-collected dict (shared by order_by_selectivity and bgp; the
+    collect is metadata-scale, bounded by #predicates)."""
     if isinstance(stats, dict):
         return stats
+    if {"ndv_s", "ndv_o"} <= set(stats.columns):
+        return {
+            r["p"]: (r["cnt"], r["ndv_s"], r["ndv_o"])
+            for r in stats.select("p", "cnt", "ndv_s", "ndv_o").collect()
+        }
     return {r["p"]: r["cnt"] for r in stats.select("p", "cnt").collect()}
+
+
+def _stat_row(st: dict, p) -> tuple:
+    """(cnt, ndv_s | None, ndv_o | None) for one predicate. An absent
+    constant predicate means ZERO triples — the most selective pattern
+    there is; ordering it first makes the chain trivially empty."""
+    v = st.get(p, 0)
+    return v if isinstance(v, tuple) else (v, None, None)
 
 
 def order_by_selectivity(
     patterns: list[TriplePattern], stats: DataFrame | dict | None
 ) -> list[TriplePattern]:
-    """A7: cheapest (lowest predicate count) pattern first. Patterns with a
-    variable predicate (unknown selectivity) go last. ``stats`` may be the
-    predicate_stats DataFrame or an already-collected {p: count} dict (the
-    SPARQL engine collects once per engine, not once per star)."""
+    """A7 + A11 (VERDICT r7 #5): order patterns to minimize ESTIMATED
+    intermediate join cardinalities, not just raw predicate counts.
+
+    With ndv statistics (predicate_stats' distinct-subject/object counts)
+    the cost model is a greedy chain estimate over the shared subject key:
+
+    - base cardinality of a pattern = cnt, divided by ndv_o when the
+      object is a constant (per-object selectivity) and by ndv_s when the
+      subject is (per-subject selectivity);
+    - estimated subjects a pattern contributes = min(ndv_s, base card);
+    - joining bindings of estimated (R rows, nd subjects) with a pattern
+      of (card, ns): R' = R * card / max(nd, ns) — the textbook equi-join
+      estimate — then nd' = min(nd, ns);
+    - each step greedily adopts the pattern with the smallest R'.
+
+    This beats raw-count order exactly where the r7 verdict said it would:
+    a frequent but near-functional predicate (cnt high, cnt/ndv_s ~ 1)
+    restricts the chain without fanout, while a mid-count predicate with
+    few distinct subjects multiplies rows (tests/test_rdf_units.py pins a
+    golden where the two orders disagree and ndv order wins).
+
+    Count-only stats ({p: count} dict, or a stats frame without ndv
+    columns) degrade to the original behavior: ascending raw count.
+    Patterns with a variable predicate (unknown selectivity) go last in
+    both models."""
     if stats is None:
         return list(patterns)
-    counts = _stats_dict(stats)
-    big = max(counts.values(), default=0) + 1
+    st = _stats_dict(stats)
+    known = [tp for tp in patterns if not _is_var(tp.p)]
+    unknown = [tp for tp in patterns if _is_var(tp.p)]
+    if not all(_stat_row(st, tp.p)[1] is not None for tp in known):
+        big = max((_stat_row(st, p)[0] for p in st), default=0) + 1
 
-    def cost(tp: TriplePattern) -> int:
-        # absent constant predicate -> ZERO triples: the most selective
-        # pattern there is — ordering it first makes the chain trivially
-        # empty. Only a VARIABLE predicate is genuinely unknown (-> big).
-        return big if _is_var(tp.p) else counts.get(tp.p, 0)
+        def cost(tp: TriplePattern) -> int:
+            return big if _is_var(tp.p) else _stat_row(st, tp.p)[0]
 
-    return sorted(patterns, key=cost)
+        return sorted(patterns, key=cost)
+
+    def base(tp: TriplePattern) -> tuple:
+        cnt, ndv_s, ndv_o = _stat_row(st, tp.p)
+        card, subj = float(cnt), float(max(ndv_s or 0, 1))
+        if not _is_var(tp.o):
+            card /= max(ndv_o or 0, 1)
+        if not _is_var(tp.s):
+            card /= max(ndv_s or 0, 1)
+            subj = 1.0
+        return card, min(subj, max(card, 1.0))
+
+    ordered, remaining = [], list(known)
+    rows = subjects = None
+    while remaining:
+        best = best_est = best_state = None
+        for tp in remaining:
+            card, ns = base(tp)
+            if rows is None:
+                est, state = card, (card, ns)
+            else:
+                est = rows * card / max(subjects, ns, 1.0)
+                state = (est, min(subjects, ns))
+            if best_est is None or est < best_est:
+                best, best_est, best_state = tp, est, state
+        ordered.append(best)
+        remaining.remove(best)
+        rows, subjects = best_state
+    return ordered + unknown
 
 
 def join_bindings(left: DataFrame, right: DataFrame, how: str = "inner") -> DataFrame:
@@ -157,13 +221,30 @@ def bgp(
 
 
 def predicate_stats(triples: DataFrame) -> DataFrame:
-    """A11: per-predicate count + exact distinct subject/object counts.
-    At 100 TB swap the exact distincts for approx_count_distinct — the
-    optimizer only needs the order of magnitude."""
+    """A11: per-predicate count + exact distinct subject/object counts —
+    the REPORTING operator (oracled against COUNT(DISTINCT ...) SQL).
+    For join ORDERING use planning_stats instead: the optimizer only
+    needs the order of magnitude, and the exact distincts triple the
+    aggregation's cost (r8: passing this frame to star_join used to be
+    free because Catalyst pruned the unselected ndv columns; once the
+    ordering started consuming them the exact sort-distinct showed up in
+    every stats-passing query's wall clock)."""
     return triples.groupBy("p").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.countDistinct("s").alias("ndv_s"),
         F.countDistinct("o").alias("ndv_o"),
+    )
+
+
+def planning_stats(triples: DataFrame) -> DataFrame:
+    """predicate_stats' cheap sibling for the A7 cost model: HLL-sketched
+    ndv riding the same single groupBy scan as the count — the shape the
+    SPARQL engines collect at construction (engine.py), exposed for
+    direct star_join/bgp callers."""
+    return triples.groupBy("p").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.approx_count_distinct("s").alias("ndv_s"),
+        F.approx_count_distinct("o").alias("ndv_o"),
     )
 
 

@@ -20,6 +20,7 @@ from d_sparq_spark.operators.rdf_patterns import (
     TriplePattern,
     bgp,
     match_pattern,
+    planning_stats,
     predicate_stats,
     star_join,
 )
@@ -142,7 +143,7 @@ _STAR_PATTERNS = [
 @register("q_star_join", oracle=_ORACLE_STAR)
 def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     triples = derive_triples(spark, sf_dir)
-    stats = predicate_stats(triples)
+    stats = planning_stats(triples)  # approx ndv: ordering only (r8)
     return star_join(triples, _STAR_PATTERNS, stats=stats).select("c", "name", "bal")
 
 
@@ -187,7 +188,7 @@ WHERE r_name = 'ASIA'
 @register("q_path_join", oracle=_ORACLE_PATH)
 def q_path_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     triples = derive_triples(spark, sf_dir)
-    stats = predicate_stats(triples)
+    stats = planning_stats(triples)  # approx ndv: ordering only (r8)
     stars = [
         [TriplePattern("?c", "ex:nation", "?n"), TriplePattern("?c", "foaf:name", "?cname")],
         [TriplePattern("?n", "ex:region", "?r")],

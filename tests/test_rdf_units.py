@@ -195,3 +195,87 @@ def test_ntriples_roundtrips_bnodes_and_raw_nul(spark):
     )
     got = sorted((r["s"], r["p"], r["o"]) for r in parse_ntriples(raw).collect())
     assert got == [("a:s", "a:p", "a\\b"), ("a:s", "a:p", "x\x00y")]
+
+
+def test_ndv_ordering_beats_count_ordering(spark):
+    """r8 (VERDICT r7 #5): A7/A11 promised stats-DRIVEN join ordering, but
+    through r7 order_by_selectivity used raw predicate counts only. Golden
+    where the two models disagree and the ndv model wins:
+
+    - fan1/fan2: low count but ONE distinct subject carrying many objects
+      (multi-valued) — raw-count order picks them first and their self-join
+      on s multiplies (10 x 12 = 120 intermediate rows);
+    - func: high count but functional (ndv_s == cnt) — per-subject fanout 1,
+      so joining it second RESTRICTS instead of multiplying (10 rows).
+
+    The full star result is order-invariant (sanity-checked); only the
+    intermediate cardinality moves, which is exactly what the cost model
+    is for."""
+    from d_sparq_spark.operators.rdf_patterns import (
+        join_bindings,
+        order_by_selectivity,
+        predicate_stats,
+    )
+
+    rows = (
+        [("s0", "fan1", f"a{i}") for i in range(10)]
+        + [("s0", "fan2", f"b{i}") for i in range(12)]
+        + [(f"s{i}", "func", f"v{i}") for i in range(100)]
+    )
+    triples = spark.createDataFrame(rows, "s string, p string, o string")
+    star = [
+        TriplePattern("?x", "fan1", "?a"),
+        TriplePattern("?x", "fan2", "?b"),
+        TriplePattern("?x", "func", "?v"),
+    ]
+    stats = predicate_stats(triples)
+    counts_only = {r["p"]: r["cnt"] for r in stats.collect()}
+
+    by_count = order_by_selectivity(star, counts_only)
+    by_ndv = order_by_selectivity(star, stats)
+    assert [tp.p for tp in by_count] == ["fan1", "fan2", "func"]
+    assert [tp.p for tp in by_ndv] == ["fan1", "func", "fan2"]
+
+    def first_intermediate(ordered):
+        return join_bindings(
+            match_pattern(triples, ordered[0]), match_pattern(triples, ordered[1])
+        ).count()
+
+    n_count, n_ndv = first_intermediate(by_count), first_intermediate(by_ndv)
+    assert n_ndv < n_count  # 10 vs 120
+    assert (n_count, n_ndv) == (120, 10)
+
+    # order-invariance: both plans compute the same star (binding-column
+    # order follows pattern order, so normalize it before comparing)
+    cols = ["x", "a", "b", "v"]
+    got_count = sorted(
+        map(tuple, star_join(triples, star, counts_only).select(*cols).collect())
+    )
+    got_ndv = sorted(
+        map(tuple, star_join(triples, star, stats).select(*cols).collect())
+    )
+    assert got_count == got_ndv
+    assert len(got_ndv) == 120
+
+
+def test_ndv_ordering_constant_object_uses_per_object_selectivity(spark):
+    """The ndv cost model divides by ndv_o for a constant object: a huge
+    predicate probed at one object value is cheaper than a mid-size
+    pattern scanned whole — raw-count order gets this exactly backwards."""
+    from d_sparq_spark.operators.rdf_patterns import (
+        order_by_selectivity,
+        predicate_stats,
+    )
+
+    rows = [(f"s{i}", "big", f"city{i % 200}") for i in range(1000)] + [
+        (f"s{i}", "mid", f"t{i}") for i in range(50)
+    ]
+    triples = spark.createDataFrame(rows, "s string, p string, o string")
+    star = [
+        TriplePattern("?x", "big", "city7"),  # ~5 rows after the o filter
+        TriplePattern("?x", "mid", "?t"),  # 50 rows
+    ]
+    stats = predicate_stats(triples)
+    counts_only = {r["p"]: r["cnt"] for r in stats.collect()}
+    assert [tp.p for tp in order_by_selectivity(star, counts_only)] == ["mid", "big"]
+    assert [tp.p for tp in order_by_selectivity(star, stats)] == ["big", "mid"]
