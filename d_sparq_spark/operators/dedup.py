@@ -400,3 +400,79 @@ def simhash(text: F.Column, bits: int = 64) -> F.Column:
         bit = F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         out = out.bitwiseOR(F.shiftleft(bit, i))
     return out
+
+
+# --- cross-engine-deterministic SimHash (q_simhash_recall) -------------------
+#
+# Same rationale as the deterministic MinHash above: the production
+# simhash() votes over xxhash64 token hashes, not reproducible in DuckDB,
+# so its queries are rows-only. This variant swaps ONLY the token hash for
+# the q_minhash_recall character-rolling family, so the fingerprint — and
+# therefore the banded Hamming candidate set and the measured recall — is
+# EXACTLY reproducible in generated SQL. 24 bits: the rolling hash ranges
+# over [0, FP_PRIME) < 2^30, so higher bit positions carry no entropy.
+
+DET_SIMHASH_BITS = 24
+DET_SIMHASH_BAND_BITS = 4  # 6 bands of 4 bits
+
+
+def det_simhash(text: F.Column, bits: int = DET_SIMHASH_BITS) -> F.Column:
+    """simhash() with det_shingle_hashes' per-token rolling hash as the
+    vote source — identical bit-vote semantics (token BAG, sum of signs),
+    engine-agnostic arithmetic."""
+    hashes = det_shingle_hashes(text, 1)
+
+    def vote(bit_idx: int):
+        return lambda a, h: a + F.when(
+            F.shiftright(h, bit_idx).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        votes = F.aggregate(hashes, F.lit(0).cast("long"), vote(i))
+        bit = F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        out = out.bitwiseOR(F.shiftleft(bit, i))
+    return out
+
+
+def det_simhash_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = DET_SIMHASH_BITS,
+    band_bits: int = DET_SIMHASH_BAND_BITS,
+) -> DataFrame:
+    """Candidate (a, b) pairs (a < b) whose deterministic SimHash
+    fingerprints agree on at least one band of ``band_bits`` contiguous
+    bits — the standard banded small-Hamming-distance blocking: a pair at
+    Hamming distance h misses only if every band contains a flipped bit,
+    so near-dups (small h) are caught with probability ~ 1-(h*bb/bits)^nb.
+    Bucket join on (band index, band value); never all-pairs."""
+    if bits % band_bits:
+        raise ValueError(
+            f"det_simhash_candidate_pairs: band_bits={band_bits} must "
+            f"divide bits={bits} evenly"
+        )
+    nb = bits // band_bits
+    mask = (1 << band_bits) - 1
+    sim = docs.select(
+        F.col(id_col), det_simhash(F.col(text_col), bits).alias("_sim")
+    )
+    bands = F.array(
+        *[
+            F.shiftright(F.col("_sim"), b * band_bits).bitwiseAND(F.lit(mask))
+            for b in range(nb)
+        ]
+    )
+    banded = sim.select(F.col(id_col), F.posexplode(bands).alias("band", "bv"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b"))
+        .distinct()
+    )

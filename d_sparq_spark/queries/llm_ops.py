@@ -147,18 +147,26 @@ def q_dup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.dedup_clusters(docs, D.minhash_near_dups(docs, threshold=0.5))
 
 
+def _det_char_roll_sql() -> str:
+    """DuckDB expression for the deterministic per-token rolling hash
+    (operators/dedup.det_shingle_hashes' char_roll) — the hash family
+    shared by the MinHash and SimHash recall metrics."""
+    P, B = D.DET_MINHASH_PRIME, D.DET_MINHASH_BASE
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, x) -> (acc * {B} + x) % {P})"
+    )
+
+
 def _det_minhash_cand_ctes(num_hashes: int = 16, num_bands: int = 8) -> str:
     """The shared WITH-body computing the deterministic-MinHash candidate
     pair set in DuckDB (tk -> signatures -> banded -> cand) — the SQL
     mirror of operators/dedup.det_band_signature_rows + the bucket
     self-join. Used by q_minhash_recall and q_stream_near_dedup."""
-    P, B = D.DET_MINHASH_PRIME, D.DET_MINHASH_BASE
+    P = D.DET_MINHASH_PRIME
     rows = num_hashes // num_bands
-    char_roll = (
-        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))), "
-        f"(acc, x) -> (acc * {B} + x) % {P})"
-    )
+    char_roll = _det_char_roll_sql()
     mins = ", ".join(
         f"min(({a} * s + {b}) % {P}) AS h{j}"
         for j, (a, b) in enumerate(D.det_minhash_coeffs(num_hashes))
@@ -213,6 +221,72 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     truth = _jaccard_pairs(docs, threshold=0.5).select("a", "b")
     cand = D.det_lsh_candidate_pairs(docs).withColumn("__hit", F.lit(1))
+    return truth.join(cand, ["a", "b"], "left").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.count("__hit").cast("long").alias("n_hit"),
+        (
+            F.count("__hit").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("recall"),
+    )
+
+
+def _simhash_recall_oracle(
+    bits: int = 24, band_bits: int = 4, threshold: float = 0.5
+) -> str:
+    """Generated-SQL oracle for q_simhash_recall (VERDICT r7 #6): the SAME
+    deterministic SimHash (character-rolling token hash voted bitwise over
+    the token BAG, banded small-Hamming blocking) evaluated in DuckDB, so
+    the candidate set — and the recall against the exact lang-blocked
+    Jaccard pair set — is checked value-exact."""
+    nb = bits // band_bits
+    mask = (1 << band_bits) - 1
+    sums = ", ".join(
+        f"SUM(CASE WHEN (s >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    simexpr = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(bits)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, (sim >> {b * band_bits}) & {mask} AS bv "
+        f"FROM sim"
+        for b in range(nb)
+    )
+    return f"""
+WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+shp AS (SELECT doc_id, list_transform(toks, t -> {_det_char_roll_sql()}) AS shs FROM tk),
+shh AS (SELECT doc_id, unnest(shs) AS s FROM shp),
+votes AS (SELECT doc_id, {sums} FROM shh GROUP BY doc_id),
+sim AS (SELECT doc_id, {simexpr} AS sim FROM votes),
+banded AS ({band_rows}),
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM banded x JOIN banded y
+         ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+truth AS (SELECT a.doc_id AS a, b.doc_id AS b FROM tk a JOIN tk b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(list_distinct(a.toks), list_distinct(b.toks))) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= {threshold})
+SELECT CAST(count(*) AS BIGINT) AS n_true,
+       CAST(count(c.a) AS BIGINT) AS n_hit,
+       CAST(count(c.a) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+FROM truth t LEFT JOIN cand c ON t.a = c.a AND t.b = c.b
+"""
+
+
+@register("q_simhash_recall", oracle=_simhash_recall_oracle())
+def q_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash recall as a CHECKED metric (VERDICT r7 #6 — the last
+    approximate family without one; minhash/ann/ivf gained theirs in
+    r5-r7): banded small-Hamming candidates from the cross-engine-
+    deterministic SimHash (operators/dedup.det_simhash_candidate_pairs —
+    same bit-vote semantics and bucketed shuffle shape as the production
+    xxhash64 simhash(), hash family swapped for reproducible integer
+    arithmetic) scored against the exact lang-blocked Jaccard >= 0.5
+    pair set. One row (n_true, n_hit, recall); a recall floor is
+    asserted in tests/test_llm_operators.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = _jaccard_pairs(docs, threshold=0.5).select("a", "b")
+    cand = D.det_simhash_candidate_pairs(docs).withColumn("__hit", F.lit(1))
     return truth.join(cand, ["a", "b"], "left").agg(
         F.count(F.lit(1)).cast("long").alias("n_true"),
         F.count("__hit").cast("long").alias("n_hit"),

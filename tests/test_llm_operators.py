@@ -343,6 +343,38 @@ def test_minhash_recall_floor_and_determinism(spark):
     assert rerun == row
 
 
+def test_simhash_recall_floor_and_determinism(spark):
+    """r8 (VERDICT r7 #6): SimHash banded-Hamming recall vs the exact
+    lang-blocked Jaccard >= 0.5 pair set is a deterministic number
+    (engine-agnostic hash family) — assert a floor AND non-vacuity.
+    SimHash estimates token-frequency COSINE, not set Jaccard, so its
+    recall against a Jaccard truth set is genuinely lower than MinHash's
+    0.987 — that gap is exactly what the metric is for."""
+    from d_sparq_spark.queries.llm_ops import q_simhash_recall
+    from tests.conftest import SF_SMOKE
+
+    row = q_simhash_recall(spark, SF_SMOKE).collect()[0]
+    assert row["n_true"] > 0  # vacuity guard (truth set non-empty)
+    # measured 0.834 at sf0.001 and 0.858 at sf0.01, deterministic
+    assert row["recall"] >= 0.8
+    rerun = q_simhash_recall(spark, SF_SMOKE).collect()[0]
+    assert rerun == row
+
+
+def test_det_simhash_candidates_catch_exact_dups(spark):
+    """An exact duplicate has an identical fingerprint (every band
+    matches); disjoint vocabularies should separate."""
+    from d_sparq_spark.operators.dedup import det_simhash_candidate_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"),
+         (3, "zq xv jk wpl mnb vcx qaz")],
+        "doc_id int, text string",
+    )
+    got = {(r["a"], r["b"]) for r in det_simhash_candidate_pairs(docs).collect()}
+    assert (1, 2) in got
+
+
 def test_det_lsh_candidates_catch_exact_dups(spark):
     """An exact duplicate shares every band; disjoint texts share none."""
     from d_sparq_spark.operators.dedup import det_lsh_candidate_pairs
