@@ -509,8 +509,18 @@ class Translator:
         term = node.term
         if isinstance(term, str) and term.startswith("?"):
             if self._graph_column_ok(node.child, term[1:]):
-                sub = self._spawn(self.triples, self.stats, graph_var=term[1:])
-                return sub.eval(node.child)
+                name = term[1:]
+                sub = self._spawn(self.triples, self.stats, graph_var=name)
+                out = sub.eval(node.child)
+                if name not in out.columns:
+                    # every store touch sat under a NESTED GRAPH/SERVICE
+                    # (r8): those solutions are independent of the
+                    # enclosing active graph, so extend with one row per
+                    # named graph — the same device as the pattern-free
+                    # route, still one plan
+                    gdf = self.triples.select(F.col("g").alias(name)).distinct()
+                    out = out.crossJoin(gdf)
+                return out
             name = term[1:]
             if self._pattern_free(node.child, name):
                 # pattern-free group (VALUES-only / FILTER over literals /
@@ -636,8 +646,23 @@ class Translator:
 
         Keyless global aggregates stay on the single-plan route too: _group
         left-joins the distinct-graph list back in so empty graphs still
-        yield their COUNT()=0 solution."""
+        yield their COUNT()=0 solution.
+
+        NESTED GRAPH/SERVICE (r8, VERDICT r7 #7): a nested GRAPH ?h with
+        patterns is NOT a fallback reason — its child is evaluated by its
+        own spawned translator (graph_var=h), binding BOTH graph variables
+        from quad columns in one plan; a nested GRAPH ?g (shadowing) binds
+        the same column, and the natural join implements the spec's
+        same-graph correlation. A nested SERVICE is an opaque leaf (its
+        solutions are independent of the active graph). When EVERY store
+        touch sits under a nested node the enclosing ?g never gets a
+        column — that is fine exactly when nothing reads ?g during child
+        evaluation (_graph extends with one row per named graph after);
+        otherwise fall back. Before r8 ANY nested GRAPH took the per-graph
+        driver loop, which drops the g column and made the nested shape
+        unanswerable outright."""
         stack, saw_pattern = [node], False
+        saw_nested, reads_g = False, False
         while stack:
             n = stack.pop()
             if isinstance(n, A.BGP):
@@ -645,16 +670,42 @@ class Translator:
                     return False
                 saw_pattern = True
                 continue
-            if isinstance(n, (A.Graph, A.Service)):
-                return False
+            if isinstance(n, A.Graph):
+                t = n.term
+                if isinstance(t, str) and t.startswith("?"):
+                    saw_nested = True
+                    if t[1:] == gname:
+                        # shadowing: the inner spawn binds the SAME column
+                        saw_pattern = True
+                    continue  # inner child belongs to its own spawn
+                # constant nested graph: evaluated over that graph's slice
+                # (binds nothing of gname) — but its spawn DROPS g, so a
+                # still-deeper GRAPH inside cannot run there
+                if Translator._contains_graph(n.child):
+                    return False
+                saw_nested = True
+                continue
+            if isinstance(n, A.Service):
+                saw_nested = True
+                continue  # evaluated against the service store; no g
+            if isinstance(n, (A.Filter, A.Bind)) and gname in A.expr_vars(n.expr):
+                reads_g = True
+            if isinstance(n, A.OrderBy) and any(
+                gname in A.expr_vars(e) for e, _ in n.keys
+            ):
+                reads_g = True
             if isinstance(n, A.Project):
                 if (n.vars and gname in n.vars) or any(
                     name == gname for name, _ in n.exprs
                 ):
                     return False
+                if any(gname in A.expr_vars(e) for _, e in n.exprs):
+                    reads_g = True
             if isinstance(n, A.Group):
                 if gname in n.keys or any(name == gname for name, _ in n.aggs):
                     return False
+                if any(gname in A.expr_vars(a) for _, a in n.aggs):
+                    reads_g = True
             if isinstance(n, A.Bind) and n.var == gname:
                 return False
             if isinstance(n, A.Values):
@@ -668,7 +719,23 @@ class Translator:
                 sub = getattr(n, attr, None)
                 if sub is not None and not isinstance(sub, (str, list, tuple)):
                     stack.append(sub)
-        return saw_pattern
+        if saw_pattern:
+            return True
+        # no direct pattern binds g: single-plan is still sound when the
+        # nested nodes carry all the store touches AND nothing reads the
+        # (not-yet-bound) ?g during child evaluation — _graph supplies it
+        # afterwards via the one-row-per-named-graph extension
+        return saw_nested and not reads_g
+
+    @staticmethod
+    def _contains_graph(node) -> bool:
+        stack = [node]
+        while stack:
+            n = stack.pop()
+            if isinstance(n, (A.Graph, A.Service)):
+                return True
+            stack.extend(A.subnodes(n))  # includes EXISTS groups
+        return False
 
     def _construct(self, node: A.Construct) -> DataFrame:
         """CONSTRUCT: instantiate each template pattern against the

@@ -604,3 +604,93 @@ def test_random_graph_var_fragment_matches_bruteforce(spark, data, quads):
     ]
     for e in engines:
         assert _sols_of_df(e.query(q)) == want, q
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data(), quads=st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),
+        st.sampled_from(["p", "q"]),
+        st.sampled_from(["x", "y", "a", "b"]),
+        st.sampled_from(["g1", "g2", "g3"]),
+    ),
+    min_size=1, max_size=12,
+))
+def test_random_nested_graph_matches_bruteforce(spark, data, quads):
+    """r8 (VERDICT r7 #7): GRAPH ?g { [main .] GRAPH ?h|?g { inner } } vs
+    the spec semantics — outer union over graphs gi of Join(eval(D(gi),
+    child), {?g -> gi}), where the nested node is itself a union over gj
+    of Join(eval(D(gj), inner), {?h -> gj}) INDEPENDENT of gi. Randomizes
+    the nested variable (fresh ?h vs shadowing ?g), presence of sibling
+    main patterns (none -> the one-row-per-graph extension device), and
+    pattern shapes, on both engines. The single plan must bind both graph
+    variables from quad columns with no driver loop."""
+    from d_sparq_spark.encoded_engine import EncodedSparqlEngine
+    from d_sparq_spark.engine import SparqlEngine
+    from d_sparq_spark.plans import translate as TR
+
+    quads = sorted(set(quads))
+    draw = data.draw
+    TERMS = ["?a", "?b", "?c", "x", "y", "a"]
+
+    def pats(n_max=2):
+        return [
+            (draw(st.sampled_from(TERMS)),
+             draw(st.sampled_from(["p", "q"])),
+             draw(st.sampled_from(TERMS)))
+            for _ in range(draw(st.integers(1, n_max)))
+        ]
+
+    def render_pat(p):
+        f = lambda t: t if t.startswith("?") else f"<{t}>"
+        return f"{f(p[0])} <{p[1]}> {f(p[2])} ."
+
+    main = pats(2) if draw(st.booleans()) else None
+    inner = pats(2)
+    hvar = draw(st.sampled_from(["h", "g"]))
+    graphs = sorted({g for *_, g in quads})
+
+    def gslice(gi):
+        return [(s, p, o) for (s, p, o, g) in quads if g == gi]
+
+    # nested node: union over gj, extend with {hvar -> gj}
+    inner_sols = []
+    for gj in graphs:
+        for mu in _bf_bgp(gslice(gj), inner):
+            if mu.get(hvar, gj) != gj:
+                continue  # ?h/?g also used as a pattern term in inner
+            inner_sols.append({**mu, hvar: gj})
+    # outer: per gi, join main (or unit) with the nested sols, then {g->gi}
+    want_sols = []
+    for gi in graphs:
+        A = _bf_bgp(gslice(gi), main) if main is not None else [{}]
+        for mu1 in A:
+            for mu2 in inner_sols:
+                if not _bf_compat(mu1, mu2):
+                    continue
+                mu = {**mu1, **mu2}
+                if mu.get("g", gi) != gi:
+                    continue
+                want_sols.append({**mu, "g": gi})
+
+    proj_vars = sorted({
+        t[1:] for p in (main or []) + inner for t in (p[0], p[2])
+        if t.startswith("?")
+    } | {"g", hvar})
+    body = " ".join(render_pat(p) for p in main) if main is not None else ""
+    body += f" GRAPH ?{hvar} {{ " + " ".join(render_pat(p) for p in inner) + " }"
+    q = (f"SELECT {' '.join('?' + v for v in proj_vars)} "
+         f"WHERE {{ GRAPH ?g {{ {body} }} }}")
+    want = _sols_of_bf(want_sols, set(proj_vars))
+
+    qdf = spark.createDataFrame(quads, "s string, p string, o string, g string")
+    d = build_dictionary(qdf)
+    engines = [
+        SparqlEngine(qdf, collect_stats=False),
+        EncodedSparqlEngine(encode_triples(qdf, d), d, collect_stats=False),
+    ]
+    before = TR.GRAPH_FALLBACK_LOOPS
+    for e in engines:
+        assert _sols_of_df(e.query(q)) == want, q
+    assert TR.GRAPH_FALLBACK_LOOPS == before  # single plan, no driver loop

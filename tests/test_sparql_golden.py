@@ -1831,6 +1831,104 @@ def test_graph_var_pattern_free_group_single_plan(spark):
     assert TR.GRAPH_FALLBACK_LOOPS == before  # no driver loop engaged
 
 
+def test_nested_graph_single_plan_both_engines(spark):
+    """r8 (VERDICT r7 #7): a nested GRAPH ?h under GRAPH ?g with a
+    pattern-bearing child binds BOTH graph variables from quad columns in
+    ONE plan — no per-graph driver loop (fallback counter pinned), on both
+    engines. Before r8 every nested shape fell to the loop, which drops
+    the g column and made nested GRAPH raise outright."""
+    from d_sparq_spark.plans import translate as TR
+
+    quads = spark.createDataFrame(
+        [("s:a", "p:x", "o:1", "g:a"), ("s:b", "p:x", "o:2", "g:b"),
+         ("o:1", "p:y", "o:3", "g:b"), ("s:a", "p:z", "o:4", "g:a")],
+        "s string, p string, o string, g string",
+    )
+    engines = [SparqlEngine(quads, collect_stats=False)]
+    from d_sparq_spark.encoded_engine import EncodedSparqlEngine
+    from d_sparq_spark.operators.dictionary import build_dictionary, encode_triples
+
+    d = build_dictionary(quads)
+    engines.append(
+        EncodedSparqlEngine(encode_triples(quads, d), d, collect_stats=False)
+    )
+    before = TR.GRAPH_FALLBACK_LOOPS
+    for e in engines:
+        # sibling pattern + nested GRAPH ?h: join across graphs on ?o
+        out = e.query(
+            "SELECT ?g ?h ?s ?o2 WHERE { GRAPH ?g { ?s <p:x> ?o . "
+            "GRAPH ?h { ?o <p:y> ?o2 } } }"
+        )
+        assert sorted(tuple(r) for r in out.collect()) == [
+            ("g:a", "g:b", "s:a", "o:3")
+        ]
+        # nested-only: ?g ranges over ALL named graphs (solutions are
+        # independent of the enclosing active graph)
+        out2 = e.query("SELECT ?g ?h WHERE { GRAPH ?g { GRAPH ?h { ?s <p:y> ?o } } }")
+        assert sorted(tuple(r) for r in out2.collect()) == [
+            ("g:a", "g:b"), ("g:b", "g:b")
+        ]
+        # shadowing GRAPH ?g under GRAPH ?g: same column, natural join
+        # implements the spec's same-graph correlation
+        out3 = e.query(
+            "SELECT ?g ?s WHERE { GRAPH ?g { ?s <p:x> ?o . "
+            "GRAPH ?g { ?s <p:z> ?o2 } } }"
+        )
+        assert sorted(tuple(r) for r in out3.collect()) == [("g:a", "s:a")]
+        # nested GRAPH under OPTIONAL: unmatched graphs keep the left row
+        out4 = e.query(
+            "SELECT ?g ?s ?o2 WHERE { GRAPH ?g { ?s <p:x> ?o . "
+            "OPTIONAL { GRAPH ?h { ?o <p:y> ?o2 } } } }"
+        )
+        assert sorted(tuple(r) for r in out4.collect() ) == [
+            ("g:a", "s:a", "o:3"), ("g:b", "s:b", None)
+        ]
+        # constant graph nested under GRAPH ?g
+        out5 = e.query(
+            "SELECT ?g WHERE { GRAPH ?g { GRAPH <g:a> { ?s <p:z> ?o } } }"
+        )
+        assert sorted(r["g"] for r in out5.collect()) == ["g:a", "g:b"]
+    assert TR.GRAPH_FALLBACK_LOOPS == before  # no driver loop engaged
+
+
+def test_nested_graph_matches_per_graph_brute_force(spark):
+    """The nested-GRAPH single plan against a brute-force evaluation of
+    the SPARQL algebra (outer union over named graphs gi of
+    Join(eval(D(gi), child), {g -> gi}), inner likewise) on a denser quad
+    fixture — the same oracle style the GRAPH fuzz lap uses."""
+    rows = []
+    for gi in range(4):
+        for i in range(6):
+            rows.append((f"s:{i}", "p:x", f"o:{(i + gi) % 5}", f"g:{gi}"))
+            if i % 2 == 0:
+                rows.append((f"o:{i % 5}", "p:y", f"v:{i}", f"g:{(gi + 1) % 4}"))
+    quads = spark.createDataFrame(rows, "s string, p string, o string, g string")
+    e = SparqlEngine(quads, collect_stats=False)
+    got = sorted(
+        tuple(r)
+        for r in e.query(
+            "SELECT ?g ?h ?s ?o ?v WHERE { GRAPH ?g { ?s <p:x> ?o . "
+            "GRAPH ?h { ?o <p:y> ?v } } }"
+        ).collect()
+    )
+    # brute force over pandas
+    pdf = quads.toPandas()
+    graphs = sorted(pdf["g"].unique())
+    want = []
+    for gi in graphs:
+        sl = pdf[pdf["g"] == gi]
+        px = sl[sl["p"] == "p:x"]
+        for gj in graphs:
+            sl2 = pdf[pdf["g"] == gj]
+            py = sl2[sl2["p"] == "p:y"]
+            for _, a in px.iterrows():
+                for _, b in py.iterrows():
+                    if a["o"] == b["s"]:
+                        want.append((gi, gj, a["s"], a["o"], b["o"]))
+    assert got == sorted(want)
+    assert len(want) > 0  # vacuity guard
+
+
 def test_minus_under_graph_var_explicit_g_in_right(spark):
     """The GRAPH variable used EXPLICITLY inside MINUS's right pattern is
     spec-scoped to the MINUS right: within each graph it ranges FREELY
