@@ -367,10 +367,10 @@ WITH val AS (
   WHERE n.n_name = 'NATION_3'
   GROUP BY l.l_partkey
 )
-SELECT l_partkey AS p_partkey, value
-FROM val
-WHERE value > (SELECT {sql_dsum('value')} * 0.001 FROM val)
-ORDER BY value DESC, p_partkey
+SELECT v.l_partkey AS p_partkey, v.value
+FROM val v CROSS JOIN (SELECT {sql_dsum('value')} AS tot, COUNT(*) AS n FROM val) t
+WHERE v.value * t.n > t.tot * 2
+ORDER BY v.value DESC, p_partkey
 """
 
 
@@ -381,8 +381,12 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold. No partsupp, so value is discounted revenue from lineitem.
     Scale shape: the keyed aggregate is computed ONCE and persisted; its
     1-row total broadcasts back as a cross join (Q15's pattern) — the
-    naive form scans lineitem twice. Both the values and the total are
-    decimal-exact, so the threshold comparison cannot flap."""
+    naive form scans lineitem twice. The threshold is SCALE-FREE (r8,
+    found by the sf0.1 oracle lap): a fixed fraction of the global total
+    goes vacuously empty as the part count grows (TPC-H's own spec scales
+    it by 1/SF), so keep parts above 2x the MEAN share instead —
+    value * n_parts > total * 2, multiplication only, so both engines
+    compare decimal-exact values and the threshold cannot flap."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
@@ -399,10 +403,13 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
     )
     val = val.persist()  # value list + its total: one lineitem pass, not two
-    total = val.agg((dsum(F.col("value")) * 0.001).alias("_thr"))
+    total = val.agg(
+        (dsum(F.col("value")) * 2).alias("_tot2"),
+        F.count(F.lit(1)).alias("_n"),
+    )
     return (
         val.crossJoin(F.broadcast(total))
-        .filter(F.col("value") > F.col("_thr"))
+        .filter(F.col("value") * F.col("_n") > F.col("_tot2"))
         .select(F.col("l_partkey").alias("p_partkey"), "value")
         .orderBy(F.col("value").desc(), "p_partkey")
     )

@@ -10,13 +10,22 @@ tuned confs, foreign cwd is fine because queries ship the package), and
 writes one JSON file per round so attestation rotation never hides a
 regression.
 
-Usage: python tools/emit_local_oracle.py <round> [sf_dir]
+Usage: python tools/emit_local_oracle.py <round> [sf_dir] [skip_regex]
+
+With sf_dir other than sf0.01 the artifact is suffixed with the scale tag
+(LOCAL_ORACLE_sf01_r{N}.json for sf0.1 — the r8 cross-scale lap, VERDICT
+r7 #8: constants tuned at one scale can pass vacuously at another, so the
+non-iterative oracled queries get one pass at sf0.1 too). skip_regex
+excludes keys whose ORACLE side is documented to spill/blow up in DuckDB
+at the larger scale (iterative closures, quadratic truth sets); skipped
+keys are recorded as "skipped", never silently dropped.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import traceback
 
@@ -24,6 +33,7 @@ import traceback
 def main() -> None:
     rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    skip_re = re.compile(sys.argv[3]) if len(sys.argv) > 3 else None
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
 
@@ -44,6 +54,11 @@ def main() -> None:
     out: dict[str, dict] = {}
     for name, q in registry.all_queries().items():
         entry: dict = {"mode": "oracle" if q.oracle else "rows_only"}
+        if skip_re is not None and skip_re.search(name):
+            entry["status"] = "skipped"
+            out[name] = entry
+            print(name, "skipped", flush=True)
+            continue
         try:
             sdf = q.fn(spark, sf_dir).toPandas()
             entry["rows"] = int(len(sdf))
@@ -70,10 +85,13 @@ def main() -> None:
         "pass": sum(1 for e in out.values() if e["status"] == "pass"),
         "fail": sum(1 for e in out.values() if e["status"] == "fail"),
         "error": sum(1 for e in out.values() if e["status"] == "error"),
+        "skipped": sum(1 for e in out.values() if e["status"] == "skipped"),
         "sf_dir": sf_dir,
     }
     doc = {"summary": counts, "queries": out}
-    path = os.path.join(repo, f"LOCAL_ORACLE_r{rnd:02d}.json")
+    tag = os.path.basename(sf_dir.rstrip("/")).replace("sf0.", "sf0")
+    suffix = "" if tag == "sf001" else f"_{tag}"
+    path = os.path.join(repo, f"LOCAL_ORACLE{suffix}_r{rnd:02d}.json")
     with open(path, "w") as f:
         json.dump(doc, f, indent=1)
     print(json.dumps(counts))
