@@ -1,0 +1,128 @@
+"""RDFS forward-chaining materialization (the rho-df fragment).
+
+The reference engine's research lineage is distributed RDF *reasoning*
+(the D-SPARQ author's DistEL/OWL line of work): materialize the RDFS
+entailments of an instance store up front so SPARQL queries over the
+closure need no inference at query time. This operator covers the
+rho-df fragment (Munoz, Perez, Gutierrez: "Minimal deductive systems
+for RDF") — the subset everyone materializes in practice:
+
+- rdfs5/rdfs11: subPropertyOf / subClassOf transitivity,
+- rdfs7: (s p o), p subPropertyOf q  |-  (s q o),
+- rdfs2: (s p o), domain(p, C)       |-  (s rdf:type C),
+- rdfs3: (s p o), range(p, C)        |-  (o rdf:type C),
+- rdfs9: (x rdf:type C), C subClassOf D  |-  (x rdf:type D).
+
+Scale shape (the whole point): the ONTOLOGY is metadata-scale (a schema
+has thousands of terms, the instance data has billions of triples), so
+its transitive closures run on the driver — same device as the small-
+closure gate in operators/paths.py — and every rule application is a
+BROADCAST join against the big store. No iteration ever touches the
+instance data: with the hierarchies pre-closed, the rho-df fixpoint is
+reached in ONE pass (rdfs7 feeds rdfs2/3 feeds rdfs9, and nothing feeds
+back — rdf:type is not a subproperty and class terms carry no
+properties in the fragment), which the docstring of rdfs_entailment
+states as the soundness argument. One distinct at the end is the only
+shuffle over instance-scale data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SUBCLASS = "rdfs:subClassOf"
+SUBPROP = "rdfs:subPropertyOf"
+DOMAIN = "rdfs:domain"
+RANGE = "rdfs:range"
+TYPE = "rdf:type"
+
+
+def transitive_pairs(pairs: list) -> list:
+    """Driver-side transitive closure of (sub, sup) edges — the ontology
+    is metadata-scale by definition; a distributed fixpoint here would
+    spend more on job scheduling than the closure costs in Python."""
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+    out = set()
+    for a in adj:
+        seen, stack = set(), list(adj[a])
+        while stack:
+            b = stack.pop()
+            if b in seen or b == a:
+                continue
+            seen.add(b)
+            stack.extend(adj.get(b, ()))
+        out.update((a, b) for b in seen)
+    return sorted(out)
+
+
+def rdfs_entailment(triples: DataFrame, ontology: list) -> DataFrame:
+    """Materialize the rho-df closure of ``triples`` under ``ontology``
+    (a list of (s, p, o) schema triples using the rdfs:* vocabulary).
+    Returns the FULL closure — original triples plus every entailment —
+    as a distinct (s, p, o) relation.
+
+    Single-pass soundness: subPropertyOf/subClassOf arrive pre-closed
+    (driver BFS), so rdfs7 over the closed property pairs derives every
+    property entailment at once; rdfs2/3 applied to base+derived
+    property triples see every predicate they will ever see; rdfs9 over
+    the closed class pairs finishes the type closure. No derived triple
+    can re-enable an earlier rule: rdfs7 output has schema predicates
+    only from the closed hierarchy, and rdfs2/3/9 output rdf:type
+    triples, which no rho-df rule consumes as its property position."""
+    spark = triples.sparkSession
+    sub_prop = transitive_pairs([(s, o) for s, p, o in ontology if p == SUBPROP])
+    sub_cls = transitive_pairs([(s, o) for s, p, o in ontology if p == SUBCLASS])
+    dom = [(s, o) for s, p, o in ontology if p == DOMAIN]
+    rng = [(s, o) for s, p, o in ontology if p == RANGE]
+
+    def pair_df(pairs, a: str, b: str):
+        if not pairs:
+            return None
+        return F.broadcast(
+            spark.createDataFrame(pairs, f"{a} string, {b} string")
+        )
+
+    parts = [triples.select("s", "p", "o")]
+    spp = pair_df(sub_prop, "_sub", "_sup")
+    if spp is not None:  # rdfs7 over the closed property hierarchy
+        parts.append(
+            triples.join(spp, triples.p == spp._sub)
+            .select("s", F.col("_sup").alias("p"), "o")
+        )
+    all_prop = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+
+    derived = list(parts)
+    dm = pair_df(dom, "_p", "_cls")
+    if dm is not None:  # rdfs2
+        derived.append(
+            all_prop.join(dm, all_prop.p == dm._p)
+            .select("s", F.lit(TYPE).alias("p"), F.col("_cls").alias("o"))
+        )
+    rg = pair_df(rng, "_p", "_cls")
+    if rg is not None:  # rdfs3
+        derived.append(
+            all_prop.join(rg, all_prop.p == rg._p)
+            .select(
+                F.col("o").alias("s"),
+                F.lit(TYPE).alias("p"),
+                F.col("_cls").alias("o"),
+            )
+        )
+    scc = pair_df(sub_cls, "_sub", "_sup")
+    if scc is not None:  # rdfs9 over ALL type triples (base + rdfs2/3)
+        from functools import reduce
+
+        types = reduce(
+            lambda a, b: a.unionByName(b),
+            [d.filter(F.col("p") == TYPE) for d in derived],
+        )
+        derived.append(
+            types.join(scc, types.o == scc._sub)
+            .select("s", F.lit(TYPE).alias("p"), F.col("_sup").alias("o"))
+        )
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), derived).dropDuplicates()

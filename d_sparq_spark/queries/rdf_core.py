@@ -250,3 +250,78 @@ def q_load_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         'SELECT ?c ?name ?bal WHERE { ?c foaf:name ?name ; ex:acctbal ?bal ; '
         'ex:mktsegment "BUILDING" }'
     )
+
+
+# --- q_rdfs_entailment: rho-df forward-chaining materialization (r8) ---------
+
+_RDFS_ONTOLOGY = [
+    # class hierarchy (rdfs9/11)
+    ("Customer", "rdfs:subClassOf", "Agent"),
+    ("Agent", "rdfs:subClassOf", "Thing"),
+    ("Nation", "rdfs:subClassOf", "Place"),
+    ("Region", "rdfs:subClassOf", "Place"),
+    ("Place", "rdfs:subClassOf", "Thing"),
+    ("SpatialThing", "rdfs:subClassOf", "Thing"),
+    # property hierarchy (rdfs5/7) — two levels deep on purpose
+    ("ex:nation", "rdfs:subPropertyOf", "ex:locatedIn"),
+    ("ex:region", "rdfs:subPropertyOf", "ex:locatedIn"),
+    ("ex:locatedIn", "rdfs:subPropertyOf", "ex:related"),
+    ("foaf:name", "rdfs:subPropertyOf", "ex:label"),
+    # domain/range (rdfs2/3) — on the DERIVED superproperty, so the rule
+    # only fires through the rdfs7 output
+    ("ex:locatedIn", "rdfs:domain", "SpatialThing"),
+    ("ex:locatedIn", "rdfs:range", "Place"),
+    ("ex:mktsegment", "rdfs:domain", "Customer"),
+]
+
+
+def _rdfs_oracle() -> str:
+    """DuckDB mirror of operators/reasoning.rdfs_entailment, generated
+    from the SAME ontology constants: recursive CTEs close the two
+    hierarchies, then each rho-df rule is one join — so the closure is
+    value-exact in both engines."""
+    from d_sparq_spark.operators import reasoning as R
+
+    def values(pairs):
+        return ", ".join(f"('{a}', '{b}')" for a, b in pairs)
+
+    spo = [(s, o) for s, p, o in _RDFS_ONTOLOGY if p == R.SUBPROP]
+    sco = [(s, o) for s, p, o in _RDFS_ONTOLOGY if p == R.SUBCLASS]
+    dom = [(s, o) for s, p, o in _RDFS_ONTOLOGY if p == R.DOMAIN]
+    rng = [(s, o) for s, p, o in _RDFS_ONTOLOGY if p == R.RANGE]
+    return f"""
+WITH RECURSIVE
+base AS ({TRIPLES_SQL}),
+spo(sub, sup) AS (VALUES {values(spo)}),
+spc(sub, sup) AS (SELECT sub, sup FROM spo
+  UNION SELECT c.sub, o.sup FROM spc c JOIN spo o ON c.sup = o.sub),
+sco_d(sub, sup) AS (VALUES {values(sco)}),
+sco(sub, sup) AS (SELECT sub, sup FROM sco_d
+  UNION SELECT c.sub, o.sup FROM sco c JOIN sco_d o ON c.sup = o.sub),
+d7 AS (SELECT t.s, c.sup AS p, t.o FROM base t JOIN spc c ON t.p = c.sub),
+allp AS (SELECT s, p, o FROM base UNION ALL SELECT s, p, o FROM d7),
+dom(p, cls) AS (VALUES {values(dom)}),
+rng(p, cls) AS (VALUES {values(rng)}),
+d2 AS (SELECT t.s, 'rdf:type' AS p, d.cls AS o FROM allp t JOIN dom d ON t.p = d.p),
+d3 AS (SELECT t.o AS s, 'rdf:type' AS p, r.cls AS o FROM allp t JOIN rng r ON t.p = r.p),
+typed AS (SELECT s, o FROM allp WHERE p = 'rdf:type'
+  UNION ALL SELECT s, o FROM d2 UNION ALL SELECT s, o FROM d3),
+d9 AS (SELECT t.s, 'rdf:type' AS p, c.sup AS o FROM typed t JOIN sco c ON t.o = c.sub)
+SELECT DISTINCT s, p, o FROM (
+  SELECT s, p, o FROM allp UNION ALL SELECT s, p, o FROM d2
+  UNION ALL SELECT s, p, o FROM d3 UNION ALL SELECT s, p, o FROM d9)
+"""
+
+
+@register("q_rdfs_entailment", oracle=_rdfs_oracle())
+def q_rdfs_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS (rho-df) materialization of the derived triple store under a
+    constant test ontology — the reference lineage's reasoning workload
+    (operators/reasoning.py): subPropertyOf/subClassOf closed on the
+    driver (metadata-scale), every rule application a broadcast join
+    against the instance store, one distinct as the only instance-scale
+    shuffle, single pass (no fixpoint over big data — see the module
+    docstring's soundness argument)."""
+    from d_sparq_spark.operators.reasoning import rdfs_entailment
+
+    return rdfs_entailment(derive_triples(spark, sf_dir), _RDFS_ONTOLOGY)

@@ -155,7 +155,9 @@ _LAST_ATTESTED: dict[str, int] = {
 # Queries first registered THIS round (round 8): they sort after any older
 # never-attested queries but before the already-attested ones — age
 # priority, so no key starves.
-_NEW_THIS_ROUND: frozenset[str] = frozenset({"q_simhash_recall"})
+_NEW_THIS_ROUND: frozenset[str] = frozenset(
+    {"q_simhash_recall", "q_rdfs_entailment"}
+)
 
 
 def all_queries() -> dict[str, Query]:

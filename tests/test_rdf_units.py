@@ -279,3 +279,57 @@ def test_ndv_ordering_constant_object_uses_per_object_selectivity(spark):
     counts_only = {r["p"]: r["cnt"] for r in stats.collect()}
     assert [tp.p for tp in order_by_selectivity(star, counts_only)] == ["mid", "big"]
     assert [tp.p for tp in order_by_selectivity(star, stats)] == ["big", "mid"]
+
+
+def test_rdfs_entailment_rules_on_fixture(spark):
+    """rho-df rules fire exactly as specified on a hand-built store:
+    rdfs7 through a 2-level property chain, rdfs2/3 via the DERIVED
+    superproperty only, rdfs9 through a 2-level class chain — and
+    nothing else is invented (closure checked for exact equality)."""
+    from d_sparq_spark.operators.reasoning import rdfs_entailment
+
+    triples = spark.createDataFrame(
+        [("a", "ex:knows", "b"), ("a", "rdf:type", "Student")],
+        "s string, p string, o string",
+    )
+    onto = [
+        ("ex:knows", "rdfs:subPropertyOf", "ex:related"),
+        ("ex:related", "rdfs:subPropertyOf", "ex:any"),
+        ("ex:related", "rdfs:domain", "Person"),
+        ("ex:related", "rdfs:range", "Person"),
+        ("Student", "rdfs:subClassOf", "Person"),
+        ("Person", "rdfs:subClassOf", "Agent"),
+    ]
+    got = sorted(map(tuple, rdfs_entailment(triples, onto).collect()))
+    assert got == sorted(
+        [
+            ("a", "ex:knows", "b"),
+            ("a", "rdf:type", "Student"),
+            ("a", "ex:related", "b"),  # rdfs7 level 1
+            ("a", "ex:any", "b"),  # rdfs7 via the closed chain (rdfs5)
+            ("a", "rdf:type", "Person"),  # rdfs2 on the DERIVED ex:related
+            ("b", "rdf:type", "Person"),  # rdfs3 on the derived triple
+            ("a", "rdf:type", "Agent"),  # rdfs9 (from Student AND Person)
+            ("b", "rdf:type", "Agent"),  # rdfs9 on the rdfs3 output
+        ]
+    )
+
+
+def test_rdfs_entailment_plan_is_broadcast_only(spark):
+    """Scale shape: every rule application must broadcast the metadata-
+    scale ontology against the instance store — no sort-merge join, no
+    instance-scale shuffle except the final distinct."""
+    from d_sparq_spark.operators.reasoning import rdfs_entailment
+
+    triples = spark.createDataFrame(
+        [(f"s{i}", "ex:knows", f"o{i}") for i in range(100)],
+        "s string, p string, o string",
+    )
+    onto = [
+        ("ex:knows", "rdfs:subPropertyOf", "ex:related"),
+        ("ex:related", "rdfs:domain", "Person"),
+        ("Person", "rdfs:subClassOf", "Agent"),
+    ]
+    plan = rdfs_entailment(triples, onto)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
