@@ -126,3 +126,40 @@ def rdfs_entailment(triples: DataFrame, ontology: list) -> DataFrame:
     from functools import reduce
 
     return reduce(lambda a, b: a.unionByName(b), derived).dropDuplicates()
+
+
+def smush_sameas(
+    triples: DataFrame, sameas_pred: str = "owl:sameAs"
+) -> DataFrame:
+    """owl:sameAs SMUSHING — entity canonicalization: every member of a
+    sameAs equivalence class is rewritten to the class's MINIMUM term
+    (deterministic representative), in both subject and object position;
+    the sameAs triples themselves are consumed. The RDF twin of the
+    LLM-pipeline's entity-resolution step, and the standard preprocessing
+    pass of linked-data integration (sameAs chains arrive from record
+    linkage, the store queries as if merged).
+
+    Scale shape: sameAs edges are instance-scale, so the equivalence
+    classes come from the distributed pointer-jumping CC
+    (operators/graph.connected_components), NOT a driver closure; the
+    rewrite is two left joins against the (entity, canonical) map —
+    map-side when the map broadcasts, shuffle-on-key otherwise — plus one
+    distinct (merged entities can collapse triples onto each other)."""
+    from d_sparq_spark.operators.graph import connected_components
+
+    sa = triples.filter(F.col("p") == sameas_pred)
+    rest = triples.filter(F.col("p") != sameas_pred)
+    edges = sa.select(F.col("s").alias("u"), F.col("o").alias("v"))
+    # nodes: only entities that appear in a sameAs link need a label —
+    # everything else maps to itself by the coalesce below
+    comp = connected_components(
+        edges.select(F.col("u").alias("node")), edges
+    ).select(F.col("node").alias("_t"), F.col("comp").alias("_c"))
+    smap = comp.filter(F.col("_t") != F.col("_c"))  # identity rows are free
+    out = (
+        rest.join(smap.withColumnRenamed("_t", "s"), "s", "left")
+        .select(F.coalesce("_c", "s").alias("s"), "p", "o")
+        .join(smap.withColumnRenamed("_t", "o"), "o", "left")
+        .select("s", "p", F.coalesce("_c", "o").alias("o"))
+    )
+    return out.dropDuplicates()

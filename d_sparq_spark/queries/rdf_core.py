@@ -325,3 +325,65 @@ def q_rdfs_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d_sparq_spark.operators.reasoning import rdfs_entailment
 
     return rdfs_entailment(derive_triples(spark, sf_dir), _RDFS_ONTOLOGY)
+
+
+# --- q_sameas_smush: owl:sameAs entity canonicalization (r8) ------------------
+
+_SAMEAS_ORACLE = f"""
+WITH RECURSIVE
+base AS ({TRIPLES_SQL}),
+ak AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 10 = 0),
+extra AS (
+  SELECT 'alias:' || k AS s, 'owl:sameAs' AS p, 'c:' || k AS o FROM ak
+  UNION ALL SELECT 'alias2:' || k, 'owl:sameAs', 'alias:' || k FROM ak
+  UNION ALL SELECT 'alias2:' || k, 'ex:vip', 'true' FROM ak
+  UNION ALL SELECT 'n:' || (k % 25), 'ex:featured', 'alias:' || k FROM ak
+),
+allt AS (SELECT s, p, o FROM base UNION ALL SELECT s, p, o FROM extra),
+sa AS (SELECT s, o FROM allt WHERE p = 'owl:sameAs'),
+rest AS (SELECT s, p, o FROM allt WHERE p <> 'owl:sameAs'),
+edges AS (SELECT s AS u, o AS v FROM sa UNION ALL SELECT o, s FROM sa),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+reach(node, comp) AS (SELECT node, node FROM nodes
+  UNION SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node),
+cc AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node),
+m AS (SELECT node, comp FROM cc WHERE node <> comp)
+SELECT DISTINCT COALESCE(ms.comp, t.s) AS s, t.p, COALESCE(mo.comp, t.o) AS o
+FROM rest t LEFT JOIN m ms ON ms.node = t.s LEFT JOIN m mo ON mo.node = t.o
+"""
+
+
+@register("q_sameas_smush", oracle=_SAMEAS_ORACLE)
+def q_sameas_smush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:sameAs smushing (operators/reasoning.smush_sameas) over the
+    derived store plus deterministic alias chains (alias2:k -> alias:k ->
+    c:k for every 10th customer, with facts hanging off the aliases in
+    BOTH subject and object position): equivalence classes from the
+    distributed pointer-jumping CC, every member rewritten to the class
+    minimum, sameAs triples consumed. Oracle: recursive-CTE CC + the same
+    coalesce rewrite."""
+    from d_sparq_spark.operators.reasoning import smush_sameas
+    from d_sparq_spark.sources.tables import load_table
+
+    t = derive_triples(spark, sf_dir)
+    ak = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 10 == 0)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    ks = F.col("k").cast("string")
+    alias1 = F.concat(F.lit("alias:"), ks)
+    alias2 = F.concat(F.lit("alias2:"), ks)
+    extra = (
+        ak.select(alias1.alias("s"), F.lit("owl:sameAs").alias("p"),
+                  F.concat(F.lit("c:"), ks).alias("o"))
+        .unionByName(ak.select(alias2.alias("s"),
+                               F.lit("owl:sameAs").alias("p"),
+                               alias1.alias("o")))
+        .unionByName(ak.select(alias2.alias("s"), F.lit("ex:vip").alias("p"),
+                               F.lit("true").alias("o")))
+        .unionByName(ak.select(
+            F.concat(F.lit("n:"), (F.col("k") % 25).cast("string")).alias("s"),
+            F.lit("ex:featured").alias("p"), alias1.alias("o")))
+    )
+    return smush_sameas(t.unionByName(extra))

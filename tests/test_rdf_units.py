@@ -333,3 +333,30 @@ def test_rdfs_entailment_plan_is_broadcast_only(spark):
     plan = rdfs_entailment(triples, onto)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_smush_sameas_fixture(spark):
+    """sameAs chains collapse to the minimum member in both positions;
+    sameAs triples are consumed; untouched entities pass through; merged
+    duplicate facts collapse to one row."""
+    from d_sparq_spark.operators.reasoning import smush_sameas
+
+    triples = spark.createDataFrame(
+        [
+            ("b", "owl:sameAs", "a"),
+            ("c", "owl:sameAs", "b"),  # chain: {a,b,c} -> a
+            ("c", "ex:age", "30"),
+            ("a", "ex:age", "30"),  # duplicate after smushing
+            ("x", "ex:knows", "b"),  # object position rewrite
+            ("z", "ex:other", "w"),  # untouched
+        ],
+        "s string, p string, o string",
+    )
+    got = sorted(map(tuple, smush_sameas(triples).collect()))
+    assert got == sorted(
+        [
+            ("a", "ex:age", "30"),
+            ("x", "ex:knows", "a"),
+            ("z", "ex:other", "w"),
+        ]
+    )
