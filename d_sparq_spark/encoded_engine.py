@@ -298,6 +298,7 @@ class EncodedSparqlEngine:
         catalog=None,
         services: dict | None = None,
         dict_rank_ordered: bool = True,
+        stats: dict | None = None,
     ):
         """triples_enc: (s,p,o) LONG columns; dictionary: (id, term[, kind]).
         dict_rank_ordered declares whether ids are LEXICOGRAPHIC-RANK-
@@ -334,8 +335,9 @@ class EncodedSparqlEngine:
         self._qpins: list = []
         self.catalog = catalog
         self.services = services or {}
-        stats = None
-        if collect_stats:
+        # a precomputed stats dict skips the per-engine aggregation (r8;
+        # same rationale as SparqlEngine)
+        if stats is None and collect_stats:
             stats = {  # count + approx ndv, same single scan as SparqlEngine
                 r["p"]: (r["cnt"], r["ndv_s"], r["ndv_o"])
                 for r in triples_enc.groupBy("p")

@@ -26,6 +26,7 @@ class SparqlEngine:
         collect_stats: bool = True,
         services: dict[str, DataFrame] | None = None,
         catalog=None,
+        stats: dict | None = None,
     ):
         """triples: DataFrame with columns (s, p, o). collect_stats runs one
         small aggregation up front (A11) so BGP planning can order patterns
@@ -42,8 +43,10 @@ class SparqlEngine:
                 "single graph's slice instead"
             )
         self.triples = triples
-        stats = None
-        if collect_stats:
+        # a precomputed stats dict skips the per-engine aggregation — the
+        # query harness constructs one engine per call over the SAME cached
+        # store, so it memoizes the collect once per session (r8)
+        if stats is None and collect_stats:
             # A7+A11 ordering wants count AND distinct-subject/object
             # cardinality per predicate (rdf_patterns.order_by_selectivity's
             # join-cardinality model). approx_count_distinct keeps this the

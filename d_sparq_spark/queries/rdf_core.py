@@ -142,8 +142,10 @@ _STAR_PATTERNS = [
 
 @register("q_star_join", oracle=_ORACLE_STAR)
 def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from d_sparq_spark.sources.derived_rdf import planning_stats_cached
+
     triples = derive_triples(spark, sf_dir)
-    stats = planning_stats(triples)  # approx ndv: ordering only (r8)
+    stats = planning_stats_cached(spark, sf_dir)  # approx ndv, memoized (r8)
     return star_join(triples, _STAR_PATTERNS, stats=stats).select("c", "name", "bal")
 
 
@@ -187,8 +189,10 @@ WHERE r_name = 'ASIA'
 
 @register("q_path_join", oracle=_ORACLE_PATH)
 def q_path_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from d_sparq_spark.sources.derived_rdf import planning_stats_cached
+
     triples = derive_triples(spark, sf_dir)
-    stats = planning_stats(triples)  # approx ndv: ordering only (r8)
+    stats = planning_stats_cached(spark, sf_dir)  # approx ndv, memoized (r8)
     stars = [
         [TriplePattern("?c", "ex:nation", "?n"), TriplePattern("?c", "foaf:name", "?cname")],
         [TriplePattern("?n", "ex:region", "?r")],

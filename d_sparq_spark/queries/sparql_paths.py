@@ -15,7 +15,12 @@ from d_sparq_spark.sources.derived_rdf import derive_triples_cached as derive_tr
 def _q(name: str, sparql: str, oracle: str) -> None:
     @register(name, oracle=oracle)
     def runner(spark: SparkSession, sf_dir: str, _s=sparql) -> DataFrame:
-        return SparqlEngine(derive_triples(spark, sf_dir)).query(_s)
+        from d_sparq_spark.sources.derived_rdf import planning_stats_cached
+
+        return SparqlEngine(
+            derive_triples(spark, sf_dir),
+            stats=planning_stats_cached(spark, sf_dir),
+        ).query(_s)
 
     runner.__doc__ = f"SPARQL:\n{sparql}"
 

@@ -21,7 +21,12 @@ _BAL = "CAST(printf('%.2f', c_acctbal) AS DOUBLE)"
 
 
 def _run(spark: SparkSession, sf_dir: str, sparql: str) -> DataFrame:
-    return SparqlEngine(derive_triples(spark, sf_dir)).query(sparql)
+    from d_sparq_spark.sources.derived_rdf import planning_stats_cached
+
+    return SparqlEngine(
+        derive_triples(spark, sf_dir),
+        stats=planning_stats_cached(spark, sf_dir),
+    ).query(sparql)
 
 
 def _q(name: str, sparql: str, oracle: str) -> None:
@@ -168,8 +173,14 @@ def _q_encoded(name: str, sparql: str, oracle: str) -> None:
 
     @register(name, oracle=oracle)
     def runner(spark: SparkSession, sf_dir: str, _s=sparql) -> DataFrame:
+        from d_sparq_spark.sources.derived_rdf import (
+            encoded_planning_stats_cached,
+        )
+
         enc, d = encoded_store_cached(spark, sf_dir)
-        return EncodedSparqlEngine(enc, d).query(_s)
+        return EncodedSparqlEngine(
+            enc, d, stats=encoded_planning_stats_cached(spark, sf_dir)
+        ).query(_s)
 
     runner.__doc__ = f"SPARQL (encoded store):\n{sparql}"
 
@@ -217,8 +228,12 @@ def _q_catalog(name: str, flavor: str, sparql: str, oracle: str) -> None:
     def runner(spark: SparkSession, sf_dir: str, _s=sparql, _f=flavor) -> DataFrame:
         from d_sparq_spark.sources.derived_rdf import catalog_cached
 
+        from d_sparq_spark.sources.derived_rdf import planning_stats_cached
+
         return SparqlEngine(
-            derive_triples(spark, sf_dir), catalog=catalog_cached(spark, sf_dir, _f)
+            derive_triples(spark, sf_dir),
+            catalog=catalog_cached(spark, sf_dir, _f),
+            stats=planning_stats_cached(spark, sf_dir),
         ).query(_s)
 
     runner.__doc__ = f"SPARQL ({flavor}-routed):\n{sparql}"
@@ -247,9 +262,12 @@ def q_sparql_encoded_star_pt(spark: SparkSession, sf_dir: str) -> DataFrame:
         encoded_store_cached,
     )
 
+    from d_sparq_spark.sources.derived_rdf import encoded_planning_stats_cached
+
     enc, d = encoded_store_cached(spark, sf_dir)
     return EncodedSparqlEngine(
-        enc, d, catalog=encoded_catalog_cached(spark, sf_dir)
+        enc, d, catalog=encoded_catalog_cached(spark, sf_dir),
+        stats=encoded_planning_stats_cached(spark, sf_dir),
     ).query(_STAR_SPARQL)
 
 # The ExtVP demo star is over nations: SS(foaf:name, ex:region) keeps the

@@ -269,3 +269,38 @@ def encoded_store_cached(spark: SparkSession, sf_dir: str):
         enc = encode_triples(triples, d, broadcast_dict=True).cache()  # bounded derived dict
         _ENC_CACHE[key] = (enc, d)
     return _ENC_CACHE[key]
+
+
+_STATS_CACHE: dict[tuple, dict] = {}
+
+
+def planning_stats_cached(spark: SparkSession, sf_dir: str) -> dict:
+    """The A7/A11 planning-stats dict {p: (cnt, ndv_s, ndv_o)} over the
+    cached derived triples, memoized per (session, sf_dir): the harness
+    constructs one engine per query call over the SAME store, and the
+    stats aggregation (count + HLL ndv) is identical every time — collect
+    once, hand the dict to every engine (r8)."""
+    key = _cache_key(spark, sf_dir, "stats")
+    if key not in _STATS_CACHE:
+        from d_sparq_spark.operators.rdf_patterns import planning_stats
+
+        _STATS_CACHE[key] = {
+            r["p"]: (r["cnt"], r["ndv_s"], r["ndv_o"])
+            for r in planning_stats(derive_triples_cached(spark, sf_dir)).collect()
+        }
+    return _STATS_CACHE[key]
+
+
+def encoded_planning_stats_cached(spark: SparkSession, sf_dir: str) -> dict:
+    """planning_stats_cached twin over the encoded store (keys are
+    dictionary ids, not terms)."""
+    key = _cache_key(spark, sf_dir, "enc_stats")
+    if key not in _STATS_CACHE:
+        from d_sparq_spark.operators.rdf_patterns import planning_stats
+
+        enc, _d = encoded_store_cached(spark, sf_dir)
+        _STATS_CACHE[key] = {
+            r["p"]: (r["cnt"], r["ndv_s"], r["ndv_o"])
+            for r in planning_stats(enc).collect()
+        }
+    return _STATS_CACHE[key]
