@@ -360,3 +360,41 @@ def test_smush_sameas_fixture(spark):
             ("z", "ex:other", "w"),
         ]
     )
+
+
+def test_query_time_inference_equals_materialized_closure(spark):
+    """Consistency of the two inference routes the engine offers: the
+    property path rdf:type/rdfs:subClassOf* evaluated over instance
+    triples UNIONed with the ontology-as-triples must return exactly the
+    instances the materialized rho-df closure types (for a class-only
+    ontology — domain/range entailments are closure-only by nature)."""
+    from d_sparq_spark.engine import SparqlEngine
+    from d_sparq_spark.operators.reasoning import rdfs_entailment
+
+    onto = [
+        ("Student", "rdfs:subClassOf", "Person"),
+        ("Person", "rdfs:subClassOf", "Agent"),
+        ("Robot", "rdfs:subClassOf", "Agent"),
+    ]
+    inst = [
+        ("a", "rdf:type", "Student"),
+        ("b", "rdf:type", "Person"),
+        ("c", "rdf:type", "Robot"),
+        ("d", "rdf:type", "Rock"),
+    ]
+    triples = spark.createDataFrame(inst + onto, "s string, p string, o string")
+    eng = SparqlEngine(triples, collect_stats=False)
+    via_path = sorted(
+        r["x"]
+        for r in eng.query(
+            'SELECT ?x WHERE { ?x <rdf:type>/<rdfs:subClassOf>* "Agent" }'
+        ).collect()
+    )
+    closure = rdfs_entailment(spark.createDataFrame(inst, "s string, p string, o string"), onto)
+    via_closure = sorted(
+        r["s"]
+        for r in closure.filter(
+            (F.col("p") == "rdf:type") & (F.col("o") == "Agent")
+        ).collect()
+    )
+    assert via_path == via_closure == ["a", "b", "c"]
