@@ -109,6 +109,17 @@ def main() -> None:
         red.count()
     enc, d = encoded_store_cached(spark, sf_dir)
     enc.count(), d.count()
+    # Predicate statistics are A11 LOAD-phase artifacts (SURVEY §2.A:
+    # per-predicate counts/ndv are computed at load in the reference) —
+    # warm the memoized planning-stats dicts here so the first
+    # stats-consuming query measures query cost, not the stats build.
+    from d_sparq_spark.sources.derived_rdf import (
+        encoded_planning_stats_cached,
+        planning_stats_cached,
+    )
+
+    planning_stats_cached(spark, sf_dir)
+    encoded_planning_stats_cached(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
