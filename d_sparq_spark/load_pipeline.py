@@ -514,7 +514,14 @@ def open_store(spark: SparkSession, store_path: str) -> EncodedSparqlEngine:
         dict_rank_ordered=_read_meta_rank_ordered(spark, store_path),
     )
     stats_df = spark.read.parquet(os.path.join(store_path, "stats"))
-    engine._stats = {r["p"]: r["cnt"] for r in stats_df.select("p", "cnt").collect()}
+    # the store's stats parquet materializes exact ndv_s/ndv_o at load —
+    # hand them to the engine in the tuple shape order_by_selectivity's
+    # r8 ndv cost model consumes (count-only here silently degraded a
+    # loaded store to raw-count ordering; review r8)
+    engine._stats = {
+        r["p"]: (r["cnt"], r["ndv_s"], r["ndv_o"])
+        for r in stats_df.select("p", "cnt", "ndv_s", "ndv_o").collect()
+    }
     return engine
 
 

@@ -71,7 +71,24 @@ def rdfs_entailment(triples: DataFrame, ontology: list) -> DataFrame:
     the closed class pairs finishes the type closure. No derived triple
     can re-enable an earlier rule: rdfs7 output has schema predicates
     only from the closed hierarchy, and rdfs2/3/9 output rdf:type
-    triples, which no rho-df rule consumes as its property position."""
+    triples, which no rho-df rule consumes as its property position —
+    PROVIDED the ontology does not place the rdfs vocabulary itself in
+    schema positions (e.g. rdf:type subPropertyOf ex:isA, or a domain on
+    rdf:type): then rdfs2/3/9 output would feed rdfs7/rdfs2 again and one
+    pass is incomplete. Such ontologies are REJECTED up front (review r8)
+    rather than silently under-materialized."""
+    reserved = {TYPE, SUBCLASS, SUBPROP, DOMAIN, RANGE}
+    for s, p, o in ontology:
+        if p == SUBPROP and (s in reserved or o in reserved) or (
+            p in (DOMAIN, RANGE) and s in reserved
+        ):
+            raise ValueError(
+                f"rdfs_entailment: schema triple ({s}, {p}, {o}) places the "
+                "rdfs vocabulary in a schema position — the single-pass "
+                "fixpoint would be incomplete for it (a derived rdf:type/"
+                "hierarchy triple would re-enable an earlier rule); "
+                "materialize such ontologies with an iterative reasoner"
+            )
     spark = triples.sparkSession
     sub_prop = transitive_pairs([(s, o) for s, p, o in ontology if p == SUBPROP])
     sub_cls = transitive_pairs([(s, o) for s, p, o in ontology if p == SUBCLASS])

@@ -508,7 +508,8 @@ class Translator:
             raise ValueError("SPARQL GRAPH requires a quad store (g column)")
         term = node.term
         if isinstance(term, str) and term.startswith("?"):
-            if self._graph_column_ok(node.child, term[1:]):
+            route = self._graph_column_ok(node.child, term[1:])
+            if route:
                 name = term[1:]
                 sub = self._spawn(self.triples, self.stats, graph_var=name)
                 out = sub.eval(node.child)
@@ -520,6 +521,22 @@ class Translator:
                     # route, still one plan
                     gdf = self.triples.select(F.col("g").alias(name)).distinct()
                     out = out.crossJoin(gdf)
+                elif route == "guarded":
+                    # nested nodes present: a nested child may have BOUND
+                    # the graph variable itself (BIND/VALUES/subselect —
+                    # an ordinary column, possibly naming no graph), or a
+                    # UNION branch without patterns may have left it NULL.
+                    # Apply the named-graph compatibility rule (review
+                    # r8): bound must name an existing graph, unbound
+                    # expands to one row per graph. Skipped on the
+                    # "plain" route, where g only ever comes from quad
+                    # scans and is a real graph by construction.
+                    gdf = self.triples.select(F.col("g").alias(name)).distinct()
+                    nn = out.filter(F.col(name).isNotNull()).join(
+                        gdf, name, "left_semi"
+                    )
+                    nu = out.filter(F.col(name).isNull()).drop(name).crossJoin(gdf)
+                    out = nn.unionByName(nu)
                 return out
             name = term[1:]
             if self._pattern_free(node.child, name):
@@ -630,8 +647,11 @@ class Translator:
         return True
 
     @staticmethod
-    def _graph_column_ok(node, gname: str) -> bool:
-        """True when every scan under GRAPH ?g binds g as a column — plain
+    def _graph_column_ok(node, gname: str):
+        """Truthy when every scan under GRAPH ?g binds g as a column —
+        "plain" (no post-processing) or "guarded" (nested nodes present,
+        _graph must post-apply the named-graph compatibility rule);
+        False -> pattern-free device or per-graph fallback. Plain
         triple patterns (match_pattern) AND path shapes (closure fixpoints
         carry g as a group column, paths.py). Subquery wrappers (Project/
         Group/Distinct/OrderBy/Slice) stay on the single-plan route: the
@@ -720,12 +740,16 @@ class Translator:
                 if sub is not None and not isinstance(sub, (str, list, tuple)):
                     stack.append(sub)
         if saw_pattern:
-            return True
+            # "guarded" when nested nodes exist: a nested child can bind
+            # or NULL the graph variable, so _graph must post-apply the
+            # named-graph compatibility rule; "plain" (no extra join)
+            # when every g binding comes from a quad scan
+            return "guarded" if saw_nested else "plain"
         # no direct pattern binds g: single-plan is still sound when the
         # nested nodes carry all the store touches AND nothing reads the
         # (not-yet-bound) ?g during child evaluation — _graph supplies it
-        # afterwards via the one-row-per-named-graph extension
-        return saw_nested and not reads_g
+        # afterwards via the compatibility extension
+        return "guarded" if saw_nested and not reads_g else False
 
     @staticmethod
     def _contains_graph(node) -> bool:

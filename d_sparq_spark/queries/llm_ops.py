@@ -334,11 +334,27 @@ def q_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # test harness) cannot wipe each other's in-flight store/checkpoint;
     # same-process reruns still replay fresh via the rmtree. The dir must
     # outlive this function (the returned DataFrame reads it lazily), so
-    # it is reclaimed on the next same-PID run, not eagerly.
-    work = os.path.join(
-        "/tmp",
-        f"d_sparq_stream_neardup_{os.path.basename(sf_dir.rstrip('/'))}"
-        f"_{tag}_{os.getpid()}",
+    # it is reclaimed on the next same-PID run — and sibling dirs left by
+    # DEAD processes are swept here, so repeated bench/CI invocations do
+    # not accumulate /tmp garbage forever (review r8).
+    import glob as _glob
+
+    prefix = os.path.join("/tmp", "d_sparq_stream_neardup_")
+    for stale in _glob.glob(prefix + "*_*"):
+        try:
+            pid = int(stale.rsplit("_", 1)[1])
+        except ValueError:
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)  # raises if no such process
+        except ProcessLookupError:
+            shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another user: leave it
+    work = (
+        f"{prefix}{os.path.basename(sf_dir.rstrip('/'))}_{tag}_{os.getpid()}"
     )
     shutil.rmtree(work, ignore_errors=True)  # fresh, deterministic replay
     lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()

@@ -68,7 +68,8 @@ def _cache_key(spark: SparkSession, *parts) -> tuple:
     application evicts every other application's entries — cached plans of
     a stopped session are unusable anyway."""
     app = spark.sparkContext.applicationId
-    for cache in (_CACHE, _ENC_CACHE, _ENC_QUAD_CACHE, _CATALOG_CACHE):
+    for cache in (_CACHE, _ENC_CACHE, _ENC_QUAD_CACHE, _CATALOG_CACHE,
+                  _STATS_CACHE):
         for k in [k for k in cache if k[0] != app]:
             del cache[k]
     return (app, *parts)

@@ -76,8 +76,14 @@ def _scan_layers(path: str):
     Returns (base_id, layers) where layers maps layer id -> (dirpath,
     kind, committed) for every `base-<id>` / `batch-<id>` child, and
     base_id is the NEWEST committed base layer's id (None if no base).
-    A layer is committed once Spark's job commit placed part files /
-    _SUCCESS in the final location; a crash mid-write leaves neither."""
+
+    Commit detection is asymmetric by design (review r8): a BASE layer is
+    committed ONLY once its _SUCCESS marker exists — the v1 committer
+    renames task outputs into the final directory one by one and writes
+    _SUCCESS last, so part- files alone may be a PARTIAL base whose
+    adoption would silently supersede the still-intact batch layers it
+    was folded from. A BATCH layer may fall back to part- files (a batch
+    dir only ever supersedes nothing; worst case a retry rewrites it)."""
     root = _local(path)
     layers: dict = {}
     base_id = None
@@ -96,8 +102,8 @@ def _scan_layers(path: str):
                     files = os.listdir(full)
                 except OSError:
                     continue
-                committed = "_SUCCESS" in files or any(
-                    f.startswith("part-") for f in files
+                committed = "_SUCCESS" in files or (
+                    kind == "batch" and any(f.startswith("part-") for f in files)
                 )
                 layers[(kind, i)] = (full, committed)
                 if kind == "base" and committed and (base_id is None or i > base_id):
@@ -159,6 +165,16 @@ def compact_layers(spark: SparkSession, path: str, schema, upto: int) -> None:
         spark.read.schema(schema).parquet(*live_base, *live_batches).write.mode(
             "error"
         ).parquet(path + f"/base-{upto}")
+        if not os.path.exists(os.path.join(target, "_SUCCESS")):
+            # never delete the fold inputs behind an unmarked base: with
+            # job-commit markers disabled the strict base-commit rule
+            # above would see no live base AND no batch layers -> data
+            # loss. Refuse loudly instead (review r8).
+            raise RuntimeError(
+                "compact_layers: base layer written without a _SUCCESS "
+                "marker (mapreduce.fileoutputcommitter.marksuccessfuljobs "
+                "disabled?) — compaction requires the commit marker"
+            )
     # cleanup: everything at or below the new base is superseded
     for (kind, i), (full, committed) in layers.items():
         if (kind, i) != ("base", upto) and (i <= upto or not committed):

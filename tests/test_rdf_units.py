@@ -398,3 +398,23 @@ def test_query_time_inference_equals_materialized_closure(spark):
         ).collect()
     )
     assert via_path == via_closure == ["a", "b", "c"]
+
+
+def test_rdfs_entailment_rejects_meta_schema(spark):
+    """review r8: ontologies that place the rdfs vocabulary in schema
+    positions break the single-pass fixpoint argument (a derived rdf:type
+    triple would re-enable rdfs7/rdfs2) — reject loudly rather than
+    silently under-materialize."""
+    from d_sparq_spark.operators.reasoning import rdfs_entailment
+
+    triples = spark.createDataFrame(
+        [("a", "ex:p", "b")], "s string, p string, o string"
+    )
+    for bad in [
+        ("rdf:type", "rdfs:subPropertyOf", "ex:isA"),
+        ("ex:isA", "rdfs:subPropertyOf", "rdf:type"),
+        ("rdf:type", "rdfs:domain", "Meta"),
+        ("rdfs:subClassOf", "rdfs:range", "Class"),
+    ]:
+        with pytest.raises(ValueError, match="schema position"):
+            rdfs_entailment(triples, [bad, ("ex:p", "rdfs:domain", "C")])

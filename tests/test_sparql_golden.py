@@ -1888,6 +1888,30 @@ def test_nested_graph_single_plan_both_engines(spark):
             "SELECT ?g WHERE { GRAPH ?g { GRAPH <g:a> { ?s <p:z> ?o } } }"
         )
         assert sorted(r["g"] for r in out5.collect()) == ["g:a", "g:b"]
+        # review r8: a nested child BINDING ?g itself (VALUES) must pass
+        # the named-graph compatibility rule — a fabricated binding that
+        # names no graph yields NOTHING (the guarded route's semi-join),
+        # one that names a real graph joins normally
+        out6 = e.query(
+            "SELECT ?g WHERE { GRAPH ?g { GRAPH ?h { ?s <p:y> ?o "
+            'VALUES ?g { "zzz" } } } }'
+        )
+        assert out6.count() == 0
+        out7 = e.query(
+            "SELECT ?g WHERE { GRAPH ?g { GRAPH ?h { ?s <p:y> ?o "
+            'VALUES ?g { "g:a" } } } }'
+        )
+        assert sorted(r["g"] for r in out7.collect()) == ["g:a"]
+        # review r8: a UNION branch whose store touches all sit under a
+        # nested GRAPH leaves ?g NULL before the guard — those rows must
+        # expand to one per named graph, per the spec's per-graph union
+        out8 = e.query(
+            "SELECT ?g ?s WHERE { GRAPH ?g { { ?s <p:z> ?o } UNION "
+            "{ GRAPH ?h { ?s <p:y> ?o2 } } } }"
+        )
+        assert sorted(tuple(r) for r in out8.collect()) == [
+            ("g:a", "o:1"), ("g:a", "s:a"), ("g:b", "o:1")
+        ]
     assert TR.GRAPH_FALLBACK_LOOPS == before  # no driver loop engaged
 
 

@@ -330,6 +330,36 @@ def test_stream_near_dedup_compaction_parity_and_bound(spark, tmp_path):
         == docs.count() * 8
     )
 
+    # review r8: a PARTIAL base (part- files present, _SUCCESS missing —
+    # a crash mid job-commit) must NOT count as committed: adopting it
+    # would supersede the intact layers it was folded from. Simulate by
+    # stripping the marker from a fresh higher base.
+    import shutil as _sh
+
+    live_before = ND._read_layer(spark, store + "/bands", ND.BANDS_SCHEMA, 9)
+    n_before = live_before.count()
+    live_before.write.parquet(store + "/bands/base-7")
+    _os.remove(store + "/bands/base-7/_SUCCESS")
+    assert store + "/bands/base-7" not in ND._live_layer_dirs(store + "/bands")
+    assert (
+        ND._read_layer(spark, store + "/bands", ND.BANDS_SCHEMA, 9).count()
+        == n_before
+    )
+    # the next compaction pass (a fresh batch layer makes it fold) treats
+    # the partial base as an uncommitted leftover: rebuilt from the
+    # intact inputs and swept, never adopted partially
+    spark.createDataFrame(
+        [(900 + i, 0, 12345 + i, 8) for i in range(5)], ND.BANDS_SCHEMA
+    ).write.parquet(store + "/bands/batch-8")
+    ND.compact_layers(spark, store + "/bands", ND.BANDS_SCHEMA, 8)
+    assert sorted(_os.listdir(store + "/bands")) == ["base-8"]
+    assert _os.path.exists(store + "/bands/base-8/_SUCCESS")
+    assert (
+        ND._read_layer(spark, store + "/bands", ND.BANDS_SCHEMA, 9).count()
+        == n_before + 5
+    )
+    _sh.rmtree(store, ignore_errors=True)
+
 
 def test_stream_near_dedup_retry_across_compaction(spark, tmp_path):
     """A foreachBatch retry of the batch that PERFORMED the compaction must
