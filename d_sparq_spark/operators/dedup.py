@@ -476,3 +476,69 @@ def det_simhash_candidate_pairs(
         .select(F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b"))
         .distinct()
     )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """EXACT substring-level dedup ("Deduplicating Training Data Makes
+    Language Models Better", Lee et al. 2022 — the fixed-window form):
+    every token covered by a k-token window that also occurs verbatim in
+    ANOTHER document is removed; the survivors re-join into kept_text.
+    This is the REMOVAL step on top of the q_dup_span_ratio signal: a
+    corpus pass that strips boilerplate/templates document-level dedup
+    can never catch.
+
+    Returns (id, n_tokens, n_removed, kept_text).
+
+    Scale shape: one shingle explode, one count-distinct by gram (the
+    same shuffle q_dup_span_ratio pays — at 100 TB pre-hash the gram to
+    a LONG), covered positions fold back per document as a collect_set
+    bounded by the document's own length, and the token filter is a
+    higher-order function — no Python in the hot path."""
+    ts = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ts) - (k - 1)),
+        lambda i: F.struct(
+            i.alias("i"), F.array_join(F.slice(ts, i, k), " ").alias("g")
+        ),
+    )
+    sh = (
+        docs.filter(F.size(ts) >= k)
+        .select(F.col(id_col), F.explode(grams).alias("w"))
+        .select(id_col, F.col("w.i").alias("i"), F.col("w.g").alias("g"))
+    )
+    dup = (
+        sh.groupBy("g")
+        .agg(F.count_distinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") > 1)
+        .select("g")
+    )
+    removed = (
+        sh.join(dup, "g")
+        .select(id_col, F.explode(F.sequence("i", F.col("i") + (k - 1))).alias("p"))
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_set("p").alias("_ps"))
+    )
+    idx = F.zip_with(
+        ts, F.sequence(F.lit(1), F.size(ts)),
+        lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+    )
+    kept = F.filter(
+        idx, lambda s: ~F.array_contains(F.coalesce("_ps", F.array()), s["i"])
+    )
+    return (
+        docs.join(removed, id_col, "left")
+        .select(
+            id_col,
+            F.size(ts).cast("long").alias("n_tokens"),
+            F.coalesce(F.size("_ps"), F.lit(0)).cast("long").alias("n_removed"),
+            F.array_join(
+                F.transform(kept, lambda s: s["t"]), " "
+            ).alias("kept_text"),
+        )
+    )

@@ -1537,3 +1537,36 @@ def q_doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sum_bits").cast("double") / F.col("n_tokens")).alias("mean_bits"),
         )
     )
+
+
+_ORACLE_DEDUP_SUBSTRING = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+sh AS (
+  SELECT doc_id, i, array_to_string(ts[i:i+7], ' ') AS g
+  FROM toks, UNNEST(range(1, len(ts) - 6)) AS u(i)
+  WHERE len(ts) >= 8
+),
+dup AS (SELECT g FROM sh GROUP BY g HAVING COUNT(DISTINCT doc_id) > 1),
+pos AS (SELECT DISTINCT sh.doc_id, sh.i + d AS p
+        FROM sh JOIN dup USING (g), UNNEST(range(0, 8)) AS r(d)),
+rem AS (SELECT doc_id, list(p) AS ps FROM pos GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(t.ts) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(len(r.ps), 0) AS BIGINT) AS n_removed,
+       COALESCE(array_to_string([t.ts[k] FOR k IN range(1, len(t.ts)+1)
+                        IF NOT COALESCE(list_contains(r.ps, k), false)], ' '),
+                '') AS kept_text  -- DuckDB: array_to_string([]) is NULL
+FROM toks t LEFT JOIN rem r USING (doc_id)
+"""
+
+
+@register("q_dedup_substring", oracle=_ORACLE_DEDUP_SUBSTRING)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring-level dedup (operators/dedup.remove_duplicated_
+    spans — the removal step of Lee et al. 2022's "Deduplicating Training
+    Data", fixed 8-token windows): every token covered by a window that
+    occurs verbatim in another document is stripped; output is (doc_id,
+    n_tokens, n_removed, kept_text), value-exact vs the DuckDB mirror.
+    Completes the substring family: q_dup_span_ratio measures the
+    signal, this executes the removal a training-data pipeline ships."""
+    return D.remove_duplicated_spans(load_table(spark, sf_dir, "documents"))

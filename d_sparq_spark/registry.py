@@ -156,7 +156,8 @@ _LAST_ATTESTED: dict[str, int] = {
 # never-attested queries but before the already-attested ones — age
 # priority, so no key starves.
 _NEW_THIS_ROUND: frozenset[str] = frozenset(
-    {"q_simhash_recall", "q_rdfs_entailment", "q_sameas_smush"}
+    {"q_simhash_recall", "q_rdfs_entailment", "q_sameas_smush",
+     "q_dedup_substring"}
 )
 
 

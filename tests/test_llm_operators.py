@@ -486,3 +486,26 @@ def test_ivf_recall_floor_and_probe_all_is_exact(spark):
         ).collect()
     }
     assert probe_all == exact and len(exact) == 9
+
+
+def test_remove_duplicated_spans_fixture(spark):
+    """r8: exact substring-level dedup — tokens covered by a cross-doc
+    8-token window are stripped; unique and short docs pass through."""
+    from d_sparq_spark.operators.dedup import remove_duplicated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "a b c d e f g h x y"),
+            (3, "z1 z2 z3 z4 z5 z6 z7 z8 z9"),
+            (4, "short text"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(map(tuple, remove_duplicated_spans(docs).collect()))
+    assert got == [
+        (1, 10, 8, "i j"),
+        (2, 10, 8, "x y"),
+        (3, 9, 0, "z1 z2 z3 z4 z5 z6 z7 z8 z9"),
+        (4, 2, 0, "short text"),
+    ]
