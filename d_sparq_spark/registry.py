@@ -73,25 +73,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # newcomers last within that group), then attested keys oldest-round first.
 # _LAST_ATTESTED is regenerated each round from CORRECTNESS_r{N}.json.
 _LAST_ATTESTED: dict[str, int] = {
-    # last attested round 3
-    "q_sparql_bind": 3, "q_sparql_values": 3, "q_sparql_distinct": 3,
-    "q_sparql_ask": 3, "q_sparql_expr": 3, "q_sparql_encoded_star": 3,
-    "q_sparql_encoded_filter": 3, "q_sparql_encoded_agg": 3, "q_sparql_star_pt": 3,
-    "q_sparql_encoded_star_pt": 3, "q_sparql_star_extvp": 3, "q_sparql_update": 3,
     # last attested round 4
-    "q_bpe_pairs": 4, "q_vocab_coverage": 4, "q_quality_filter": 4,
-    "q_sample_stratified": 4, "q_ngram_topk": 4, "q_retention_cohort": 4,
-    "q_zorder_layout": 4, "q_histogram": 4, "q_dq_audit": 4,
-    "q_scd2_history": 4, "q_tpch_q3": 4, "q_tpch_q10": 4,
-    "q_tpch_q18": 4, "q_triangle_count": 4, "q_degree_dist": 4,
-    "q_sssp": 4, "q_kmeans": 4, "q_lang_confusion": 4,
-    "q_dedup_incremental": 4, "q_skyline": 4, "q_sparql_graph_path": 4,
     "q_sparql_graph_path_enc": 4, "q_sparql_graph_path_seeded": 4, "q_star_property_table": 4,
-    "q_sparql_typed": 4, "q_schema_evolution": 4, "q_tpch_q6": 4,
-    "q_tpch_q4": 4, "q_tpch_q17": 4, "q_tpch_q21": 4,
-    "q_tpch_q13": 4, "q_tpch_q14": 4, "q_tpch_q15": 4,
-    "q_ann_recall": 4, "q_semantic_dedup": 4, "q_dedup_leakage": 4,
-    "q_lang_salience": 4, "q_dup_span_ratio": 4, "q_sparql_path_plus_big": 4,
+    "q_sparql_typed": 4, "q_sparql_path_plus_big": 4,
     "q_sparql_path_plus_big_seeded": 4, "q_closure_big_int": 4, "q_tpch_q1": 4,
     "q_tpch_q2": 4, "q_tpch_q7": 4, "q_tpch_q8": 4,
     "q_tpch_q9": 4, "q_tpch_q11": 4, "q_tpch_q12": 4,
@@ -150,15 +134,30 @@ _LAST_ATTESTED: dict[str, int] = {
     "q_sparql_optional": 7, "q_sparql_union": 7, "q_sparql_agg": 7,
     "q_sparql_order_limit": 7, "q_sparql_minus": 7, "q_sparql_not_exists": 7,
     "q_minhash_recall": 7, "q_stream_near_dedup": 7,
+    # last attested round 8 (the 50 keys in CORRECTNESS_r08.json)
+    "q_sparql_bind": 8, "q_sparql_values": 8, "q_sparql_distinct": 8,
+    "q_sparql_ask": 8, "q_sparql_expr": 8, "q_sparql_encoded_star": 8,
+    "q_sparql_encoded_filter": 8, "q_sparql_encoded_agg": 8, "q_sparql_star_pt": 8,
+    "q_sparql_encoded_star_pt": 8, "q_sparql_star_extvp": 8, "q_sparql_update": 8,
+    "q_bpe_pairs": 8, "q_vocab_coverage": 8, "q_quality_filter": 8,
+    "q_sample_stratified": 8, "q_ngram_topk": 8, "q_retention_cohort": 8,
+    "q_zorder_layout": 8, "q_histogram": 8, "q_dq_audit": 8,
+    "q_scd2_history": 8, "q_tpch_q3": 8, "q_tpch_q10": 8,
+    "q_tpch_q18": 8, "q_triangle_count": 8, "q_degree_dist": 8,
+    "q_sssp": 8, "q_kmeans": 8, "q_lang_confusion": 8,
+    "q_dedup_incremental": 8, "q_skyline": 8, "q_sparql_graph_path": 8,
+    "q_schema_evolution": 8, "q_tpch_q6": 8, "q_tpch_q4": 8,
+    "q_tpch_q17": 8, "q_tpch_q21": 8, "q_tpch_q13": 8,
+    "q_tpch_q14": 8, "q_tpch_q15": 8, "q_ann_recall": 8,
+    "q_semantic_dedup": 8, "q_dedup_leakage": 8, "q_lang_salience": 8,
+    "q_dup_span_ratio": 8, "q_simhash_recall": 8, "q_rdfs_entailment": 8,
+    "q_sameas_smush": 8, "q_dedup_substring": 8,
 }
 
-# Queries first registered THIS round (round 8): they sort after any older
+# Queries first registered THIS round (round 9): they sort after any older
 # never-attested queries but before the already-attested ones — age
 # priority, so no key starves.
-_NEW_THIS_ROUND: frozenset[str] = frozenset(
-    {"q_simhash_recall", "q_rdfs_entailment", "q_sameas_smush",
-     "q_dedup_substring"}
-)
+_NEW_THIS_ROUND: frozenset[str] = frozenset()
 
 
 def all_queries() -> dict[str, Query]:
