@@ -159,7 +159,10 @@ def bulk_load(
     if "://" not in store_path:
         import shutil
 
-        for layout in ("ptable", "extvp"):
+        # reasoning/ first: it is the commit marker append_load probes —
+        # with it gone, a crash mid-cleanup can at worst leave orphan
+        # entailed/sameas files that no reader routes to
+        for layout in ("reasoning", "entailed", "sameas", "ptable", "extvp"):
             shutil.rmtree(os.path.join(store_path, layout), ignore_errors=True)
     # dict/ lands FIRST, as a term-bucketed table: appends then anti-join
     # their deltas against a bucketed scan (no O(dict) shuffle per load),
@@ -415,8 +418,15 @@ def append_load(spark: SparkSession, nt_path: str, store_path: str) -> dict:
     # PRE-APPEND store slice, partition-pruned to the touched predicates
     # (O(touched slice), the same bound the stats merge documents).
     pre_slice = store_triples(spark, store_path).filter(F.col("p").isin(touched))
+    maintain_reasoning = _has_reasoning(store_path)
+    delta_set = enc.dropDuplicates(["s", "p", "o"])
+    if maintain_reasoning:
+        # pin the deduped delta itself: the reasoning maintenance at the
+        # end re-derives from it AFTER enc is unpersisted and by_p has
+        # been appended to (eager checkpoint, so unpersist below is safe)
+        delta_set = delta_set.localCheckpoint()
     new_rows = (
-        enc.dropDuplicates(["s", "p", "o"])
+        delta_set
         .join(pre_slice, ["s", "p", "o"], "left_anti")
         .localCheckpoint()  # pin: written INTO the directory it reads
     )
@@ -480,6 +490,14 @@ def append_load(spark: SparkSession, nt_path: str, store_path: str) -> dict:
                 store, store_path, touched_new,
                 sizes={r["p"]: r["cnt"] for r in fresh},
             )
+    if maintain_reasoning:
+        # AFTER the by_p append: maintenance derives from the full deduped
+        # delta, not new_rows — a re-delivered delta then SELF-HEALS a
+        # crash that landed base rows but not their entailments (the
+        # anti-joins inside make it idempotent either way), and the
+        # anti-join against the post-append store correctly excludes
+        # derived rows that restate just-appended base rows.
+        _maintain_reasoning(spark, store_path, delta_set)
     return {
         "n_terms": int(n_terms),
         "n_new_terms": int(n_new_terms),
@@ -531,3 +549,321 @@ def store_triples(spark: SparkSession, store_path: str) -> DataFrame:
     from d_sparq_spark.sources.triple_store import read_vp
 
     return read_vp(spark, store_path)
+
+
+# --- persisted, incrementally maintained reasoning layer (r9) -----------------
+#
+# rdfs_entailment / smush_sameas (operators/reasoning.py) run fine as batch
+# queries, but at 100 TB you cannot re-materialize the closure on every
+# append_load. rho-df is MONOTONE and every rule has exactly one instance-
+# triple premise, so derive(base ∪ Δ) = derive(base) ∪ derive(Δ): an append
+# needs only the broadcast rule joins over the DELTA, anti-joined against
+# the stored closure (partition-pruned to the metadata-scale set of
+# derivable predicates), then appended — O(Δ) jobs, no full-store rescan.
+# The sameAs canonical map is maintained by running CC over (old map as
+# contracted star edges) ∪ (delta sameAs edges) — contracting each old
+# component to its star preserves connectivity and the min representative,
+# so the input is O(|map| + |Δ|), never a rescan of stored sameAs triples.
+#
+# Layout (all under the store root; reasoning/manifest is written LAST and
+# probed via its _SUCCESS marker, so a crash mid-materialization leaves a
+# store appends treat as reasoning-free, never a half-maintained layer):
+#
+#   entailed/by_p/   derived-only triples, same VP layout as the base store
+#   sameas/map/      (node LONG, comp LONG) non-identity canonical rows
+#   reasoning/manifest/  lexical ontology + the sameAs predicate
+
+
+def _has_reasoning(store_path: str) -> bool:
+    return "://" not in store_path and os.path.exists(
+        os.path.join(store_path, "reasoning", "manifest", "_SUCCESS")
+    )
+
+
+def _write_reasoning_manifest(
+    spark: SparkSession, store_path: str, ontology: list, sameas_pred: str
+) -> None:
+    rows = [("ontology", s, p, o) for s, p, o in ontology]
+    rows.append(("config", sameas_pred, "", ""))
+    spark.createDataFrame(
+        rows, "kind string, s string, p string, o string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(store_path, "reasoning", "manifest")
+    )
+
+
+def _read_reasoning_manifest(spark: SparkSession, store_path: str) -> tuple:
+    rows = spark.read.parquet(
+        os.path.join(store_path, "reasoning", "manifest")
+    ).collect()
+    ontology = [(r["s"], r["p"], r["o"]) for r in rows if r["kind"] == "ontology"]
+    sameas_pred = next(r["s"] for r in rows if r["kind"] == "config")
+    return ontology, sameas_pred
+
+
+def _lookup_terms(spark: SparkSession, store_path: str, terms: list) -> dict:
+    """term -> id for a METADATA-SCALE term list (ontology vocabulary):
+    broadcast semi-join against the dictionary, collect only the hits.
+    Terms absent from the dictionary are absent from the result."""
+    full = spark.read.parquet(os.path.join(store_path, "dict"))
+    tdf = spark.createDataFrame([(t,) for t in sorted(set(terms))], "term string")
+    return {
+        r["term"]: r["id"]
+        for r in full.join(F.broadcast(tdf), "term", "semi").collect()
+    }
+
+
+def _ensure_terms(spark: SparkSession, store_path: str, terms: list) -> dict:
+    """Extend the store dictionary with any of ``terms`` it lacks (the
+    ontology vocabulary — class/property names that may never occur in
+    instance data) under the same reserve-then-write watermark discipline
+    as append_load, then return term -> id for all of them. New ids land
+    above the watermark, so rank_ordered flips false when anything is
+    added (honest: the MIN/MAX peel degrades, ids stay a bijection)."""
+    from d_sparq_spark.operators.dictionary import extend_dictionary
+
+    meta = _read_meta(spark, store_path)
+    buckets = meta["dict_buckets"]
+    existing = spark.read.parquet(os.path.join(store_path, "dict"))
+    watermark = meta["max_id"]
+    if watermark is None:  # legacy manifest: pay the scan once
+        watermark = int(existing.agg(F.max("id").alias("m")).collect()[0]["m"] or 0)
+    n_terms_old = meta["n_terms"]
+    if n_terms_old is None:
+        n_terms_old = existing.count()
+    tdf = spark.createDataFrame([(t,) for t in sorted(set(terms))], "term string")
+    delta = extend_dictionary(
+        existing, None, base_id=watermark, terms=tdf
+    ).localCheckpoint()
+    n_new = delta.count()
+    if n_new:
+        _write_meta(
+            spark, store_path, rank_ordered=False,
+            n_terms=int(n_terms_old) + int(n_new),
+            max_id=int(watermark) + int(n_new), dict_buckets=buckets,
+        )
+        if buckets:
+            _register_dict_table(spark, store_path, buckets)
+            _write_dict_bucketed(delta, store_path, buckets, mode="append")
+        else:
+            delta.write.mode("append").parquet(os.path.join(store_path, "dict"))
+    return _lookup_terms(spark, store_path, terms)
+
+
+def _ontology_ids(spark: SparkSession, store_path: str, ontology: list) -> dict:
+    """term -> id for the ontology vocabulary + rdf:type, all of which
+    materialize_reasoning ensured exist; a miss means the store was
+    tampered with — raise rather than silently drop a rule."""
+    from d_sparq_spark.operators import reasoning as R
+
+    needed = sorted({R.TYPE} | {t for s, _, o in ontology for t in (s, o)})
+    ids = _lookup_terms(spark, store_path, needed)
+    missing = [t for t in needed if t not in ids]
+    if missing:
+        raise ValueError(
+            f"reasoning layer: ontology terms {missing} are missing from the "
+            "store dictionary — materialize_reasoning ensures them, so the "
+            "dictionary or manifest has been modified out-of-band"
+        )
+    return ids
+
+
+def entailed_triples(spark: SparkSession, store_path: str) -> DataFrame:
+    """The derived-only layer (empty, schema-stable, when the ontology
+    derives nothing — an empty partitioned write leaves no readable
+    footer, so absence of data is normalized here)."""
+    from pyspark.errors import AnalysisException
+
+    from d_sparq_spark.sources.triple_store import read_vp
+
+    try:
+        return read_vp(spark, os.path.join(store_path, "entailed")).select("s", "p", "o")
+    except AnalysisException as e:
+        msg = str(e)
+        if ("PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+                or "UNABLE_TO_INFER_SCHEMA" in msg or "Unable to infer schema" in msg):
+            return spark.createDataFrame([], "s long, p long, o long")
+        raise
+
+
+def reasoned_triples(spark: SparkSession, store_path: str) -> DataFrame:
+    """The store's rho-df closure: base ∪ entailed. Disjoint by
+    construction (the layer is anti-joined against the base at every
+    write), so a plain union — no instance-scale distinct."""
+    return (
+        store_triples(spark, store_path)
+        .select("s", "p", "o")
+        .unionByName(entailed_triples(spark, store_path))
+    )
+
+
+def sameas_map(spark: SparkSession, store_path: str) -> DataFrame:
+    """The persisted (node, comp) canonical map — non-identity rows only."""
+    return spark.read.parquet(os.path.join(store_path, "sameas", "map"))
+
+
+def _canonicalize_by_term(
+    spark: SparkSession, store_path: str, comp: DataFrame
+) -> DataFrame:
+    """CC labels components by MIN ID, but smush_sameas's contract is the
+    class's minimum TERM — and after an append the dictionary is not
+    rank-ordered, so min-id can decode to the wrong representative. Re-rank
+    each component's representative as the member whose term is minimal
+    (min_by over a dict join — O(map) rows, id-keyed), then keep only
+    non-identity rows. Deterministic: terms are a bijection."""
+    d = spark.read.parquet(os.path.join(store_path, "dict")).select(
+        F.col("id").alias("node"), "term"
+    )
+    reps = (
+        comp.join(d, "node")
+        .groupBy("comp")
+        .agg(F.expr("min_by(node, term)").alias("rep"))
+    )
+    return (
+        comp.join(reps, "comp")
+        .select("node", F.col("rep").alias("comp"))
+        .filter(F.col("node") != F.col("comp"))
+    )
+
+
+def smushed_triples(spark: SparkSession, store_path: str) -> DataFrame:
+    """The store rewritten through the persisted sameAs map: every member
+    of an equivalence class reads as its canonical (minimum) entity, the
+    sameAs triples themselves consumed — smush_sameas semantics over the
+    maintained layer instead of a per-query CC."""
+    from d_sparq_spark.operators.reasoning import apply_sameas_map
+
+    _, sameas_pred = _read_reasoning_manifest(spark, store_path)
+    sid = _lookup_terms(spark, store_path, [sameas_pred]).get(sameas_pred)
+    t = store_triples(spark, store_path).select("s", "p", "o")
+    rest = t.filter(F.col("p") != F.lit(sid)) if sid is not None else t
+    return apply_sameas_map(rest, sameas_map(spark, store_path))
+
+
+def materialize_reasoning(
+    spark: SparkSession,
+    store_path: str,
+    ontology: list,
+    sameas_pred: str = "owl:sameAs",
+) -> dict:
+    """Materialize the persisted reasoning layer over an existing store:
+    the rho-df entailments of the CURRENT triples under ``ontology`` (a
+    list of lexical (s, p, o) rdfs:* schema triples) into entailed/, and
+    the owl:sameAs canonical map into sameas/map. From then on every
+    append_load maintains both incrementally in O(Δ). Returns layer
+    sizes. The ontology vocabulary is added to the dictionary if absent
+    (reserve-then-write watermark, same as append_load)."""
+    from d_sparq_spark.operators import reasoning as R
+    from d_sparq_spark.operators.graph import connected_components
+    from d_sparq_spark.sources.triple_store import write_vp
+
+    if "://" in store_path:
+        raise ValueError(
+            "materialize_reasoning: the reasoning manifest is probed with "
+            "local file IO (same contract as bulk_load's materialized "
+            "layouts) — store_path must be a local path"
+        )
+    R.validate_ontology(ontology)
+    store = store_triples(spark, store_path)
+    if ontology:
+        ids = _ensure_terms(
+            spark, store_path,
+            sorted({R.TYPE} | {t for s, _, o in ontology for t in (s, o)}),
+        )
+        enc_ont = [(ids[s], p, ids[o]) for s, p, o in ontology]
+        tid = ids[R.TYPE]
+        dpreds = R.derived_predicates(enc_ont, type_term=tid)
+        derived = R.rdfs_derive(store, enc_ont, type_term=tid)
+        base_slice = store.filter(F.col("p").isin(dpreds))
+        layer = derived.join(base_slice, ["s", "p", "o"], "left_anti")
+    else:
+        layer = store.select("s", "p", "o").filter(F.lit(False))
+    write_vp(layer, os.path.join(store_path, "entailed"))
+
+    sid = _lookup_terms(spark, store_path, [sameas_pred]).get(sameas_pred)
+    empty_map = spark.createDataFrame([], "node long, comp long")
+    smap = empty_map
+    if sid is not None:
+        edges = (
+            store.filter(F.col("p") == F.lit(sid))
+            .select(F.col("s").alias("u"), F.col("o").alias("v"))
+        )
+        if edges.take(1):
+            comp = connected_components(
+                edges.select(F.col("u").alias("node")), edges
+            )
+            smap = _canonicalize_by_term(spark, store_path, comp)
+    smap.write.mode("overwrite").parquet(os.path.join(store_path, "sameas", "map"))
+    # manifest LAST — the commit marker that turns maintenance on
+    _write_reasoning_manifest(spark, store_path, ontology, sameas_pred)
+    return {
+        "n_entailed": entailed_triples(spark, store_path).count(),
+        "n_sameas_mapped": sameas_map(spark, store_path).count(),
+    }
+
+
+def _entailment_delta(
+    spark: SparkSession, store_path: str, delta_set: DataFrame, ontology: list
+) -> DataFrame:
+    """Entailed rows the store closure is missing after ``delta_set``
+    landed in by_p: the single rho-df pass over the DELTA ONLY (sound by
+    rule-unarity — rdfs_derive docstring), anti-joined against the post-
+    append base slice and the stored layer, both partition-pruned to the
+    metadata-scale derivable-predicate set. Every instance-scale scan in
+    this plan carries a p IN (...) partition filter — the O(Δ) shape the
+    test suite asserts."""
+    from d_sparq_spark.operators import reasoning as R
+
+    ids = _ontology_ids(spark, store_path, ontology)
+    enc_ont = [(ids[s], p, ids[o]) for s, p, o in ontology]
+    tid = ids[R.TYPE]
+    dpreds = R.derived_predicates(enc_ont, type_term=tid)
+    derived = R.rdfs_derive(delta_set, enc_ont, type_term=tid)
+    base_slice = store_triples(spark, store_path).filter(F.col("p").isin(dpreds))
+    # layer rows are all within dpreds by construction; the filter keeps
+    # the scan partition-pruned even so (uniform O(Δ)-shape plan)
+    ent = entailed_triples(spark, store_path).filter(F.col("p").isin(dpreds))
+    return (
+        derived.join(base_slice, ["s", "p", "o"], "left_anti")
+        .join(ent, ["s", "p", "o"], "left_anti")
+    )
+
+
+def _maintain_reasoning(
+    spark: SparkSession, store_path: str, delta_set: DataFrame
+) -> None:
+    """O(Δ) maintenance of both persisted layers after an append (called
+    by append_load once the delta is in by_p)."""
+    from d_sparq_spark.operators.graph import connected_components
+    from d_sparq_spark.sources.triple_store import write_vp
+
+    ontology, sameas_pred = _read_reasoning_manifest(spark, store_path)
+    if ontology:
+        new_ent = _entailment_delta(
+            spark, store_path, delta_set, ontology
+        ).localCheckpoint()  # pin: written INTO the layer it reads
+        if new_ent.take(1):
+            write_vp(new_ent, os.path.join(store_path, "entailed"), mode="append")
+    sid = _lookup_terms(spark, store_path, [sameas_pred]).get(sameas_pred)
+    if sid is None:
+        return
+    delta_sa = (
+        delta_set.filter(F.col("p") == F.lit(sid))
+        .select(F.col("s").alias("u"), F.col("o").alias("v"))
+    )
+    if not delta_sa.take(1):
+        return
+    # contract old components to star edges (node -> canonical): CC over
+    # (stars ∪ delta edges) has the same components and the same minimum
+    # representative as CC over all sameAs edges — every old node appears
+    # as a star endpoint — with input O(|map| + |Δ|), no rescan of stored
+    # sameAs triples.
+    old = sameas_map(spark, store_path)
+    edges = delta_sa.unionByName(
+        old.select(F.col("node").alias("u"), F.col("comp").alias("v"))
+    )
+    comp = connected_components(edges.select(F.col("u").alias("node")), edges)
+    new_map = _canonicalize_by_term(
+        spark, store_path, comp
+    ).localCheckpoint()  # pin: overwrites the map it read
+    new_map.write.mode("overwrite").parquet(os.path.join(store_path, "sameas", "map"))

@@ -58,6 +58,120 @@ def transitive_pairs(pairs: list) -> list:
     return sorted(out)
 
 
+def validate_ontology(ontology: list) -> None:
+    """Reject ontologies the single-pass fixpoint cannot close (rdfs
+    vocabulary in schema positions — see rdfs_entailment's soundness
+    argument). Always runs against the LEXICAL ontology: in encoded space
+    the ids are opaque, so callers that encode (load_pipeline's persisted
+    reasoning layer) validate before translation."""
+    reserved = {TYPE, SUBCLASS, SUBPROP, DOMAIN, RANGE}
+    for s, p, o in ontology:
+        if p == SUBPROP and (s in reserved or o in reserved) or (
+            p in (DOMAIN, RANGE) and s in reserved
+        ):
+            raise ValueError(
+                f"rdfs_entailment: schema triple ({s}, {p}, {o}) places the "
+                "rdfs vocabulary in a schema position — the single-pass "
+                "fixpoint would be incomplete for it (a derived rdf:type/"
+                "hierarchy triple would re-enable an earlier rule); "
+                "materialize such ontologies with an iterative reasoner"
+            )
+
+
+def derived_predicates(ontology: list, type_term=TYPE) -> list:
+    """The (metadata-scale) set of predicate values a rho-df pass can ever
+    DERIVE under ``ontology``: the closed subPropertyOf superproperties
+    (rdfs7 output) plus the rdf:type term when any type-producing rule
+    exists (rdfs2/3/9). Load-pipeline maintenance prunes its anti-join
+    scans to exactly these by_p partitions — the O(Δ) shape."""
+    sup = {o for _, o in transitive_pairs(
+        [(s, o) for s, p, o in ontology if p == SUBPROP]
+    )}
+    preds = set(sup)
+    if any(p in (DOMAIN, RANGE, SUBCLASS) for _, p, _ in ontology):
+        preds.add(type_term)
+    return sorted(preds)
+
+
+def rdfs_derive(triples: DataFrame, ontology: list, type_term=TYPE) -> DataFrame:
+    """DERIVED-ONLY rho-df pass: the entailments of ``triples`` under
+    ``ontology``, distinct, WITHOUT the base triples (the closure minus
+    its input, before dedup against the input — derived rows may restate
+    base rows; persistence layers anti-join those away themselves).
+
+    Space-generic: ontology s/o values and ``type_term`` may be lexical
+    strings OR dictionary-encoded LONG ids, as long as they live in the
+    same space as the triple columns — the rules are equi-joins either
+    way, and the encoded form is what load_pipeline's persisted layer
+    runs (8-byte join keys at 100 TB, not strings). Because every rho-df
+    rule has exactly ONE instance-triple premise (schema is a broadcast
+    constant), derivation distributes over union:
+    derive(base ∪ Δ) = derive(base) ∪ derive(Δ) — the identity that makes
+    O(Δ) incremental maintenance sound. Callers must validate_ontology
+    first (lexically)."""
+    spark = triples.sparkSession
+    sub_prop = transitive_pairs([(s, o) for s, p, o in ontology if p == SUBPROP])
+    sub_cls = transitive_pairs([(s, o) for s, p, o in ontology if p == SUBCLASS])
+    dom = [(s, o) for s, p, o in ontology if p == DOMAIN]
+    rng = [(s, o) for s, p, o in ontology if p == RANGE]
+
+    p_type = triples.schema["p"].dataType
+
+    def pair_df(pairs, a: str, b: str):
+        if not pairs:
+            return None
+        kind = "bigint" if all(
+            isinstance(x, int) for pr in pairs for x in pr
+        ) else "string"
+        return F.broadcast(
+            spark.createDataFrame(pairs, f"{a} {kind}, {b} {kind}")
+        )
+
+    type_lit = F.lit(type_term).cast(p_type)
+    base = triples.select("s", "p", "o")
+    sources = [base]  # instance triples each rule consumes
+    derived: list[DataFrame] = []
+    spp = pair_df(sub_prop, "_sub", "_sup")
+    if spp is not None:  # rdfs7 over the closed property hierarchy
+        d7 = base.join(spp, base.p == spp._sub).select(
+            "s", F.col("_sup").cast(p_type).alias("p"), "o"
+        )
+        sources.append(d7)
+        derived.append(d7)
+    from functools import reduce
+
+    all_prop = reduce(lambda a, b: a.unionByName(b), sources)
+
+    typed = [base, *derived]  # rdfs9 consumes types from base + d7 + d2/3
+    dm = pair_df(dom, "_p", "_cls")
+    if dm is not None:  # rdfs2
+        d2 = all_prop.join(dm, all_prop.p == dm._p).select(
+            "s", type_lit.alias("p"), F.col("_cls").alias("o")
+        )
+        typed.append(d2)
+        derived.append(d2)
+    rg = pair_df(rng, "_p", "_cls")
+    if rg is not None:  # rdfs3
+        d3 = all_prop.join(rg, all_prop.p == rg._p).select(
+            F.col("o").alias("s"), type_lit.alias("p"), F.col("_cls").alias("o")
+        )
+        typed.append(d3)
+        derived.append(d3)
+    scc = pair_df(sub_cls, "_sub", "_sup")
+    if scc is not None:  # rdfs9 over ALL type triples (base + rdfs2/3)
+        types = reduce(
+            lambda a, b: a.unionByName(b),
+            [d.filter(F.col("p") == type_lit) for d in typed],
+        )
+        derived.append(
+            types.join(scc, types.o == scc._sub)
+            .select("s", type_lit.alias("p"), F.col("_sup").alias("o"))
+        )
+    if not derived:
+        return base.filter(F.lit(False))  # empty, schema-stable, no job
+    return reduce(lambda a, b: a.unionByName(b), derived).dropDuplicates()
+
+
 def rdfs_entailment(triples: DataFrame, ontology: list) -> DataFrame:
     """Materialize the rho-df closure of ``triples`` under ``ontology``
     (a list of (s, p, o) schema triples using the rdfs:* vocabulary).
@@ -77,72 +191,12 @@ def rdfs_entailment(triples: DataFrame, ontology: list) -> DataFrame:
     rdf:type): then rdfs2/3/9 output would feed rdfs7/rdfs2 again and one
     pass is incomplete. Such ontologies are REJECTED up front (review r8)
     rather than silently under-materialized."""
-    reserved = {TYPE, SUBCLASS, SUBPROP, DOMAIN, RANGE}
-    for s, p, o in ontology:
-        if p == SUBPROP and (s in reserved or o in reserved) or (
-            p in (DOMAIN, RANGE) and s in reserved
-        ):
-            raise ValueError(
-                f"rdfs_entailment: schema triple ({s}, {p}, {o}) places the "
-                "rdfs vocabulary in a schema position — the single-pass "
-                "fixpoint would be incomplete for it (a derived rdf:type/"
-                "hierarchy triple would re-enable an earlier rule); "
-                "materialize such ontologies with an iterative reasoner"
-            )
-    spark = triples.sparkSession
-    sub_prop = transitive_pairs([(s, o) for s, p, o in ontology if p == SUBPROP])
-    sub_cls = transitive_pairs([(s, o) for s, p, o in ontology if p == SUBCLASS])
-    dom = [(s, o) for s, p, o in ontology if p == DOMAIN]
-    rng = [(s, o) for s, p, o in ontology if p == RANGE]
-
-    def pair_df(pairs, a: str, b: str):
-        if not pairs:
-            return None
-        return F.broadcast(
-            spark.createDataFrame(pairs, f"{a} string, {b} string")
-        )
-
-    parts = [triples.select("s", "p", "o")]
-    spp = pair_df(sub_prop, "_sub", "_sup")
-    if spp is not None:  # rdfs7 over the closed property hierarchy
-        parts.append(
-            triples.join(spp, triples.p == spp._sub)
-            .select("s", F.col("_sup").alias("p"), "o")
-        )
-    all_prop = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
-
-    derived = list(parts)
-    dm = pair_df(dom, "_p", "_cls")
-    if dm is not None:  # rdfs2
-        derived.append(
-            all_prop.join(dm, all_prop.p == dm._p)
-            .select("s", F.lit(TYPE).alias("p"), F.col("_cls").alias("o"))
-        )
-    rg = pair_df(rng, "_p", "_cls")
-    if rg is not None:  # rdfs3
-        derived.append(
-            all_prop.join(rg, all_prop.p == rg._p)
-            .select(
-                F.col("o").alias("s"),
-                F.lit(TYPE).alias("p"),
-                F.col("_cls").alias("o"),
-            )
-        )
-    scc = pair_df(sub_cls, "_sub", "_sup")
-    if scc is not None:  # rdfs9 over ALL type triples (base + rdfs2/3)
-        from functools import reduce
-
-        types = reduce(
-            lambda a, b: a.unionByName(b),
-            [d.filter(F.col("p") == TYPE) for d in derived],
-        )
-        derived.append(
-            types.join(scc, types.o == scc._sub)
-            .select("s", F.lit(TYPE).alias("p"), F.col("_sup").alias("o"))
-        )
-    from functools import reduce
-
-    return reduce(lambda a, b: a.unionByName(b), derived).dropDuplicates()
+    validate_ontology(ontology)
+    return (
+        triples.select("s", "p", "o")
+        .unionByName(rdfs_derive(triples, ontology))
+        .dropDuplicates()
+    )
 
 
 def smush_sameas(
@@ -173,10 +227,22 @@ def smush_sameas(
         edges.select(F.col("u").alias("node")), edges
     ).select(F.col("node").alias("_t"), F.col("comp").alias("_c"))
     smap = comp.filter(F.col("_t") != F.col("_c"))  # identity rows are free
+    return apply_sameas_map(
+        rest, smap.select(F.col("_t").alias("node"), F.col("_c").alias("comp"))
+    )
+
+
+def apply_sameas_map(triples: DataFrame, smap: DataFrame) -> DataFrame:
+    """Rewrite every s/o through a canonical map ``smap(node, comp)`` of
+    NON-IDENTITY rows (entities absent from the map keep themselves via
+    the coalesce) — the shared back half of smush_sameas and the load
+    pipeline's persisted sameas/ layer. Two left joins + one distinct;
+    map-side when the map broadcasts, shuffle-on-key otherwise."""
+    m = smap.select(F.col("node").alias("_t"), F.col("comp").alias("_c"))
     out = (
-        rest.join(smap.withColumnRenamed("_t", "s"), "s", "left")
+        triples.join(m.withColumnRenamed("_t", "s"), "s", "left")
         .select(F.coalesce("_c", "s").alias("s"), "p", "o")
-        .join(smap.withColumnRenamed("_t", "o"), "o", "left")
+        .join(m.withColumnRenamed("_t", "o"), "o", "left")
         .select("s", "p", F.coalesce("_c", "o").alias("o"))
     )
     return out.dropDuplicates()

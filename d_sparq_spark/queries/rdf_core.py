@@ -357,6 +357,120 @@ FROM rest t LEFT JOIN m ms ON ms.node = t.s LEFT JOIN m mo ON mo.node = t.o
 """
 
 
+# --- q_store_reasoning / q_store_smush: persisted maintained layers (r9) -----
+
+_RSTORE_CACHE: dict = {}
+
+
+def _store_base(spark: SparkSession, sf_dir: str, tag: str) -> str:
+    """Per-(session, sf_dir) disk path for a store-lifecycle query — the
+    q_load_pipeline keying discipline (full-path hash, applicationId memo)."""
+    import hashlib
+
+    h = hashlib.sha256(sf_dir.rstrip("/").encode()).hexdigest()[:12]
+    return os.path.join(
+        "/tmp", "d_sparq_store_cache",
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{h}_{tag}",
+    )
+
+
+def _reasoned_store(spark: SparkSession, sf_dir: str) -> str:
+    """Split the derived triples deterministically (xxhash64 mod 5), bulk
+    load the large part, materialize the reasoning layer, APPEND the rest —
+    so the returned store's closure is the O(Δ)-maintained one, never a
+    one-shot materialization. closure(base ∪ Δ) == closure(all) by rule
+    unarity, which is exactly what the oracle checks."""
+    from d_sparq_spark.load_pipeline import (
+        append_load, bulk_load, materialize_reasoning,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, "reasoned")
+    if key not in _RSTORE_CACHE:
+        base = _store_base(spark, sf_dir, "rstore")
+        nt_base, nt_delta, store = base + "_b", base + "_d", base + "_s"
+        t = derive_triples(spark, sf_dir)
+        h = F.pmod(F.xxhash64("s", "p", "o"), F.lit(5))
+        format_ntriples(t.filter(h != 0)).write.mode("overwrite").text(nt_base)
+        format_ntriples(t.filter(h == 0)).write.mode("overwrite").text(nt_delta)
+        bulk_load(spark, nt_base, store)
+        materialize_reasoning(spark, store, _RDFS_ONTOLOGY)
+        append_load(spark, nt_delta, store)
+        _RSTORE_CACHE[key] = store
+    return _RSTORE_CACHE[key]
+
+
+@register("q_store_reasoning", oracle=_rdfs_oracle())
+def q_store_reasoning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED, incrementally maintained entailment layer
+    (load_pipeline.materialize_reasoning + append_load's O(Δ) maintenance,
+    VERDICT r8 #1): 80% of the derived triples bulk-load, the remaining
+    20% arrive as an append whose entailments are derived from the delta
+    alone (one broadcast rule pass) and anti-joined against the stored
+    closure over partition-pruned slices. The decoded (base ∪ entailed)
+    relation must equal the full recursive-CTE closure — the same oracle
+    q_rdfs_entailment passes, now gating the maintenance path."""
+    from d_sparq_spark.load_pipeline import reasoned_triples
+
+    store = _reasoned_store(spark, sf_dir)
+    d = spark.read.parquet(os.path.join(store, "dict"))
+    return decode_triples(
+        reasoned_triples(spark, store).dropDuplicates(), d, broadcast_dict=True
+    )
+
+
+@register("q_store_smush", oracle=_SAMEAS_ORACLE)
+def q_store_smush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED sameAs canonical map, incrementally maintained: the
+    alias1 chains (alias:k sameAs c:k) bulk-load with the map
+    materialized, then the alias2 rows append — their edges MERGE every
+    existing {alias:k, c:k} component, and the maintenance runs CC over
+    (old map as contracted star edges) ∪ Δ edges only, re-canonicalizing
+    by minimum TERM (alias2:k < alias:k lexically but its id sits above
+    the watermark — exactly the min-id-vs-min-term trap). Decoded smushed
+    store == the same recursive-CTE oracle q_sameas_smush passes."""
+    from d_sparq_spark.load_pipeline import (
+        append_load, bulk_load, materialize_reasoning, smushed_triples,
+    )
+    from d_sparq_spark.sources.tables import load_table
+
+    key = (spark.sparkContext.applicationId, sf_dir, "smush")
+    if key not in _RSTORE_CACHE:
+        t = derive_triples(spark, sf_dir)
+        ak = (
+            load_table(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") % 10 == 0)
+            .select(F.col("c_custkey").alias("k"))
+        )
+        ks = F.col("k").cast("string")
+        alias1 = F.concat(F.lit("alias:"), ks)
+        alias2 = F.concat(F.lit("alias2:"), ks)
+        base = (
+            t.unionByName(ak.select(
+                alias1.alias("s"), F.lit("owl:sameAs").alias("p"),
+                F.concat(F.lit("c:"), ks).alias("o")))
+            .unionByName(ak.select(
+                F.concat(F.lit("n:"), (F.col("k") % 25).cast("string")).alias("s"),
+                F.lit("ex:featured").alias("p"), alias1.alias("o")))
+        )
+        delta = (
+            ak.select(alias2.alias("s"), F.lit("owl:sameAs").alias("p"),
+                      alias1.alias("o"))
+            .unionByName(ak.select(alias2.alias("s"), F.lit("ex:vip").alias("p"),
+                                   F.lit("true").alias("o")))
+        )
+        root = _store_base(spark, sf_dir, "smush")
+        nt_base, nt_delta, store = root + "_b", root + "_d", root + "_s"
+        format_ntriples(base).write.mode("overwrite").text(nt_base)
+        format_ntriples(delta).write.mode("overwrite").text(nt_delta)
+        bulk_load(spark, nt_base, store)
+        materialize_reasoning(spark, store, [])  # smush-only layer
+        append_load(spark, nt_delta, store)
+        _RSTORE_CACHE[key] = store
+    store = _RSTORE_CACHE[key]
+    d = spark.read.parquet(os.path.join(store, "dict"))
+    return decode_triples(smushed_triples(spark, store), d, broadcast_dict=True)
+
+
 @register("q_sameas_smush", oracle=_SAMEAS_ORACLE)
 def q_sameas_smush(spark: SparkSession, sf_dir: str) -> DataFrame:
     """owl:sameAs smushing (operators/reasoning.smush_sameas) over the

@@ -157,7 +157,9 @@ _LAST_ATTESTED: dict[str, int] = {
 # Queries first registered THIS round (round 9): they sort after any older
 # never-attested queries but before the already-attested ones — age
 # priority, so no key starves.
-_NEW_THIS_ROUND: frozenset[str] = frozenset()
+_NEW_THIS_ROUND: frozenset[str] = frozenset(
+    {"q_store_reasoning", "q_store_smush"}
+)
 
 
 def all_queries() -> dict[str, Query]:
