@@ -16,6 +16,16 @@ Scale design (the same discipline as operators/dedup.py):
 - Idempotent restarts: every per-batch write lands under batch_id=<id>, so
   a foreachBatch RETRY of the same microbatch overwrites its own output
   instead of double-appending (exactly-once without a transactional sink).
+- LAYER COMPACTION (r9, VERDICT r8 #3): the corpus table uses the same
+  layered-store protocol as the near-dup band store (streaming/
+  store_layers.py) — with compact_every=N, every N batches all layers
+  strictly earlier than the current batch fold into one base-<id> layer,
+  so the live layer count stays O(compact_every) instead of one
+  batch-<id> directory per microbatch forever (the listing-cost bound).
+  Rows keep their original batch_id inside the base, so the
+  `batch_id < current` retry-exclusion filter keeps working on folded
+  data; the current batch's own layer is never folded. The seed/ layer
+  stays its own directory (batch_id=-1, always earlier than any batch).
 
 Verdict semantics match the batch twin exactly (stream==batch is
 equivalence-tested at sf0.1 in tests/test_streaming.py): corpus digests
@@ -73,6 +83,10 @@ def read_corpus(
     batch of a fresh pipeline) — and of nothing else: any other read error
     must propagate, because silently degrading to the seed set would
     relabel every earlier-batch duplicate as 'keep' (review r4 finding).
+    Batch/base layers resolve through the crash-safe layered-store
+    protocol (store_layers._live_layer_dirs): folded leftovers with ids at
+    or below the newest committed base are ignored, partial bases without
+    their _SUCCESS marker never adopted.
 
     before_batch excludes rows a retried batch's own FIRST attempt wrote:
     a foreachBatch replay of batch N must see exactly the corpus state the
@@ -81,14 +95,16 @@ def read_corpus(
     contribution with an empty keep set."""
     from pyspark.errors import AnalysisException
 
-    # 'batch-N' (no '='), so path globbing never triggers partition-column
-    # inference against the explicit schema
+    from d_sparq_spark.streaming.store_layers import _live_layer_dirs
+
     dfs = []
-    for path in (corpus_dir + "/batch-*", corpus_dir + "/seed"):
-        try:
-            dfs.append(spark.read.schema(CORPUS_SCHEMA).parquet(path))
-        except AnalysisException:
-            continue  # that layer doesn't exist yet
+    dirs = _live_layer_dirs(corpus_dir)
+    if dirs:
+        dfs.append(spark.read.schema(CORPUS_SCHEMA).parquet(*dirs))
+    try:
+        dfs.append(spark.read.schema(CORPUS_SCHEMA).parquet(corpus_dir + "/seed"))
+    except AnalysisException:
+        pass  # no seed layer (pipeline without a backfill)
     if not dfs:
         return spark.createDataFrame([], CORPUS_SCHEMA)
     out = dfs[0] if len(dfs) == 1 else dfs[0].unionByName(dfs[1])
@@ -107,12 +123,22 @@ def seed_corpus(docs: DataFrame, corpus_dir: str, text_col: str = "text") -> Non
     )
 
 
-def dedup_foreach_batch(corpus_dir: str, verdict_dir: str, text_col: str = "text"):
+def dedup_foreach_batch(
+    corpus_dir: str,
+    verdict_dir: str,
+    text_col: str = "text",
+    compact_every: int | None = None,
+):
     """foreachBatch body: verdict the microbatch, then append its kept
     digests to the corpus table. Both writes land under batch_id=<id> so a
-    retried batch is idempotent."""
+    retried batch is idempotent. Every compact_every batches, all corpus
+    layers strictly earlier than the current batch fold into one base
+    layer (the current batch's own layer is never folded, so a retry that
+    rewrites batch-<id> cannot duplicate rows already in a base)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        from d_sparq_spark.streaming.store_layers import compact_layers
+
         spark = batch_df.sparkSession
         digests = digest_docs(batch_df, text_col)
         verdicts = incremental_verdicts(
@@ -135,6 +161,8 @@ def dedup_foreach_batch(corpus_dir: str, verdict_dir: str, text_col: str = "text
             )
         finally:
             verdicts.unpersist()
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_layers(spark, corpus_dir, CORPUS_SCHEMA, batch_id - 1)
 
     return process
 
@@ -145,6 +173,7 @@ def dedup_stream(
     verdict_dir: str,
     checkpoint_dir: str,
     text_col: str = "text",
+    compact_every: int | None = None,
 ):
     """Wire a streaming documents source through the incremental dedup.
     Returns the started query; trigger(availableNow) drains a finite
@@ -152,7 +181,9 @@ def dedup_stream(
     it as the continuous ingest pipeline."""
     return (
         docs_stream.writeStream.foreachBatch(
-            dedup_foreach_batch(corpus_dir, verdict_dir, text_col)
+            dedup_foreach_batch(
+                corpus_dir, verdict_dir, text_col, compact_every=compact_every
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

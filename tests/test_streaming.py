@@ -213,7 +213,11 @@ def test_stream_incremental_dedup_equals_batch_sf01(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = SD.dedup_stream(stream, corpus_dir, verdict_dir, str(tmp_path / "ckpt"))
+    # compact_every=2: the parity gate runs WITH corpus-layer compaction on
+    # (r9, VERDICT r8 #3) — batch 2 folds layers 0..1 into base-1
+    q = SD.dedup_stream(
+        stream, corpus_dir, verdict_dir, str(tmp_path / "ckpt"), compact_every=2
+    )
     q.awaitTermination(600)
 
     got_df = spark.read.parquet(verdict_dir)
@@ -222,6 +226,13 @@ def test_stream_incremental_dedup_equals_batch_sf01(spark, tmp_path):
     want = sorted(tuple(r) for r in q_dedup_incremental(spark, SF01).collect())
     assert len(got) > 0
     assert got == want
+    # the live layer count is O(compact_every), not O(batches): batch 2
+    # folded 0..1; seed/ stays its own (batch_id=-1) directory
+    import os as _os
+
+    assert sorted(_os.listdir(corpus_dir)) == [
+        "base-1", "batch-2", "batch-3", "seed",
+    ]
 
 
 def test_stream_near_dedup_equals_batch(spark, tmp_path):
@@ -458,6 +469,58 @@ def test_stream_dedup_batch_retry_is_idempotent(spark, tmp_path):
     proc(spark.createDataFrame([(9, "a")], "doc_id long, text string"), 1)
     nxt = spark.read.schema(SD.VERDICT_SCHEMA).parquet(verdict_dir + "/batch_id=1")
     assert [r["verdict"] for r in nxt.collect()] == ["dup_in_batch"]
+
+
+def test_stream_dedup_retry_across_compaction(spark, tmp_path):
+    """r9 (VERDICT r8 #3): a foreachBatch retry of the exact-dedup batch
+    that PERFORMED the corpus compaction must emit the same verdicts and
+    leave the same live corpus: the committed base is detected and not
+    rebuilt, the rewritten batch-<id> delta is never folded, and reads
+    exclude the current batch id exactly as before compaction existed."""
+    import os as _os
+
+    from d_sparq_spark.streaming import dedup as SD
+
+    corpus_dir, verdict_dir = str(tmp_path / "corpus"), str(tmp_path / "v")
+    SD.seed_corpus(
+        spark.createDataFrame([(0, "s")], "doc_id long, text string"), corpus_dir
+    )
+    proc = SD.dedup_foreach_batch(corpus_dir, verdict_dir, compact_every=2)
+    batches = [
+        spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string"),
+        spark.createDataFrame([(3, "a"), (4, "c")], "doc_id long, text string"),
+        spark.createDataFrame([(5, "c"), (6, "s"), (7, "d")],
+                              "doc_id long, text string"),
+    ]
+    for k, b in enumerate(batches):
+        proc(b, k)  # batch 2 folds layers 0..1 into base-1
+    assert sorted(_os.listdir(corpus_dir)) == ["base-1", "batch-2", "seed"]
+
+    def state():
+        verdicts = sorted(
+            tuple(r)
+            for r in spark.read.parquet(verdict_dir)
+            .select("doc_id", "dg", "verdict")  # drop the batch_id= dir col
+            .collect()
+        )
+        corpus = sorted(
+            tuple(r) for r in SD.read_corpus(spark, corpus_dir).collect()
+        )
+        return verdicts, corpus
+
+    first = state()
+    by_id = {d: v for d, _dg, v in first[0]}
+    # cross-batch keepers are dup_in_batch, the seed digest dup_of_corpus
+    assert by_id == {1: "keep", 2: "keep", 3: "dup_in_batch", 4: "keep",
+                     5: "dup_in_batch", 6: "dup_of_corpus", 7: "keep"}
+    proc(batches[2], 2)  # retry of the compacting batch
+    assert state() == first
+    assert sorted(_os.listdir(corpus_dir)) == ["base-1", "batch-2", "seed"]
+    # folded rows keep their original batch_id (retry-exclusion survives)
+    assert sorted(
+        r["batch_id"]
+        for r in SD.read_corpus(spark, corpus_dir).select("batch_id").distinct().collect()
+    ) == [-1, 0, 1, 2]
 
 
 def test_watermark_drops_late_rows_exact_split(spark, tmp_path):
