@@ -70,6 +70,15 @@ HEADLINE = [
     # r6: the round's two new execution shapes
     "q_sparql_update_graph",  # chained functional updates over the quad store
     "q_stream_enrich",        # real readStream + broadcast dim join (memory sink)
+    # r9 (VERDICT r8 #4): the round-8 operator surface, bench-gated.
+    # q_simhash_recall is deliberately NOT here: its exact-Jaccard truth
+    # set is quadratic BY DESIGN (a small-N correctness metric, like the
+    # other three recall metrics the bench already excludes) — measured
+    # 228 s at sf0.1, which would be 96% noise about the truth set, not
+    # the SimHash operator (q_simhash itself stays cheap and oracled).
+    "q_rdfs_entailment",    # rho-df broadcast rule pass + one distinct
+    "q_sameas_smush",       # distributed CC + coalesce rewrite
+    "q_dedup_substring",    # 8-token verbatim cross-doc span removal
 ]
 
 
@@ -161,6 +170,24 @@ def main() -> None:
         t0 = time.perf_counter()
         append_load(spark, work + "/nt_delta", work + "/store")
         timings["load_append"] = round(time.perf_counter() - t0, 4)
+        # r9: the persisted reasoning layer — one-shot materialization over
+        # the loaded store, then an append whose O(Δ) maintenance cost is
+        # measured SEPARATELY from the plain append band above (ordering
+        # matters: load_append ran before the manifest existed, so its
+        # band is untouched by this round's addition).
+        from d_sparq_spark.load_pipeline import materialize_reasoning
+        from d_sparq_spark.queries.rdf_core import _RDFS_ONTOLOGY
+
+        delta2 = triples.filter(F.xxhash64("s", "p", "o") % 10 == 1).select(
+            F.concat(F.col("s"), F.lit("-r9delta")).alias("s"), "p", "o"
+        )
+        format_ntriples(delta2).write.mode("overwrite").text(work + "/nt_delta2")
+        t0 = time.perf_counter()
+        materialize_reasoning(spark, work + "/store", _RDFS_ONTOLOGY)
+        timings["load_reason_materialize"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        append_load(spark, work + "/nt_delta2", work + "/store")
+        timings["load_reason_append"] = round(time.perf_counter() - t0, 4)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -167,6 +167,7 @@ class _EncodedTranslator(Translator):
             shadow_vars: set = set()
             new_aggs: list = []
             id_outputs: set = set()
+            reencode: set = set()
             for name, a in node.aggs:
                 if a.func == "count" and (
                     a.arg is None or isinstance(a.arg, A.Var)
@@ -174,13 +175,39 @@ class _EncodedTranslator(Translator):
                     new_aggs.append((name, a))
                     continue
                 if (
-                    a.func in ("min", "max")
+                    a.func in ("min", "max", "sample")
                     and isinstance(a.arg, A.Var)
                     and _is_id(a.arg.name)
                     and self.value_order_safe()
                 ):
+                    # (sample == F.min: under the value-order guarantee,
+                    # min(id) decodes to the lexically-min term — the same
+                    # deterministic SAMPLE the lexical engine returns)
                     new_aggs.append((name, a))
                     id_outputs.add(name)
+                    continue
+                if (
+                    a.func in ("min", "max", "sample")
+                    and isinstance(a.arg, A.Var)
+                    and _is_id(a.arg.name)
+                ):
+                    # shadow aggregate, then RE-ENCODE (r9, VERDICT r8 #5):
+                    # min_by/max_by/sample return one of their INPUT terms,
+                    # so the output is guaranteed a dictionary term — the
+                    # term->id join is TOTAL and the output is a genuine id
+                    # again (it may feed later ID joins; the decode-early
+                    # fallback for this shape is gone). NULL input (all-
+                    # OPTIONAL-unbound group) stays NULL = unbound, exactly
+                    # the lexical engine's semantics.
+                    shadow_vars.add(a.arg.name)
+                    new_aggs.append((
+                        name,
+                        A.Aggregate(
+                            a.func, A.Var(f"__lex__{a.arg.name}"),
+                            a.distinct, a.separator,
+                        ),
+                    ))
+                    reencode.add(name)
                     continue
                 vs = sorted(
                     v
@@ -213,8 +240,10 @@ class _EncodedTranslator(Translator):
             # super(), not self: dispatching the rebuilt Group through
             # this method again would re-enter this branch forever
             out = super().eval(g)
+            if reencode:
+                out = self._encode_shadow(out, sorted(reencode))
             for name, _a in node.aggs:
-                if name not in id_outputs:
+                if name not in id_outputs and name not in reencode:
                     self.bind_cols.add(name)
             return out
         return super().eval(node)
@@ -249,6 +278,26 @@ class _EncodedTranslator(Translator):
             broadcast_dict=self.dict_broadcast_ok(),
             out_names={v: f"__lex__{v}" for v in variables},
         )
+
+    def _encode_shadow(self, df: DataFrame, columns: list[str]) -> DataFrame:
+        """Inverse of _decode_shadow, for aggregate outputs PROVEN to be
+        dictionary terms (min/max/sample over a decoded id column return
+        one of their input terms): one dict term->id join per column, LEFT
+        so a NULL aggregate input stays NULL/unbound. The rejoined column
+        is a genuine dictionary id — downstream ID joins and the final
+        decode treat it like any pattern binding."""
+        for c in columns:
+            d = self.dictionary.select(
+                F.col("id").alias(f"__eid_{c}"), F.col("term").alias(f"__eterm_{c}")
+            )
+            if self.dict_broadcast_ok():
+                d = F.broadcast(d)
+            df = (
+                df.join(d, df[c] == F.col(f"__eterm_{c}"), "left")
+                .drop(c, f"__eterm_{c}")
+                .withColumnRenamed(f"__eid_{c}", c)
+            )
+        return df
 
     def _apply_leftjoin_condition(self, j: DataFrame, cond) -> DataFrame:
         """OPTIONAL's LeftJoin condition over encoded bindings: same
@@ -526,10 +575,15 @@ class EncodedSparqlEngine:
         ID join run the same way (r7), and since r8 nested aggregates do
         too (_EncodedTranslator.eval's Group branch: COUNT over ids,
         MIN/MAX over ids when the dictionary is value-order-safe,
-        everything else over shadow-decoded values). Remaining on the
-        decode-early fallback: a BIND or value-aggregate output that
-        collides with a pattern/VALUES/GRAPH binding — its lexical value
-        would join against dictionary ids."""
+        everything else over shadow-decoded values). Since r9 a nested
+        MIN/MAX/SAMPLE over a pattern variable may even feed ID joins on
+        a NON-value-order-safe dictionary: its output is provably one of
+        its input terms, so the translator re-encodes it (term->id, a
+        total join) and the binding is a genuine id again. Remaining on
+        the decode-early fallback: a BIND or computed-value aggregate
+        (SUM/AVG/GROUP_CONCAT/COUNT/expression args) whose output
+        collides with a pattern/VALUES/GRAPH binding — such values may
+        not exist in the dictionary, so they cannot join ids."""
         if id_vars is None:
             id_vars = self._id_term_vars(node)
         if isinstance(node, A.Group):
@@ -539,7 +593,6 @@ class EncodedSparqlEngine:
             # the MIN/MAX-over-ids route here; at runtime the dtype check
             # routes them exactly).
             lex_vars = None
-            vos = None
             for name, a in node.aggs:
                 if (
                     a.func == "count"
@@ -547,17 +600,15 @@ class EncodedSparqlEngine:
                     and name not in id_vars  # long must not feed an ID join
                 ):
                     continue
-                if a.func in ("min", "max") and isinstance(a.arg, A.Var):
+                if a.func in ("min", "max", "sample") and isinstance(a.arg, A.Var):
                     if lex_vars is None:
                         lex_vars = self._lexical_producer_vars(node.child)
                     if a.arg.name not in lex_vars:
-                        if vos is None:  # lazy: the probe scans the dict
-                            vos = (
-                                self.dict_rank_ordered
-                                and self._dict_value_order_safe()
-                            )
-                        if vos:
-                            continue  # runs over ids; output IS an id
+                        # id-safe on EITHER runtime route (r9, VERDICT r8
+                        # #5): over-ids when the dictionary is value-order
+                        # safe, else shadow aggregate + re-encode — the
+                        # output is a genuine id and may feed ID joins
+                        continue
                 if (
                     a.func
                     in ("count", "min", "max", "sum", "avg", "group_concat", "sample")

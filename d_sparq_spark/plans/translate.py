@@ -342,10 +342,17 @@ class Translator:
             child = child.withColumn(name, self.expr(e, child))
         if node.vars:
             # SELECT of a variable no pattern binds is valid SPARQL:
-            # every solution leaves it unbound (NULL), never an error
+            # every solution leaves it unbound (NULL), never an error.
+            # The GRAPH variable fills with the STORE's g dtype (bigint on
+            # an encoded store): the guarded compatibility route unions it
+            # with real graph ids, and a string NULL would type-clash (r9)
             for v in node.vars:
                 if v not in child.columns:
-                    child = child.withColumn(v, F.lit(None).cast("string"))
+                    if v == self.graph_var and "g" in self.triples.columns:
+                        gt = dict(self.triples.dtypes)["g"]
+                        child = child.withColumn(v, F.lit(None).cast(gt))
+                    else:
+                        child = child.withColumn(v, F.lit(None).cast("string"))
             out = list(node.vars)
             # subquery under GRAPH ?g: the graph binding rides through the
             # projection as a hidden extra column so the whole query stays
@@ -715,9 +722,13 @@ class Translator:
             ):
                 reads_g = True
             if isinstance(n, A.Project):
-                if (n.vars and gname in n.vars) or any(
-                    name == gname for name, _ in n.exprs
-                ):
+                # a SELECT list that NAMES ?g projects the hidden quad
+                # column itself (the active graph — _apply_project keeps
+                # it), so it stays on the single-plan route (r9, VERDICT
+                # r8 #6; this used to take the per-graph driver loop).
+                # Only a COMPUTED alias (expr AS ?g) is an arbitrary
+                # value and must fall back.
+                if any(name == gname for name, _ in n.exprs):
                     return False
                 if any(gname in A.expr_vars(e) for _, e in n.exprs):
                     reads_g = True

@@ -373,6 +373,60 @@ def test_nested_minmax_value_order_unsafe_takes_shadow_path(spark, monkeypatch):
         assert rows(eng.query(q)) == want
 
 
+def test_nested_minmax_feeding_id_join_reencodes_no_fallback(spark, monkeypatch):
+    """r9 (VERDICT r8 #5, the last decode-early shape): a nested
+    MIN/MAX/SAMPLE output feeding an ID join on a NON-value-order-safe
+    dictionary (typed numerics present / append-ordered) no longer falls
+    back — the shadow aggregate's output is provably one of its input
+    terms, so the translator re-encodes it term->id and the ID join runs
+    over genuine ids. Sentinel asserts no whole-store decode; answers are
+    lexical-engine exact on both the typed-numeric dictionary and the
+    dict_rank_ordered=False engine."""
+    import d_sparq_spark.encoded_engine as ee
+
+    rows_t = [
+        ("p:a", "ex:knows", "p:b"),
+        ("p:a", "ex:knows", "p:c"),
+        ("p:d", "ex:knows", "p:b"),
+        ("p:b", "ex:name", "bob"),
+        ("p:c", "ex:name", "carol"),
+        # typed numeric literal: value order != id rank order, so the
+        # MIN/MAX-over-ids route is OFF and the re-encode route must run
+        ("p:a", "ex:score", '"10"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+    ]
+    triples = spark.createDataFrame(rows_t, "s string, p string, o string")
+    d = build_dictionary(triples)
+    enc = encode_triples(triples, d)
+    lexical = SparqlEngine(triples, collect_stats=False)
+
+    def no_fallback(self, tree):
+        raise AssertionError("whole-store decode fallback must not run")
+
+    monkeypatch.setattr(ee.EncodedSparqlEngine, "_lexical_fallback", no_fallback)
+    queries = [
+        # MAX output seeds a later triple pattern (the ID join)
+        "SELECT ?x ?mn WHERE { "
+        "{ SELECT ?x (MAX(?y) AS ?m) WHERE { ?x ex:knows ?y } GROUP BY ?x } "
+        "?m ex:name ?mn }",
+        # MIN variant
+        "SELECT ?x ?mn WHERE { "
+        "{ SELECT ?x (MIN(?y) AS ?m) WHERE { ?x ex:knows ?y } GROUP BY ?x } "
+        "?m ex:name ?mn }",
+        # SAMPLE (deterministic = lexical min) feeding the join
+        "SELECT ?x ?mn WHERE { "
+        "{ SELECT ?x (SAMPLE(?y) AS ?m) WHERE { ?x ex:knows ?y } GROUP BY ?x } "
+        "?m ex:name ?mn }",
+    ]
+    for engine in (
+        ee.EncodedSparqlEngine(enc, d, collect_stats=False),
+        ee.EncodedSparqlEngine(enc, d, collect_stats=False, dict_rank_ordered=False),
+    ):
+        for q in queries:
+            got = rows(engine.query(q))
+            assert got == rows(lexical.query(q)), q
+            assert len(got) > 0, q
+
+
 def test_nested_bind_feeding_id_join_still_falls_back(engines):
     """A BIND whose variable is also bound by a pattern would put a
     lexical value into an ID join — that shape must keep the decode-early

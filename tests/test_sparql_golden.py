@@ -1915,6 +1915,69 @@ def test_nested_graph_single_plan_both_engines(spark):
     assert TR.GRAPH_FALLBACK_LOOPS == before  # no driver loop engaged
 
 
+def test_graph_projecting_subquery_single_plan(spark):
+    """r9 (VERDICT r8 #6): a subselect under GRAPH ?g whose SELECT list
+    names ?g explicitly projects the hidden quad column (the active
+    graph) and stays on the SINGLE-PLAN route — fallback counter pinned
+    flat on both engines. A COMPUTED alias (expr AS ?g) is an arbitrary
+    value and must keep the per-graph loop (counter increments), still
+    answer-correct under the compatibility rule."""
+    from d_sparq_spark.plans import translate as TR
+
+    quads = spark.createDataFrame(
+        [("s:a", "p:x", "o:1", "g:a"), ("s:b", "p:x", "o:2", "g:b"),
+         ("o:1", "p:y", "o:3", "g:b"), ("s:a", "p:z", "o:4", "g:a")],
+        "s string, p string, o string, g string",
+    )
+    engines = [SparqlEngine(quads, collect_stats=False)]
+    from d_sparq_spark.encoded_engine import EncodedSparqlEngine
+    from d_sparq_spark.operators.dictionary import build_dictionary, encode_triples
+
+    d = build_dictionary(quads)
+    engines.append(
+        EncodedSparqlEngine(encode_triples(quads, d), d, collect_stats=False)
+    )
+    before = TR.GRAPH_FALLBACK_LOOPS
+    for e in engines:
+        # plain projecting subselect: ?g is the active graph
+        out = e.query(
+            "SELECT ?g ?s WHERE { GRAPH ?g { "
+            "{ SELECT ?g ?s WHERE { ?s <p:x> ?o } } } }"
+        )
+        assert sorted(tuple(r) for r in out.collect()) == [
+            ("g:a", "s:a"), ("g:b", "s:b"),
+        ]
+        # DISTINCT subselect projecting ?g: per-graph distinct
+        out2 = e.query(
+            "SELECT ?g ?s WHERE { GRAPH ?g { "
+            "{ SELECT DISTINCT ?g ?s WHERE { ?s ?p ?o } } } }"
+        )
+        assert sorted(tuple(r) for r in out2.collect()) == [
+            ("g:a", "s:a"), ("g:b", "o:1"), ("g:b", "s:b"),
+        ]
+        # ORDER BY + LIMIT subselect projecting ?g: the limit applies PER
+        # GRAPH (each graph's dataset evaluated independently)
+        out3 = e.query(
+            "SELECT ?g ?s WHERE { GRAPH ?g { "
+            "{ SELECT ?g ?s WHERE { ?s ?p ?o } ORDER BY ?s LIMIT 1 } } }"
+        )
+        assert sorted(tuple(r) for r in out3.collect()) == [
+            ("g:a", "s:a"), ("g:b", "o:1"),
+        ]
+    assert TR.GRAPH_FALLBACK_LOOPS == before  # no driver loop engaged
+
+    # computed alias (expr AS ?g): stays on the per-graph loop; a value
+    # naming no graph yields nothing under the compatibility rule
+    for e in engines:
+        loops0 = TR.GRAPH_FALLBACK_LOOPS
+        out4 = e.query(
+            "SELECT ?g WHERE { GRAPH ?g { "
+            "{ SELECT (STR(?o) AS ?g) WHERE { ?s <p:y> ?o } } } }"
+        )
+        assert out4.count() == 0
+        assert TR.GRAPH_FALLBACK_LOOPS > loops0
+
+
 def test_nested_graph_matches_per_graph_brute_force(spark):
     """The nested-GRAPH single plan against a brute-force evaluation of
     the SPARQL algebra (outer union over named graphs gi of
