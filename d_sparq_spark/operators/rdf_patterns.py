@@ -143,6 +143,16 @@ def order_by_selectivity(
 
         return sorted(patterns, key=cost)
 
+    ordered, _rows, _subjects = _chain_state(known, st)
+    return ordered + unknown
+
+
+def _chain_state(known: list[TriplePattern], st: dict) -> tuple:
+    """The r8 greedy chain model (order_by_selectivity docstring), shared
+    with the r9 INTER-star ordering: returns (ordered patterns, estimated
+    rows, estimated distinct subjects) for a star chain. Callers guarantee
+    every pattern has a constant predicate with ndv stats present."""
+
     def base(tp: TriplePattern) -> tuple:
         cnt, ndv_s, ndv_o = _stat_row(st, tp.p)
         card, subj = float(cnt), float(max(ndv_s or 0, 1))
@@ -169,7 +179,25 @@ def order_by_selectivity(
         ordered.append(best)
         remaining.remove(best)
         rows, subjects = best_state
-    return ordered + unknown
+    return ordered, rows, subjects
+
+
+def estimate_star(
+    patterns: list[TriplePattern], stats: DataFrame | dict | None
+) -> tuple | None:
+    """(estimated rows, estimated distinct subjects) of a star under the
+    chain model — None when the model cannot price it (no stats, ndv
+    columns missing, or a variable predicate), in which case callers
+    degrade to connectivity order (r9, VERDICT r8 #7)."""
+    if stats is None or not patterns:
+        return None
+    st = _stats_dict(stats)
+    if any(_is_var(tp.p) for tp in patterns):
+        return None
+    if not all(_stat_row(st, tp.p)[1] is not None for tp in patterns):
+        return None
+    _ordered, rows, subjects = _chain_state(patterns, st)
+    return float(rows), float(subjects)
 
 
 def join_bindings(left: DataFrame, right: DataFrame, how: str = "inner") -> DataFrame:

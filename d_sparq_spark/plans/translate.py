@@ -841,20 +841,7 @@ class Translator:
         for tp in plain:
             by_subject.setdefault(tp.s, []).append(tp)
         stars = list(by_subject.values())
-
-        # greedy connectivity order: always join a star that shares a
-        # variable with what's already bound (no accidental cartesians).
-        ordered: list[list[TriplePattern]] = [stars.pop(0)]
-        bound = set().union(*(set(tp.variables()) for tp in ordered[0]))
-        while stars:
-            idx = next(
-                (i for i, st in enumerate(stars)
-                 if bound & set().union(*(set(tp.variables()) for tp in st))),
-                0,
-            )
-            st = stars.pop(idx)
-            ordered.append(st)
-            bound |= set().union(*(set(tp.variables()) for tp in st))
+        ordered = self._order_stars(stars)
         base = reduce(
             join_bindings,
             (self._star(star, ordered) for star in ordered),
@@ -863,6 +850,87 @@ class Translator:
             # seeding closures from the already-bound variables
             base = join_bindings(base, self._path(p, base))
         return base
+
+    def _order_stars(self, stars: list) -> list:
+        """Inter-star join order (r9, VERDICT r8 #7). The same
+        R' = R * card / max(nd, ns) chain estimate that orders patterns
+        WITHIN a star (operators/rdf_patterns._chain_state) now also picks
+        which star joins NEXT: each star is priced to (rows, per-variable
+        ndv) — subject ndv from the chain estimate, object-variable ndv
+        from the predicate's ndv_o capped at the star's rows — and the
+        greedy step joins the connected star minimizing the estimated
+        output rows / product over shared variables of max(ndv each side).
+        Connectivity stays the HARD constraint (a star sharing a variable
+        always beats a cartesian, as before). Count-only stats, missing
+        ndv, or a variable predicate in any star degrade to the previous
+        greedy connectivity order in registration order."""
+        from d_sparq_spark.operators.rdf_patterns import (
+            _is_var as _isv,
+            _stat_row,
+            _stats_dict,
+            estimate_star,
+        )
+
+        def star_vars(st: list) -> set:
+            return set().union(*(set(tp.variables()) for tp in st))
+
+        ests = [estimate_star(s, self.stats) for s in stars]
+        if len(stars) <= 1 or any(e is None for e in ests):
+            # previous behavior: parse-order seed, connectivity-greedy
+            stars = list(stars)
+            ordered: list = [stars.pop(0)]
+            bound = star_vars(ordered[0])
+            while stars:
+                idx = next(
+                    (i for i, st in enumerate(stars) if bound & star_vars(st)),
+                    0,
+                )
+                st = stars.pop(idx)
+                ordered.append(st)
+                bound |= star_vars(st)
+            return ordered
+
+        st = _stats_dict(self.stats)
+        infos = []
+        for s, (rows, subjects) in zip(stars, ests):
+            rows = max(rows, 1.0)
+            ndv: dict = {}
+            if _isv(s[0].s):
+                ndv[s[0].s[1:]] = max(min(subjects, rows), 1.0)
+            for tp in s:
+                if _isv(tp.o):
+                    ndv_o = _stat_row(st, tp.p)[2] or 1
+                    v = tp.o[1:]
+                    cand = max(min(float(ndv_o), rows), 1.0)
+                    ndv[v] = min(ndv.get(v, float("inf")), cand)
+            infos.append([s, rows, ndv])
+        # seed: the smallest estimated star (stable under ties)
+        first_i = min(range(len(infos)), key=lambda i: infos[i][1])
+        first = infos.pop(first_i)
+        ordered = [first[0]]
+        rows, ndv = first[1], dict(first[2])
+        while infos:
+            connected = [
+                i for i, (s, _r, nd) in enumerate(infos) if set(nd) & set(ndv)
+            ]
+            candidates = connected or range(len(infos))
+            best_i = best_est = None
+            for i in candidates:
+                _s, r, nd = infos[i]
+                divisor = 1.0
+                for v in set(nd) & set(ndv):
+                    divisor *= max(ndv[v], nd[v], 1.0)
+                est = rows * r / divisor
+                if best_est is None or est < best_est:
+                    best_i, best_est = i, est
+            s, r, nd = infos.pop(best_i)
+            ordered.append(s)
+            rows = max(best_est, 1.0)
+            ndv = {
+                v: max(min(ndv.get(v, float("inf")), nd.get(v, float("inf")), rows), 1.0)
+                for v in set(ndv) | set(nd)
+            }
+        return ordered
 
     def _star(self, star: list[TriplePattern], all_stars: list) -> DataFrame:
         """One subject star, routed through the physical layout the catalog
