@@ -154,6 +154,41 @@ FROM reach GROUP BY src // {BLOCK}
 """
 
 
+def synth_closure_closed_sql(seeded: bool) -> str:
+    """NON-RECURSIVE closed form of synth_closure_oracle_sql (r9, VERDICT
+    r8 #8 — the per-block recurrence device): edges never leave a 16-node
+    block and the consecutive chain makes reachability exactly
+    {(i, j): i < j < ln}, so the per-block pair count is C(ln, 2) and the
+    seeded pair set is the seed head's chain suffix. Pure integer
+    arithmetic, O(n_blocks), no recursion — this is what lets the sf0.1
+    oracle lap verify the 1.18M-edge closures where the RECURSIVE oracle
+    spills DuckDB. Cross-validated against the recursive oracle at
+    sf0.001 and sf0.01 (tests/test_sparql_paths.py)."""
+    base = f"""
+nums AS (SELECT row_number() OVER () - 1 AS r FROM events),
+blocks AS (
+  SELECT r + i * (SELECT COUNT(*) FROM events) AS b
+  FROM nums CROSS JOIN range(0, 3) t(i)
+),
+lens AS (SELECT b, {_SQL_LEN} AS ln FROM blocks)"""
+    if seeded:
+        return f"""
+WITH {base},
+seeds AS (
+  SELECT b, ln FROM lens
+  WHERE ln <= 8 AND ({_HB} % {SEED_MOD} = 0 OR b = 0)
+)
+SELECT 'n' || CAST(b * {BLOCK} AS VARCHAR) AS x,
+       'n' || CAST(b * {BLOCK} + k AS VARCHAR) AS y
+FROM seeds CROSS JOIN range(1, {BLOCK}) t(k) WHERE k < ln
+"""
+    return f"""
+WITH {base}
+SELECT b AS blk, CAST(ln * (ln - 1) // 2 AS BIGINT) AS n_pairs
+FROM lens WHERE ln >= 2
+"""
+
+
 # --- hub / power-law variant (r5, VERDICT r4 #4) ----------------------------
 #
 # The chain graph never triggers the stride growth cap (paths.py: deepening
@@ -281,4 +316,42 @@ reach AS (
 )
 SELECT src // {BLOCKH} AS hub, COUNT(*) AS n_pairs
 FROM reach GROUP BY src // {BLOCKH}
+"""
+
+
+def synth_hub_closure_closed_sql(seeded: bool) -> str:
+    """NON-RECURSIVE closed form of synth_hub_closure_oracle_sql (r9):
+    the hub graph is bipartite per slot — every in-spoke reaches the hub
+    and all s out-spokes (s + 1 targets each), the hub reaches its s
+    out-spokes — so the per-slot pair count is s*(s+1) + s = s^2 + 2s and
+    the seeded pair set is each seed spoke's {hub} ∪ out-spokes. Same
+    cross-validation discipline as synth_closure_closed_sql."""
+    base = f"""
+nums AS (SELECT row_number() OVER () - 1 AS j FROM events),
+hubs AS (
+  SELECT j, {_SQL_SJ} AS s FROM nums
+  WHERE j < greatest(4, (SELECT COUNT(*) FROM events) // 250)
+)"""
+    if not seeded:
+        return f"""
+WITH {base}
+SELECT j AS hub, CAST(s * s + 2 * s AS BIGINT) AS n_pairs FROM hubs
+"""
+    return f"""
+WITH {base},
+spokes AS (
+  SELECT j, s, i FROM hubs CROSS JOIN range(0, {S_MAX}) t(i) WHERE i < s
+),
+seeds AS (
+  SELECT j, s, j * {BLOCKH} + 1 + i AS id FROM spokes
+  WHERE ((((j * {BLOCKH} + 1 + i) * 1103515245 + 12345) % 2147483648) % 97 = 0)
+     OR j * {BLOCKH} + 1 + i = 1
+)
+SELECT 'n' || CAST(id AS VARCHAR) AS x,
+       'n' || CAST(j * {BLOCKH} AS VARCHAR) AS y
+FROM seeds
+UNION ALL
+SELECT 'n' || CAST(id AS VARCHAR),
+       'n' || CAST(j * {BLOCKH} + 1 + {S_MAX} + i AS VARCHAR)
+FROM seeds CROSS JOIN range(0, {S_MAX}) t(i) WHERE i < s
 """

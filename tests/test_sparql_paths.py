@@ -602,3 +602,31 @@ def test_small_string_closure_skips_hash_encoding(spark, monkeypatch):
     monkeypatch.setattr(paths, "_ENCODE_MIN_EDGES", 1)
     enc = paths.transitive_closure(e)
     assert sorted(map(tuple, lex.collect())) == sorted(map(tuple, enc.collect()))
+
+
+def test_closed_form_closure_oracles_match_recursive(spark):
+    """r9 (VERDICT r8 #8): the NON-RECURSIVE closed-form oracles the sf0.1
+    lap uses for the synthetic closures (block-local reachability: C(ln,2)
+    per chain block, s^2+2s per hub slot, seed suffix/star pair sets) must
+    equal the recursive-CTE oracles exactly at the scales DuckDB can run
+    both — that equivalence is what lets a closed-form pass at sf0.1 carry
+    the primary oracle's weight."""
+    from d_sparq_spark.sources.synth_graph import (
+        synth_closure_closed_sql,
+        synth_closure_oracle_sql,
+        synth_hub_closure_closed_sql,
+        synth_hub_closure_oracle_sql,
+    )
+    from tests.oracle import canon, run_oracle
+
+    cases = [
+        (synth_closure_oracle_sql(False), synth_closure_closed_sql(False)),
+        (synth_closure_oracle_sql(True), synth_closure_closed_sql(True)),
+        (synth_hub_closure_oracle_sql(False), synth_hub_closure_closed_sql(False)),
+        (synth_hub_closure_oracle_sql(True), synth_hub_closure_closed_sql(True)),
+    ]
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        for rec, closed in cases:
+            a, b = canon(run_oracle(rec, sf)), canon(run_oracle(closed, sf))
+            assert len(a) > 0
+            assert a.equals(b), (sf, rec[:120])

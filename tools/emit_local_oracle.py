@@ -19,6 +19,14 @@ non-iterative oracled queries get one pass at sf0.1 too). skip_regex
 excludes keys whose ORACLE side is documented to spill/blow up in DuckDB
 at the larger scale (iterative closures, quadratic truth sets); skipped
 keys are recorded as "skipped", never silently dropped.
+
+r9 (VERDICT r8 #8): a skip-matched key with an entry in ALT_ORACLES runs
+against that NON-RECURSIVE closed-form oracle instead of skipping — the
+synthetic closure graphs are block-local, so their closure counts/pair
+sets have O(n) closed forms the recursive CTE spills on. The closed
+forms are cross-validated against the recursive oracles at sf0.001 and
+sf0.01 by tests/test_sparql_paths.py, so a pass here carries the same
+weight as the primary oracle. Recorded with mode "oracle_closed_form".
 """
 
 from __future__ import annotations
@@ -49,23 +57,40 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from d_sparq_spark import registry
+    from d_sparq_spark.sources.synth_graph import (
+        synth_closure_closed_sql,
+        synth_hub_closure_closed_sql,
+    )
     from tests.oracle import canon, run_oracle
+
+    alt_oracles = {
+        "q_sparql_path_plus_big": synth_closure_closed_sql(False),
+        "q_closure_big_int": synth_closure_closed_sql(False),
+        "q_sparql_path_plus_big_seeded": synth_closure_closed_sql(True),
+        "q_sparql_path_plus_hub": synth_hub_closure_closed_sql(False),
+        "q_sparql_path_plus_hub_seeded": synth_hub_closure_closed_sql(True),
+    }
 
     out: dict[str, dict] = {}
     for name, q in registry.all_queries().items():
         entry: dict = {"mode": "oracle" if q.oracle else "rows_only"}
+        oracle = q.oracle
         if skip_re is not None and skip_re.search(name):
-            entry["status"] = "skipped"
-            out[name] = entry
-            print(name, "skipped", flush=True)
-            continue
+            if name in alt_oracles:
+                oracle = alt_oracles[name]
+                entry["mode"] = "oracle_closed_form"
+            else:
+                entry["status"] = "skipped"
+                out[name] = entry
+                print(name, "skipped", flush=True)
+                continue
         try:
             sdf = q.fn(spark, sf_dir).toPandas()
             entry["rows"] = int(len(sdf))
-            if q.oracle is None:
+            if oracle is None:
                 entry["status"] = "pass" if len(sdf.columns) > 0 else "fail"
             else:
-                odf = run_oracle(q.oracle, sf_dir)
+                odf = run_oracle(oracle, sf_dir)
                 ok = (
                     len(sdf) == len(odf)
                     and sorted(sdf.columns) == sorted(odf.columns)
