@@ -331,6 +331,62 @@ def q_rdfs_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rdfs_entailment(derive_triples(spark, sf_dir), _RDFS_ONTOLOGY)
 
 
+# --- q_rdfs_iterative: meta-schema closure the single pass must reject (r9) --
+
+_META_ONTOLOGY = [
+    # ordinary rows (the single-pass fragment)
+    ("Customer", "rdfs:subClassOf", "Agent"),
+    ("ex:mktsegment", "rdfs:domain", "Customer"),
+    # META-SCHEMA rows: rdf:type itself has a superproperty, whose range
+    # rule then types the CLASS terms — derived triples re-enable earlier
+    # rules across ~4 passes, exactly the shape rdfs_entailment rejects
+    ("rdf:type", "rdfs:subPropertyOf", "ex:classified"),
+    ("ex:classified", "rdfs:range", "c:Class"),
+]
+
+
+def _rdfs_iter_oracle() -> str:
+    """DuckDB mirror of rdfs_entailment_iterative: ONE recursive arm
+    joining a unified rules relation (DuckDB rejects multi-arm recursive
+    references), iterated to the least fixpoint — the raw rules close the
+    hierarchies themselves, so no pre-closure is needed."""
+    kind_of = {"rdfs:subPropertyOf": "spo", "rdfs:subClassOf": "sco",
+               "rdfs:domain": "dom", "rdfs:range": "rng"}
+    rows = ", ".join(
+        f"('{kind_of[p]}', '{s}', '{o}')" for s, p, o in _META_ONTOLOGY
+    )
+    return f"""
+WITH RECURSIVE
+base AS ({TRIPLES_SQL}),
+rules(kind, a, b) AS (VALUES {rows}),
+c(s, p, o) AS (
+  SELECT s, p, o FROM base
+  UNION
+  SELECT CASE WHEN r.kind = 'rng' THEN c.o ELSE c.s END,
+         CASE WHEN r.kind = 'spo' THEN r.b ELSE 'rdf:type' END,
+         CASE WHEN r.kind = 'spo' THEN c.o ELSE r.b END
+  FROM c JOIN rules r ON
+    (r.kind IN ('spo', 'dom', 'rng') AND c.p = r.a)
+    OR (r.kind = 'sco' AND c.p = 'rdf:type' AND c.o = r.a)
+)
+SELECT s, p, o FROM c
+"""
+
+
+@register("q_rdfs_iterative", oracle=_rdfs_iter_oracle())
+def q_rdfs_iterative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-naive iterative rho-df closure under a META-SCHEMA ontology
+    (rdf:type subPropertyOf ex:classified + a range on the derived
+    property): the shape the single-pass rdfs_entailment REJECTS (its
+    soundness argument fails — derived triples re-enable earlier rules).
+    rdfs_entailment_iterative (operators/reasoning.py) re-applies the
+    broadcast rule pass to each round's DELTA until empty — rounds
+    bounded by schema dependency depth (metadata), per-round work O(Δ)."""
+    from d_sparq_spark.operators.reasoning import rdfs_entailment_iterative
+
+    return rdfs_entailment_iterative(derive_triples(spark, sf_dir), _META_ONTOLOGY)
+
+
 # --- q_sameas_smush: owl:sameAs entity canonicalization (r8) ------------------
 
 _SAMEAS_ORACLE = f"""

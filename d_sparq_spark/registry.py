@@ -158,7 +158,7 @@ _LAST_ATTESTED: dict[str, int] = {
 # never-attested queries but before the already-attested ones — age
 # priority, so no key starves.
 _NEW_THIS_ROUND: frozenset[str] = frozenset(
-    {"q_store_reasoning", "q_store_smush"}
+    {"q_store_reasoning", "q_store_smush", "q_rdfs_iterative"}
 )
 
 
