@@ -51,6 +51,11 @@ def main() -> None:
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.session.timeZone", "UTC")
+        # local mode hosts the executors INSIDE the driver JVM (BASELINE.md
+        # heavy-closure note): the sf0.1 closures the r9 lap un-skipped
+        # hold ~6.8M pairs, beyond the 1g default. Correctness-only knob —
+        # a real cluster spreads the same state across executor memory.
+        .config("spark.driver.memory", "16g")
         .appName("local-oracle-sweep")
         .getOrCreate()
     )
