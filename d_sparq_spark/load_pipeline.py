@@ -505,7 +505,9 @@ def append_load(spark: SparkSession, nt_path: str, store_path: str) -> dict:
     }
 
 
-def open_store(spark: SparkSession, store_path: str) -> EncodedSparqlEngine:
+def open_store(
+    spark: SparkSession, store_path: str, reasoning: bool = False
+) -> EncodedSparqlEngine:
     """Reopen a bulk-loaded store as a queryable encoded engine. The
     stats parquet feeds the A7 selectivity ordering without rescanning;
     any layouts materialized at load time (ptable/, extvp/) come back as
@@ -513,16 +515,38 @@ def open_store(spark: SparkSession, store_path: str) -> EncodedSparqlEngine:
     instead of the full store — no per-session rebuild. (Layout manifests
     are probed with local-FS os.path — matching bulk_load's local-path
     requirement for materialized layouts; a URI store opens fine but
-    without layout routing.)"""
-    enc = store_triples(spark, store_path)
+    without layout routing.)
+
+    reasoning=True queries the CLOSURE instead of the base: base ∪ the
+    persisted entailed/ layer (materialize_reasoning + append_load's O(Δ)
+    maintenance), so SPARQL sees inferred rdf:type / superproperty
+    triples with zero query-time inference — the load-once/reason-once/
+    query-many lifecycle. Requires a committed reasoning manifest.
+    Layout routing is skipped on the reasoned relation (ptable/extvp are
+    derived from the BASE triple set; routing a closure query through
+    them would silently drop entailed rows)."""
+    if reasoning and not _has_reasoning(store_path):
+        raise ValueError(
+            "open_store(reasoning=True): the store has no committed "
+            "reasoning layer — run materialize_reasoning first"
+        )
+    enc = (
+        reasoned_triples(spark, store_path)
+        if reasoning
+        else store_triples(spark, store_path)
+    )
     dictionary = spark.read.parquet(os.path.join(store_path, "dict"))
     catalog = None
     from d_sparq_spark.plans.catalog import StoreCatalog
 
     cat = StoreCatalog()
-    if os.path.exists(os.path.join(store_path, "ptable", "manifest.json")):
+    if not reasoning and os.path.exists(
+        os.path.join(store_path, "ptable", "manifest.json")
+    ):
         catalog = cat.load_property_table(spark, store_path)
-    if os.path.exists(os.path.join(store_path, "extvp", "manifest.json")):
+    if not reasoning and os.path.exists(
+        os.path.join(store_path, "extvp", "manifest.json")
+    ):
         catalog = cat.load_extvp(spark, store_path)
     engine = EncodedSparqlEngine(
         enc,

@@ -245,3 +245,36 @@ def test_empty_ontology_smush_only_keeps_rank_order(spark, tmp_path):
         parse_ntriples(spark.read.text(delta))
     )
     assert smushed == sorted(map(tuple, smush_sameas(both).collect()))
+
+
+def test_open_store_reasoning_engine(spark, tmp_path):
+    """open_store(reasoning=True): the returned engine queries the
+    maintained closure — a type only derivable through rdfs2+rdfs9 over
+    the APPENDED delta answers identically to the lexical engine over the
+    full closure; without a committed layer the flag raises."""
+    import pytest
+
+    from d_sparq_spark.load_pipeline import open_store
+
+    store, both, *_ = _load_with_delta(spark, tmp_path)
+    engine = open_store(spark, store, reasoning=True)
+    q = "SELECT ?s WHERE { ?s <rdf:type> <c:Person> }"
+    got = sorted(r["s"] for r in engine.query(q).collect())
+    want = sorted(
+        r["s"]
+        for r in SparqlEngine(rdfs_entailment(both, ONT), collect_stats=False)
+        .query(q)
+        .collect()
+    )
+    assert got == want and "s:c" in got  # s:c types only via the delta
+
+    # plain open_store still answers from the base (no inferred types)
+    base_engine = open_store(spark, store)
+    assert base_engine.query(q).count() == 0
+
+    # no reasoning layer -> explicit error
+    store2 = str(tmp_path / "bare")
+    base_nt = _nt(tmp_path / "bare.nt", BASE)
+    bulk_load(spark, base_nt, store2)
+    with pytest.raises(ValueError, match="no committed reasoning layer"):
+        open_store(spark, store2, reasoning=True)
