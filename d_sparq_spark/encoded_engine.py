@@ -101,12 +101,12 @@ class _EncodedTranslator(Translator):
         # out). Shared with spawned sub-translators, read by the engine.
         self.bind_cols: set = bind_cols if bind_cols is not None else set()
 
-    def _spawn(self, triples, stats, graph_var=None):
+    def _spawn(self, triples, stats, graph_var=None, quad_store=None):
         return _EncodedTranslator(
             triples, stats, services=self.services, graph_var=graph_var,
             dictionary=self.dictionary, dict_broadcast_ok=self.dict_broadcast_ok,
             pin_cache=self._pinned, bind_cols=self.bind_cols,
-            value_order_safe=self.value_order_safe,
+            value_order_safe=self.value_order_safe, quad_store=quad_store,
         )
 
     def eval(self, node) -> DataFrame:

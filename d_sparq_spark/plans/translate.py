@@ -125,12 +125,18 @@ class Translator:
         graph_var: str | None = None,
         catalog=None,
         pin_cache: list | None = None,
+        quad_store: DataFrame | None = None,
     ):
         self.triples = triples
         self.stats = stats
         self.services = services or {}
         self.graph_var = graph_var  # GRAPH ?g: project g into every pattern
         self.catalog = catalog  # StoreCatalog: property table + ExtVP routes
+        # the full quad relation, for translators whose OWN triples are a
+        # per-graph slice with g dropped (the per-graph loop / constant-
+        # graph spawns): a nested GRAPH inside re-activates over the whole
+        # dataset, per spec — before r9 it raised "requires a quad store"
+        self.quad_store = quad_store
         self.spark = triples.sparkSession
         # bounded pin cache for translate-time persisted projections
         # (_compat_semi_anti): unbounded persists leaked storage memory
@@ -148,13 +154,19 @@ class Translator:
         while len(self._pinned) > cap:
             self._pinned.pop(0).unpersist(blocking=False)
 
-    def _spawn(self, triples: DataFrame, stats, graph_var: str | None = None) -> "Translator":
+    def _spawn(
+        self,
+        triples: DataFrame,
+        stats,
+        graph_var: str | None = None,
+        quad_store: DataFrame | None = None,
+    ) -> "Translator":
         """Sub-translator for GRAPH evaluation — overridden by the encoded
         engine's translator so nested value filters keep their
         shadow-decode capability inside GRAPH groups."""
         return type(self)(
             triples, stats, services=self.services, graph_var=graph_var,
-            pin_cache=self._pinned,
+            pin_cache=self._pinned, quad_store=quad_store,
         )
 
     # ------------- algebra -------------
@@ -511,14 +523,22 @@ class Translator:
         pattern-free groups (nothing to bind g from) keep the per-graph
         loop — the graph list there is metadata-scale, and subquery
         wrappers that project g away also fall back (see _graph_column_ok)."""
-        if "g" not in self.triples.columns:
+        if "g" in self.triples.columns:
+            quads = self.triples
+        elif self.quad_store is not None:
+            # this translator evaluates a per-graph SLICE (g dropped); a
+            # nested GRAPH re-activates over the FULL dataset, per spec
+            # (r9: the per-graph loop used to make nested GRAPH raise)
+            quads = self.quad_store
+        else:
             raise ValueError("SPARQL GRAPH requires a quad store (g column)")
         term = node.term
         if isinstance(term, str) and term.startswith("?"):
             route = self._graph_column_ok(node.child, term[1:])
             if route:
                 name = term[1:]
-                sub = self._spawn(self.triples, self.stats, graph_var=name)
+                sub = self._spawn(quads, self.stats, graph_var=name,
+                                  quad_store=quads)
                 out = sub.eval(node.child)
                 if name not in out.columns:
                     # every store touch sat under a NESTED GRAPH/SERVICE
@@ -526,7 +546,7 @@ class Translator:
                     # enclosing active graph, so extend with one row per
                     # named graph — the same device as the pattern-free
                     # route, still one plan
-                    gdf = self.triples.select(F.col("g").alias(name)).distinct()
+                    gdf = quads.select(F.col("g").alias(name)).distinct()
                     out = out.crossJoin(gdf)
                 elif route == "guarded":
                     # nested nodes present: a nested child may have BOUND
@@ -538,7 +558,7 @@ class Translator:
                     # expands to one row per graph. Skipped on the
                     # "plain" route, where g only ever comes from quad
                     # scans and is a real graph by construction.
-                    gdf = self.triples.select(F.col("g").alias(name)).distinct()
+                    gdf = quads.select(F.col("g").alias(name)).distinct()
                     nn = out.filter(F.col(name).isNotNull()).join(
                         gdf, name, "left_semi"
                     )
@@ -555,8 +575,8 @@ class Translator:
                 # (VALUES naming it) joins per the compatibility rule:
                 # bound -> must name an existing graph, unbound -> one
                 # row per graph.
-                inner = self._spawn(self.triples, self.stats).eval(node.child)
-                gdf = self.triples.select(F.col("g").alias(name)).distinct()
+                inner = self._spawn(quads, self.stats).eval(node.child)
+                gdf = quads.select(F.col("g").alias(name)).distinct()
                 if name in inner.columns:
                     nn = inner.filter(F.col(name).isNotNull()).join(
                         gdf, name, "left_semi"
@@ -570,14 +590,15 @@ class Translator:
                 return inner.crossJoin(gdf)
             global GRAPH_FALLBACK_LOOPS
             GRAPH_FALLBACK_LOOPS += 1
-            g_type = dict(self.triples.dtypes)["g"]  # keep lit dtype == store dtype
+            g_type = dict(quads.dtypes)["g"]  # keep lit dtype == store dtype
             gvals = sorted(
-                r["g"] for r in self.triples.select("g").distinct().collect()
+                r["g"] for r in quads.select("g").distinct().collect()
             )
             parts = []
             for gv in gvals:
                 sub = self._spawn(
-                    self.triples.filter(F.col("g") == gv).drop("g"), self.stats
+                    quads.filter(F.col("g") == gv).drop("g"), self.stats,
+                    quad_store=quads,
                 )
                 part = sub.eval(node.child)
                 name = term[1:]
@@ -598,7 +619,8 @@ class Translator:
                 lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
             )
         sub = self._spawn(
-            self.triples.filter(F.col("g") == F.lit(term)).drop("g"), self.stats
+            quads.filter(F.col("g") == F.lit(term)).drop("g"), self.stats,
+            quad_store=quads,
         )
         return sub.eval(node.child)
 
@@ -692,6 +714,20 @@ class Translator:
         saw_nested, reads_g = False, False
         while stack:
             n = stack.pop()
+            if isinstance(n, A.LeftJoin) and Translator._binds_graph_var(
+                n.right, gname
+            ):
+                # ?g bound INSIDE an OPTIONAL's right side (pattern term or
+                # nested GRAPH variable): the single plan would equate it
+                # with the active-graph quad column AT THE SCAN, which is
+                # an outer-join filter pushdown — it turns "a compatible
+                # right match exists but the outer graph join drops the
+                # merged solution" into "no right match, left row kept
+                # NULL-extended" (extra rows; golden r9, pre-existing).
+                # Inner/EXISTS/MINUS positions stay eager-safe: inner joins
+                # commute with the filter, EXISTS uses substitution
+                # semantics, MINUS only removes compatible (g-equal) rows.
+                return False
             if isinstance(n, A.BGP):
                 if not n.patterns:
                     return False
@@ -761,6 +797,43 @@ class Translator:
         # (not-yet-bound) ?g during child evaluation — _graph supplies it
         # afterwards via the compatibility extension
         return "guarded" if saw_nested and not reads_g else False
+
+    @staticmethod
+    def _binds_graph_var(node, gname: str) -> bool:
+        """True when ``gname`` is bound INSIDE this subtree by a triple/
+        path pattern TERM or a nested GRAPH variable — i.e. by anything
+        other than the quad column itself. Used by _graph_column_ok to
+        reject the OPTIONAL-right eager-equality shape (see the LeftJoin
+        branch there); Bind/Values bindings are rejected globally by the
+        caller's own checks."""
+        tv = "?" + gname
+
+        def pat_mentions(p) -> bool:
+            for a in ("s", "p", "o"):
+                if getattr(p, a, None) == tv:
+                    return True
+            for sub in getattr(p, "patterns", ()) or ():
+                if pat_mentions(sub):
+                    return True
+            for br in getattr(p, "branches", ()) or ():
+                for sub in br:
+                    if pat_mentions(sub):
+                        return True
+            return False
+
+        stack = [node]
+        while stack:
+            n = stack.pop()
+            if n is None:
+                continue
+            if isinstance(n, A.BGP):
+                if any(pat_mentions(p) for p in n.patterns):
+                    return True
+                continue
+            if isinstance(n, A.Graph) and n.term == tv:
+                return True
+            stack.extend(A.subnodes(n))
+        return False
 
     @staticmethod
     def _contains_graph(node) -> bool:

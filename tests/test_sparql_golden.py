@@ -1978,6 +1978,67 @@ def test_graph_projecting_subquery_single_plan(spark):
         assert TR.GRAPH_FALLBACK_LOOPS > loops0
 
 
+def test_graph_term_var_optional_right_spec(spark):
+    """r9 review find (PRE-EXISTING wrong answer): ?g bound by a pattern
+    TERM on the right of an OPTIONAL under GRAPH ?g used to ride the
+    single plan, where the scan eagerly equates the term with the quad
+    column — an outer-join filter pushdown. Spec (per-graph evaluation +
+    graph join): a compatible right match whose ?g names ANOTHER graph
+    merges and is then dropped by the graph join — the left row must NOT
+    come back NULL-extended. Pinned on both engines; inner-position term
+    ?g (the subselect shadow) stays single-plan and spec-equal."""
+    quads = spark.createDataFrame(
+        [("x1", "ex:a", "y1", "gA"), ("x1", "ex:b", "gB", "gA"),
+         ("x2", "ex:a", "y2", "gB"), ("x3", "ex:b", "gA", "gA")],
+        "s string, p string, o string, g string",
+    )
+    engines = [SparqlEngine(quads, collect_stats=False)]
+    from d_sparq_spark.encoded_engine import EncodedSparqlEngine
+    from d_sparq_spark.operators.dictionary import build_dictionary, encode_triples
+
+    d = build_dictionary(quads)
+    engines.append(
+        EncodedSparqlEngine(encode_triples(quads, d), d, collect_stats=False)
+    )
+    for e in engines:
+        got = sorted(tuple(r) for r in e.query(
+            "SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x <ex:a> ?y "
+            "OPTIONAL { ?x <ex:b> ?g } } }"
+        ).collect())
+        # gA: x1's OPTIONAL match binds ?g=gB (compatible inside the
+        # graph, dropped by the graph join) -> the x1 solution is GONE;
+        # gB: x2 has no match -> kept NULL-extended with ?g=gB
+        assert got == [("gB", "x2", "y2")], got
+        # nested-GRAPH binding inside the OPTIONAL right: same semantics
+        got2 = sorted(tuple(r) for r in e.query(
+            "SELECT ?g ?x WHERE { GRAPH ?g { ?x <ex:a> ?y "
+            "OPTIONAL { GRAPH ?h { ?x <ex:b> ?g } } } }"
+        ).collect())
+        assert got2 == [("gB", "x2")], got2
+        # inner-position term ?g: subject must EQUAL the graph name (no
+        # subject here is named gA/gB -> empty), eager equality is the
+        # spec's graph join
+        assert e.query(
+            "SELECT ?g WHERE { GRAPH ?g { { SELECT ?g WHERE "
+            "{ ?g <ex:b> ?s } } } }"
+        ).count() == 0
+    # positive twin: a subject that IS a graph name matches via the same
+    # eager equality (inner position)
+    quads2 = quads.unionByName(
+        spark.createDataFrame([("gA", "ex:x", "v", "gA")],
+                              "s string, p string, o string, g string")
+    )
+    d2 = build_dictionary(quads2)
+    for e in (
+        SparqlEngine(quads2, collect_stats=False),
+        EncodedSparqlEngine(encode_triples(quads2, d2), d2, collect_stats=False),
+    ):
+        got = sorted(tuple(r) for r in e.query(
+            "SELECT ?g ?o WHERE { GRAPH ?g { ?g <ex:x> ?o } }"
+        ).collect())
+        assert got == [("gA", "v")], got
+
+
 def test_nested_graph_matches_per_graph_brute_force(spark):
     """The nested-GRAPH single plan against a brute-force evaluation of
     the SPARQL algebra (outer union over named graphs gi of

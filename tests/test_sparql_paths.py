@@ -264,12 +264,28 @@ def test_graph_column_ok_wrapper_guards():
         "WHERE { ?x ex:score ?s } GROUP BY ?x } } }"
     )
     assert ok(grouped, "g")
-    # inner var shadows the graph variable's name -> fallback
+    # r9: an inner PATTERN TERM named ?g in an inner-join position rides
+    # the single plan — the scan's repeated-var equality (term == quad
+    # column) IS the spec's graph join, applied eagerly, which commutes
+    # with inner joins (golden: test_graph_term_var_optional_right_spec)
     shadow = graph_child(
         "SELECT ?g WHERE { GRAPH ?g { { SELECT ?g WHERE { ?g ex:score ?s } } } }"
     )
-    assert not ok(shadow, "g")
+    assert ok(shadow, "g")
     assert ok(shadow, "other")
+    # ...but the SAME binding on the right of an OPTIONAL must not be
+    # eagerly equated (outer-join filter pushdown): per-graph fallback
+    opt_right = graph_child(
+        "SELECT ?g WHERE { GRAPH ?g { ?x ex:a ?y OPTIONAL { ?x ex:b ?g } } }"
+    )
+    assert not ok(opt_right, "g")
+    assert ok(opt_right, "other")
+    # nested-GRAPH binding of ?g inside the OPTIONAL right: same rule
+    opt_nested = graph_child(
+        "SELECT ?g WHERE { GRAPH ?g { ?x ex:a ?y "
+        "OPTIONAL { GRAPH ?h { ?x ex:c ?g } } } }"
+    )
+    assert not ok(opt_nested, "g")
     # keyless global aggregate: r4 single-plan (distinct-graph left join
     # fills the empty-graph COUNT()=0 row)
     keyless = graph_child(
