@@ -519,10 +519,14 @@ class Translator:
         r1 scale fix: a store with 10k named graphs is one join plan, not
         a 10k-branch union). Property paths ride the same route: closure
         fixpoints take g as a group column (paths.py), so reachability is
-        per-graph inside one shared loop. Only nested GRAPH/SERVICE and
-        pattern-free groups (nothing to bind g from) keep the per-graph
-        loop — the graph list there is metadata-scale, and subquery
-        wrappers that project g away also fall back (see _graph_column_ok)."""
+        per-graph inside one shared loop. The per-graph driver loop
+        remains only for ?g-capturing wrappers (computed alias / GROUP
+        key / BIND / VALUES naming ?g) and for ?g bound inside an
+        OPTIONAL's right side (eager scan equality would be an illegal
+        outer-join filter pushdown — r9 golden); the graph list there is
+        metadata-scale, and sliced spawns carry quad_store so nested
+        GRAPH inside the loop re-activates over the full dataset
+        (see _graph_column_ok)."""
         if "g" in self.triples.columns:
             quads = self.triples
         elif self.quad_store is not None:
