@@ -130,15 +130,26 @@ def main() -> None:
     planning_stats_cached(spark, sf_dir)
     encoded_planning_stats_cached(spark, sf_dir)
 
+    # r10 (VERDICT r9 #4): the bench is self-controlling against box drift —
+    # each headline query runs BENCH_RUNS times (default 2) and reports the
+    # MIN, so a one-off load spike on the machine no longer reads as a code
+    # regression (three rounds of driver BENCH files inflated ~1.2× while
+    # same-box A/B controls read ≈1.0×). Run metadata (loadavg, cores) is
+    # embedded in the output JSON so cross-round comparisons can see the
+    # box state. BASELINE.md records the convention change.
+    runs = max(1, int(os.environ.get("BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in all_q:
             continue
-        t0 = time.perf_counter()
-        # noop sink executes the full plan and drains all rows without
-        # collecting to the driver.
-        all_q[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            # noop sink executes the full plan and drains all rows without
+            # collecting to the driver.
+            all_q[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     # Load-path bench (r7, VERDICT r6 #6): the store build and the
     # incremental append are first-class BENCH entries so the bulk/append
@@ -200,6 +211,17 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(sf_dir),
+                # box-state metadata (r10): loadavg is sampled at suite end;
+                # the load_* entries are single-run (they mutate the store
+                # on disk, so a re-run would measure a different workload).
+                "meta": {
+                    "runs": runs,
+                    "loadavg_1m": round(os.getloadavg()[0], 2),
+                    "cpus": os.cpu_count(),
+                    "single_run_keys": [
+                        k for k in timings if k.startswith("load_")
+                    ],
+                },
             }
         )
     )

@@ -73,25 +73,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # newcomers last within that group), then attested keys oldest-round first.
 # _LAST_ATTESTED is regenerated each round from CORRECTNESS_r{N}.json.
 _LAST_ATTESTED: dict[str, int] = {
-    # last attested round 4
-    "q_sparql_graph_path_enc": 4, "q_sparql_graph_path_seeded": 4, "q_star_property_table": 4,
-    "q_sparql_typed": 4, "q_sparql_path_plus_big": 4,
-    "q_sparql_path_plus_big_seeded": 4, "q_closure_big_int": 4, "q_tpch_q1": 4,
-    "q_tpch_q2": 4, "q_tpch_q7": 4, "q_tpch_q8": 4,
-    "q_tpch_q9": 4, "q_tpch_q11": 4, "q_tpch_q12": 4,
-    "q_tpch_q16": 4, "q_tpch_q19": 4,
     # last attested round 5
-    "q_scan_counts": 5, "q_csv_source": 5, "q_json_source": 5,
-    "q_scalar_map": 5, "q_agg_grouping_sets": 5, "q_tfidf": 5,
-    "q_sparql_describe": 5, "q_sparql_describe_where": 5, "q_window_tumbling": 5,
-    "q_window_sliding": 5, "q_window_session": 5, "q_dedup_events": 5,
-    "q_stream_tumbling": 5, "q_gap_fill": 5, "q_flagship": 5,
-    "q_dedup_exact": 5, "q_dedup_sha": 5, "q_dedup_near": 5,
-    "q_ngram_jaccard": 5, "q_dup_clusters": 5, "q_simhash": 5,
-    "q_cosine_topk": 5, "q_cosine_ann": 5, "q_token_counts": 5,
-    "q_quality_score": 5, "q_lang_id": 5, "q_fingerprint": 5,
-    "q_embed_join": 5, "q_multimodal_meta": 5, "q_multimodal_features": 5,
-    "q_pandas_udf_zscore": 5, "q_doc_stats": 5, "q_dedup_embed": 5,
+    "q_doc_stats": 5, "q_dedup_embed": 5,
     "q_dedup_embed_lsh": 5, "q_cosine_ivf": 5, "q_doc_chunks": 5,
     "q_sample_hash": 5, "q_mix_weighted": 5, "q_pii_redact": 5,
     "q_rdf_derive": 5, "q_nt_roundtrip": 5, "q_dict_encode": 5,
@@ -134,7 +117,26 @@ _LAST_ATTESTED: dict[str, int] = {
     "q_sparql_optional": 7, "q_sparql_union": 7, "q_sparql_agg": 7,
     "q_sparql_order_limit": 7, "q_sparql_minus": 7, "q_sparql_not_exists": 7,
     "q_minhash_recall": 7, "q_stream_near_dedup": 7,
-    # last attested round 8 (the 50 keys in CORRECTNESS_r08.json)
+    # last attested round 9 (the 50 keys in CORRECTNESS_r09.json)
+    "q_rdfs_iterative": 9, "q_store_reasoning": 9, "q_store_smush": 9,
+    "q_sparql_graph_path_enc": 9, "q_sparql_graph_path_seeded": 9,
+    "q_star_property_table": 9, "q_sparql_typed": 9, "q_sparql_path_plus_big": 9,
+    "q_sparql_path_plus_big_seeded": 9, "q_closure_big_int": 9, "q_tpch_q1": 9,
+    "q_tpch_q2": 9, "q_tpch_q7": 9, "q_tpch_q8": 9,
+    "q_tpch_q9": 9, "q_tpch_q11": 9, "q_tpch_q12": 9,
+    "q_tpch_q16": 9, "q_tpch_q19": 9,
+    "q_scan_counts": 9, "q_csv_source": 9, "q_json_source": 9,
+    "q_scalar_map": 9, "q_agg_grouping_sets": 9, "q_tfidf": 9,
+    "q_sparql_describe": 9, "q_sparql_describe_where": 9, "q_window_tumbling": 9,
+    "q_window_sliding": 9, "q_window_session": 9, "q_dedup_events": 9,
+    "q_stream_tumbling": 9, "q_gap_fill": 9, "q_flagship": 9,
+    "q_dedup_exact": 9, "q_dedup_sha": 9, "q_dedup_near": 9,
+    "q_ngram_jaccard": 9, "q_dup_clusters": 9, "q_simhash": 9,
+    "q_cosine_topk": 9, "q_cosine_ann": 9, "q_token_counts": 9,
+    "q_quality_score": 9, "q_lang_id": 9, "q_fingerprint": 9,
+    "q_embed_join": 9, "q_multimodal_meta": 9, "q_multimodal_features": 9,
+    "q_pandas_udf_zscore": 9,
+    # last attested round 8 (the rest of CORRECTNESS_r08.json)
     "q_sparql_bind": 8, "q_sparql_values": 8, "q_sparql_distinct": 8,
     "q_sparql_ask": 8, "q_sparql_expr": 8, "q_sparql_encoded_star": 8,
     "q_sparql_encoded_filter": 8, "q_sparql_encoded_agg": 8, "q_sparql_star_pt": 8,
@@ -154,11 +156,15 @@ _LAST_ATTESTED: dict[str, int] = {
     "q_sameas_smush": 8, "q_dedup_substring": 8,
 }
 
-# Queries first registered THIS round (round 9): they sort after any older
+# Queries first registered THIS round (round 10): they sort after any older
 # never-attested queries but before the already-attested ones — age
 # priority, so no key starves.
 _NEW_THIS_ROUND: frozenset[str] = frozenset(
-    {"q_store_reasoning", "q_store_smush", "q_rdfs_iterative"}
+    {
+        "q_store_reasoning_meta",
+        "q_store_delete",
+        "q_sparql_star_reasoned_pt",
+    }
 )
 
 
