@@ -162,7 +162,8 @@ def bulk_load(
         # reasoning/ first: it is the commit marker append_load probes —
         # with it gone, a crash mid-cleanup can at worst leave orphan
         # entailed/sameas files that no reader routes to
-        for layout in ("reasoning", "entailed", "sameas", "ptable", "extvp"):
+        for layout in ("reasoning", "entailed", "sameas", "reasoning_layouts",
+                       "ptable", "extvp"):
             shutil.rmtree(os.path.join(store_path, layout), ignore_errors=True)
     # dict/ lands FIRST, as a term-bucketed table: appends then anti-join
     # their deltas against a bucketed scan (no O(dict) shuffle per load),
@@ -461,9 +462,19 @@ def append_load(spark: SparkSession, nt_path: str, store_path: str) -> dict:
         # stars to artifacts missing the delta (silent wrong results).
         # (Layout manifests are local-FS by bulk_load contract.)
         if os.path.exists(os.path.join(store_path, "ptable", "manifest.json")):
+            import json as _json
+
             from d_sparq_spark.plans.catalog import StoreCatalog
 
-            cat = StoreCatalog().add_property_table(store)
+            # candidate pruning (r10): old PT predicates ∪ the delta's —
+            # exact for appends (new rows can only DEMOTE a predicate out
+            # of functionality, never promote one in), so the rebuild
+            # scans only those by_p directories, not the store
+            with open(os.path.join(store_path, "ptable", "manifest.json")) as f:
+                _old_pt = _json.load(f)
+            cat = StoreCatalog().add_property_table(
+                store, predicates=sorted(set(_old_pt) | set(touched_new))
+            )
             if cat.ptable is not None:
                 cat.save_property_table(store_path)
             else:
@@ -497,10 +508,164 @@ def append_load(spark: SparkSession, nt_path: str, store_path: str) -> dict:
         # anti-joins inside make it idempotent either way), and the
         # anti-join against the post-append store correctly excludes
         # derived rows that restate just-appended base rows.
-        _maintain_reasoning(spark, store_path, delta_set)
+        _maintain_reasoning(spark, store_path, delta_set, touched=touched)
     return {
         "n_terms": int(n_terms),
         "n_new_terms": int(n_new_terms),
+        "n_triples": _count_store_triples(spark, store_path),
+    }
+
+
+def _fs_delete(spark: SparkSession, path: str) -> None:
+    """Remove a path through Hadoop's FileSystem API — works on any scheme
+    the session can write (local, hdfs://, s3a://); silently false when
+    the path is already gone."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
+
+
+def _rewrite_vp_partitions(
+    spark: SparkSession, base_path: str, new_slice: DataFrame, touched: list
+) -> None:
+    """Replace the ``touched`` by_p partitions of a VP layout with
+    ``new_slice``'s rows (delete_load's primitive, shared by the base
+    store and the entailed layer): a DYNAMIC partition overwrite rewrites
+    only the partitions present in the data, so untouched predicate
+    directories are never read or written; partitions that became EMPTY
+    (dynamic overwrite leaves their old files) are removed explicitly.
+    Not atomic — same caveat as append_load: production would stage to a
+    temp dir and commit by rename."""
+    from d_sparq_spark.sources.triple_store import write_vp
+
+    # pin: the slice reads the very directories the overwrite replaces
+    new_slice = new_slice.localCheckpoint()
+    present = {r["p"] for r in new_slice.select("p").distinct().collect()}
+    if present:
+        write_vp(new_slice, base_path, mode="overwrite", dynamic=True)
+    for p in touched:
+        if p not in present:
+            _fs_delete(spark, f"{base_path}/by_p/p={p}")
+
+
+def delete_load(
+    spark: SparkSession, nt_path: str, store_path: str,
+    plan_sink: list | None = None,
+) -> dict:
+    """Retraction (r10, VERDICT r9 #2): parse a DELETE delta N-Triples
+    file and remove those triples from an existing store, maintaining
+    stats/, the materialized layouts, and — when a reasoning layer is
+    committed — the entailed/ and sameas/ layers under DRed semantics
+    (rho-df under deletion is non-monotone: an entailment whose every
+    derivation chain is rooted at a deleted row must go; a DELETED base
+    row that other rows still entail must MOVE into the layer). The
+    100 TB lifecycle driver is takedown obligations: deletes arrive as
+    small deltas against a huge store, so every instance-scale scan here
+    is partition-pruned to the touched / premise / derivable predicate
+    directories — O(touched slice), never a store rescan.
+
+    Work: encode the delta against a dictionary slice bounded by the
+    delta's own terms (triples naming unknown terms cannot be stored and
+    drop out of the inner-join encode); rewrite only the touched by_p
+    partitions via dynamic partition overwrite; merge stats as in
+    append_load (untouched predicates keep their rows verbatim; emptied
+    predicates lose their row AND their directory); refresh ptable/extvp
+    over candidate-pruned scans (deletion can PROMOTE a predicate into
+    functionality, so the PT candidates are old ∪ touched). Dictionary
+    ids are never reclaimed — the id space stays a bijection and may
+    gain unused terms (documented garbage; a rebuild compacts).
+
+    Idempotent and self-healing like append_load: re-delivering a delete
+    delta removes nothing new but re-runs the reasoning maintenance from
+    the full delta, repairing a crash that rewrote by_p but lost the
+    layer updates. ``plan_sink``, when given, receives every
+    instance-scale plan the operation executes so tests can assert the
+    O(touched-slice) shape on the REAL plans."""
+    from d_sparq_spark.operators.dictionary import distinct_terms, encode_triples
+
+    triples = parse_ntriples(spark.read.text(nt_path)).localCheckpoint(eager=False)
+    meta = _read_meta(spark, store_path)
+    buckets = meta["dict_buckets"]
+    full_dict = (
+        _register_dict_table(spark, store_path, buckets)
+        if buckets
+        else spark.read.parquet(os.path.join(store_path, "dict"))
+    )
+    delta_terms = distinct_terms(triples).localCheckpoint(eager=False)
+    n_delta_terms = delta_terms.count()
+    reduced_dict = full_dict.join(delta_terms, "term", "semi")
+    # inner-join encode: a triple naming a term absent from the dictionary
+    # cannot exist in the store — it drops out here by construction
+    enc = (
+        encode_triples(triples, reduced_dict, broadcast_dict=n_delta_terms <= 10_000_000)
+        .dropDuplicates(["s", "p", "o"])
+        .localCheckpoint()
+    )
+    touched = [r["p"] for r in enc.select("p").distinct().collect()]
+    n_deleted = 0
+    touched_del: list = []
+    if touched:
+        pre_slice = store_triples(spark, store_path).filter(F.col("p").isin(touched))
+        # rows actually present — pinned BEFORE the rewrite invalidates
+        # the files they were read from
+        deleted = enc.join(pre_slice, ["s", "p", "o"], "semi").localCheckpoint()
+        n_deleted = deleted.count()
+        touched_del = [r["p"] for r in deleted.select("p").distinct().collect()]
+    if touched_del:
+        remaining = (
+            store_triples(spark, store_path)
+            .filter(F.col("p").isin(touched_del))
+            .join(enc, ["s", "p", "o"], "left_anti")
+        )
+        if plan_sink is not None:
+            plan_sink.append(
+                remaining._jdf.queryExecution().executedPlan().toString()
+            )
+        _rewrite_vp_partitions(spark, store_path, remaining, touched_del)
+        # stats merge, O(touched): emptied predicates lose their row
+        store_post = store_triples(spark, store_path)
+        old_stats = spark.read.parquet(os.path.join(store_path, "stats"))
+        kept = old_stats.filter(~F.col("p").isin(touched_del)).localCheckpoint()
+        recomputed = predicate_stats(store_post.filter(F.col("p").isin(touched_del)))
+        kept.unionByName(recomputed).write.mode("overwrite").parquet(
+            os.path.join(store_path, "stats")
+        )
+        if os.path.exists(os.path.join(store_path, "ptable", "manifest.json")):
+            import json as _json
+
+            from d_sparq_spark.plans.catalog import StoreCatalog
+
+            # deletes can PROMOTE a touched predicate into functionality,
+            # so candidates = old PT ∪ touched (untouched non-PT
+            # predicates cannot change either way)
+            with open(os.path.join(store_path, "ptable", "manifest.json")) as f:
+                _old_pt = _json.load(f)
+            cat = StoreCatalog().add_property_table(
+                store_post, predicates=sorted(set(_old_pt) | set(touched_del))
+            )
+            if cat.ptable is not None:
+                cat.save_property_table(store_path)
+            else:
+                import shutil
+
+                shutil.rmtree(os.path.join(store_path, "ptable"), ignore_errors=True)
+        if os.path.exists(os.path.join(store_path, "extvp", "manifest.json")):
+            from d_sparq_spark.operators.extvp import refresh_extvp
+
+            fresh = spark.read.parquet(os.path.join(store_path, "stats")).collect()
+            refresh_extvp(
+                store_post, store_path, touched_del,
+                sizes={r["p"]: r["cnt"] for r in fresh},
+            )
+    if _has_reasoning(store_path):
+        # seeded from the FULL encoded delta (not just the rows that were
+        # present): a re-delivered delete then self-heals a crash that
+        # rewrote by_p but lost the layer maintenance — the survivor
+        # re-derivation makes it idempotent either way
+        _maintain_reasoning_delete(spark, store_path, enc, touched, plan_sink)
+    return {
+        "n_deleted": int(n_deleted),
         "n_triples": _count_store_triples(spark, store_path),
     }
 
@@ -522,9 +687,12 @@ def open_store(
     maintenance), so SPARQL sees inferred rdf:type / superproperty
     triples with zero query-time inference — the load-once/reason-once/
     query-many lifecycle. Requires a committed reasoning manifest.
-    Layout routing is skipped on the reasoned relation (ptable/extvp are
-    derived from the BASE triple set; routing a closure query through
-    them would silently drop entailed rows)."""
+    BASE layout routing is skipped on the reasoned relation (ptable/extvp
+    are derived from the BASE triple set; routing a closure query through
+    them would silently drop entailed rows) — but a CLOSURE-derived
+    property table materialized via materialize_reasoning(...,
+    materialize=('ptable',)) routes qualifying stars with zero joins on
+    the reasoned engine too (r10, VERDICT r9 #5)."""
     if reasoning and not _has_reasoning(store_path):
         raise ValueError(
             "open_store(reasoning=True): the store has no committed "
@@ -548,6 +716,10 @@ def open_store(
         os.path.join(store_path, "extvp", "manifest.json")
     ):
         catalog = cat.load_extvp(spark, store_path)
+    if reasoning and os.path.exists(_reasoned_ptable_manifest(store_path)):
+        catalog = cat.load_property_table(
+            spark, os.path.join(store_path, "reasoning_layouts")
+        )
     engine = EncodedSparqlEngine(
         enc,
         dictionary,
@@ -595,7 +767,17 @@ def store_triples(spark: SparkSession, store_path: str) -> DataFrame:
 #
 #   entailed/by_p/   derived-only triples, same VP layout as the base store
 #   sameas/map/      (node LONG, comp LONG) non-identity canonical rows
-#   reasoning/manifest/  lexical ontology + the sameAs predicate
+#   reasoning/manifest/  lexical ontology + sameAs predicate + build mode
+#
+# Named-graph semantics (r10, VERDICT r9 #8): this persisted store is
+# TRIPLE-level, so its layer is the closure of the (union) triple set. For
+# quad datasets the operators define per-graph semantics instead: an
+# inferred triple lives in the named graph its premise came from
+# (rdfs_derive rides g through every rule join as a passenger), which by
+# rule UNARITY is simultaneously exact under GRAPH ?g and, unioned, equal
+# to the closure of the union view — the Jena/rdf4j default-union
+# inference semantics. Golden: tests/test_sparql_golden.py::
+# test_graph_over_reasoned_quad_store_spec (both engines).
 
 
 def _has_reasoning(store_path: str) -> bool:
@@ -605,10 +787,16 @@ def _has_reasoning(store_path: str) -> bool:
 
 
 def _write_reasoning_manifest(
-    spark: SparkSession, store_path: str, ontology: list, sameas_pred: str
+    spark: SparkSession, store_path: str, ontology: list, sameas_pred: str,
+    mode: str = "single",
 ) -> None:
     rows = [("ontology", s, p, o) for s, p, o in ontology]
     rows.append(("config", sameas_pred, "", ""))
+    # the MODE the layer was built in (r10, VERDICT r9 #1): "single" = the
+    # one-pass fixpoint (validate_ontology holds), "iterative" = semi-naive
+    # delta rounds (meta-schema ontology) — maintenance must iterate the
+    # same way the layer was materialized or an append under-derives.
+    rows.append(("mode", mode, "", ""))
     spark.createDataFrame(
         rows, "kind string, s string, p string, o string"
     ).coalesce(1).write.mode("overwrite").parquet(
@@ -622,7 +810,10 @@ def _read_reasoning_manifest(spark: SparkSession, store_path: str) -> tuple:
     ).collect()
     ontology = [(r["s"], r["p"], r["o"]) for r in rows if r["kind"] == "ontology"]
     sameas_pred = next(r["s"] for r in rows if r["kind"] == "config")
-    return ontology, sameas_pred
+    # r9 manifests predate the mode row; every r9 layer passed
+    # validate_ontology, so "single" is the honest default
+    mode = next((r["s"] for r in rows if r["kind"] == "mode"), "single")
+    return ontology, sameas_pred, mode
 
 
 def _lookup_terms(spark: SparkSession, store_path: str, terms: list) -> dict:
@@ -757,7 +948,7 @@ def smushed_triples(spark: SparkSession, store_path: str) -> DataFrame:
     maintained layer instead of a per-query CC."""
     from d_sparq_spark.operators.reasoning import apply_sameas_map
 
-    _, sameas_pred = _read_reasoning_manifest(spark, store_path)
+    _, sameas_pred, _ = _read_reasoning_manifest(spark, store_path)
     sid = _lookup_terms(spark, store_path, [sameas_pred]).get(sameas_pred)
     t = store_triples(spark, store_path).select("s", "p", "o")
     rest = t.filter(F.col("p") != F.lit(sid)) if sid is not None else t
@@ -769,6 +960,7 @@ def materialize_reasoning(
     store_path: str,
     ontology: list,
     sameas_pred: str = "owl:sameAs",
+    materialize: tuple = (),
 ) -> dict:
     """Materialize the persisted reasoning layer over an existing store:
     the rho-df entailments of the CURRENT triples under ``ontology`` (a
@@ -776,7 +968,24 @@ def materialize_reasoning(
     the owl:sameAs canonical map into sameas/map. From then on every
     append_load maintains both incrementally in O(Δ). Returns layer
     sizes. The ontology vocabulary is added to the dictionary if absent
-    (reserve-then-write watermark, same as append_load)."""
+    (reserve-then-write watermark, same as append_load).
+
+    Ontology routing (r10, VERDICT r9 #1): ontologies that pass
+    validate_ontology materialize with the ONE-PASS fixpoint; meta-schema
+    ontologies (rdfs vocabulary in schema positions — the shapes the
+    single pass must reject) route through rdfs_derive_iterative's
+    semi-naive delta rounds instead. The manifest records which mode the
+    layer was built in, and append maintenance iterates the same way —
+    the persisted layer hosts every ontology the batch operators accept.
+
+    ``materialize=('ptable',)`` (r10, VERDICT r9 #5) additionally builds a
+    property table over the CLOSURE (base ∪ entailed) under
+    reasoning_layouts/ — open_store(reasoning=True) routes qualifying
+    stars through it, restoring the zero-join star wins on reasoned
+    engines (the base ptable/ is derived from the base set only and would
+    silently drop entailed rows, which is why reasoned engines skip it).
+    append_load refreshes it over a scan pruned to the layout's own
+    predicates plus the delta's."""
     from d_sparq_spark.operators import reasoning as R
     from d_sparq_spark.operators.graph import connected_components
     from d_sparq_spark.sources.triple_store import write_vp
@@ -787,7 +996,11 @@ def materialize_reasoning(
             "local file IO (same contract as bulk_load's materialized "
             "layouts) — store_path must be a local path"
         )
-    R.validate_ontology(ontology)
+    mode = "single"
+    try:
+        R.validate_ontology(ontology)
+    except ValueError:
+        mode = "iterative"
     store = store_triples(spark, store_path)
     if ontology:
         ids = _ensure_terms(
@@ -796,10 +1009,15 @@ def materialize_reasoning(
         )
         enc_ont = [(ids[s], p, ids[o]) for s, p, o in ontology]
         tid = ids[R.TYPE]
-        dpreds = R.derived_predicates(enc_ont, type_term=tid)
-        derived = R.rdfs_derive(store, enc_ont, type_term=tid)
-        base_slice = store.filter(F.col("p").isin(dpreds))
-        layer = derived.join(base_slice, ["s", "p", "o"], "left_anti")
+        if mode == "iterative":
+            # derived-only semi-naive closure; already anti-joined against
+            # the (pruned) base inside the loop
+            layer = R.rdfs_derive_iterative(store, enc_ont, type_term=tid)
+        else:
+            dpreds = R.derived_predicates(enc_ont, type_term=tid)
+            derived = R.rdfs_derive(store, enc_ont, type_term=tid)
+            base_slice = store.filter(F.col("p").isin(dpreds))
+            layer = derived.join(base_slice, ["s", "p", "o"], "left_anti")
     else:
         layer = store.select("s", "p", "o").filter(F.lit(False))
     write_vp(layer, os.path.join(store_path, "entailed"))
@@ -818,56 +1036,133 @@ def materialize_reasoning(
             )
             smap = _canonicalize_by_term(spark, store_path, comp)
     smap.write.mode("overwrite").parquet(os.path.join(store_path, "sameas", "map"))
-    # manifest LAST — the commit marker that turns maintenance on
-    _write_reasoning_manifest(spark, store_path, ontology, sameas_pred)
+    if "ptable" in materialize:
+        # closure-derived property table (functionality checked over the
+        # REASONED relation — a derived second value for a subject must
+        # demote the predicate); lives under reasoning_layouts/ so the
+        # base ptable/ keeps serving non-reasoning engines
+        _refresh_reasoned_ptable(spark, store_path, candidates=None)
+    # manifest LAST — the commit marker that turns maintenance on (a crash
+    # above leaves a store appends treat as reasoning-free; requested
+    # layouts are therefore built BEFORE the marker so committed ⇒ complete)
+    _write_reasoning_manifest(spark, store_path, ontology, sameas_pred, mode=mode)
     return {
         "n_entailed": entailed_triples(spark, store_path).count(),
         "n_sameas_mapped": sameas_map(spark, store_path).count(),
     }
 
 
+def _reasoned_ptable_manifest(store_path: str) -> str:
+    return os.path.join(store_path, "reasoning_layouts", "ptable", "manifest.json")
+
+
+def _refresh_reasoned_ptable(
+    spark: SparkSession, store_path: str, candidates: list | None
+) -> None:
+    """(Re)build the closure-derived property table under
+    reasoning_layouts/. ``candidates=None`` (initial materialization)
+    checks every predicate; a maintenance refresh passes the layout's old
+    predicates ∪ the delta's ∪ the derivable set — exact for appends,
+    because adding rows can only DEMOTE a predicate out of functionality,
+    never promote one into it, so the scan stays partition-pruned to those
+    by_p directories instead of re-reading the store."""
+    from d_sparq_spark.plans.catalog import StoreCatalog
+
+    layout_root = os.path.join(store_path, "reasoning_layouts")
+    rel = reasoned_triples(spark, store_path)
+    cat = StoreCatalog().add_property_table(rel, predicates=candidates)
+    if cat.ptable is not None:
+        cat.save_property_table(layout_root)
+    else:
+        import shutil
+
+        # every candidate went multi-valued: no PT is expressible — drop
+        # the stale artifact so open_store stops routing through it
+        shutil.rmtree(os.path.join(layout_root, "ptable"), ignore_errors=True)
+
+
 def _entailment_delta(
-    spark: SparkSession, store_path: str, delta_set: DataFrame, ontology: list
+    spark: SparkSession,
+    store_path: str,
+    delta_set: DataFrame,
+    ontology: list,
+    mode: str = "single",
+    plan_sink: list | None = None,
 ) -> DataFrame:
     """Entailed rows the store closure is missing after ``delta_set``
-    landed in by_p: the single rho-df pass over the DELTA ONLY (sound by
+    landed in by_p: the rho-df pass over the DELTA ONLY (sound by
     rule-unarity — rdfs_derive docstring), anti-joined against the post-
     append base slice and the stored layer, both partition-pruned to the
     metadata-scale derivable-predicate set. Every instance-scale scan in
     this plan carries a p IN (...) partition filter — the O(Δ) shape the
-    test suite asserts."""
+    test suite asserts. mode="iterative" (meta-schema layer) runs the
+    same delta derivation to FIXPOINT via rdfs_derive_iterative — each
+    round re-derives from the previous round's new rows only, against the
+    same pruned anti-join targets (``plan_sink`` captures every round's
+    plan for the pruning assert)."""
     from d_sparq_spark.operators import reasoning as R
 
     ids = _ontology_ids(spark, store_path, ontology)
     enc_ont = [(ids[s], p, ids[o]) for s, p, o in ontology]
     tid = ids[R.TYPE]
     dpreds = R.derived_predicates(enc_ont, type_term=tid)
-    derived = R.rdfs_derive(delta_set, enc_ont, type_term=tid)
     base_slice = store_triples(spark, store_path).filter(F.col("p").isin(dpreds))
     # layer rows are all within dpreds by construction; the filter keeps
     # the scan partition-pruned even so (uniform O(Δ)-shape plan)
     ent = entailed_triples(spark, store_path).filter(F.col("p").isin(dpreds))
-    return (
+    if mode == "iterative":
+        return R.rdfs_derive_iterative(
+            delta_set, enc_ont, type_term=tid,
+            known=base_slice.unionByName(ent), plan_sink=plan_sink,
+        )
+    derived = R.rdfs_derive(delta_set, enc_ont, type_term=tid)
+    out = (
         derived.join(base_slice, ["s", "p", "o"], "left_anti")
         .join(ent, ["s", "p", "o"], "left_anti")
     )
+    if plan_sink is not None:
+        plan_sink.append(out._jdf.queryExecution().executedPlan().toString())
+    return out
 
 
 def _maintain_reasoning(
-    spark: SparkSession, store_path: str, delta_set: DataFrame
+    spark: SparkSession, store_path: str, delta_set: DataFrame,
+    touched: list | None = None,
 ) -> None:
     """O(Δ) maintenance of both persisted layers after an append (called
-    by append_load once the delta is in by_p)."""
+    by append_load once the delta is in by_p). ``touched`` = the delta's
+    predicate ids (metadata-scale, already collected by append_load) —
+    feeds the reasoned-ptable refresh's candidate pruning."""
     from d_sparq_spark.operators.graph import connected_components
     from d_sparq_spark.sources.triple_store import write_vp
 
-    ontology, sameas_pred = _read_reasoning_manifest(spark, store_path)
+    ontology, sameas_pred, mode = _read_reasoning_manifest(spark, store_path)
+    dpreds: list = []
     if ontology:
         new_ent = _entailment_delta(
-            spark, store_path, delta_set, ontology
+            spark, store_path, delta_set, ontology, mode=mode
         ).localCheckpoint()  # pin: written INTO the layer it reads
         if new_ent.take(1):
             write_vp(new_ent, os.path.join(store_path, "entailed"), mode="append")
+        from d_sparq_spark.operators import reasoning as R
+
+        ids = _ontology_ids(spark, store_path, ontology)
+        dpreds = R.derived_predicates(
+            [(ids[s], p, ids[o]) for s, p, o in ontology], type_term=ids[R.TYPE]
+        )
+    if os.path.exists(_reasoned_ptable_manifest(store_path)):
+        import json as _json
+
+        with open(_reasoned_ptable_manifest(store_path)) as f:
+            old_preds = _json.load(f)
+        if touched is None:
+            touched = [
+                r["p"] for r in delta_set.select("p").distinct().collect()
+            ]
+        _refresh_reasoned_ptable(
+            spark, store_path,
+            candidates=sorted(set(old_preds) | set(touched) | set(dpreds)),
+        )
     sid = _lookup_terms(spark, store_path, [sameas_pred]).get(sameas_pred)
     if sid is None:
         return
@@ -890,4 +1185,162 @@ def _maintain_reasoning(
     new_map = _canonicalize_by_term(
         spark, store_path, comp
     ).localCheckpoint()  # pin: overwrites the map it read
+    new_map.write.mode("overwrite").parquet(os.path.join(store_path, "sameas", "map"))
+
+
+def _maintain_reasoning_delete(
+    spark: SparkSession, store_path: str, deleted: DataFrame, touched: list,
+    plan_sink: list | None = None,
+) -> None:
+    """DRed maintenance of both persisted layers after a delete_load
+    (r10, VERDICT r9 #2). ``deleted`` is the full encoded delete delta
+    (deduped); ``touched`` its predicate ids.
+
+    Entailed layer — delete/re-derive, sound by rule UNARITY: every
+    derivation is a chain from a SINGLE base root, so an entailment can
+    lose support only if some chain of it is rooted at a deleted row,
+    i.e. the over-delete candidates are exactly closure(deleted) (plus
+    the deleted rows themselves when their predicate is derivable — a
+    deleted base row other rows still entail must MOVE into the layer).
+    Survivors are candidates re-derivable from the POST-delete base,
+    re-derived over a scan pruned two ways: to the premise-predicate
+    partitions (metadata-scale — premise_predicates), and, in single-pass
+    mode, to rows sharing a subject/object with a candidate subject
+    (every single-pass chain's output subject is its root's s or o, so
+    the semi-join loses nothing; iterative meta-schema chains can hop
+    through schema constants, so that mode re-derives from the whole
+    premise slice — still partition-pruned). Only the candidate-predicate
+    partitions of entailed/ are rewritten.
+
+    sameAs map — CC re-run over surviving edges of TOUCHED components
+    only: the delta's endpoints name their old components via the stored
+    map (O(Δ) lookups); surviving edges of those components come from one
+    partition-pruned scan of the sameAs predicate directory semi-joined
+    to the touched members; untouched map rows are kept verbatim."""
+    from d_sparq_spark.operators import reasoning as R
+    from d_sparq_spark.operators.graph import connected_components
+
+    ontology, sameas_pred, mode = _read_reasoning_manifest(spark, store_path)
+    dpreds: list = []
+    deleted = deleted.select("s", "p", "o")
+    if ontology:
+        ids = _ontology_ids(spark, store_path, ontology)
+        enc_ont = [(ids[s], p, ids[o]) for s, p, o in ontology]
+        tid = ids[R.TYPE]
+        dpreds = R.derived_predicates(enc_ont, type_term=tid)
+        ppreds = R.premise_predicates(enc_ont, type_term=tid)
+        derive = (
+            (lambda df: R.rdfs_derive_iterative(df, enc_ont, type_term=tid))
+            if mode == "iterative"
+            else (lambda df: R.rdfs_derive(df, enc_ont, type_term=tid))
+        )
+        cand = (
+            derive(deleted)
+            .unionByName(deleted.filter(F.col("p").isin(dpreds)))
+            .dropDuplicates()
+            .localCheckpoint()
+        )
+        if cand.take(1):
+            base_post = store_triples(spark, store_path).filter(
+                F.col("p").isin(ppreds)
+            )
+            if mode == "iterative":
+                support = base_post
+            else:
+                ckeys = cand.select(F.col("s").alias("k")).distinct()
+                support = (
+                    base_post.join(ckeys, base_post["s"] == ckeys["k"], "semi")
+                    .unionByName(
+                        base_post.join(ckeys, base_post["o"] == ckeys["k"], "semi")
+                    )
+                    .dropDuplicates()
+                )
+            survivors = cand.join(derive(support), ["s", "p", "o"], "semi")
+            if plan_sink is not None:
+                plan_sink.append(
+                    survivors._jdf.queryExecution().executedPlan().toString()
+                )
+            # pin: feeds the doomed anti-join, the additions, and (via
+            # both) the partition rewrite — without it the support
+            # re-derivation re-runs per consumer
+            survivors = survivors.localCheckpoint()
+            doomed = cand.join(survivors, ["s", "p", "o"], "left_anti")
+            cand_preds = [r["p"] for r in cand.select("p").distinct().collect()]
+            ent_slice = entailed_triples(spark, store_path).filter(
+                F.col("p").isin(cand_preds)
+            )
+            base_cand = store_triples(spark, store_path).filter(
+                F.col("p").isin(cand_preds)
+            )
+            # deleted base rows that remain entailed move INTO the layer
+            additions = (
+                survivors.join(base_cand, ["s", "p", "o"], "left_anti")
+                .join(ent_slice, ["s", "p", "o"], "left_anti")
+            )
+            new_slice = (
+                ent_slice.join(doomed, ["s", "p", "o"], "left_anti")
+                .unionByName(additions)
+                .dropDuplicates()
+            )
+            _rewrite_vp_partitions(
+                spark, os.path.join(store_path, "entailed"), new_slice, cand_preds
+            )
+    if os.path.exists(_reasoned_ptable_manifest(store_path)):
+        import json as _json
+
+        with open(_reasoned_ptable_manifest(store_path)) as f:
+            old_preds = _json.load(f)
+        _refresh_reasoned_ptable(
+            spark, store_path,
+            candidates=sorted(set(old_preds) | set(touched) | set(dpreds)),
+        )
+
+    sid = _lookup_terms(spark, store_path, [sameas_pred]).get(sameas_pred)
+    if sid is None:
+        return
+    del_sa = (
+        deleted.filter(F.col("p") == F.lit(sid))
+        .select(F.col("s").alias("u"), F.col("o").alias("v"))
+    )
+    if not del_sa.take(1):
+        return
+    old = sameas_map(spark, store_path)
+    endpoints = (
+        del_sa.select(F.col("u").alias("node"))
+        .unionByName(del_sa.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    # the touched components: each endpoint's canonical under the old map
+    # (an endpoint absent from the map is its own representative)
+    eps = (
+        endpoints.join(old, "node", "left")
+        .select(F.coalesce("comp", "node").alias("comp"))
+        .distinct()
+        .localCheckpoint()
+    )
+    touched_rows = old.join(eps, "comp", "semi").localCheckpoint()
+    members = (
+        touched_rows.select("node")
+        .unionByName(eps.select(F.col("comp").alias("node")))
+        .unionByName(endpoints)
+        .distinct()
+    )
+    # surviving sameAs edges of the touched components: one partition-
+    # pruned scan of the sameAs directory; an edge's endpoints always
+    # share a component, so the u-side semi-join is sufficient
+    surviving = (
+        store_triples(spark, store_path)
+        .filter(F.col("p") == F.lit(sid))
+        .select(F.col("s").alias("u"), F.col("o").alias("v"))
+        .join(members.withColumnRenamed("node", "u"), "u", "semi")
+    )
+    if plan_sink is not None:
+        plan_sink.append(surviving._jdf.queryExecution().executedPlan().toString())
+    comp = connected_components(members, surviving)
+    recomputed = _canonicalize_by_term(spark, store_path, comp)
+    new_map = (
+        old.join(eps, "comp", "left_anti")
+        .unionByName(recomputed)
+        .localCheckpoint()  # pin: overwrites the map it read
+    )
     new_map.write.mode("overwrite").parquet(os.path.join(store_path, "sameas", "map"))

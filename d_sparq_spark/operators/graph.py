@@ -246,11 +246,16 @@ def triangle_counts_per_node(edges: DataFrame) -> DataFrame:
 
 
 def sssp_bellman_ford(
-    edges_w: DataFrame, source, n_rounds: int = 6, ckpt_every: int = 3
+    edges_w: DataFrame, source, n_rounds: int = 6, ckpt_every: int = 3,
+    until_converged: bool = False,
 ) -> DataFrame:
     """Single-source shortest paths, Bellman-Ford: ``edges_w(src, dst, w)``
     directed with integer weights, fixed round count -> (node, dist) for
-    nodes reached within n_rounds hops.
+    nodes reached within n_rounds hops. ``until_converged=True`` (r10)
+    instead iterates to the FIXPOINT — true shortest distances — with
+    ``n_rounds`` as a hard bound that RAISES when exceeded; rounds are
+    bounded by the weighted shortest-path tree depth, and each adds one
+    count/sum convergence-probe job.
 
     Integer distances make the fixpoint oracle-checkable (bit-exact
     MIN/+ semiring; floats would accumulate order-dependent error). Each
@@ -276,6 +281,7 @@ def sssp_bellman_ford(
     small = n_nodes <= 500_000
     if small and dist.rdd.getNumPartitions() > max(1, n_nodes // 100_000 + 1):
         dist = dist.coalesce(max(1, n_nodes // 100_000 + 1))
+    prev_sig = None
     for i in range(n_rounds):
         reached = dist.filter(F.col("d").isNotNull())
         relaxed = (
@@ -293,4 +299,29 @@ def sssp_bellman_ford(
             if small:
                 dist = dist.coalesce(max(1, n_nodes // 100_000 + 1))
             dist = dist.localCheckpoint()
+        if until_converged:
+            # convergence probe, same soundness argument as
+            # connected_components': per-node labels are monotone
+            # non-increasing once set and the labeled COUNT is monotone
+            # non-decreasing, so an unchanged (count, decimal sum) pair
+            # between rounds implies an unchanged labeling exactly. The
+            # probe runs on the LAZY plan (≤ ckpt_every rounds of lineage
+            # above the last checkpoint) — checkpointing every round just
+            # for the probe held a block file per round open (fd blow-up).
+            row = dist.agg(
+                F.count("d").alias("n"),
+                F.sum(F.col("d").cast("decimal(38,0)")).alias("s"),
+            ).collect()[0]
+            sig = (row["n"], row["s"])
+            if sig == prev_sig:
+                return dist.filter(F.col("d").isNotNull()).select(
+                    "node", F.col("d").alias("dist")
+                )
+            prev_sig = sig
+    if until_converged:
+        raise RuntimeError(
+            f"sssp_bellman_ford: no fixpoint within {n_rounds} rounds — "
+            "raise n_rounds (the bound exists to catch negative-weight-"
+            "style runaways, not to truncate silently)"
+        )
     return dist.filter(F.col("d").isNotNull()).select("node", F.col("d").alias("dist"))

@@ -93,6 +93,21 @@ def derived_predicates(ontology: list, type_term=TYPE) -> list:
     return sorted(preds)
 
 
+def premise_predicates(ontology: list, type_term=TYPE) -> list:
+    """The (metadata-scale) set of predicate values a BASE triple must
+    carry to premise ANY rho-df derivation chain under ``ontology``: the
+    subPropertyOf subjects (rdfs7 roots — including chains that continue
+    into rdfs2/3 via a derived superproperty), the domain/range
+    properties (rdfs2/3 roots), and rdf:type when any subClassOf rule
+    exists (rdfs9 roots). Deletion maintenance (DRed re-derivation)
+    prunes its surviving-base scan to exactly these by_p partitions — a
+    base row with any other predicate can never (re-)derive anything."""
+    preds = {s for s, p, o in ontology if p in (SUBPROP, DOMAIN, RANGE)}
+    if any(p == SUBCLASS for _, p, _ in ontology):
+        preds.add(type_term)
+    return sorted(preds)
+
+
 def rdfs_derive(triples: DataFrame, ontology: list, type_term=TYPE) -> DataFrame:
     """DERIVED-ONLY rho-df pass: the entailments of ``triples`` under
     ``ontology``, distinct, WITHOUT the base triples (the closure minus
@@ -108,7 +123,16 @@ def rdfs_derive(triples: DataFrame, ontology: list, type_term=TYPE) -> DataFrame
     constant), derivation distributes over union:
     derive(base ∪ Δ) = derive(base) ∪ derive(Δ) — the identity that makes
     O(Δ) incremental maintenance sound. Callers must validate_ontology
-    first (lexically)."""
+    first (lexically).
+
+    QUAD-aware (r10, VERDICT r9 #8): a ``g`` column, when present, rides
+    through every rule join as a passenger — an inferred triple lives in
+    the NAMED GRAPH its premise came from (per-graph closure). Rule
+    unarity makes this the canonical choice: closure distributes over the
+    per-graph partition of the dataset, so the per-graph closures are
+    simultaneously exact for GRAPH ?g queries AND their union equals the
+    closure of the union view (default-union semantics, the Jena/rdf4j
+    inference default) — no semantics conflict exists in rho-df."""
     spark = triples.sparkSession
     sub_prop = transitive_pairs([(s, o) for s, p, o in ontology if p == SUBPROP])
     sub_cls = transitive_pairs([(s, o) for s, p, o in ontology if p == SUBCLASS])
@@ -116,6 +140,7 @@ def rdfs_derive(triples: DataFrame, ontology: list, type_term=TYPE) -> DataFrame
     rng = [(s, o) for s, p, o in ontology if p == RANGE]
 
     p_type = triples.schema["p"].dataType
+    g = [F.col("g")] if "g" in triples.columns else []  # passenger column
 
     def pair_df(pairs, a: str, b: str):
         if not pairs:
@@ -128,13 +153,13 @@ def rdfs_derive(triples: DataFrame, ontology: list, type_term=TYPE) -> DataFrame
         )
 
     type_lit = F.lit(type_term).cast(p_type)
-    base = triples.select("s", "p", "o")
+    base = triples.select("s", "p", "o", *g)
     sources = [base]  # instance triples each rule consumes
     derived: list[DataFrame] = []
     spp = pair_df(sub_prop, "_sub", "_sup")
     if spp is not None:  # rdfs7 over the closed property hierarchy
         d7 = base.join(spp, base.p == spp._sub).select(
-            "s", F.col("_sup").cast(p_type).alias("p"), "o"
+            "s", F.col("_sup").cast(p_type).alias("p"), "o", *g
         )
         sources.append(d7)
         derived.append(d7)
@@ -146,14 +171,15 @@ def rdfs_derive(triples: DataFrame, ontology: list, type_term=TYPE) -> DataFrame
     dm = pair_df(dom, "_p", "_cls")
     if dm is not None:  # rdfs2
         d2 = all_prop.join(dm, all_prop.p == dm._p).select(
-            "s", type_lit.alias("p"), F.col("_cls").alias("o")
+            "s", type_lit.alias("p"), F.col("_cls").alias("o"), *g
         )
         typed.append(d2)
         derived.append(d2)
     rg = pair_df(rng, "_p", "_cls")
     if rg is not None:  # rdfs3
         d3 = all_prop.join(rg, all_prop.p == rg._p).select(
-            F.col("o").alias("s"), type_lit.alias("p"), F.col("_cls").alias("o")
+            F.col("o").alias("s"), type_lit.alias("p"), F.col("_cls").alias("o"),
+            *g,
         )
         typed.append(d3)
         derived.append(d3)
@@ -165,7 +191,7 @@ def rdfs_derive(triples: DataFrame, ontology: list, type_term=TYPE) -> DataFrame
         )
         derived.append(
             types.join(scc, types.o == scc._sub)
-            .select("s", type_lit.alias("p"), F.col("_sup").alias("o"))
+            .select("s", type_lit.alias("p"), F.col("_sup").alias("o"), *g)
         )
     if not derived:
         return base.filter(F.lit(False))  # empty, schema-stable, no job
@@ -190,12 +216,86 @@ def rdfs_entailment(triples: DataFrame, ontology: list) -> DataFrame:
     schema positions (e.g. rdf:type subPropertyOf ex:isA, or a domain on
     rdf:type): then rdfs2/3/9 output would feed rdfs7/rdfs2 again and one
     pass is incomplete. Such ontologies are REJECTED up front (review r8)
-    rather than silently under-materialized."""
+    rather than silently under-materialized.
+
+    Quad-aware: with a ``g`` column, returns the per-graph closures —
+    each inferred triple in its premise's named graph (rdfs_derive's
+    passenger contract; equal to the union-view closure by unarity)."""
     validate_ontology(ontology)
+    keys = ["s", "p", "o"] + (["g"] if "g" in triples.columns else [])
     return (
-        triples.select("s", "p", "o")
+        triples.select(*keys)
         .unionByName(rdfs_derive(triples, ontology))
         .dropDuplicates()
+    )
+
+
+def rdfs_derive_iterative(
+    triples: DataFrame,
+    ontology: list,
+    type_term=TYPE,
+    max_passes: int = 16,
+    known: DataFrame | None = None,
+    plan_sink: list | None = None,
+) -> DataFrame:
+    """DERIVED-ONLY semi-naive rho-df closure: every row derivable from
+    ``triples`` under ``ontology`` that is in neither ``triples`` nor
+    ``known`` — the iterative twin of rdfs_derive's single pass, and the
+    primitive BOTH iterative consumers share (r10, VERDICT r9 #1):
+
+    - rdfs_entailment_iterative (one-shot closure): known=None,
+    - load_pipeline's persisted-layer maintenance: ``known`` = the stored
+      closure (post-append base slice ∪ entailed layer, both partition-
+      pruned to the derivable predicates by the caller), ``triples`` = the
+      append delta. Sound because closure(base ∪ Δ) = closure(base) ∪
+      closure(Δ) by rule unarity (each rho-df rule has exactly one
+      instance premise, so F(S) = S ∪ derive(S) distributes over union by
+      induction), and because the stored closure is a FIXPOINT — a rule
+      applied to a known row yields a known row, so only genuinely-new
+      rows need the next round's rule pass (semi-naive).
+
+    Space-generic like rdfs_derive: pass ``type_term`` as the encoded
+    rdf:type id when the ontology is id-encoded. Rounds are bounded by the
+    SCHEMA's rule-dependency depth (metadata-scale), never instance-data
+    diameter; per-round work is O(|delta|) broadcast joins + pruned
+    anti-joins. max_passes exceeded raises — silent truncation would
+    under-materialize. ``plan_sink``, when given, receives each round's
+    pre-checkpoint executed-plan string so tests can assert every
+    instance-scale scan stays partition-pruned across the ITERATED rounds,
+    not just round one."""
+    dpreds = derived_predicates(ontology, type_term=type_term)
+    keys = ["s", "p", "o"] + (["g"] if "g" in triples.columns else [])
+    base = triples.select(*keys)
+    empty = base.filter(F.lit(False))
+    if not dpreds:  # no derivation rules at all — nothing is derivable
+        return empty
+    base_d = base.filter(F.col("p").isin(dpreds))
+    known_d = (
+        known.select(*keys).filter(F.col("p").isin(dpreds))
+        if known is not None
+        else None
+    )
+    acc: DataFrame | None = None
+    delta = base
+    for _ in range(max_passes):
+        new = rdfs_derive(delta, ontology, type_term=type_term).join(
+            base_d, keys, "left_anti"
+        )
+        if known_d is not None:
+            new = new.join(known_d, keys, "left_anti")
+        if acc is not None:
+            new = new.join(acc, keys, "left_anti")
+        if plan_sink is not None:
+            plan_sink.append(new._jdf.queryExecution().executedPlan().toString())
+        new = new.localCheckpoint()
+        if not new.take(1):
+            return acc if acc is not None else empty
+        acc = new if acc is None else acc.unionByName(new).localCheckpoint()
+        delta = new
+    raise RuntimeError(
+        f"rdfs_derive_iterative: no fixpoint within {max_passes} passes "
+        "— the schema's rule-dependency depth exceeds the bound (raise "
+        "max_passes; the loop is metadata-depth-bounded by construction)"
     )
 
 
@@ -207,36 +307,13 @@ def rdfs_entailment_iterative(
     vocabulary in schema positions (rdf:type subPropertyOf ex:classified,
     a domain on a property whose triples are themselves derived, ...)
     make derived triples re-enable earlier rules, so the pass iterates
-    SEMI-NAIVELY until no new triple appears: each round applies the
-    broadcast rule pass to the PREVIOUS round's delta only (sound by rule
-    unarity — rdfs_derive docstring), anti-joins the accumulated closure
-    pruned to the derivable predicates, and stops on an empty delta.
-
-    Scale shape: rounds are bounded by the SCHEMA's dependency depth
-    (metadata-scale — each extra round needs a rule whose output feeds a
-    different rule), never by instance-data diameter; per-round work is
-    O(|delta|) broadcast joins + one pruned anti-join, the same shape as
-    load_pipeline's O(Δ) maintenance. max_passes exceeded raises — a
-    silent truncation would under-materialize."""
-    closure = triples.select("s", "p", "o").dropDuplicates().localCheckpoint()
-    dpreds = derived_predicates(ontology)
-    if not dpreds:  # no derivation rules at all — the base IS the closure
-        return closure
-    delta = closure
-    for _ in range(max_passes):
-        derived = rdfs_derive(delta, ontology)
-        new = derived.join(
-            closure.filter(F.col("p").isin(dpreds)), ["s", "p", "o"], "left_anti"
-        ).localCheckpoint()
-        if not new.take(1):
-            return closure
-        closure = closure.unionByName(new).localCheckpoint()
-        delta = new
-    raise RuntimeError(
-        f"rdfs_entailment_iterative: no fixpoint within {max_passes} passes "
-        "— the schema's rule-dependency depth exceeds the bound (raise "
-        "max_passes; the loop is metadata-depth-bounded by construction)"
-    )
+    SEMI-NAIVELY until no new triple appears (rdfs_derive_iterative owns
+    the loop; this wrapper returns base ∪ derived, the full closure).
+    Quad-aware like rdfs_entailment (g rides as a passenger)."""
+    keys = ["s", "p", "o"] + (["g"] if "g" in triples.columns else [])
+    closure = triples.select(*keys).dropDuplicates().localCheckpoint()
+    new = rdfs_derive_iterative(closure, ontology, max_passes=max_passes)
+    return closure.unionByName(new)
 
 
 def smush_sameas(

@@ -106,24 +106,33 @@ def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sssp_oracle(n_rounds: int = 6) -> str:
+def _sssp_oracle(n_rounds: int = 16) -> str:
     """Unrolled Bellman-Ford rounds (the PageRank/k-means oracle device):
     integer MIN/+ relaxations over the symmetrized weighted co-purchase
-    graph, seeded at the minimum part key."""
+    graph, seeded at the minimum part key. 16 rounds reaches the FIXPOINT
+    at the oracle scales (measured: sf0.001 and sf0.01 both converge by
+    round 14; the invariant test proves convergence independently), so it
+    equals the until_converged Spark result; at sf0.1 this unrolled form
+    spills DuckDB and sssp_invariant_sql takes over."""
+    # AS MATERIALIZED everywhere (r10): DuckDB INLINES plain CTEs, so a
+    # stage referencing its predecessor twice doubles the plan per round —
+    # 2^n_rounds copies of the lineitem self-join (the real reason the
+    # r9 lap's 6-round form already spilled at sf0.1). Materialized, the
+    # oracle is linear in rounds.
     head = f"""
-WITH c AS ({_SQL_EDGES}),
-e AS (
+WITH c AS MATERIALIZED ({_SQL_EDGES}),
+e AS MATERIALIZED (
   SELECT u AS src, v AS dst, ((u * 7 + v * 13) % 97) + 1 AS w FROM c
   UNION ALL
   SELECT v, u, ((u * 7 + v * 13) % 97) + 1 FROM c
 ),
-n AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+n AS MATERIALIZED (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)),
 seed AS (SELECT MIN(node) AS s FROM n),
-r0 AS (SELECT node, CASE WHEN node = (SELECT s FROM seed) THEN CAST(0 AS BIGINT) END AS d FROM n)"""
+r0 AS MATERIALIZED (SELECT node, CASE WHEN node = (SELECT s FROM seed) THEN CAST(0 AS BIGINT) END AS d FROM n)"""
     stages = []
     for i in range(1, n_rounds + 1):
         stages.append(f""",
-r{i} AS (
+r{i} AS MATERIALIZED (
   SELECT node, MIN(d) AS d FROM (
     SELECT node, d FROM r{i - 1}
     UNION ALL
@@ -137,15 +146,71 @@ r{i} AS (
     )
 
 
+def sssp_invariant_sql() -> str:
+    """Structural invariant characterizing q_sssp's answer WITHOUT
+    unrolling the relaxation rounds (r10, VERDICT r9 #7 — the 6-round
+    recursive oracle spills DuckDB at sf0.1; this check is two joins and
+    one aggregation). Against the registered ``spark_result`` view it
+    returns one row per violated property, empty == pass:
+
+    - dup:   a node labeled twice;
+    - ghost: a labeled node that is not a graph node;
+    - seed:  the minimum node is not labeled 0;
+    - relax: some edge still improves a label, or reaches an UNLABELED
+             node from a labeled one (the labeled set must be closed);
+    - tight: a labeled non-seed node whose label is NOT achieved by an
+             incoming edge from a labeled node.
+
+    Soundness: with positive weights, {d(seed)=0; ∀(u,v,w): d(v) ≤
+    d(u)+w; every non-seed label achieved; labeled set edge-closed} has
+    the true shortest-path labeling as its UNIQUE solution — so a pass
+    here is equivalent to the exact oracle PROVIDED the fixed 6 rounds
+    converged, and a non-converged run fails `relax`/`tight` instead of
+    passing vacuously. Cross-validated at sf0.01 against the exact
+    oracle, with perturbation-rejection, in tests/test_graph_analytics."""
+    return f"""
+WITH c AS ({_SQL_EDGES}),
+e AS (
+  SELECT u AS src, v AS dst, ((u * 7 + v * 13) % 97) + 1 AS w FROM c
+  UNION ALL
+  SELECT v, u, ((u * 7 + v * 13) % 97) + 1 FROM c
+),
+res AS (SELECT part AS node, dist FROM spark_result),
+seed AS (SELECT MIN(node) AS s FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+best AS (
+  SELECT e.dst AS node, MIN(u.dist + e.w) AS b
+  FROM e JOIN res u ON e.src = u.node GROUP BY e.dst
+),
+dup AS (SELECT 'dup' AS kind FROM res GROUP BY node HAVING COUNT(*) > 1 LIMIT 1),
+ghost AS (SELECT 'ghost' AS kind FROM res
+          WHERE node NOT IN (SELECT src FROM e) LIMIT 1),
+seed_v AS (SELECT 'seed' AS kind FROM seed
+           WHERE NOT EXISTS (SELECT 1 FROM res
+                             WHERE node = seed.s AND dist = 0)),
+relax AS (SELECT 'relax' AS kind FROM best LEFT JOIN res v USING (node)
+          WHERE v.node IS NULL OR best.b < v.dist LIMIT 1),
+tight AS (SELECT 'tight' AS kind FROM res v LEFT JOIN best USING (node)
+          WHERE v.node <> (SELECT s FROM seed)
+            AND (best.b IS NULL OR v.dist <> best.b) LIMIT 1)
+SELECT kind FROM dup UNION ALL SELECT kind FROM ghost
+UNION ALL SELECT kind FROM seed_v UNION ALL SELECT kind FROM relax
+UNION ALL SELECT kind FROM tight
+"""
+
+
 @register("q_sssp", oracle=_sssp_oracle())
 def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted single-source shortest paths over the co-purchase graph
     (edge weight = a deterministic integer function of the canonical
-    pair, identical arithmetic in the oracle), 6 Bellman-Ford rounds
-    from the minimum part key. Completes the iterative-operator family:
-    seeded reachability (SPARQL p+), components (hash-min), ranks
-    (PageRank), clusters (k-means), and now weighted distances — all
-    integer-exact with unrolled-CTE oracles."""
+    pair, identical arithmetic in the oracle), Bellman-Ford TO THE
+    FIXPOINT from the minimum part key (r10: the fixed 6-round form was
+    not the shortest-path labeling — weighted paths relax through more
+    rounds than the hop diameter; until_converged makes the result the
+    unique Bellman solution, which is what sssp_invariant_sql certifies
+    at the scale the unrolled oracle cannot reach). Completes the
+    iterative-operator family: seeded reachability (SPARQL p+),
+    components (hash-min), ranks (PageRank), clusters (k-means), and
+    weighted distances — all integer-exact."""
     c = _copurchase_edges(spark, sf_dir)
     w = ((F.col("u") * 7 + F.col("v") * 13) % 97 + 1).alias("w")
     ew = (
@@ -154,6 +219,6 @@ def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()  # the edge generator must not re-run per round
     )
     seed = ew.agg(F.min(F.least("src", "dst"))).collect()[0][0]
-    return G.sssp_bellman_ford(ew, seed).select(
+    return G.sssp_bellman_ford(ew, seed, n_rounds=64, until_converged=True).select(
         F.col("node").alias("part"), "dist"
     )

@@ -279,11 +279,12 @@ _RDFS_ONTOLOGY = [
 ]
 
 
-def _rdfs_oracle() -> str:
+def _rdfs_oracle(base_sql: str = TRIPLES_SQL) -> str:
     """DuckDB mirror of operators/reasoning.rdfs_entailment, generated
     from the SAME ontology constants: recursive CTEs close the two
     hierarchies, then each rho-df rule is one join — so the closure is
-    value-exact in both engines."""
+    value-exact in both engines. ``base_sql`` parameterizes the instance
+    relation (q_store_delete closes a REDUCED base)."""
     from d_sparq_spark.operators import reasoning as R
 
     def values(pairs):
@@ -295,7 +296,7 @@ def _rdfs_oracle() -> str:
     rng = [(s, o) for s, p, o in _RDFS_ONTOLOGY if p == R.RANGE]
     return f"""
 WITH RECURSIVE
-base AS ({TRIPLES_SQL}),
+base AS ({base_sql}),
 spo(sub, sup) AS (VALUES {values(spo)}),
 spc(sub, sup) AS (SELECT sub, sup FROM spo
   UNION SELECT c.sub, o.sup FROM spc c JOIN spo o ON c.sup = o.sub),
@@ -430,7 +431,13 @@ def _store_base(spark: SparkSession, sf_dir: str, tag: str) -> str:
     )
 
 
-def _reasoned_store(spark: SparkSession, sf_dir: str) -> str:
+def _reasoned_store(
+    spark: SparkSession,
+    sf_dir: str,
+    ontology: list = _RDFS_ONTOLOGY,
+    tag: str = "rstore",
+    materialize: tuple = (),
+) -> str:
     """Split the derived triples deterministically (xxhash64 mod 5), bulk
     load the large part, materialize the reasoning layer, APPEND the rest —
     so the returned store's closure is the O(Δ)-maintained one, never a
@@ -440,16 +447,16 @@ def _reasoned_store(spark: SparkSession, sf_dir: str) -> str:
         append_load, bulk_load, materialize_reasoning,
     )
 
-    key = (spark.sparkContext.applicationId, sf_dir, "reasoned")
+    key = (spark.sparkContext.applicationId, sf_dir, tag)
     if key not in _RSTORE_CACHE:
-        base = _store_base(spark, sf_dir, "rstore")
+        base = _store_base(spark, sf_dir, tag)
         nt_base, nt_delta, store = base + "_b", base + "_d", base + "_s"
         t = derive_triples(spark, sf_dir)
         h = F.pmod(F.xxhash64("s", "p", "o"), F.lit(5))
         format_ntriples(t.filter(h != 0)).write.mode("overwrite").text(nt_base)
         format_ntriples(t.filter(h == 0)).write.mode("overwrite").text(nt_delta)
         bulk_load(spark, nt_base, store)
-        materialize_reasoning(spark, store, _RDFS_ONTOLOGY)
+        materialize_reasoning(spark, store, ontology, materialize=materialize)
         append_load(spark, nt_delta, store)
         _RSTORE_CACHE[key] = store
     return _RSTORE_CACHE[key]
@@ -467,7 +474,137 @@ def q_store_reasoning(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_rdfs_entailment passes, now gating the maintenance path."""
     from d_sparq_spark.load_pipeline import reasoned_triples
 
-    store = _reasoned_store(spark, sf_dir)
+    store = _reasoned_store(spark, sf_dir, materialize=("ptable",))
+    d = spark.read.parquet(os.path.join(store, "dict"))
+    return decode_triples(
+        reasoned_triples(spark, store).dropDuplicates(), d, broadcast_dict=True
+    )
+
+
+# --- q_store_delete: retraction with DRed maintenance (r10) -------------------
+
+# the deterministic retraction slice, expressed identically in both
+# engines: every 5th customer loses its ex:nation arc (kills locatedIn/
+# related/SpatialThing entailments unless re-derivable), every 11th its
+# BASE rdf:type row (which stays ENTAILED via the mktsegment domain rule
+# and must move into the layer), every 7th its ex:mktsegment row
+_DELETED_SQL = """
+SELECT 'c:' || c_custkey AS s, 'ex:nation' AS p, 'n:' || c_nationkey AS o
+FROM customer WHERE c_custkey % 5 = 0
+UNION ALL
+SELECT 'c:' || c_custkey, 'rdf:type', 'Customer'
+FROM customer WHERE c_custkey % 11 = 0
+UNION ALL
+SELECT 'c:' || c_custkey, 'ex:mktsegment', c_mktsegment
+FROM customer WHERE c_custkey % 7 = 0
+"""
+
+# ANTI JOIN, not EXCEPT: DuckDB's recursive-WITH parser rejects set ops
+# inside sibling CTEs of a WITH RECURSIVE block
+_REDUCED_SQL = f"""
+SELECT t.s, t.p, t.o FROM ({TRIPLES_SQL}) t
+ANTI JOIN ({_DELETED_SQL}) d USING (s, p, o)
+"""
+
+
+def _deleted_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from d_sparq_spark.sources.tables import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = F.concat(F.lit("c:"), k.cast("string"))
+    return (
+        c.filter(k % 5 == 0).select(
+            ks.alias("s"), F.lit("ex:nation").alias("p"),
+            F.concat(F.lit("n:"), F.col("c_nationkey").cast("string")).alias("o"))
+        .unionByName(c.filter(k % 11 == 0).select(
+            ks.alias("s"), F.lit("rdf:type").alias("p"),
+            F.lit("Customer").alias("o")))
+        .unionByName(c.filter(k % 7 == 0).select(
+            ks.alias("s"), F.lit("ex:mktsegment").alias("p"),
+            F.col("c_mktsegment").alias("o")))
+        # one never-stored row: must be a silent no-op
+        .unionByName(spark.createDataFrame(
+            [("x:ghost", "ex:nation", "n:0")], "s string, p string, o string"))
+    )
+
+
+@register("q_store_delete", oracle=_rdfs_oracle(_REDUCED_SQL))
+def q_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """delete_load + DRed maintenance (r10, VERDICT r9 #2): bulk-load the
+    full derived store, materialize the reasoning layer, then RETRACT the
+    deterministic slice above — the touched by_p partitions rewrite via
+    dynamic partition overwrite, stats decrement, and the entailed layer
+    updates under delete/re-derive (over-delete candidates from the
+    deleted delta's derivations; survivors re-derived from the remaining
+    premise slice, partition-pruned both ways — load_pipeline.
+    _maintain_reasoning_delete). The decoded closure of the maintained
+    store must equal the recursive-CTE closure of the REDUCED base."""
+    from d_sparq_spark.load_pipeline import (
+        bulk_load, delete_load, materialize_reasoning, reasoned_triples,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, "rdel")
+    if key not in _RSTORE_CACHE:
+        root = _store_base(spark, sf_dir, "rdel")
+        nt_all, nt_del, store = root + "_b", root + "_d", root + "_s"
+        format_ntriples(derive_triples(spark, sf_dir)).write.mode(
+            "overwrite").text(nt_all)
+        format_ntriples(_deleted_slice(spark, sf_dir)).write.mode(
+            "overwrite").text(nt_del)
+        bulk_load(spark, nt_all, store)
+        materialize_reasoning(spark, store, _RDFS_ONTOLOGY)
+        delete_load(spark, nt_del, store)
+        _RSTORE_CACHE[key] = store
+    store = _RSTORE_CACHE[key]
+    d = spark.read.parquet(os.path.join(store, "dict"))
+    return decode_triples(
+        reasoned_triples(spark, store).dropDuplicates(), d, broadcast_dict=True
+    )
+
+
+_ORACLE_REASONED_STAR = """
+SELECT 'c:' || c_custkey AS s, 'n:' || c_nationkey AS loc, c_name AS nm
+FROM customer
+UNION ALL
+SELECT 'n:' || n_nationkey, 'r:' || n_regionkey, n_name FROM nation
+"""
+
+
+@register("q_sparql_star_reasoned_pt", oracle=_ORACLE_REASONED_STAR)
+def q_sparql_star_reasoned_pt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-join star on a REASONED engine (r10, VERDICT r9 #5): the store
+    carries a closure-derived property table (materialize_reasoning(...,
+    materialize=('ptable',)), refreshed through the 20% append), and
+    open_store(reasoning=True) routes the star through it. ex:locatedIn
+    exists ONLY as rdfs7 entailments (ex:nation/ex:region are its
+    subproperties), so a base-ptable route would return nothing — the
+    oracle is the customer→nation ∪ nation→region relation, proving the
+    routed scan reads the closure. The zero-join plan shape is asserted
+    by tests/test_reasoning_store.py."""
+    from d_sparq_spark.load_pipeline import open_store
+
+    store = _reasoned_store(spark, sf_dir, materialize=("ptable",))
+    engine = open_store(spark, store, reasoning=True)
+    return engine.query(
+        "SELECT ?s ?loc ?nm WHERE { ?s ex:locatedIn ?loc ; foaf:name ?nm }"
+    )
+
+
+@register("q_store_reasoning_meta", oracle=_rdfs_iter_oracle())
+def q_store_reasoning_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted layer under a META-SCHEMA ontology (r10, VERDICT r9
+    #1 — the composition of the two r9 features): _META_ONTOLOGY is
+    exactly the shape validate_ontology rejects, so materialize_reasoning
+    routes through rdfs_derive_iterative's semi-naive rounds and records
+    mode=iterative in the manifest; the 20% append's maintenance then
+    ITERATES its delta rounds to fixpoint against the stored closure.
+    The decoded (base ∪ entailed) relation must equal the single-arm
+    recursive-CTE least fixpoint — the same oracle q_rdfs_iterative
+    passes, now gating the persisted/maintained path."""
+    from d_sparq_spark.load_pipeline import reasoned_triples
+
+    store = _reasoned_store(spark, sf_dir, ontology=_META_ONTOLOGY, tag="rmeta")
     d = spark.read.parquet(os.path.join(store, "dict"))
     return decode_triples(
         reasoned_triples(spark, store).dropDuplicates(), d, broadcast_dict=True

@@ -25,12 +25,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
-def write_vp(triples_enc: DataFrame, base_path: str, mode: str = "overwrite") -> None:
+def write_vp(
+    triples_enc: DataFrame,
+    base_path: str,
+    mode: str = "overwrite",
+    dynamic: bool = False,
+) -> None:
     """Vertical-partitioned copy: one directory per predicate. This
     function OWNS the by_p layout contract alongside read_vp — loaders
     must call it instead of re-spelling the write (review r7: bulk_load
-    and append_load each had an inline copy that could drift)."""
-    triples_enc.write.mode(mode).partitionBy("p").parquet(f"{base_path}/by_p")
+    and append_load each had an inline copy that could drift).
+    ``dynamic=True`` (delete_load's partition rewrite) overwrites ONLY the
+    partitions present in ``triples_enc`` — a per-writer option, so the
+    session-level partitionOverwriteMode is never mutated. Callers must
+    handle partitions that became EMPTY themselves (no rows for p ⇒ the
+    old directory is left untouched by a dynamic overwrite)."""
+    w = triples_enc.write.mode(mode)
+    if dynamic:
+        w = w.option("partitionOverwriteMode", "dynamic")
+    w.partitionBy("p").parquet(f"{base_path}/by_p")
 
 
 def read_vp(spark: SparkSession, base_path: str) -> DataFrame:

@@ -29,6 +29,29 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
         con.close()
 
 
+def run_invariant(sql: str, sf_dir: str, frames: dict) -> pd.DataFrame:
+    """Structural-invariant check (r10, VERDICT r9 #7): run ``sql`` with
+    the parquet tables AND the caller's DataFrames (e.g. the Spark query
+    result as ``spark_result``) registered as views, returning the
+    VIOLATION rows — an empty result is a pass. Used where the exact
+    oracle's unrolled-iteration CTE blows up DuckDB at the larger scale:
+    the invariant characterizes the answer (fixpoint equations +
+    tightness), so a pass carries exact-oracle weight when the invariant
+    is cross-validated against the exact oracle at the small scale first
+    (tests do that, plus perturbation-rejection)."""
+    con = duckdb.connect()
+    try:
+        for name in TABLES:
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+            )
+        for name, df in frames.items():
+            con.register(name, df)
+        return con.execute(sql).fetchdf()
+    finally:
+        con.close()
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     """Sort columns by name, normalize cell values, sort rows."""
     df = df[sorted(df.columns)].copy()

@@ -102,3 +102,53 @@ def test_iterative_ops_invariant_under_repartitioning(spark):
     assert a == b
     a, b = runs(emb, lambda d: kmeans_exact_int(d, k=3, n_iter=2))
     assert a == b
+
+
+def test_sssp_invariant_cross_validates_exact_oracle(spark):
+    """r10 (VERDICT r9 #7): the structural invariant that replaces the
+    DuckDB-spilling unrolled SSSP oracle at sf0.1 must (a) ACCEPT the true
+    answer at the scale where the exact oracle also passes, and (b)
+    REJECT every perturbation class — a wrong label, a dropped reachable
+    node, a ghost node, a duplicated label, and a broken seed."""
+    import pandas as pd
+
+    from d_sparq_spark import registry
+    from d_sparq_spark.queries.graph_analytics import sssp_invariant_sql
+    from tests.oracle import canon, run_invariant, run_oracle
+
+    sf = "/root/testdata/sf0.01"
+    q = registry.all_queries()["q_sssp"]
+    sdf = q.fn(spark, sf).toPandas()
+
+    # the exact oracle passes here (also covered by the parameterized
+    # sweep) — so a 0-violation invariant on the SAME result carries
+    # exact-oracle weight
+    odf = run_oracle(q.oracle, sf)
+    assert len(sdf) == len(odf) and canon(sdf).equals(canon(odf))
+    sql = sssp_invariant_sql()
+    assert len(run_invariant(sql, sf, {"spark_result": sdf})) == 0
+
+    def viols(df):
+        return sorted(run_invariant(sql, sf, {"spark_result": df}).iloc[:, 0])
+
+    seed = sdf.loc[sdf["dist"].idxmin(), "part"]  # dist 0 row
+    far = sdf.loc[sdf["dist"].idxmax(), "part"]
+
+    # wrong label -> relax or tight
+    bad = sdf.copy()
+    bad.loc[bad["part"] == far, "dist"] += 1
+    assert set(viols(bad)) & {"relax", "tight"}
+    # dropped reachable node -> relax (labeled set not edge-closed)
+    assert "relax" in viols(sdf[sdf["part"] != far])
+    # ghost node -> ghost (and tight: nothing achieves it)
+    ghost = pd.concat(
+        [sdf, pd.DataFrame([{"part": 10**12, "dist": 1}])], ignore_index=True
+    )
+    assert "ghost" in viols(ghost)
+    # duplicate label -> dup
+    dup = pd.concat([sdf, sdf.head(1)], ignore_index=True)
+    assert "dup" in viols(dup)
+    # broken seed -> seed
+    noseed = sdf.copy()
+    noseed.loc[noseed["part"] == seed, "dist"] = 5
+    assert "seed" in viols(noseed)

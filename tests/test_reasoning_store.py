@@ -278,3 +278,170 @@ def test_open_store_reasoning_engine(spark, tmp_path):
     bulk_load(spark, base_nt, store2)
     with pytest.raises(ValueError, match="no committed reasoning layer"):
         open_store(spark, store2, reasoning=True)
+
+
+# ---------------- r10: meta-schema ontologies in the persisted layer ----------
+
+META_ONT = [
+    ("c:Manager", "rdfs:subClassOf", "c:Employee"),
+    ("p:worksAt", "rdfs:domain", "c:Employee"),
+    # meta-schema rows: rdf:type has a superproperty whose range rule then
+    # types the CLASS terms — the single pass must reject this, and the
+    # closure needs ~4 delta rounds
+    ("rdf:type", "rdfs:subPropertyOf", "p:classified"),
+    ("p:classified", "rdfs:range", "c:Class"),
+]
+
+
+def test_meta_schema_layer_append_equals_rebuild(spark, tmp_path):
+    """VERDICT r9 #1: materialize_reasoning routes a meta-schema ontology
+    through the iterative closure (manifest records mode=iterative), and
+    append maintenance ITERATES its delta rounds — maintained closure ==
+    bulk-rebuilt closure == the batch iterative operator over the union."""
+    from d_sparq_spark.load_pipeline import _read_reasoning_manifest
+    from d_sparq_spark.operators.reasoning import rdfs_entailment_iterative
+
+    store, both, base, delta = _load_with_delta(spark, tmp_path, ontology=META_ONT)
+    assert _read_reasoning_manifest(spark, store)[2] == "iterative"
+    maintained = _decoded(spark, store, reasoned_triples(spark, store))
+    truth = sorted(map(tuple, rdfs_entailment_iterative(both, META_ONT).collect()))
+    assert maintained == truth
+    # depth > 1 derivations reached the persisted layer: the delta's new
+    # entity typed c:Manager must classify its CLASS terms transitively
+    assert ("c:Manager", "rdf:type", "c:Class") in maintained
+    assert ("c:Class", "p:classified", "c:Class") in maintained
+
+    union_nt = _nt(tmp_path / "union.nt", BASE + DELTA)
+    store2 = str(tmp_path / "store2")
+    bulk_load(spark, union_nt, store2)
+    materialize_reasoning(spark, store2, META_ONT)
+    assert maintained == _decoded(spark, store2, reasoned_triples(spark, store2))
+
+
+def test_meta_schema_redelivery_idempotent(spark, tmp_path):
+    store, both, base, delta = _load_with_delta(spark, tmp_path, ontology=META_ONT)
+    ent0 = _decoded(spark, store, entailed_triples(spark, store))
+    append_load(spark, delta, store)  # re-delivered
+    assert _decoded(spark, store, entailed_triples(spark, store)) == ent0
+
+
+def test_meta_maintenance_iterated_rounds_stay_pruned(spark, tmp_path):
+    """The O(Δ) plan assert EXTENDED to the iterated rounds (VERDICT r9
+    #1): every round's pre-checkpoint plan scans the store's by_p only
+    under a p IN (...) PartitionFilter, and the maintenance genuinely
+    iterates (>= 2 rounds reach the plan sink for a delta whose
+    derivations chain through the meta rules)."""
+    import re
+
+    store, *_ = _load_with_delta(spark, tmp_path, ontology=META_ONT)
+    ids = {
+        r["term"]: r["id"]
+        for r in spark.read.parquet(os.path.join(store, "dict")).collect()
+    }
+    # a real typed delta row: its closure needs the classified/range chain
+    delta2 = spark.createDataFrame(
+        [(max(ids.values()) + 100, ids["rdf:type"], ids["c:Manager"])],
+        "s long, p long, o long",
+    )
+    sink: list = []
+    out = _entailment_delta(
+        spark, store, delta2, META_ONT, mode="iterative", plan_sink=sink
+    )
+    assert out.count() > 0
+    assert len(sink) >= 2, f"maintenance did not iterate ({len(sink)} rounds)"
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try:
+        for plan in sink:
+            for seg in plan.split("FileScan parquet")[1:]:
+                if f"{os.path.basename(store)}/by_p" not in seg:
+                    continue
+                pf = seg.split("PartitionFilters: [", 1)
+                assert len(pf) == 2 and re.search(
+                    r"p#\d+L? IN \(", pf[1].split("]", 1)[0]
+                ), seg[:800]
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+
+
+# ---------------- r10: closure-derived property table routing -----------------
+
+
+def test_reasoned_ptable_routes_star_with_no_store_scan(spark, tmp_path):
+    """VERDICT r9 #5: a store materialized with materialize=('ptable',)
+    carries a CLOSURE-derived property table; open_store(reasoning=True)
+    routes a qualifying star through it — the executed plan scans
+    reasoning_layouts/ptable and NEVER touches by_p (zero joins for the
+    star; the only joins left are the metadata-scale decode joins), and
+    the answer equals the catalog-less reasoned engine's, including rows
+    that exist ONLY as entailments."""
+    from d_sparq_spark.load_pipeline import open_store
+
+    base = _nt(tmp_path / "base.nt", BASE)
+    delta = _nt(tmp_path / "delta.nt", DELTA)
+    store = str(tmp_path / "store")
+    bulk_load(spark, base, store)
+    materialize_reasoning(spark, store, ONT, materialize=("ptable",))
+    append_load(spark, delta, store)
+
+    q = "SELECT ?s ?w WHERE { ?s p:affiliatedWith ?w ; p:worksAt ?w2 }"
+    routed = open_store(spark, store, reasoning=True).query(q)
+    # default maxMetadataStringLength truncates FileScan locations — raise
+    # it so the path asserts below see the full strings
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try:
+        plan = routed._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert "reasoning_layouts/ptable/data" in plan, plan[:1500]
+    assert "/by_p" not in plan, f"routed star still scans the store:\n{plan[:1500]}"
+
+    # answer-preserving vs the un-routed reasoned engine; p:affiliatedWith
+    # exists only as rdfs7 entailments of p:worksAt
+    bare = EncodedSparqlEngine(
+        reasoned_triples(spark, store),
+        spark.read.parquet(os.path.join(store, "dict")),
+        collect_stats=False, dict_rank_ordered=False,
+    ).query(q)
+    got = sorted(map(tuple, routed.collect()))
+    assert got == sorted(map(tuple, bare.collect()))
+    assert len(got) == 3  # s:a, s:b from the base, s:c only via the delta
+
+
+def test_reasoned_ptable_append_demotes_multivalued(spark, tmp_path):
+    """A delta that gives a subject a SECOND p:worksAt value must demote
+    the predicate out of the refreshed closure PT (appends can only demote
+    — the refresh's candidate pruning is exact), and the routed engine
+    must fall back to the join plan with the correct multi-valued answer."""
+    import json
+
+    from d_sparq_spark.load_pipeline import open_store
+
+    base = _nt(tmp_path / "base.nt", BASE)
+    store = str(tmp_path / "store")
+    bulk_load(spark, base, store)
+    materialize_reasoning(spark, store, ONT, materialize=("ptable",))
+    with open(os.path.join(store, "reasoning_layouts", "ptable",
+                           "manifest.json")) as f:
+        before = json.load(f)
+    delta = _nt(tmp_path / "second.nt", ["<s:a> <p:worksAt> <s:beta>"])
+    append_load(spark, delta, store)
+    with open(os.path.join(store, "reasoning_layouts", "ptable",
+                           "manifest.json")) as f:
+        after = json.load(f)
+    ids = {
+        r["term"]: r["id"]
+        for r in spark.read.parquet(os.path.join(store, "dict")).collect()
+    }
+    assert ids["p:worksAt"] in before and ids["p:affiliatedWith"] in before
+    assert ids["p:worksAt"] not in after and ids["p:affiliatedWith"] not in after
+
+    q = "SELECT ?s ?w WHERE { ?s p:affiliatedWith ?w ; p:worksAt ?w2 }"
+    got = sorted(
+        map(tuple, open_store(spark, store, reasoning=True).query(q).collect())
+    )
+    truth = sorted(map(tuple, EncodedSparqlEngine(
+        reasoned_triples(spark, store),
+        spark.read.parquet(os.path.join(store, "dict")),
+        collect_stats=False, dict_rank_ordered=False,
+    ).query(q).collect()))
+    assert got == truth and len(got) == 5  # s:a now matches 2x2 pairs + s:b

@@ -2246,3 +2246,60 @@ def test_optional_filter_hoist_is_order_independent(w3c_engine):
 def test_select_plain_var_after_as_duplicate_raises(w3c_engine):
     with pytest.raises(SyntaxError, match="duplicate SELECT target"):
         w3c_engine.query("SELECT (1 AS ?v) ?v WHERE { ?x ex:name ?n }")
+
+
+def test_graph_over_reasoned_quad_store_spec(spark):
+    """r10 (VERDICT r9 #8): quad-aware reasoning semantics. An inferred
+    triple lives in the NAMED GRAPH its premise came from — rdfs_derive
+    rides g through every rule join as a passenger. Rule unarity makes the
+    per-graph closures simultaneously exact under GRAPH ?g AND equal, as a
+    union, to the closure of the union view (the Jena/rdf4j default-union
+    inference semantics) — asserted both ways here, on both engines."""
+    from d_sparq_spark.operators.dictionary import build_dictionary, encode_triples
+    from d_sparq_spark.operators.reasoning import rdfs_entailment
+
+    ont = [
+        ("c:Mgr", "rdfs:subClassOf", "c:Emp"),
+        ("p:worksAt", "rdfs:domain", "c:Emp"),
+        ("p:worksAt", "rdfs:subPropertyOf", "p:affil"),
+    ]
+    rows = [
+        ("s:a", "p:worksAt", "s:acme", "g:hr"),
+        ("s:b", "rdf:type", "c:Mgr", "g:crm"),
+        ("s:a", "p:likes", "s:b", "g:crm"),
+    ]
+    quads = spark.createDataFrame(rows, "s string, p string, o string, g string")
+    reasoned = rdfs_entailment(quads, ont)
+
+    # spec truth: each entailment under its premise's graph, nothing else
+    want = sorted(
+        rows
+        + [
+            ("s:a", "p:affil", "s:acme", "g:hr"),   # rdfs7, premise in g:hr
+            ("s:a", "rdf:type", "c:Emp", "g:hr"),   # rdfs2, premise in g:hr
+            ("s:b", "rdf:type", "c:Emp", "g:crm"),  # rdfs9, premise in g:crm
+        ]
+    )
+    assert sorted(map(tuple, reasoned.collect())) == want
+
+    # union-view equivalence (rule unarity): dropping g and deduping gives
+    # exactly the closure of the union graph
+    u = rdfs_entailment(quads.drop("g"), ont)
+    assert sorted(map(tuple, reasoned.drop("g").dropDuplicates().collect())) \
+        == sorted(map(tuple, u.collect()))
+
+    # GRAPH ?g over the reasoned dataset, both engines
+    q = "SELECT ?g ?s WHERE { GRAPH ?g { ?s <rdf:type> <c:Emp> } }"
+    expected = [("g:crm", "s:b"), ("g:hr", "s:a")]
+    lex = SparqlEngine(reasoned, collect_stats=False)
+    assert sorted(map(tuple, lex.query(q).collect())) == expected
+    d = build_dictionary(reasoned)
+    enc = EncodedSparqlEngine(
+        encode_triples(reasoned, d, broadcast_dict=True), d, collect_stats=False
+    )
+    assert sorted(map(tuple, enc.query(q).collect())) == expected
+
+    # no cross-graph leakage: the g:crm slice holds no s:a entailment
+    q2 = 'SELECT ?s WHERE { GRAPH <g:crm> { ?s <rdf:type> <c:Emp> } }'
+    assert sorted(r["s"] for r in lex.query(q2).collect()) == ["s:b"]
+    assert sorted(r["s"] for r in enc.query(q2).collect()) == ["s:b"]

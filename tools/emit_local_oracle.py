@@ -27,6 +27,19 @@ sets have O(n) closed forms the recursive CTE spills on. The closed
 forms are cross-validated against the recursive oracles at sf0.001 and
 sf0.01 by tests/test_sparql_paths.py, so a pass here carries the same
 weight as the primary oracle. Recorded with mode "oracle_closed_form".
+
+r10 (VERDICT r9 #7): a skip-matched key with an entry in INVARIANTS runs
+a STRUCTURAL-INVARIANT check instead of skipping: the Spark result is
+registered as a DuckDB view and a violation query over it + the parquet
+tables must return ZERO rows. Used where the exact oracle's unrolled
+iteration rounds spill DuckDB at sf0.1 (q_sssp: the invariant is the
+Bellman fixpoint equations + tightness + closure, whose unique solution
+with positive weights IS the shortest-path labeling). Cross-validated at
+sf0.01 against the exact oracle, with perturbation-rejection, by
+tests/test_graph_analytics.py. Recorded with mode "oracle_invariant".
+Note the r10 lap also STOPS skipping q_pagerank/q_kmeans: their unrolled
+oracles measure 0.4 s / 1.3 s at sf0.1 — they were regex-skipped, never
+actually expensive (the r9 lap's skip list was over-broad).
 """
 
 from __future__ import annotations
@@ -75,15 +88,23 @@ def main() -> None:
         "q_sparql_path_plus_hub": synth_hub_closure_closed_sql(False),
         "q_sparql_path_plus_hub_seeded": synth_hub_closure_closed_sql(True),
     }
+    from d_sparq_spark.queries.graph_analytics import sssp_invariant_sql
+    from tests.oracle import run_invariant
+
+    invariants = {"q_sssp": sssp_invariant_sql()}
 
     out: dict[str, dict] = {}
     for name, q in registry.all_queries().items():
         entry: dict = {"mode": "oracle" if q.oracle else "rows_only"}
         oracle = q.oracle
+        invariant = None
         if skip_re is not None and skip_re.search(name):
             if name in alt_oracles:
                 oracle = alt_oracles[name]
                 entry["mode"] = "oracle_closed_form"
+            elif name in invariants:
+                invariant = invariants[name]
+                entry["mode"] = "oracle_invariant"
             else:
                 entry["status"] = "skipped"
                 out[name] = entry
@@ -92,7 +113,13 @@ def main() -> None:
         try:
             sdf = q.fn(spark, sf_dir).toPandas()
             entry["rows"] = int(len(sdf))
-            if oracle is None:
+            if invariant is not None:
+                viol = run_invariant(invariant, sf_dir, {"spark_result": sdf})
+                entry["violations"] = [str(v) for v in viol.iloc[:, 0]][:5]
+                entry["status"] = (
+                    "pass" if len(viol) == 0 and len(sdf) > 0 else "fail"
+                )
+            elif oracle is None:
                 entry["status"] = "pass" if len(sdf.columns) > 0 else "fail"
             else:
                 odf = run_oracle(oracle, sf_dir)
