@@ -720,6 +720,10 @@ def open_store(
         catalog = cat.load_property_table(
             spark, os.path.join(store_path, "reasoning_layouts")
         )
+    if reasoning and os.path.exists(_reasoned_extvp_manifest(store_path)):
+        catalog = cat.load_extvp(
+            spark, os.path.join(store_path, "reasoning_layouts")
+        )
     engine = EncodedSparqlEngine(
         enc,
         dictionary,
@@ -984,8 +988,9 @@ def materialize_reasoning(
     stars through it, restoring the zero-join star wins on reasoned
     engines (the base ptable/ is derived from the base set only and would
     silently drop entailed rows, which is why reasoned engines skip it).
-    append_load refreshes it over a scan pruned to the layout's own
-    predicates plus the delta's."""
+    ``'extvp'`` does the same for the SS/OS semi-join reductions.
+    append_load/delete_load refresh both over scans pruned to the
+    layout's own predicates plus the delta's and the derivable set."""
     from d_sparq_spark.operators import reasoning as R
     from d_sparq_spark.operators.graph import connected_components
     from d_sparq_spark.sources.triple_store import write_vp
@@ -1042,6 +1047,16 @@ def materialize_reasoning(
         # demote the predicate); lives under reasoning_layouts/ so the
         # base ptable/ keeps serving non-reasoning engines
         _refresh_reasoned_ptable(spark, store_path, candidates=None)
+    if "extvp" in materialize:
+        # closure-derived ExtVP semi-join reductions (r10, VERDICT r9
+        # residual #3): computed over base ∪ entailed so routing a
+        # reasoned star/path through them never drops entailed rows
+        from d_sparq_spark.operators.extvp import materialize_extvp
+
+        materialize_extvp(
+            reasoned_triples(spark, store_path),
+            os.path.join(store_path, "reasoning_layouts"),
+        )
     # manifest LAST — the commit marker that turns maintenance on (a crash
     # above leaves a store appends treat as reasoning-free; requested
     # layouts are therefore built BEFORE the marker so committed ⇒ complete)
@@ -1054,6 +1069,45 @@ def materialize_reasoning(
 
 def _reasoned_ptable_manifest(store_path: str) -> str:
     return os.path.join(store_path, "reasoning_layouts", "ptable", "manifest.json")
+
+
+def _reasoned_extvp_manifest(store_path: str) -> str:
+    return os.path.join(store_path, "reasoning_layouts", "extvp", "manifest.json")
+
+
+def _reasoned_sizes(spark: SparkSession, store_path: str) -> dict:
+    """Per-predicate row counts of the CLOSURE (base ∪ entailed) — the
+    ratio denominators for the reasoned-ExtVP refresh. Base counts come
+    from the already-merged stats/ parquet (no store scan); the entailed
+    layer adds one aggregation over its own (small) partitions. The two
+    are DISJOINT by the layer's anti-join invariant, so counts add."""
+    sizes = {
+        r["p"]: r["cnt"]
+        for r in spark.read.parquet(os.path.join(store_path, "stats")).collect()
+    }
+    for r in (
+        entailed_triples(spark, store_path)
+        .groupBy("p").agg(F.count(F.lit(1)).alias("n")).collect()
+    ):
+        sizes[r["p"]] = sizes.get(r["p"], 0) + r["n"]
+    return sizes
+
+
+def _refresh_reasoned_extvp(
+    spark: SparkSession, store_path: str, touched: list
+) -> None:
+    """Incremental refresh of the closure-derived ExtVP after maintenance:
+    only pairs involving a touched (delta or derivable) predicate
+    recompute, over the reasoned relation, with sizes from stats +
+    entailed counts — same contract as the base refresh_extvp path."""
+    from d_sparq_spark.operators.extvp import refresh_extvp
+
+    refresh_extvp(
+        reasoned_triples(spark, store_path),
+        os.path.join(store_path, "reasoning_layouts"),
+        touched,
+        sizes=_reasoned_sizes(spark, store_path),
+    )
 
 
 def _refresh_reasoned_ptable(
@@ -1150,18 +1204,23 @@ def _maintain_reasoning(
         dpreds = R.derived_predicates(
             [(ids[s], p, ids[o]) for s, p, o in ontology], type_term=ids[R.TYPE]
         )
+    if touched is None and (
+        os.path.exists(_reasoned_ptable_manifest(store_path))
+        or os.path.exists(_reasoned_extvp_manifest(store_path))
+    ):
+        touched = [r["p"] for r in delta_set.select("p").distinct().collect()]
     if os.path.exists(_reasoned_ptable_manifest(store_path)):
         import json as _json
 
         with open(_reasoned_ptable_manifest(store_path)) as f:
             old_preds = _json.load(f)
-        if touched is None:
-            touched = [
-                r["p"] for r in delta_set.select("p").distinct().collect()
-            ]
         _refresh_reasoned_ptable(
             spark, store_path,
             candidates=sorted(set(old_preds) | set(touched) | set(dpreds)),
+        )
+    if os.path.exists(_reasoned_extvp_manifest(store_path)):
+        _refresh_reasoned_extvp(
+            spark, store_path, sorted(set(touched) | set(dpreds))
         )
     sid = _lookup_terms(spark, store_path, [sameas_pred]).get(sameas_pred)
     if sid is None:
@@ -1293,6 +1352,10 @@ def _maintain_reasoning_delete(
         _refresh_reasoned_ptable(
             spark, store_path,
             candidates=sorted(set(old_preds) | set(touched) | set(dpreds)),
+        )
+    if os.path.exists(_reasoned_extvp_manifest(store_path)):
+        _refresh_reasoned_extvp(
+            spark, store_path, sorted(set(touched) | set(dpreds))
         )
 
     sid = _lookup_terms(spark, store_path, [sameas_pred]).get(sameas_pred)
