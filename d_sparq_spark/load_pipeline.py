@@ -461,32 +461,17 @@ def append_load(spark: SparkSession, nt_path: str, store_path: str) -> dict:
         # would leave them stale and the catalog would route qualifying
         # stars to artifacts missing the delta (silent wrong results).
         # (Layout manifests are local-FS by bulk_load contract.)
-        if os.path.exists(os.path.join(store_path, "ptable", "manifest.json")):
-            import json as _json
-
-            from d_sparq_spark.plans.catalog import StoreCatalog
-
+        _old_pt = _ptable_manifest_preds(store_path)
+        if _old_pt is not None:
             # candidate pruning (r10): old PT predicates ∪ the delta's —
             # exact for appends (new rows can only DEMOTE a predicate out
-            # of functionality, never promote one in), so the rebuild
-            # scans only those by_p directories, not the store
-            with open(os.path.join(store_path, "ptable", "manifest.json")) as f:
-                _old_pt = _json.load(f)
-            cat = StoreCatalog().add_property_table(
-                store, predicates=sorted(set(_old_pt) | set(touched_new))
+            # of functionality, never promote one in — a demote leaves an
+            # empty manifest so a later delete can promote back), so the
+            # rebuild scans only those by_p directories, not the store
+            _refresh_ptable_layout(
+                spark, store, store_path,
+                candidates=sorted(set(_old_pt) | set(touched_new)),
             )
-            if cat.ptable is not None:
-                cat.save_property_table(store_path)
-            else:
-                # a delta can make a previously-functional predicate
-                # multi-valued: no property table is expressible anymore —
-                # drop the stale artifact so open_store stops routing
-                # through it
-                import shutil
-
-                shutil.rmtree(
-                    os.path.join(store_path, "ptable"), ignore_errors=True
-                )
         if os.path.exists(os.path.join(store_path, "extvp", "manifest.json")):
             from d_sparq_spark.operators.extvp import refresh_extvp
 
@@ -547,6 +532,49 @@ def _rewrite_vp_partitions(
     for p in touched:
         if p not in present:
             _fs_delete(spark, f"{base_path}/by_p/p={p}")
+
+
+def _ptable_manifest_preds(layout_root: str):
+    """The ptable layout's predicate list, or None when no layout exists.
+    An EMPTY list is a live layout with currently no functional predicate
+    — kept (rather than rmtree'd) so a later delete can PROMOTE a
+    predicate back in (r10 review #7: a demoted-then-deleted store could
+    otherwise never regain its zero-join star route)."""
+    path = os.path.join(layout_root, "ptable", "manifest.json")
+    if not os.path.exists(path):
+        return None
+    import json as _json
+
+    with open(path) as f:
+        return _json.load(f)
+
+
+def _refresh_ptable_layout(
+    spark: SparkSession, rel: DataFrame, layout_root: str, candidates
+) -> None:
+    """THE ptable refresh primitive (r10 review #5 deduplicated the three
+    drifting copies in append_load / delete_load / the reasoned twin):
+    rebuild the property table of ``rel`` restricted to ``candidates``
+    (None = all predicates, the initial materialization), persist under
+    ``layout_root``. When no candidate is functional the DATA is removed
+    but an empty manifest stays — the layout remains 'desired', so later
+    refreshes keep probing and a deletion that restores functionality
+    resurrects the route."""
+    import json as _json
+    import shutil
+
+    from d_sparq_spark.plans.catalog import StoreCatalog
+
+    cat = StoreCatalog().add_property_table(rel, predicates=candidates)
+    if cat.ptable is not None:
+        cat.save_property_table(layout_root)
+    else:
+        shutil.rmtree(
+            os.path.join(layout_root, "ptable", "data"), ignore_errors=True
+        )
+        os.makedirs(os.path.join(layout_root, "ptable"), exist_ok=True)
+        with open(os.path.join(layout_root, "ptable", "manifest.json"), "w") as f:
+            _json.dump([], f)
 
 
 def delete_load(
@@ -623,39 +651,36 @@ def delete_load(
                 remaining._jdf.queryExecution().executedPlan().toString()
             )
         _rewrite_vp_partitions(spark, store_path, remaining, touched_del)
-        # stats merge, O(touched): emptied predicates lose their row
+    if touched:
+        # stats + layout refresh gated on TOUCHED, not touched_del (r10
+        # review #1): a re-delivered delete after a crash that rewrote
+        # by_p but lost these refreshes finds touched_del empty — the
+        # refreshes must still run, from the full delta's predicate set,
+        # to repair overcounted stats and stale ptable/extvp artifacts
+        # that would otherwise keep serving RETRACTED rows. Idempotent:
+        # recomputation over an already-consistent store is a no-op.
         store_post = store_triples(spark, store_path)
         old_stats = spark.read.parquet(os.path.join(store_path, "stats"))
-        kept = old_stats.filter(~F.col("p").isin(touched_del)).localCheckpoint()
-        recomputed = predicate_stats(store_post.filter(F.col("p").isin(touched_del)))
+        kept = old_stats.filter(~F.col("p").isin(touched)).localCheckpoint()
+        recomputed = predicate_stats(store_post.filter(F.col("p").isin(touched)))
         kept.unionByName(recomputed).write.mode("overwrite").parquet(
             os.path.join(store_path, "stats")
         )
-        if os.path.exists(os.path.join(store_path, "ptable", "manifest.json")):
-            import json as _json
-
-            from d_sparq_spark.plans.catalog import StoreCatalog
-
+        old_pt = _ptable_manifest_preds(store_path)
+        if old_pt is not None:
             # deletes can PROMOTE a touched predicate into functionality,
             # so candidates = old PT ∪ touched (untouched non-PT
             # predicates cannot change either way)
-            with open(os.path.join(store_path, "ptable", "manifest.json")) as f:
-                _old_pt = _json.load(f)
-            cat = StoreCatalog().add_property_table(
-                store_post, predicates=sorted(set(_old_pt) | set(touched_del))
+            _refresh_ptable_layout(
+                spark, store_post, store_path,
+                candidates=sorted(set(old_pt) | set(touched)),
             )
-            if cat.ptable is not None:
-                cat.save_property_table(store_path)
-            else:
-                import shutil
-
-                shutil.rmtree(os.path.join(store_path, "ptable"), ignore_errors=True)
         if os.path.exists(os.path.join(store_path, "extvp", "manifest.json")):
             from d_sparq_spark.operators.extvp import refresh_extvp
 
             fresh = spark.read.parquet(os.path.join(store_path, "stats")).collect()
             refresh_extvp(
-                store_post, store_path, touched_del,
+                store_post, store_path, touched,
                 sizes={r["p"]: r["cnt"] for r in fresh},
             )
     if _has_reasoning(store_path):
@@ -708,22 +733,16 @@ def open_store(
     from d_sparq_spark.plans.catalog import StoreCatalog
 
     cat = StoreCatalog()
-    if not reasoning and os.path.exists(
-        os.path.join(store_path, "ptable", "manifest.json")
-    ):
-        catalog = cat.load_property_table(spark, store_path)
-    if not reasoning and os.path.exists(
-        os.path.join(store_path, "extvp", "manifest.json")
-    ):
-        catalog = cat.load_extvp(spark, store_path)
-    if reasoning and os.path.exists(_reasoned_ptable_manifest(store_path)):
-        catalog = cat.load_property_table(
-            spark, os.path.join(store_path, "reasoning_layouts")
-        )
-    if reasoning and os.path.exists(_reasoned_extvp_manifest(store_path)):
-        catalog = cat.load_extvp(
-            spark, os.path.join(store_path, "reasoning_layouts")
-        )
+    # layout roots: base layouts for base engines, closure-derived ones
+    # for reasoned engines. An EMPTY ptable manifest is a live-but-
+    # currently-inexpressible layout (every candidate multi-valued) —
+    # there is no data dir to load, so routing is skipped until a delete
+    # promotes a predicate back in.
+    root = os.path.join(store_path, "reasoning_layouts") if reasoning else store_path
+    if _ptable_manifest_preds(root):
+        catalog = cat.load_property_table(spark, root)
+    if os.path.exists(os.path.join(root, "extvp", "manifest.json")):
+        catalog = cat.load_extvp(spark, root)
     engine = EncodedSparqlEngine(
         enc,
         dictionary,
@@ -1006,6 +1025,19 @@ def materialize_reasoning(
         R.validate_ontology(ontology)
     except ValueError:
         mode = "iterative"
+    # re-materialization over an existing store (r10 review #3): layouts a
+    # PREVIOUS materialize_reasoning built but this call does not request
+    # would go stale against the new ontology's closure — and open_store
+    # would silently route through them. Drop them up front; requested
+    # ones are rebuilt below.
+    import shutil as _shutil
+
+    for lay in ("ptable", "extvp"):
+        if lay not in materialize:
+            _shutil.rmtree(
+                os.path.join(store_path, "reasoning_layouts", lay),
+                ignore_errors=True,
+            )
     store = store_triples(spark, store_path)
     if ontology:
         ids = _ensure_terms(
@@ -1116,23 +1148,16 @@ def _refresh_reasoned_ptable(
     """(Re)build the closure-derived property table under
     reasoning_layouts/. ``candidates=None`` (initial materialization)
     checks every predicate; a maintenance refresh passes the layout's old
-    predicates ∪ the delta's ∪ the derivable set — exact for appends,
-    because adding rows can only DEMOTE a predicate out of functionality,
-    never promote one into it, so the scan stays partition-pruned to those
-    by_p directories instead of re-reading the store."""
-    from d_sparq_spark.plans.catalog import StoreCatalog
-
-    layout_root = os.path.join(store_path, "reasoning_layouts")
-    rel = reasoned_triples(spark, store_path)
-    cat = StoreCatalog().add_property_table(rel, predicates=candidates)
-    if cat.ptable is not None:
-        cat.save_property_table(layout_root)
-    else:
-        import shutil
-
-        # every candidate went multi-valued: no PT is expressible — drop
-        # the stale artifact so open_store stops routing through it
-        shutil.rmtree(os.path.join(layout_root, "ptable"), ignore_errors=True)
+    predicates ∪ the delta's ∪ the derivable set — exact both ways
+    (appends only demote; deletes only promote touched), so the scan
+    stays partition-pruned to those by_p directories instead of
+    re-reading the store."""
+    _refresh_ptable_layout(
+        spark,
+        reasoned_triples(spark, store_path),
+        os.path.join(store_path, "reasoning_layouts"),
+        candidates,
+    )
 
 
 def _entailment_delta(
@@ -1142,6 +1167,7 @@ def _entailment_delta(
     ontology: list,
     mode: str = "single",
     plan_sink: list | None = None,
+    ids: dict | None = None,
 ) -> DataFrame:
     """Entailed rows the store closure is missing after ``delta_set``
     landed in by_p: the rho-df pass over the DELTA ONLY (sound by
@@ -1156,7 +1182,8 @@ def _entailment_delta(
     plan for the pruning assert)."""
     from d_sparq_spark.operators import reasoning as R
 
-    ids = _ontology_ids(spark, store_path, ontology)
+    if ids is None:  # callers on the maintenance hot path pass them in
+        ids = _ontology_ids(spark, store_path, ontology)
     enc_ont = [(ids[s], p, ids[o]) for s, p, o in ontology]
     tid = ids[R.TYPE]
     dpreds = R.derived_predicates(enc_ont, type_term=tid)
@@ -1192,23 +1219,47 @@ def _maintain_reasoning(
 
     ontology, sameas_pred, mode = _read_reasoning_manifest(spark, store_path)
     dpreds: list = []
+    if touched is None and (
+        ontology
+        or os.path.exists(_reasoned_ptable_manifest(store_path))
+        or os.path.exists(_reasoned_extvp_manifest(store_path))
+    ):
+        touched = [r["p"] for r in delta_set.select("p").distinct().collect()]
     if ontology:
-        new_ent = _entailment_delta(
-            spark, store_path, delta_set, ontology, mode=mode
-        ).localCheckpoint()  # pin: written INTO the layer it reads
-        if new_ent.take(1):
-            write_vp(new_ent, os.path.join(store_path, "entailed"), mode="append")
         from d_sparq_spark.operators import reasoning as R
 
         ids = _ontology_ids(spark, store_path, ontology)
         dpreds = R.derived_predicates(
             [(ids[s], p, ids[o]) for s, p, o in ontology], type_term=ids[R.TYPE]
         )
-    if touched is None and (
-        os.path.exists(_reasoned_ptable_manifest(store_path))
-        or os.path.exists(_reasoned_extvp_manifest(store_path))
-    ):
-        touched = [r["p"] for r in delta_set.select("p").distinct().collect()]
+        # base/entailed DISJOINTNESS under re-assertion (r10 review #2):
+        # a delta row that restates an ENTAILED triple just landed in
+        # by_p, so its copy must LEAVE the layer — otherwise the closure
+        # union double-counts it (duplicate SPARQL bindings, spurious
+        # functionality demotion, wrong ExtVP size denominators). Pruned
+        # to the delta ∩ derivable predicate partitions, and further to
+        # the partitions that actually hold a moved row.
+        inter = sorted(set(touched) & set(dpreds))
+        if inter:
+            ent_slice = entailed_triples(spark, store_path).filter(
+                F.col("p").isin(inter)
+            )
+            moved = ent_slice.join(delta_set, ["s", "p", "o"], "semi")
+            moved_preds = [r["p"] for r in moved.select("p").distinct().collect()]
+            if moved_preds:
+                keep = (
+                    entailed_triples(spark, store_path)
+                    .filter(F.col("p").isin(moved_preds))
+                    .join(delta_set, ["s", "p", "o"], "left_anti")
+                )
+                _rewrite_vp_partitions(
+                    spark, os.path.join(store_path, "entailed"), keep, moved_preds
+                )
+        new_ent = _entailment_delta(
+            spark, store_path, delta_set, ontology, mode=mode, ids=ids
+        ).localCheckpoint()  # pin: written INTO the layer it reads
+        if new_ent.take(1):
+            write_vp(new_ent, os.path.join(store_path, "entailed"), mode="append")
     if os.path.exists(_reasoned_ptable_manifest(store_path)):
         import json as _json
 

@@ -447,7 +447,16 @@ def _reasoned_store(
         append_load, bulk_load, materialize_reasoning,
     )
 
-    key = (spark.sparkContext.applicationId, sf_dir, tag)
+    # the key carries the full CONFIG, not just the tag (r10 review #4):
+    # two callers sharing a tag but differing in ontology or materialize
+    # would otherwise silently get whichever store built first. The disk
+    # path stays tag-keyed, so configs must also use distinct tags — the
+    # assert makes a collision loud instead of serving mixed artifacts.
+    key = (spark.sparkContext.applicationId, sf_dir, tag,
+           tuple(ontology), tuple(materialize))
+    clash = [k for k in _RSTORE_CACHE
+             if k[:3] == key[:3] and k != key]
+    assert not clash, f"_reasoned_store: tag {tag!r} reused with a different config"
     if key not in _RSTORE_CACHE:
         base = _store_base(spark, sf_dir, tag)
         nt_base, nt_delta, store = base + "_b", base + "_d", base + "_s"

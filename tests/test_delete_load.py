@@ -274,3 +274,70 @@ def test_delete_promotes_predicate_into_ptable(spark, tmp_path):
     # and the store itself lost exactly that row
     got = _decoded(spark, store, store_triples(spark, store))
     assert ("s:m", "p:multi", "v2") not in got and len(got) == 4
+
+
+def test_delete_self_heals_stale_stats_and_layouts(spark, tmp_path):
+    """r10 review #1: crash model — the by_p rewrite landed but the
+    stats/ptable refreshes were lost (simulated by restoring the
+    pre-delete artifacts). Re-delivering the delete (which removes 0
+    rows) must still repair them: stats stop overcounting and the PT
+    stops serving the retracted row."""
+    import shutil
+
+    lines = ['<s:a> <p:one> "1"', '<s:b> <p:one> "2"', '<s:b> <p:two> "x"']
+    base = _nt(tmp_path / "b.nt", lines)
+    store = str(tmp_path / "s")
+    bulk_load(spark, base, store, materialize=("ptable",))
+    shutil.copytree(os.path.join(store, "stats"), str(tmp_path / "stats0"))
+    shutil.copytree(os.path.join(store, "ptable"), str(tmp_path / "pt0"))
+    dele = _nt(tmp_path / "x.nt", ['<s:b> <p:one> "2"'])
+    delete_load(spark, dele, store)
+
+    # simulate the lost refreshes
+    shutil.rmtree(os.path.join(store, "stats"))
+    shutil.copytree(str(tmp_path / "stats0"), os.path.join(store, "stats"))
+    shutil.rmtree(os.path.join(store, "ptable"))
+    shutil.copytree(str(tmp_path / "pt0"), os.path.join(store, "ptable"))
+
+    info = delete_load(spark, dele, store)  # re-delivery: removes nothing
+    assert info["n_deleted"] == 0
+    ids = {v: k for k, v in _terms(spark, store).items()}
+    stats = {
+        r["p"]: r["cnt"]
+        for r in spark.read.parquet(os.path.join(store, "stats")).collect()
+    }
+    assert stats[ids["p:one"]] == 1  # repaired, not the stale 2
+    # the refreshed PT no longer serves the retracted row
+    pt = spark.read.parquet(os.path.join(store, "ptable", "data"))
+    col = str(ids["p:one"])
+    vals = sorted(r[col] for r in pt.collect() if r[col] is not None)
+    assert vals == [ids['"1"'] if '"1"' in ids else ids["1"]]
+
+
+def test_ptable_demote_then_delete_promotes_back(spark, tmp_path):
+    """r10 review #7: an append that demotes EVERY PT predicate leaves an
+    empty manifest (not a missing layout), so a later delete that restores
+    functionality resurrects the zero-join route."""
+    import json
+
+    base = _nt(tmp_path / "b.nt", ['<s:a> <p:one> "1"', '<s:b> <p:one> "2"'])
+    store = str(tmp_path / "s")
+    bulk_load(spark, base, store, materialize=("ptable",))
+    delta = _nt(tmp_path / "d.nt", ['<s:a> <p:one> "9"'])  # demotes p:one
+    from d_sparq_spark.load_pipeline import append_load as _append
+
+    _append(spark, delta, store)
+    mpath = os.path.join(store, "ptable", "manifest.json")
+    with open(mpath) as f:
+        assert json.load(f) == []  # live layout, nothing functional
+    # open_store must not crash on (or route through) the empty layout
+    from d_sparq_spark.load_pipeline import open_store
+
+    eng = open_store(spark, store)
+    assert eng.query('SELECT ?s WHERE { ?s p:one "9" }').count() == 1
+
+    dele = _nt(tmp_path / "x.nt", ['<s:a> <p:one> "9"'])
+    delete_load(spark, dele, store)
+    ids = {v: k for k, v in _terms(spark, store).items()}
+    with open(mpath) as f:
+        assert ids["p:one"] in json.load(f)  # promoted back in

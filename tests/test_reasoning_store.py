@@ -491,3 +491,69 @@ def test_reasoned_extvp_routes_and_refreshes(spark, tmp_path):
         map(tuple, open_store(spark, store, reasoning=True).query(q2).collect())
     )
     assert ("s:c", "s:beta") in got2
+
+
+def test_append_reasserting_entailed_row_keeps_layers_disjoint(spark, tmp_path):
+    """r10 review #2: a delta that ASSERTS a triple the layer already
+    entails moves it base-ward — the entailed copy must leave the layer,
+    or the closure union double-counts it (duplicate bindings, spurious
+    PT demotion, wrong ExtVP denominators)."""
+    base = _nt(tmp_path / "b.nt", BASE)
+    store = str(tmp_path / "s")
+    bulk_load(spark, base, store)
+    materialize_reasoning(spark, store, ONT, materialize=("ptable",))
+    ids = {
+        r["term"]: r["id"]
+        for r in spark.read.parquet(os.path.join(store, "dict")).collect()
+    }
+    import json
+
+    with open(os.path.join(store, "reasoning_layouts", "ptable",
+                           "manifest.json")) as f:
+        assert ids["p:affiliatedWith"] in json.load(f)
+
+    # re-assert an entailed row (and add one fresh row so the append is
+    # not a pure no-op)
+    delta = _nt(tmp_path / "d.nt", [
+        "<s:a> <p:affiliatedWith> <s:acme>",   # currently ENTAILED
+        "<s:d> <p:worksAt> <s:acme>",
+    ])
+    append_load(spark, delta, store)
+
+    rel = reasoned_triples(spark, store)
+    assert rel.count() == rel.dropDuplicates().count()  # no double-count
+    moved = ("s:a", "p:affiliatedWith", "s:acme")
+    assert moved in _decoded(spark, store, store_triples(spark, store))
+    assert moved not in _decoded(spark, store, entailed_triples(spark, store))
+
+    # closure unchanged vs the batch operator over the union, and the
+    # functional predicate was NOT spuriously demoted out of the PT
+    both = parse_ntriples(spark.read.text(base)).unionByName(
+        parse_ntriples(spark.read.text(delta))
+    )
+    assert _decoded(spark, store, rel) == sorted(
+        map(tuple, rdfs_entailment(both, ONT).collect())
+    )
+    with open(os.path.join(store, "reasoning_layouts", "ptable",
+                           "manifest.json")) as f:
+        assert ids["p:affiliatedWith"] in json.load(f)
+
+
+def test_rematerialize_without_layouts_drops_stale_ones(spark, tmp_path):
+    """r10 review #3: re-materializing with a different ontology and no
+    materialize flag must remove the previous call's closure-derived
+    layouts — open_store would otherwise route through the OLD closure."""
+    base = _nt(tmp_path / "b.nt", BASE)
+    store = str(tmp_path / "s")
+    bulk_load(spark, base, store)
+    materialize_reasoning(spark, store, ONT, materialize=("ptable", "extvp"))
+    assert os.path.exists(os.path.join(store, "reasoning_layouts", "ptable"))
+    materialize_reasoning(spark, store, [("c:Manager", "rdfs:subClassOf", "c:Boss")])
+    assert not os.path.exists(os.path.join(store, "reasoning_layouts", "ptable"))
+    assert not os.path.exists(os.path.join(store, "reasoning_layouts", "extvp"))
+    from d_sparq_spark.load_pipeline import open_store
+
+    q = "SELECT ?s ?w WHERE { ?s p:affiliatedWith ?w ; p:worksAt ?w2 }"
+    # the old-ontology PT held affiliatedWith rows; the new closure has
+    # none — the un-routed engine (no stale layout) answers empty
+    assert open_store(spark, store, reasoning=True).query(q).count() == 0
