@@ -199,6 +199,15 @@ def main() -> None:
         t0 = time.perf_counter()
         append_load(spark, work + "/nt_delta2", work + "/store")
         timings["load_reason_append"] = round(time.perf_counter() - t0, 4)
+        # r10: small-file compaction after the two appends scattered
+        # part-files into the touched by_p directories — the store
+        # lifecycle's maintenance cost, measured once (single-run like
+        # the other load entries; a second run would find nothing to do)
+        from d_sparq_spark.load_pipeline import compact_store
+
+        t0 = time.perf_counter()
+        compact_store(spark, work + "/store")
+        timings["load_compact"] = round(time.perf_counter() - t0, 4)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -695,6 +695,101 @@ def delete_load(
     }
 
 
+def compact_store(
+    spark: SparkSession,
+    store_path: str,
+    target_file_bytes: int = 128 << 20,
+    predicates: list | None = None,
+) -> dict:
+    """Small-file compaction of a store's VP layouts (r10): every
+    append_load/delete_load adds or rewrites part-files per touched
+    predicate, so a long-lived store accumulates files far past the
+    healthy files-per-bytes ratio — the classic operational failure of
+    append-heavy partitioned stores at 100 TB (footer-per-file planning
+    cost, tiny row groups, NameNode/listing pressure). This rewrites only
+    the by_p partitions (base AND entailed/ layer) whose file count
+    exceeds ceil(bytes / target_file_bytes), coalescing each to exactly
+    that many files via the same dynamic-partition-overwrite primitive
+    delete_load uses. Content-neutral by construction: the partition is
+    read back and rewritten verbatim (no dedup, no reorder semantics —
+    an RDF store is a set, and tests pin decoded-set equality), so
+    dictionary, stats/, meta/, and every materialized layout stay valid
+    untouched. Returns per-layer (partitions_compacted, files_before,
+    files_after). Idempotent: a second run finds every partition at
+    target and does nothing. Same single-writer contract as the loaders.
+
+    ``predicates`` narrows to specific predicate ids (e.g. the hot
+    append targets); None scans the partition LISTING of every directory
+    — metadata-scale (|P| listings), never a data pass over untouched
+    partitions."""
+    from d_sparq_spark.sources.triple_store import write_vp
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    out: dict = {}
+    for layer in ("", "entailed"):
+        root = os.path.join(store_path, layer) if layer else store_path
+        by_p = jvm.org.apache.hadoop.fs.Path(os.path.join(root, "by_p"))
+        fs = by_p.getFileSystem(conf)
+        if not fs.exists(by_p):
+            continue
+        todo: dict = {}  # pred id -> n_target
+        files_before = 0
+        for st in fs.listStatus(by_p):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith("p=")):
+                continue
+            pid = int(name[2:])
+            if predicates is not None and pid not in predicates:
+                continue
+            parts = [
+                f for f in fs.listStatus(st.getPath())
+                if f.getPath().getName().endswith(".parquet")
+                or f.getPath().getName().startswith("part-")
+            ]
+            nbytes = sum(f.getLen() for f in parts)
+            n_target = max(1, -(-nbytes // target_file_bytes))  # ceil
+            if len(parts) > n_target:
+                todo[pid] = n_target
+                files_before += len(parts)
+        if not todo:
+            out[layer or "base"] = {
+                "partitions_compacted": 0, "files_before": 0, "files_after": 0,
+            }
+            continue
+        # one small job per compacted partition (|todo| is metadata-scale):
+        # coalesce to EXACTLY the size-implied file count — a shared
+        # repartition("p") would funnel each predicate into one task (one
+        # file regardless of target), and hashing in more columns spreads
+        # every predicate over every task (files = tasks, defeating the
+        # point). maxPartitionBytes may pack the read into fewer splits
+        # than the target; coalesce only caps, so that just means even
+        # better-sized output files.
+        for pid, n_target in sorted(todo.items()):
+            part = (
+                store_triples(spark, root)
+                .filter(F.col("p") == F.lit(pid))
+                .coalesce(int(n_target))
+                .localCheckpoint()  # pin: rewrites the files it read
+            )
+            write_vp(part, root, mode="overwrite", dynamic=True)
+        files_after = 0
+        for pid in todo:
+            sub = jvm.org.apache.hadoop.fs.Path(
+                os.path.join(root, "by_p", f"p={pid}")
+            )
+            files_after += sum(
+                1 for f in fs.listStatus(sub)
+                if f.getPath().getName().startswith("part-")
+            )
+        out[layer or "base"] = {
+            "partitions_compacted": len(todo),
+            "files_before": int(files_before),
+            "files_after": int(files_after),
+        }
+    return out
+
+
 def open_store(
     spark: SparkSession, store_path: str, reasoning: bool = False
 ) -> EncodedSparqlEngine:

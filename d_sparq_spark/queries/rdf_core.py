@@ -256,6 +256,45 @@ def q_load_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q_store_compact: small-file compaction lifecycle (r10) -------------------
+
+@register("q_store_compact", oracle=_ORACLE_STAR)
+def q_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store lifecycle with COMPACTION (load_pipeline.compact_store):
+    bulk-load 60% of the derived triples, append the remaining two 20%
+    slices (each append scatters part-files into the touched by_p
+    directories — the small-file accumulation every append-heavy
+    partitioned store suffers at scale), compact every oversized
+    partition down to its size-implied file count, and answer the same
+    star q_load_pipeline gates. Compaction is content-neutral by
+    construction; the shared oracle proves the full lifecycle
+    (load → append → append → compact → query) end-to-end."""
+    from d_sparq_spark.load_pipeline import (
+        append_load, bulk_load, compact_store, open_store,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir, "compact")
+    if key not in _RSTORE_CACHE:
+        root = _store_base(spark, sf_dir, "compact")
+        store = root + "_s"
+        t = derive_triples(spark, sf_dir)
+        h = F.pmod(F.xxhash64("s", "p", "o"), F.lit(5))
+        format_ntriples(t.filter(h <= 2)).write.mode("overwrite").text(root + "_b")
+        format_ntriples(t.filter(h == 3)).write.mode("overwrite").text(root + "_d1")
+        format_ntriples(t.filter(h == 4)).write.mode("overwrite").text(root + "_d2")
+        bulk_load(spark, root + "_b", store)
+        append_load(spark, root + "_d1", store)
+        append_load(spark, root + "_d2", store)
+        info = compact_store(spark, store)
+        assert info["base"]["partitions_compacted"] > 0  # appends scattered
+        _RSTORE_CACHE[key] = store
+    engine = open_store(spark, _RSTORE_CACHE[key])
+    return engine.query(
+        'SELECT ?c ?name ?bal WHERE { ?c foaf:name ?name ; ex:acctbal ?bal ; '
+        'ex:mktsegment "BUILDING" }'
+    )
+
+
 # --- q_rdfs_entailment: rho-df forward-chaining materialization (r8) ---------
 
 _RDFS_ONTOLOGY = [

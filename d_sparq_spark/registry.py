@@ -164,6 +164,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset(
         "q_store_reasoning_meta",
         "q_store_delete",
         "q_sparql_star_reasoned_pt",
+        "q_store_compact",
     }
 )
 
