@@ -152,3 +152,28 @@ def test_sssp_invariant_cross_validates_exact_oracle(spark):
     noseed = sdf.copy()
     noseed.loc[noseed["part"] == seed, "dist"] = 5
     assert "seed" in viols(noseed)
+
+
+def test_sssp_driver_and_distributed_paths_agree(spark, monkeypatch):
+    """r11: the gated driver fast path (vectorized numpy Bellman-Ford) and
+    the distributed frontier loop must produce identical results — fixed
+    rounds AND until_converged — on a random weighted graph."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = [(int(u), int(v), int(w) + 1) for u, v, w in
+            rng.randint(0, 60, size=(300, 3))]
+    ew = spark.createDataFrame(rows, "src long, dst long, w long")
+    src = rows[0][0]
+
+    def run(**kw):
+        return sorted(
+            map(tuple, G.sssp_bellman_ford(ew, src, **kw).collect())
+        )
+
+    driver_fixed = run(n_rounds=5)
+    driver_conv = run(n_rounds=64, until_converged=True)
+    monkeypatch.setattr(G, "_DRIVER_SSSP_MAX_EDGES", 0)
+    monkeypatch.setattr(G, "_DRIVER_SSSP_MAX_EDGES_NO_ARROW", 0)
+    assert run(n_rounds=5) == driver_fixed
+    assert run(n_rounds=64, until_converged=True) == driver_conv
