@@ -199,10 +199,13 @@ def triangles_degree_ordered(edges: DataFrame) -> DataFrame:
     join and the closing join are both equi-joins — shuffle-partitioned,
     AQE-splittable, no broadcast assumption on the edge set.
     """
-    deg = degrees(edges)
+    deg = degrees(edges).localCheckpoint(eager=False)
     # the caller's edge set is typically checkpointed (no Catalyst stats),
     # so the O(V) degree side needs an explicit hint to avoid shuffling
-    # the edges twice; the guard keeps billion-node graphs on shuffle plans
+    # the edges twice; the guard keeps billion-node graphs on shuffle plans.
+    # The checkpoint pins the degree aggregation: du and dv are two
+    # separate broadcast builds, each of which would otherwise re-run the
+    # full degree groupBy over 2|E| rows (r11).
     if deg.count() <= 1_000_000:
         deg = F.broadcast(deg)
     du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
@@ -225,15 +228,43 @@ def triangles_degree_ordered(edges: DataFrame) -> DataFrame:
     )
     o1 = oriented.alias("o1")
     o2 = oriented.alias("o2")
+    # r11 (guide §3.1): below the gate, broadcast BOTH the wedge probe
+    # side and the closing edge set. The former makes wedge generation a
+    # streamed BHJ over o1; the latter is the big one — the closing join
+    # otherwise SHUFFLES the |E|^1.5 wedge relation (measured 41 M rows /
+    # ~1 GB at sf0.1, 9.4 s of an 11.3 s pipeline) to meet a 1.2 M-row
+    # edge set that fits in a ~20 MB broadcast. The whole enumeration then
+    # runs as ONE WholeStageCodegen span: scan oriented → probe
+    # out-neighbors → probe closing edges → (caller) explode + partial
+    # agg, with only the final tiny per-node aggregate shuffling. Above
+    # the gate the shuffle plan is unchanged (a billion-edge closing side
+    # must not broadcast).
+    n_edges = edges.count()
+    small_edges = n_edges <= 5_000_000
+    if small_edges:
+        # the streamed side inherits the caller checkpoint's (AQE-
+        # coalesced) partitioning — measured 10 tasks carrying a 41 M-row
+        # wedge fan-out on 32 cores. Re-spread it to the session's
+        # parallelism (scale-adaptive: defaultParallelism is the cluster
+        # core count, not a local constant); the keyless repartition
+        # shuffles only |E| gate-bounded rows.
+        par = edges.sparkSession.sparkContext.defaultParallelism
+        o1 = oriented.repartition(par).alias("o1")
     # wedges from each source's out-neighborhood; dst pair canonicalized by
     # node id so the closing join can probe the canonical edge set directly
-    wedges = o1.join(o2, "src").where(F.col("o1.dst") < F.col("o2.dst")).select(
-        F.col("src").alias("a"),
-        F.col("o1.dst").alias("b"),
-        F.col("o2.dst").alias("c"),
+    wedges = (
+        o1.join(F.broadcast(o2) if small_edges else o2, "src")
+        .where(F.col("o1.dst") < F.col("o2.dst"))
+        .select(
+            F.col("src").alias("a"),
+            F.col("o1.dst").alias("b"),
+            F.col("o2.dst").alias("c"),
+        )
     )
     closing = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    return wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    return wedges.join(
+        F.broadcast(closing) if small_edges else closing, ["b", "c"]
+    ).select("a", "b", "c")
 
 
 def triangle_counts_per_node(edges: DataFrame) -> DataFrame:
