@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from d_sparq_spark.localdata import local_df
+
 from d_sparq_spark.plans.parser import parse_sparql
 from d_sparq_spark.plans.translate import Translator
 
@@ -126,7 +128,7 @@ class SparqlEngine:
                         "graphs — this store has no g column"
                     )
                 rows = rows + [(tp.s, tp.p, tp.o, g) for g, tp in quads]
-            return spark.createDataFrame(rows, schema).dropDuplicates()
+            return local_df(spark, rows, schema).dropDuplicates()
 
         def _bnode_labels(template) -> list[str]:
             seen: list[str] = []

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from d_sparq_spark.encoded_engine import EncodedSparqlEngine
+from d_sparq_spark.localdata import local_df
 from d_sparq_spark.operators.dictionary import build_dictionary, encode_triples
 from d_sparq_spark.operators.rdf_patterns import predicate_stats
 from d_sparq_spark.sources.ntriples import parse_ntriples
@@ -126,12 +127,21 @@ def bulk_load(
             "materialize is requested (got a URI); load without layouts "
             "and attach a StoreCatalog in-session instead"
         )
-    triples = parse_ntriples(spark.read.text(nt_path))
-    if not triples.take(1):
+    raw = spark.read.text(nt_path)
+    if not parse_ntriples(raw).take(1):
         # fail BEFORE any write: an all-malformed/empty dump would
         # otherwise leave a half-written store and crash later with an
         # opaque empty-parquet schema-inference error (review r7)
         raise ValueError(f"bulk_load: no triples parsed from {nt_path!r}")
+    # pin the parse ONCE (r11, guide §2.4): the dictionary build, the
+    # encode, and the by_p write all consume `triples` — un-pinned, the
+    # N-Triples text was re-scanned and re-regexed per consumer (7 passes
+    # measured; append_load has pinned its delta parse since r7). The
+    # repartition spreads the regex across the session's parallelism —
+    # a text dump packs into few 128 MB splits, so the parse otherwise
+    # runs ~4-way whatever the core count.
+    par = spark.sparkContext.defaultParallelism
+    triples = parse_ntriples(raw.repartition(par)).localCheckpoint()
     dictionary = build_dictionary(triples).persist()
     # size-conditional broadcast: the dictionary is data-sized (one row
     # per distinct term) — at 100 TB it cannot collect to the driver, so
@@ -249,10 +259,14 @@ def _write_meta(
       used for broadcast gating and load stats, never for id math);
     - dict_buckets: bucket count of the term-bucketed dict/ layout (NULL =
       legacy plain-parquet dictionary)."""
-    spark.createDataFrame(
+    # single-slice local DF, no coalesce(1) (r11): the coalesced one-row
+    # write chained defaultParallelism Python-worker round-trips into one
+    # task — 5-8 s per manifest write at 32 cores (see localdata.py)
+    local_df(
+        spark,
         [(rank_ordered, n_terms, max_id, dict_buckets)],
         "rank_ordered boolean, n_terms long, max_id long, dict_buckets int",
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(store_path, "meta"))
+    ).write.mode("overwrite").parquet(os.path.join(store_path, "meta"))
 
 
 def _read_meta(spark: SparkSession, store_path: str) -> dict:
@@ -735,6 +749,13 @@ def compact_store(
             continue
         todo: dict = {}  # pred id -> n_target
         files_before = 0
+
+        def _is_data(name: str) -> bool:
+            # ONE predicate for the before count, the n_target decision,
+            # and the after count (ADVICE r10: the two counts used
+            # different filters); Spark data files are always part-*
+            return name.startswith("part-")
+
         for st in fs.listStatus(by_p):
             name = st.getPath().getName()
             if not (st.isDirectory() and name.startswith("p=")):
@@ -744,8 +765,7 @@ def compact_store(
                 continue
             parts = [
                 f for f in fs.listStatus(st.getPath())
-                if f.getPath().getName().endswith(".parquet")
-                or f.getPath().getName().startswith("part-")
+                if _is_data(f.getPath().getName())
             ]
             nbytes = sum(f.getLen() for f in parts)
             n_target = max(1, -(-nbytes // target_file_bytes))  # ceil
@@ -757,22 +777,32 @@ def compact_store(
                 "partitions_compacted": 0, "files_before": 0, "files_after": 0,
             }
             continue
-        # one small job per compacted partition (|todo| is metadata-scale):
-        # coalesce to EXACTLY the size-implied file count — a shared
-        # repartition("p") would funnel each predicate into one task (one
-        # file regardless of target), and hashing in more columns spreads
-        # every predicate over every task (files = tasks, defeating the
-        # point). maxPartitionBytes may pack the read into fewer splits
-        # than the target; coalesce only caps, so that just means even
-        # better-sized output files.
-        for pid, n_target in sorted(todo.items()):
-            part = (
-                store_triples(spark, root)
-                .filter(F.col("p") == F.lit(pid))
-                .coalesce(int(n_target))
-                .localCheckpoint()  # pin: rewrites the files it read
-            )
-            write_vp(part, root, mode="overwrite", dynamic=True)
+        # ONE rewrite job per layer (r11; the per-predicate loop paid a
+        # checkpoint job + a write job per partition — 2|todo| jobs of
+        # mostly fixed overhead). Every undersized partition is read in
+        # one pass and hashed into a synthetic file number 0..n_target(p)-1
+        # (per-predicate target from the size-implied map), then
+        # repartitioned by (p, _f) over sum(targets) tasks: each task
+        # holds ~one (p, _f) group and the dynamic-partition writer opens
+        # one file per predicate value per task, so each directory comes
+        # out with AT MOST n_target files (a hash collision merges two
+        # groups into one larger file — still at or under target, so the
+        # idempotency contract holds). A bare repartition("p") would
+        # funnel each predicate into one task (one file regardless of
+        # target, unbounded at 100 TB); this keeps files size-bounded
+        # with one job.
+        n_map = F.create_map(
+            *[F.lit(x) for pv in sorted(todo.items()) for x in pv]
+        )
+        part = (
+            store_triples(spark, root)
+            .filter(F.col("p").isin(list(todo)))
+            .withColumn("_f", F.pmod(F.xxhash64("s", "o"), n_map[F.col("p")]))
+            .repartition(int(sum(todo.values())), F.col("p"), F.col("_f"))
+            .drop("_f")
+            .localCheckpoint()  # pin: rewrites the files it read
+        )
+        write_vp(part, root, mode="overwrite", dynamic=True)
         files_after = 0
         for pid in todo:
             sub = jvm.org.apache.hadoop.fs.Path(
@@ -780,7 +810,7 @@ def compact_store(
             )
             files_after += sum(
                 1 for f in fs.listStatus(sub)
-                if f.getPath().getName().startswith("part-")
+                if _is_data(f.getPath().getName())
             )
         out[layer or "base"] = {
             "partitions_compacted": len(todo),
@@ -915,9 +945,9 @@ def _write_reasoning_manifest(
     # delta rounds (meta-schema ontology) — maintenance must iterate the
     # same way the layer was materialized or an append under-derives.
     rows.append(("mode", mode, "", ""))
-    spark.createDataFrame(
-        rows, "kind string, s string, p string, o string"
-    ).coalesce(1).write.mode("overwrite").parquet(
+    local_df(
+        spark, rows, "kind string, s string, p string, o string"
+    ).write.mode("overwrite").parquet(
         os.path.join(store_path, "reasoning", "manifest")
     )
 
@@ -939,7 +969,7 @@ def _lookup_terms(spark: SparkSession, store_path: str, terms: list) -> dict:
     broadcast semi-join against the dictionary, collect only the hits.
     Terms absent from the dictionary are absent from the result."""
     full = spark.read.parquet(os.path.join(store_path, "dict"))
-    tdf = spark.createDataFrame([(t,) for t in sorted(set(terms))], "term string")
+    tdf = local_df(spark, [(t,) for t in sorted(set(terms))], "term string")
     return {
         r["term"]: r["id"]
         for r in full.join(F.broadcast(tdf), "term", "semi").collect()
@@ -964,7 +994,7 @@ def _ensure_terms(spark: SparkSession, store_path: str, terms: list) -> dict:
     n_terms_old = meta["n_terms"]
     if n_terms_old is None:
         n_terms_old = existing.count()
-    tdf = spark.createDataFrame([(t,) for t in sorted(set(terms))], "term string")
+    tdf = local_df(spark, [(t,) for t in sorted(set(terms))], "term string")
     delta = extend_dictionary(
         existing, None, base_id=watermark, terms=tdf
     ).localCheckpoint()

@@ -1,0 +1,40 @@
+"""Single-slice construction of small driver-local DataFrames.
+
+``spark.createDataFrame(rows, schema)`` parallelizes the pickled rows
+into ``defaultParallelism`` slices, and every materialization of the
+resulting LocalTableScan launches ONE PYTHON WORKER ROUND-TRIP PER
+SLICE (~150-200 ms each). That is invisible at local[4] and a tax on
+every constants/VALUES/metadata relation at local[32] — and it turns
+pathological under ``coalesce(1)``, which chains all slices into one
+task: a ONE-ROW store-manifest write measured 5-8 s (r11, guide §4 —
+the JVM↔Python boundary, paid 32× for zero rows).
+
+``local_df`` pins the parallelize to ONE slice: one worker round-trip
+per materialization, whatever the core count. Driver-local rows are
+metadata-scale by contract everywhere this is used (manifests, VALUES
+clauses, constant seeds, stats lists), so a single slice is never a
+parallelism loss.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def local_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """Slice-pinned equivalent of ``spark.createDataFrame(rows, schema)``:
+    one slice per ~50k rows (so a metadata relation costs one worker
+    round-trip, while an occasional big driver list still parallelizes).
+
+    Empty ``rows`` fall through to the plain path: an empty local
+    relation is a zero-slice LocalTableScan (no workers to save), and
+    ``parallelize([], 1)`` would lose the schema-only shortcut."""
+    rows = list(rows)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    n_slices = max(1, min(
+        spark.sparkContext.defaultParallelism, 1 + (len(rows) - 1) // 50_000
+    ))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_slices), schema
+    )

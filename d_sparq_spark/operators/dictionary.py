@@ -26,19 +26,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from d_sparq_spark.localdata import local_df
+
 _IRI_RE = r"^[A-Za-z][A-Za-z0-9+.-]*:"
 
 
 def assign_ids(terms: DataFrame, col: str = "term", num_partitions: int | None = None) -> DataFrame:
-    """Distinct terms -> (id LONG, term). id = 1-based global lexicographic
-    dense rank, computed without a single-task global window."""
-    distinct = terms.select(col).distinct()
-    n = num_partitions or max(distinct.sparkSession.sparkContext.defaultParallelism, 2)
+    """Terms (duplicates welcome) -> (id LONG, term), one row per distinct
+    term. id = 1-based global lexicographic dense rank, computed without a
+    single-task global window.
+
+    r11 (guide §2.4): the input is NO LONGER pre-distinct'ed — range
+    partitioning sends equal terms to the same partition by construction,
+    so the per-partition window dedups in the same pass that ranks
+    (dense_rank + drop rows equal to their lag), and the offsets use
+    per-partition exact DISTINCT counts. One full exchange of the term
+    set instead of two."""
+    src = terms.select(col)
+    n = num_partitions or max(src.sparkSession.sparkContext.defaultParallelism, 2)
 
     # no sortWithinPartitions here: the counts job is order-insensitive
     # and the rank window sorts per partition itself — a pre-sort would
     # just burn a full extra sort into the eager checkpoint (review r4)
-    parts = distinct.repartitionByRange(n, F.col(col))
+    parts = src.repartitionByRange(n, F.col(col))
     # localCheckpoint (not persist) is REQUIRED for correctness: the counts
     # job and the rank job must see the SAME partitioning, and
     # repartitionByRange samples its boundaries per job. A persist would
@@ -50,21 +60,37 @@ def assign_ids(terms: DataFrame, col: str = "term", num_partitions: int | None =
     # write IS that barrier for the persisted path.)
     with_pid = parts.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
 
-    # numPartitions rows — tiny, driver-side cumsum.
-    counts = {r["_pid"]: r["cnt"] for r in with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    # numPartitions rows — tiny, driver-side cumsum (exact distinct
+    # counts: dense ranks advance once per distinct term).
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in with_pid.groupBy("_pid")
+        .agg(F.count_distinct(F.col(col)).alias("cnt"))
+        .collect()
+    }
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    spark = distinct.sparkSession
+    spark = src.sparkSession
     offset_df = F.broadcast(
-        spark.createDataFrame([(pid, off) for pid, off in offsets.items()], "_pid INT, _off LONG")
+        local_df(spark, [(pid, off) for pid, off in offsets.items()], "_pid INT, _off LONG")
     )
 
     w = Window.partitionBy("_pid").orderBy(col)  # parallel per range-partition
     return (
         with_pid.join(offset_df, "_pid")
-        .select((F.row_number().over(w) + F.col("_off")).cast("long").alias("id"), F.col(col).alias("term"))
+        .select(
+            (F.dense_rank().over(w) + F.col("_off")).cast("long").alias("id"),
+            F.col(col).alias("term"),
+            F.row_number().over(w).alias("_rn"),
+            F.lag(col).over(w).alias("_prev"),
+        )
+        # null-safe dedup: keep a row iff it is the partition's first or
+        # differs from its predecessor (eqNullSafe so a NULL term — legal
+        # for a quad default graph — still dedups to one row)
+        .filter((F.col("_rn") == 1) | ~F.col("_prev").eqNullSafe(F.col(col)))
+        .drop("_rn", "_prev")
     )
 
 
@@ -109,13 +135,13 @@ def distinct_terms(triples: DataFrame) -> DataFrame:
     """One-column (term) relation of the DISTINCT terms across a triple/
     quad frame's s/p/o(/g) — the shared front half of build_dictionary,
     extend_dictionary, and append_load's dictionary-slice reduction."""
-    from functools import reduce
-
     cols = _positions(triples)
-    return reduce(
-        lambda a, b: a.unionByName(b),
-        (triples.select(F.col(c).alias("term")) for c in cols),
-    ).distinct()
+    # single pass (r11): explode(array(s,p,o[,g])) reads the source once,
+    # where the per-position union re-scanned it len(cols) times
+    return (
+        triples.select(F.explode(F.array(*cols)).alias("term"))
+        .distinct()
+    )
 
 
 def extend_dictionary(
@@ -147,13 +173,9 @@ def _positions(df: DataFrame) -> list[str]:
 
 def build_dictionary(triples: DataFrame) -> DataFrame:
     """All distinct terms across s/p/o (and g, for quads) -> dict(id, term, kind)."""
-    from functools import reduce
-
     cols = _positions(triples)
-    terms = reduce(
-        lambda a, b: a.unionByName(b),
-        (triples.select(F.col(c).alias("term")) for c in cols),
-    )
+    # single pass, same rationale as distinct_terms (assign_ids dedups)
+    terms = triples.select(F.explode(F.array(*cols)).alias("term"))
     with_ids = assign_ids(terms)
     return with_ids.withColumn(
         "kind", F.when(F.col("term").rlike(_IRI_RE), "iri").otherwise("literal")

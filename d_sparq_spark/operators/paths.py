@@ -25,6 +25,8 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from d_sparq_spark.localdata import local_df
+
 # Diagnostics from the LAST seeded_closure stride build on this driver —
 # written when the 8x|E| growth cap discards a composed hop relation.
 # Test/bench introspection only (not thread-safe, not part of the API).
@@ -228,7 +230,7 @@ def _closure_fixpoint(
         spark = edges.sparkSession
         out = _driver_closure(base.select(*pair_cols).collect(), len(keys))
         if out is not None:
-            return spark.createDataFrame(out, base.select(*pair_cols).schema)
+            return local_df(spark, out, base.select(*pair_cols).schema)
     n_exact = n_base
     parts = [base]  # disjoint checkpointed deltas; union = closure
     delta, step = base, 1

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from d_sparq_spark.localdata import local_df
+
 SUBCLASS = "rdfs:subClassOf"
 SUBPROP = "rdfs:subPropertyOf"
 DOMAIN = "rdfs:domain"
@@ -149,7 +151,7 @@ def rdfs_derive(triples: DataFrame, ontology: list, type_term=TYPE) -> DataFrame
             isinstance(x, int) for pr in pairs for x in pr
         ) else "string"
         return F.broadcast(
-            spark.createDataFrame(pairs, f"{a} {kind}, {b} {kind}")
+            local_df(spark, pairs, f"{a} {kind}, {b} {kind}")
         )
 
     type_lit = F.lit(type_term).cast(p_type)

@@ -26,6 +26,7 @@ from d_sparq_spark.operators.rdf_patterns import (
 )
 from d_sparq_spark.plans import ast as A
 from d_sparq_spark.functions.numeric import DEC
+from d_sparq_spark.localdata import local_df
 
 # Diagnostics: number of times GRAPH ?g fell back to the per-graph driver
 # loop (nested GRAPH/SERVICE, g-shadowing). Test introspection only —
@@ -270,7 +271,8 @@ class Translator:
                 vals = [row[i] for row in node.rows if row[i] is not None]
                 return "bigint" if vals and all(isinstance(x, int) for x in vals) else "string"
 
-            vdf = self.spark.createDataFrame(
+            vdf = local_df(
+                self.spark,
                 node.rows,
                 ", ".join(f"{v} {_vtype(i)}" for i, v in enumerate(node.varnames)),
             )
@@ -336,7 +338,7 @@ class Translator:
             return child.limit(node.limit) if node.limit is not None else child
         if isinstance(node, A.Ask):
             exists = bool(self.eval(node.child).limit(1).take(1))
-            return self.spark.createDataFrame([(exists,)], "ask boolean")
+            return local_df(self.spark, [(exists,)], "ask boolean")
         if isinstance(node, A.SelectQuery):
             return self.eval(node.root)
         if isinstance(node, A.Construct):
@@ -475,7 +477,8 @@ class Translator:
             subjects = reduce(lambda a, b: a.unionByName(b), parts)
         if consts:
             s_type = dict(self.triples.dtypes)["s"]
-            cdf = self.spark.createDataFrame([(c,) for c in consts]).toDF("n").select(
+            c_type = "bigint" if all(isinstance(c, int) for c in consts) else "string"
+            cdf = local_df(self.spark, [(c,) for c in consts], f"n {c_type}").select(
                 F.col("n").cast(s_type).alias("n")
             )
             subjects = cdf if subjects is None else subjects.unionByName(cdf)
@@ -1121,7 +1124,7 @@ class Translator:
                 return bound.select(F.col(term[1:]).alias("n")).distinct()
             return None
         dt = dict(self.triples.dtypes)["s"]  # lexical: string; encoded: bigint
-        return self.spark.createDataFrame([(term,)], f"n {dt}")
+        return local_df(self.spark, [(term,)], f"n {dt}")
 
     def _closure_pairs(
         self, edges: DataFrame, op: str, s, o, bound: DataFrame | None

@@ -11,6 +11,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from d_sparq_spark.localdata import local_df
+
 from d_sparq_spark.operators.dictionary import (
     build_dictionary,
     decode_triples,
@@ -286,7 +288,14 @@ def q_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_load(spark, root + "_d1", store)
         append_load(spark, root + "_d2", store)
         info = compact_store(spark, store)
-        assert info["base"]["partitions_compacted"] > 0  # appends scattered
+        if info["base"]["partitions_compacted"] <= 0:
+            # appends must have scattered files for this query to exercise
+            # compaction; an explicit raise (ADVICE r10: a bare assert is
+            # compiled out under python -O) keeps the invariant in force
+            raise RuntimeError(
+                "q_store_compact: compaction found nothing to do — the "
+                "two appends should have scattered part-files"
+            )
         _RSTORE_CACHE[key] = store
     engine = open_store(spark, _RSTORE_CACHE[key])
     return engine.query(
@@ -572,8 +581,8 @@ def _deleted_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
             ks.alias("s"), F.lit("ex:mktsegment").alias("p"),
             F.col("c_mktsegment").alias("o")))
         # one never-stored row: must be a silent no-op
-        .unionByName(spark.createDataFrame(
-            [("x:ghost", "ex:nation", "n:0")], "s string, p string, o string"))
+        .unionByName(local_df(
+            spark, [("x:ghost", "ex:nation", "n:0")], "s string, p string, o string"))
     )
 
 
