@@ -494,16 +494,29 @@ def remove_duplicated_spans(
 
     Returns (id, n_tokens, n_removed, kept_text).
 
-    Scale shape: one shingle explode, one count-distinct by gram (the
-    same shuffle q_dup_span_ratio pays — at 100 TB pre-hash the gram to
-    a LONG), covered positions fold back per document as a collect_set
-    bounded by the document's own length, and the token filter is a
-    higher-order function — no Python in the hot path."""
+    Scale shape: one shingle explode, one count-distinct by gram over
+    xxhash64-encoded grams (16 bytes shuffled per gram instead of the
+    ~40-byte string; a 64-bit collision marking a false duplicate needs
+    ~2^32 distinct grams in one corpus — the same accepted tradeoff as
+    det_lsh's rolling hashes), covered positions fold back per document
+    as a collect_set bounded by the document's own length, and the token
+    filter is a higher-order function — no Python in the hot path.
+
+    The shingle explode multiplies per-row work ~n_tokens-fold, so the
+    input is re-spread to the session parallelism when it arrives in
+    fewer partitions (a single small parquet file otherwise serializes
+    the whole gram build into one task — measured 1.6 s of a 4.9 s
+    total at sf0.1); inputs already at/above cluster parallelism are
+    left untouched."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     ts = F.split(F.col(text_col), " ")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(ts) - (k - 1)),
         lambda i: F.struct(
-            i.alias("i"), F.array_join(F.slice(ts, i, k), " ").alias("g")
+            i.alias("i"),
+            F.xxhash64(F.array_join(F.slice(ts, i, k), " ")).alias("g"),
         ),
     )
     sh = (
@@ -520,7 +533,6 @@ def remove_duplicated_spans(
     removed = (
         sh.join(dup, "g")
         .select(id_col, F.explode(F.sequence("i", F.col("i") + (k - 1))).alias("p"))
-        .distinct()
         .groupBy(id_col)
         .agg(F.collect_set("p").alias("_ps"))
     )

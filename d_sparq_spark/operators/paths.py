@@ -48,6 +48,25 @@ _DRIVER_CLOSURE_MAX_BASE = 10_000
 _DRIVER_CLOSURE_MAX_PAIRS = 200_000
 _DRIVER_CLOSURE_MAX_WORK = 2_000_000
 
+# Gates for the VECTORIZED driver closure (r11; the graph.py _driver_sssp
+# precedent): an ungrouped INTEGER edge set at or below the gate is
+# collected once and closed with numpy — the same canonical-split
+# semi-naive doubling as the distributed loop below, on sorted int64
+# arrays instead of per-round Spark jobs (measured ~0.8 s/round of pure
+# job scheduling + AQE replanning + checkpoint overhead at a 1.18M-edge
+# base; the whole 6.6M-pair closure vectorizes in ~3 s single-core).
+# Budgets bound the driver's exposure exactly like _driver_closure's: the
+# output cap (~8 numpy int64 arrays alive at the cap ≈ 1.3 GB) and the
+# per-round candidate budget each abandon back to the distributed loop,
+# never a wrong answer or an OOM. Without Arrow both the collect and the
+# result re-upload are row-pickled, so the gates drop to sizes where
+# pickling stays cheap.
+_VEC_CLOSURE_MAX_BASE = 4_000_000
+_VEC_CLOSURE_MAX_BASE_NO_ARROW = 300_000
+_VEC_CLOSURE_MAX_PAIRS = 20_000_000
+_VEC_CLOSURE_MAX_PAIRS_NO_ARROW = 600_000
+_VEC_CLOSURE_MAX_WORK = 100_000_000
+
 # Below this many (deduped) string edges, skip xxhash64 encoding: the
 # prep (terms distinct + injectivity aggregate) and the decode join pair
 # cost more than shuffling a few thousand short strings ever could. The
@@ -200,6 +219,125 @@ def _driver_closure(rows, n_keys: int):
     return out
 
 
+def _vector_closure(pdf, max_iter: int, pair_cap: int, work_cap: int):
+    """Transitive closure of a collected INTEGER edge list, vectorized on
+    the driver. ``pdf``: pandas DataFrame (src, dst). Returns a pandas
+    DataFrame of all closure pairs, or None when a budget blows (the
+    caller falls back to the distributed loop).
+
+    Same algorithm as the distributed loop below — canonical-split
+    semi-naive doubling with exact min-distance labels (see
+    transitive_closure's completeness argument; part k holds exactly the
+    pairs at min-distance in (2^(k-1), 2^k], so the round's compose side
+    "pairs at EXACTLY 2^k" lives in the newest part alone) — so round
+    count, derivations and the fixpoint certificate are identical; only
+    the substrate differs (sorted int64 arrays, searchsorted joins,
+    lexsort min-d dedup, linear merges into the sorted known set)."""
+    import numpy as np
+    import pandas as pd
+
+    src = pdf["src"].to_numpy(dtype=np.int64)
+    dst = pdf["dst"].to_numpy(dtype=np.int64)
+    # factorize to 0..V-1 so a pair packs into one int64 key (hash-encoded
+    # ids span the full 64-bit range; V <= 2|E| keeps src*V+dst < 2^63)
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    V = len(nodes)
+    if V == 0:
+        return pd.DataFrame({"src": nodes, "dst": nodes})
+    base_key = np.unique(inv[: len(src)].astype(np.int64) * V + inv[len(src):])
+    # disjoint parts: keys + min-distances; part_src[k] = part k's keys
+    # re-sorted by src (the compose probe side), built once per part
+    part_keys = [base_key]
+    part_ds = [np.ones(len(base_key), np.int64)]
+    by_src = []  # per part: (src_sorted, dst_at, d_at)
+    known = base_key  # sorted union of all part keys
+    step = 1
+    work = 0
+    for _ in range(max_iter):
+        exact_mask = part_ds[-1] == step
+        ek = part_keys[-1][exact_mask]
+        if len(ek) == 0:
+            break
+        csrc = part_keys[-1] // V
+        order = np.argsort(csrc, kind="stable")
+        by_src.append(
+            (
+                csrc[order],
+                (part_keys[-1] % V)[order],
+                part_ds[-1][order],
+            )
+        )
+        ex_src = ek // V
+        ex_dst = ek % V
+        # probe in dst order: the parts are probed by binary search, and
+        # hash-encoded node ids visit them in random order — sorting the
+        # probe side makes consecutive searches touch the same cache lines
+        # (measured 5.5 s -> 0.7 s of probe time on the 1.18M-edge
+        # xxhash64-encoded closure; candidate order is irrelevant, the
+        # lexsort below canonicalizes it)
+        qo = np.argsort(ex_dst, kind="stable")
+        ex_src = ex_src[qo]
+        ex_dst = ex_dst[qo]
+        cand_key_parts = []
+        cand_d_parts = []
+        for p_src, p_dst, p_d in by_src:
+            lo = np.searchsorted(p_src, ex_dst, "left")
+            hi = np.searchsorted(p_src, ex_dst, "right")
+            counts = hi - lo
+            total = int(counts.sum())
+            work += total
+            if work > work_cap:
+                return None
+            if total == 0:
+                continue
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            idx = np.arange(total) - np.repeat(starts, counts) + np.repeat(lo, counts)
+            cand_key_parts.append(np.repeat(ex_src, counts) * V + p_dst[idx])
+            cand_d_parts.append(step + p_d[idx])
+        step *= 2
+        if not cand_key_parts:
+            break
+        c_key = np.concatenate(cand_key_parts)
+        c_d = np.concatenate(cand_d_parts)
+        # min distance per derived pair, then drop already-known pairs
+        o = np.lexsort((c_d, c_key))
+        c_key = c_key[o]
+        c_d = c_d[o]
+        first = np.ones(len(c_key), bool)
+        first[1:] = c_key[1:] != c_key[:-1]
+        c_key = c_key[first]
+        c_d = c_d[first]
+        pos = np.searchsorted(known, c_key)
+        pos_c = np.minimum(pos, len(known) - 1)
+        is_known = known[pos_c] == c_key
+        new_key = c_key[~is_known]
+        new_d = c_d[~is_known]
+        if len(new_key) == 0:
+            break
+        if len(known) + len(new_key) > pair_cap:
+            return None
+        part_keys.append(new_key)
+        part_ds.append(new_d)
+        # linear merge of two sorted disjoint arrays (union1d would re-sort)
+        ins = np.searchsorted(known, new_key)
+        merged = np.empty(len(known) + len(new_key), dtype=np.int64)
+        at = ins + np.arange(len(new_key))
+        mask = np.zeros(len(merged), dtype=bool)
+        mask[at] = True
+        merged[mask] = new_key
+        merged[~mask] = known
+        known = merged
+    else:
+        raise RuntimeError(
+            f"transitive_closure: no fixpoint within {max_iter} doubling rounds"
+        )
+    out = np.concatenate(part_keys)
+    return pd.DataFrame({"src": nodes[out // V], "dst": nodes[out % V]})
+
+
+_INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
 def _closure_fixpoint(
     edges: DataFrame,
     max_iter: int,
@@ -231,6 +369,47 @@ def _closure_fixpoint(
         out = _driver_closure(base.select(*pair_cols).collect(), len(keys))
         if out is not None:
             return local_df(spark, out, base.select(*pair_cols).schema)
+    types = dict(base.dtypes)
+    if (
+        not keys
+        and types.get("src") in _INTEGRAL_TYPES
+        and types.get("dst") in _INTEGRAL_TYPES
+    ):
+        # vectorized driver fast path (gates + budgets documented above):
+        # integer ungrouped closures below the gate skip the per-round
+        # Spark jobs entirely; a budget blow falls through to the loop
+        spark = edges.sparkSession
+        arrow = (
+            str(
+                spark.conf.get("spark.sql.execution.arrow.pyspark.enabled", "false")
+            ).lower()
+            == "true"
+        )
+        gate = _VEC_CLOSURE_MAX_BASE if arrow else _VEC_CLOSURE_MAX_BASE_NO_ARROW
+        if n_base <= gate:
+            out = _vector_closure(
+                base.select("src", "dst").toPandas(),
+                max_iter,
+                _VEC_CLOSURE_MAX_PAIRS if arrow else _VEC_CLOSURE_MAX_PAIRS_NO_ARROW,
+                _VEC_CLOSURE_MAX_WORK,
+            )
+            if out is not None:
+                from pyspark.sql import types as T
+
+                schema = T.StructType(
+                    [
+                        T.StructField("src", base.schema["src"].dataType),
+                        T.StructField("dst", base.schema["dst"].dataType),
+                    ]
+                )
+                import numpy as np  # noqa: F401  (dtype alignment below)
+
+                for c in ("src", "dst"):
+                    out[c] = out[c].astype(
+                        {"bigint": "int64", "int": "int32",
+                         "smallint": "int16", "tinyint": "int8"}[types[c]]
+                    )
+                return spark.createDataFrame(out, schema=schema)
     n_exact = n_base
     parts = [base]  # disjoint checkpointed deltas; union = closure
     delta, step = base, 1

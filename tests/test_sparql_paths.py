@@ -602,6 +602,49 @@ def test_driver_closure_escape_hatches(spark, monkeypatch):
     assert sorted(map(tuple, paths.transitive_closure(e).collect())) == want
 
 
+def test_vector_closure_matches_distributed(spark, monkeypatch):
+    """r11: the gated VECTORIZED driver closure (numpy semi-naive
+    doubling over an ungrouped integer edge set) must produce the exact
+    pair set of the distributed loop — on a random cyclic graph (cycles,
+    multiple shortest paths) and on a long chain (many doubling rounds) —
+    and must abandon to the distributed loop, same answer, when either
+    budget blows."""
+    import random
+
+    from d_sparq_spark.operators import paths
+
+    random.seed(47)
+    rows = list({(random.randrange(60), random.randrange(60))
+                 for _ in range(400)})
+    e = spark.createDataFrame(rows, "src long, dst long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(70)], "src long, dst long"
+    )
+    # disable the row-driver fast path so the integer gate decides
+    monkeypatch.setattr(paths, "_DRIVER_CLOSURE_MAX_BASE", 0)
+    vec = sorted(map(tuple, paths.transitive_closure(e).collect()))
+    vec_chain = sorted(map(tuple, paths.transitive_closure(chain).collect()))
+    monkeypatch.setattr(paths, "_VEC_CLOSURE_MAX_BASE", 0)
+    monkeypatch.setattr(paths, "_VEC_CLOSURE_MAX_BASE_NO_ARROW", 0)
+    assert sorted(map(tuple, paths.transitive_closure(e).collect())) == vec
+    assert (
+        sorted(map(tuple, paths.transitive_closure(chain).collect()))
+        == vec_chain
+    )
+    assert len(vec_chain) == 70 * 71 // 2
+    # budget escape hatches: blown pair cap / work cap fall through to
+    # the distributed loop with the identical answer
+    monkeypatch.undo()
+    monkeypatch.setattr(paths, "_DRIVER_CLOSURE_MAX_BASE", 0)
+    monkeypatch.setattr(paths, "_VEC_CLOSURE_MAX_PAIRS", 10)
+    monkeypatch.setattr(paths, "_VEC_CLOSURE_MAX_PAIRS_NO_ARROW", 10)
+    assert sorted(map(tuple, paths.transitive_closure(e).collect())) == vec
+    monkeypatch.undo()
+    monkeypatch.setattr(paths, "_DRIVER_CLOSURE_MAX_BASE", 0)
+    monkeypatch.setattr(paths, "_VEC_CLOSURE_MAX_WORK", 3)
+    assert sorted(map(tuple, paths.transitive_closure(e).collect())) == vec
+
+
 def test_small_string_closure_skips_hash_encoding(spark, monkeypatch):
     """Below _ENCODE_MIN_EDGES the string path must NOT pay the encode
     prep (terms distinct + injectivity aggregate + decode joins): with the
