@@ -29,6 +29,68 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _driver_cc(nodes_arr, u, v):
+    """Vectorized hash-min + pointer-jumping CC over a collected edge
+    list (numpy arrays; int64 or object/str). Returns (vals, comp) where
+    ``vals`` is the sorted node universe and ``comp[i]`` the minimum
+    member of vals[i]'s component — the same unique fixpoint the
+    distributed loop converges to, so results are bit-identical."""
+    import numpy as np
+
+    vals = np.unique(np.concatenate([nodes_arr, u, v]))
+    # np.unique sorts, so code order == value order and the min CODE per
+    # component decodes to the min VALUE (for strings: numpy/python
+    # compare by code point, which equals Spark's UTF-8 byte order)
+    ui = np.searchsorted(vals, u)
+    vi = np.searchsorted(vals, v)
+    comp = np.arange(len(vals), dtype=np.int64)
+    e1 = np.concatenate([ui, vi])
+    e2 = np.concatenate([vi, ui])
+    order = np.argsort(e1, kind="stable")
+    e1s = e1[order]
+    e2s = e2[order]
+    tgt, starts = np.unique(e1s, return_index=True)
+    while True:
+        # full path compression (comp is monotone under comp[comp])
+        while True:
+            j = comp[comp]
+            if np.array_equal(j, comp):
+                break
+            comp = j
+        if len(tgt) == 0:
+            return vals, vals[comp]
+        nm = np.minimum.reduceat(comp[e2s], starts)
+        cur = comp[tgt]
+        upd = np.minimum(cur, nm)
+        if np.array_equal(upd, cur):
+            return vals, vals[comp]
+        comp[tgt] = upd
+
+
+# Driver fast-path gates for connected_components / pagerank (r11; the
+# _driver_sssp precedent): an edge set at or below the gate is collected
+# once and iterated in vectorized numpy — zero per-round Spark jobs. The
+# distributed loops measured a ~0.4-0.8 s/round floor of job scheduling +
+# checkpointing even on metadata-scale graphs (q_pagerank: 10 rounds over
+# a 15k-edge graph = 4.4 s of almost pure round overhead). Above the gate,
+# or for nulls / non-orderable id types, the distributed path is unchanged
+# — the 100 TB shape is untouched. Without Arrow the collect itself is
+# row-pickled, hence the lower gate.
+_DRIVER_GRAPH_MAX_EDGES = 4_000_000
+_DRIVER_GRAPH_MAX_EDGES_NO_ARROW = 300_000
+_DRIVER_ID_TYPES = ("tinyint", "smallint", "int", "bigint", "string")
+
+
+def _driver_graph_gate(spark) -> int:
+    arrow = (
+        str(
+            spark.conf.get("spark.sql.execution.arrow.pyspark.enabled", "false")
+        ).lower()
+        == "true"
+    )
+    return _DRIVER_GRAPH_MAX_EDGES if arrow else _DRIVER_GRAPH_MAX_EDGES_NO_ARROW
+
+
 def connected_components(
     nodes: DataFrame, edges: DataFrame, max_iter: int = 48
 ) -> DataFrame:
@@ -36,13 +98,52 @@ def connected_components(
     minimum node id in the component (deterministic representative).
     Isolated nodes (in ``nodes`` but no edge) form singleton components.
     Node/edge ids must be a totally ordered type (use LONG at scale)."""
-    # localCheckpoint the symmetrized edges ONCE: every round joins against
-    # sym, and without it the upstream edge generator (e.g. the MinHash-LSH
-    # candidate pipeline) would re-execute per iteration — measured 4x the
-    # whole query's cost at sf0.1 before this was eager.
+    # localCheckpoint the deduped edges ONCE, before anything branches on
+    # them: the upstream edge generator (e.g. the MinHash-LSH candidate
+    # pipeline) would otherwise re-execute per consumer — the old sym
+    # union even ran it twice inside ONE job (two union branches, no
+    # exchange reuse). The count materializes the checkpoint and gates
+    # the driver fast path.
+    e = edges.select("u", "v").distinct().localCheckpoint(eager=False)
+    n_edges = e.count()
+    types = dict(e.dtypes)
+    spark = e.sparkSession
+    gate = _driver_graph_gate(spark)
+    node_type = dict(nodes.select("node").dtypes)["node"]
+    if (
+        types.get("u") == types.get("v")
+        and types.get("u") in _DRIVER_ID_TYPES
+        and node_type == types.get("u")
+    ):
+        if n_edges <= gate:
+            # the nodes side can be far bigger than the edge set (every
+            # doc is a node, few are near-dups) — probe it with a bounded
+            # collect instead of a count, and fall through when it blows
+            nd = nodes.select("node").distinct().limit(gate + 1).toPandas()
+            if len(nd) <= gate:
+                ep = e.toPandas()
+                if not (
+                    nd["node"].isnull().any()
+                    or ep["u"].isnull().any()
+                    or ep["v"].isnull().any()
+                ):
+                    import pandas as pd
+
+                    vals, comp = _driver_cc(
+                        nd["node"].to_numpy(), ep["u"].to_numpy(), ep["v"].to_numpy()
+                    )
+                    from pyspark.sql import types as T
+
+                    dt = nodes.schema["node"].dataType
+                    schema = T.StructType(
+                        [T.StructField("node", dt), T.StructField("comp", dt)]
+                    )
+                    return spark.createDataFrame(
+                        pd.DataFrame({"node": vals, "comp": comp}), schema=schema
+                    )
     sym = (
-        edges.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
-        .unionByName(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionByName(e.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
         .distinct()
         .localCheckpoint()
     )
@@ -103,6 +204,40 @@ def connected_components(
     raise RuntimeError(f"connected_components: no fixpoint within {max_iter} rounds")
 
 
+def _driver_pagerank(src, dst, n_iter: int, damping_pct: int):
+    """Vectorized integer PageRank over a collected edge list. Exactly the
+    distributed loop's arithmetic: per round, every edge contributes
+    r[src] div deg[src] to its dst (int64 floor division — operands are
+    non-negative, so numpy // == SQL div), in-sums via one sorted
+    add.reduceat, then r = base + in_sum * damping div 100 with absent
+    in-edges as 0. Returns (vals, rank_ppt) over the sorted node set."""
+    import numpy as np
+
+    vals = np.unique(np.concatenate([src, dst]))
+    n = len(vals)
+    if n == 0:
+        return vals, np.zeros(0, dtype=np.int64)
+    SCALE = 10**12
+    base = SCALE * (100 - damping_pct) // 100 // n
+    si = np.searchsorted(vals, src)
+    di = np.searchsorted(vals, dst)
+    degarr = np.zeros(n, dtype=np.int64)
+    su, scounts = np.unique(si, return_counts=True)
+    degarr[su] = scounts
+    order = np.argsort(di, kind="stable")
+    si_s = si[order]
+    deg_s = degarr[si_s]
+    ud, starts = np.unique(di[order], return_index=True)
+    r = np.full(n, SCALE // n, dtype=np.int64)
+    for _ in range(n_iter):
+        c = r[si_s] // deg_s
+        in_sum = np.add.reduceat(c, starts) if len(ud) else np.zeros(0, np.int64)
+        nr = np.full(n, base, dtype=np.int64)
+        nr[ud] += in_sum * damping_pct // 100
+        r = nr
+    return vals, r
+
+
 def pagerank(
     edges: DataFrame, n_iter: int = 10, damping_pct: int = 85, ckpt_every: int = 5
 ) -> DataFrame:
@@ -119,8 +254,43 @@ def pagerank(
     mass is
     dropped (not redistributed), the common large-graph simplification;
     ranks then sum to <= SCALE. rank_ppt fits int64 for any graph
-    (per-node rank <= SCALE = 1e12)."""
+    (per-node rank <= SCALE = 1e12).
+
+    r11: below the driver gate the edge list is collected once and the
+    n_iter rounds run as vectorized numpy (gather + sorted add.reduceat —
+    identical int64 arithmetic, so results are bit-identical to the
+    distributed rounds); the distributed path above the gate is
+    unchanged, and now iterates over a checkpointed projection so the
+    upstream edge generator executes once, not once per consumer."""
     SCALE = 10**12
+    proj = edges.select("src", "dst").localCheckpoint(eager=False)
+    n_edges = proj.count()
+    types = dict(proj.dtypes)
+    spark = proj.sparkSession
+    if (
+        types.get("src") == types.get("dst")
+        and types.get("src") in _DRIVER_ID_TYPES
+        and n_edges <= _driver_graph_gate(spark)
+    ):
+        pdf = proj.toPandas()
+        if not (pdf["src"].isnull().any() or pdf["dst"].isnull().any()):
+            import pandas as pd
+
+            vals, r = _driver_pagerank(
+                pdf["src"].to_numpy(), pdf["dst"].to_numpy(), n_iter, damping_pct
+            )
+            from pyspark.sql import types as T
+
+            schema = T.StructType(
+                [
+                    T.StructField("node", edges.schema["src"].dataType),
+                    T.StructField("rank_ppt", T.LongType()),
+                ]
+            )
+            return spark.createDataFrame(
+                pd.DataFrame({"node": vals, "rank_ppt": r}), schema=schema
+            )
+    edges = proj
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))

@@ -67,6 +67,10 @@ _VEC_CLOSURE_MAX_PAIRS = 20_000_000
 _VEC_CLOSURE_MAX_PAIRS_NO_ARROW = 600_000
 _VEC_CLOSURE_MAX_WORK = 100_000_000
 
+# Test/bench toggle for the string-vec driver path (r11): lets A/B and
+# equivalence tests force the encode route without touching the int gates.
+_STRING_VEC_ENABLED = True
+
 # Below this many (deduped) string edges, skip xxhash64 encoding: the
 # prep (terms distinct + injectivity aggregate) and the decode join pair
 # cost more than shuffling a few thousand short strings ever could. The
@@ -140,6 +144,63 @@ def transitive_closure(
         # below _ENCODE_MIN_EDGES the lexical loop (or the driver BFS) is
         # cheaper than the encode prep + decode joins
         n_edges = edges.count()
+        # r11: gated VECTORIZED driver path for ungrouped string closures,
+        # WITHOUT the hash encoding. The encode route pays a terms
+        # distinct + injectivity aggregate up front and, on the way out,
+        # TWO broadcast decode joins whose hashed relations are
+        # term-count-sized (measured ~2M terms -> two ~100MB+ broadcast
+        # builds per run for q_sparql_path_plus_big). When the edge set is
+        # within the vec gate anyway, collect the STRINGS once, factorize
+        # on the driver (pd.factorize, C-speed), close over the dense int
+        # codes with the same budget-capped _vector_closure, and emit the
+        # decoded pairs directly — no terms pass, no injectivity job, no
+        # decode joins, no collision fallback to reason about. Budget
+        # blows fall through to the encode path unchanged.
+        if not keys and _STRING_VEC_ENABLED and _ENCODE_MIN_EDGES <= n_edges:
+            spark = edges.sparkSession
+            arrow = (
+                str(
+                    spark.conf.get(
+                        "spark.sql.execution.arrow.pyspark.enabled", "false"
+                    )
+                ).lower()
+                == "true"
+            )
+            if n_edges <= (
+                _VEC_CLOSURE_MAX_BASE if arrow else _VEC_CLOSURE_MAX_BASE_NO_ARROW
+            ):
+                import pandas as pd
+
+                spdf = edges.select("src", "dst").toPandas()
+                if not (spdf["src"].isnull().any() or spdf["dst"].isnull().any()):
+                    both = pd.concat(
+                        [spdf["src"], spdf["dst"]], ignore_index=True
+                    )
+                    codes, uniq = pd.factorize(both)
+                    ipdf = pd.DataFrame(
+                        {
+                            "src": codes[: len(spdf)].astype("int64"),
+                            "dst": codes[len(spdf):].astype("int64"),
+                        }
+                    )
+                    out = _vector_closure(
+                        ipdf,
+                        max_iter,
+                        _VEC_CLOSURE_MAX_PAIRS
+                        if arrow
+                        else _VEC_CLOSURE_MAX_PAIRS_NO_ARROW,
+                        _VEC_CLOSURE_MAX_WORK,
+                    )
+                    if out is not None:
+                        res = pd.DataFrame(
+                            {
+                                "src": uniq.take(out["src"].to_numpy()),
+                                "dst": uniq.take(out["dst"].to_numpy()),
+                            }
+                        )
+                        return spark.createDataFrame(
+                            res, schema=edges.select("src", "dst").schema
+                        )
         if n_edges >= _ENCODE_MIN_EDGES:
             terms = (
                 edges.select(F.col("src").alias("term"))

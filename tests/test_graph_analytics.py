@@ -177,3 +177,65 @@ def test_sssp_driver_and_distributed_paths_agree(spark, monkeypatch):
     monkeypatch.setattr(G, "_DRIVER_SSSP_MAX_EDGES_NO_ARROW", 0)
     assert run(n_rounds=5) == driver_fixed
     assert run(n_rounds=64, until_converged=True) == driver_conv
+
+
+def test_cc_driver_and_distributed_paths_agree(spark, monkeypatch):
+    """r11: the gated driver fast path (vectorized hash-min CC) and the
+    distributed pointer-jumping loop must produce identical labelings —
+    LONG and STRING ids, with isolated nodes and duplicate/symmetric
+    edges."""
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    edges_i = [(int(u), int(v)) for u, v in rng.randint(0, 80, size=(60, 2))
+               if u != v]
+    edges_i += edges_i[:5] + [(v, u) for u, v in edges_i[:3]]  # dups + sym
+    nodes_i = [(i,) for i in range(100)]  # 80.. are isolated singletons
+
+    def run(nodes, edges, ns, es):
+        n = spark.createDataFrame(nodes, ns)
+        e = spark.createDataFrame(edges, es)
+        return sorted(map(tuple, G.connected_components(n, e).collect()))
+
+    for nodes, edges, ns, es in [
+        (nodes_i, edges_i, "node long", "u long, v long"),
+        ([(f"d{i:03d}",) for i, in nodes_i],
+         [(f"d{u:03d}", f"d{v:03d}") for u, v in edges_i],
+         "node string", "u string, v string"),
+    ]:
+        fast = run(nodes, edges, ns, es)
+        monkeypatch.setattr(G, "_DRIVER_GRAPH_MAX_EDGES", -1)
+        monkeypatch.setattr(G, "_DRIVER_GRAPH_MAX_EDGES_NO_ARROW", -1)
+        slow = run(nodes, edges, ns, es)
+        monkeypatch.undo()
+        assert fast == slow
+        # representative is the component minimum and covers every node
+        assert len(fast) == len(nodes)
+        assert all(c <= n for n, c in fast)
+
+
+def test_pagerank_driver_and_distributed_paths_agree(spark, monkeypatch):
+    """r11: the gated driver fast path (vectorized int64 PageRank) must be
+    bit-identical to the distributed rounds — including duplicate edges
+    (which weight contributions) and dangling nodes."""
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    edges = [(int(u), int(v)) for u, v in rng.randint(0, 50, size=(120, 2))]
+    edges += edges[:7]  # duplicates
+
+    def run(rows, es):
+        e = spark.createDataFrame(rows, es)
+        return sorted(map(tuple, G.pagerank(e, n_iter=10).collect()))
+
+    for rows, es in [
+        (edges, "src long, dst long"),
+        ([(f"v{u:02d}", f"v{v:02d}") for u, v in edges],
+         "src string, dst string"),
+    ]:
+        fast = run(rows, es)
+        monkeypatch.setattr(G, "_DRIVER_GRAPH_MAX_EDGES", -1)
+        monkeypatch.setattr(G, "_DRIVER_GRAPH_MAX_EDGES_NO_ARROW", -1)
+        slow = run(rows, es)
+        monkeypatch.undo()
+        assert fast == slow

@@ -689,3 +689,35 @@ def test_closed_form_closure_oracles_match_recursive(spark):
             a, b = canon(run_oracle(rec, sf)), canon(run_oracle(closed, sf))
             assert len(a) > 0
             assert a.equals(b), (sf, rec[:120])
+
+
+def test_string_vec_closure_matches_encode_and_lexical(spark, monkeypatch):
+    """r11: the gated string-vec driver closure (collect strings,
+    factorize, numpy doubling, decode on the driver) must produce the
+    exact pair set of BOTH the hash-encode route and the lexical loop,
+    and must fall through to the encode route — same answer — when a
+    budget blows."""
+    import random
+
+    from d_sparq_spark.operators import paths
+
+    random.seed(23)
+    rows = list({(f"n{random.randrange(120):03d}", f"n{random.randrange(120):03d}")
+                 for _ in range(300)})
+    e = spark.createDataFrame(rows, "src string, dst string")
+    # the branch only engages at encode scale; force it for the small graph
+    monkeypatch.setattr(paths, "_ENCODE_MIN_EDGES", 1)
+    monkeypatch.setattr(paths, "_DRIVER_CLOSURE_MAX_BASE", 0)
+    vec = sorted(map(tuple, paths.transitive_closure(e).collect()))
+    monkeypatch.setattr(paths, "_STRING_VEC_ENABLED", False)
+    enc = sorted(map(tuple, paths.transitive_closure(e).collect()))
+    monkeypatch.setattr(paths, "_ENCODE_MIN_EDGES", 10**9)
+    lex = sorted(map(tuple, paths.transitive_closure(e).collect()))
+    assert vec == enc == lex and len(vec) > len(rows)
+    # budget escape hatch: a blown pair cap falls through to the encode
+    # route with the identical answer
+    monkeypatch.setattr(paths, "_STRING_VEC_ENABLED", True)
+    monkeypatch.setattr(paths, "_ENCODE_MIN_EDGES", 1)
+    monkeypatch.setattr(paths, "_VEC_CLOSURE_MAX_PAIRS", 10)
+    monkeypatch.setattr(paths, "_VEC_CLOSURE_MAX_PAIRS_NO_ARROW", 10)
+    assert sorted(map(tuple, paths.transitive_closure(e).collect())) == vec
