@@ -476,6 +476,52 @@ def ivf_cosine_topk(
     return scored.withColumn("rn", F.row_number().over(w).cast("long")).filter(F.col("rn") <= k)
 
 
+def _driver_kmeans_exact_int(ids, V, k: int, n_iter: int):
+    """Vectorized integer-exact Lloyd's over collected, ALREADY-QUANTIZED
+    vectors (``V``: int64 ndarray (n, dim); quantization stays in Spark so
+    no rounding-mode question arises on the driver). Replicates the
+    distributed loop's arithmetic exactly: squared-L2 in int64, argmin
+    tie-break on lowest cid, centroid update sum(val) div count with
+    SQL div's truncation TOWARD ZERO (numpy // floors, so negative sums
+    are adjusted), empty clusters keep their previous centroid. Returns
+    (cluster_ids, dists, cents) — bit-identical to the distributed path."""
+    import numpy as np
+
+    order = np.argsort(ids, kind="stable")
+    seed_rows = order[:k]
+    cids = ids[seed_rows]  # ascending (argsort) — cluster ids are seed ids
+    cents = V[seed_rows].astype(np.int64)
+
+    def assign(cents):
+        # per-centroid pass keeps the buffer at (n, dim), not (n, k, dim)
+        d = np.empty((len(V), len(cids)), dtype=np.int64)
+        for j in range(len(cids)):
+            diff = V - cents[j]
+            d[:, j] = np.einsum("nd,nd->n", diff, diff)
+        best = np.argmin(d, axis=1)  # first minimum = lowest cid (cids asc)
+        return best, d[np.arange(len(V)), best]
+
+    for _ in range(n_iter):
+        best, _d = assign(cents)
+        for j in range(len(cids)):
+            sel = best == j
+            cnt = int(sel.sum())
+            if cnt == 0:
+                continue  # empty cluster keeps its previous centroid
+            s = V[sel].sum(axis=0, dtype=np.int64)
+            q = s // cnt
+            q[(s % cnt != 0) & (s < 0)] += 1  # SQL div truncates toward zero
+            cents[j] = q
+    best, dist = assign(cents)
+    return cids[best], dist, cents
+
+
+# collected size gate: n_rows * dim int64 cells (the (n, k, dim) distance
+# buffer is the peak: n * k * dim * 8 bytes per assign)
+_DRIVER_KMEANS_MAX_CELLS = 40_000_000
+_DRIVER_KMEANS_MAX_CELLS_NO_ARROW = 2_000_000
+
+
 def kmeans_exact_int(
     embeddings: DataFrame,
     k: int = 4,
@@ -509,6 +555,73 @@ def kmeans_exact_int(
             F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long")
         ).alias("v"),
     )
+    # r11 driver fast path: the distributed loop pays (n_iter + 1) scans +
+    # broadcast builds + a k*dim-row shuffle per round — pure round
+    # overhead when the point set is metadata-scale. Below the cells gate
+    # the QUANTIZED points are collected once (quantization stays in
+    # Spark, so no driver rounding-mode question) and Lloyd's runs in
+    # int64 numpy with identical arithmetic (see _driver_kmeans_exact_int).
+    spark = embeddings.sparkSession
+    arrow = (
+        str(
+            spark.conf.get("spark.sql.execution.arrow.pyspark.enabled", "false")
+        ).lower()
+        == "true"
+    )
+    cap = _DRIVER_KMEANS_MAX_CELLS if arrow else _DRIVER_KMEANS_MAX_CELLS_NO_ARROW
+    n_pts = embeddings.count()
+    dim = _infer_dim(embeddings, vec_col)
+    if dim and n_pts * dim * max(k, 1) <= cap:
+        import numpy as np
+
+        pdf = pts.toPandas()
+        lens = pdf["v"].map(len).to_numpy() if len(pdf) else np.zeros(0)
+        eligible = (
+            len(pdf) > 0
+            and (lens == dim).all()
+            and not pdf["vec_id"].isnull().any()
+        )
+        if eligible:
+            V = np.stack(pdf["v"].to_numpy())
+            eligible = V.dtype.kind in "iu"  # nulls inside a vector -> f/O
+        if eligible:
+            ids = pdf["vec_id"].to_numpy()
+            V = V.astype(np.int64)
+            cl, dist, cents_np = _driver_kmeans_exact_int(ids, V, k, n_iter)
+            import pandas as pd
+
+            from pyspark.sql import types as T
+
+            id_dt = embeddings.schema[id_col].dataType
+            out = spark.createDataFrame(
+                pd.DataFrame({"vec_id": ids, "cluster": cl, "dist": dist}),
+                schema=T.StructType(
+                    [
+                        T.StructField("vec_id", id_dt),
+                        T.StructField("cluster", id_dt),
+                        T.StructField("dist", T.LongType()),
+                    ]
+                ),
+            )
+            if with_centroids:
+                from d_sparq_spark.localdata import local_df
+
+                order = np.argsort(ids, kind="stable")
+                cents_df = local_df(
+                    spark,
+                    [
+                        (cid, [int(x) for x in c])
+                        for cid, c in zip(ids[order][:k].tolist(), cents_np)
+                    ],
+                    T.StructType(
+                        [
+                            T.StructField("cid", id_dt),
+                            T.StructField("c", T.ArrayType(T.LongType())),
+                        ]
+                    ),
+                )
+                return out, cents_df
+            return out
     # seeds: the k LOWEST-id vectors (TakeOrdered — k is metadata-scale),
     # robust to id spaces that don't start at 0; cluster ids are the seed
     # vectors' own ids

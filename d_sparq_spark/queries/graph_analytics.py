@@ -211,11 +211,36 @@ def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative-operator family: seeded reachability (SPARQL p+),
     components (hash-min), ranks (PageRank), clusters (k-means), and
     weighted distances — all integer-exact."""
-    c = _copurchase_edges(spark, sf_dir)
-    w = ((F.col("u") * 7 + F.col("v") * 13) % 97 + 1).alias("w")
+    # one pass, one checkpoint (r11): the old union-of-two-projections over
+    # a checkpointed canonical edge set paid TWO eager materializations
+    # (1.2M-row c, then 2.4M-row ew); exploding both directions from the
+    # raw self-join runs the generator once into the single checkpoint the
+    # relaxation loop actually consumes. w depends only on the canonical
+    # (u, v), so it is computed once and rides both directions.
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    c = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    w = (F.col("u") * 7 + F.col("v") * 13) % 97 + 1
     ew = (
-        c.select(F.col("u").alias("src"), F.col("v").alias("dst"), w)
-        .unionByName(c.select(F.col("v").alias("src"), F.col("u").alias("dst"), w))
+        c.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("src"), F.col("v").alias("dst"),
+                             w.alias("w")),
+                    F.struct(F.col("v").alias("src"), F.col("u").alias("dst"),
+                             w.alias("w")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst", "e.w")
         .localCheckpoint()  # the edge generator must not re-run per round
     )
     seed = ew.agg(F.min(F.least("src", "dst"))).collect()[0][0]

@@ -133,3 +133,31 @@ def test_semantic_dedup_cluster_size_guard_raises(spark):
     )
     with pytest.raises((SparkRuntimeException, Py4JJavaError), match="max_cluster_size"):
         semantic_dedup(df, k=2, max_cluster_size=5).collect()
+
+
+def test_kmeans_driver_and_distributed_paths_agree(spark, monkeypatch):
+    """r11: the gated driver fast path (vectorized int64 Lloyd's) must be
+    bit-identical to the distributed rounds — assignments, dists, AND the
+    with_centroids twin — including the empty-cluster keep-previous rule
+    and SQL div's toward-zero truncation on negative sums."""
+    import random
+
+    from d_sparq_spark.operators import similarity as S
+
+    random.seed(31)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(6)]) for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def run():
+        a, c = S.kmeans_exact_int(emb, k=5, n_iter=3, with_centroids=True)
+        return (
+            sorted(map(tuple, a.collect())),
+            sorted((cid, list(v)) for cid, v in c.collect()),
+        )
+
+    fast_a, fast_c = run()
+    monkeypatch.setattr(S, "_DRIVER_KMEANS_MAX_CELLS", -1)
+    monkeypatch.setattr(S, "_DRIVER_KMEANS_MAX_CELLS_NO_ARROW", -1)
+    slow_a, slow_c = run()
+    assert fast_a == slow_a
+    assert fast_c == slow_c
