@@ -139,6 +139,25 @@ def main() -> None:
     # box state. BASELINE.md records the convention change.
     runs = max(1, int(os.environ.get("BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
+    # r11 measurement-hygiene fix (guide §1, documented in
+    # OPTIMIZATION_r11.md): iterative operators localCheckpoint their
+    # results, and the blocks stay referenced until the Python-side
+    # DataFrame objects are collected and the JVM ContextCleaner runs —
+    # measured ~670 MB of dead cached RDDs after the graph/closure
+    # queries, degrading every LATER query via GC pressure in the shared
+    # local-mode JVM. Releasing them BETWEEN queries (outside every timed
+    # region) makes query k's number independent of which queries ran
+    # before it — same queries, same scale, same noop-sink min-of-N
+    # methodology.
+    import gc
+
+    def _release_dead_blocks() -> None:
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass  # py4j hiccup: hygiene must never fail the bench
+
     for name in HEADLINE:
         if name not in all_q:
             continue
@@ -150,6 +169,7 @@ def main() -> None:
             all_q[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+        _release_dead_blocks()
 
     # Load-path bench (r7, VERDICT r6 #6): the store build and the
     # incremental append are first-class BENCH entries so the bulk/append
