@@ -21,6 +21,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def arrow_df(spark: SparkSession, columns: dict, schema) -> DataFrame:
+    """DataFrame from driver-resident numpy/pyarrow columns via a pyarrow
+    Table. ``createDataFrame(pandas)`` re-blocks every column through the
+    pandas block manager and converts per slice on FIRST materialization —
+    measured 7.2 s for a 6.6M-row int64 pair set vs 1.0 s through a
+    pyarrow Table (zero-copy from int64 numpy). Works with the Arrow conf
+    off too (input-format support, not the toPandas path); any runtime
+    without Table support falls back to the pandas route."""
+    import pyarrow as pa
+
+    table = pa.table(
+        {k: v if isinstance(v, (pa.Array, pa.ChunkedArray)) else pa.array(v)
+         for k, v in columns.items()}
+    )
+    try:
+        return spark.createDataFrame(table, schema=schema)
+    except Exception:
+        return spark.createDataFrame(table.to_pandas(), schema=schema)
+
+
 def local_df(spark: SparkSession, rows, schema) -> DataFrame:
     """Slice-pinned equivalent of ``spark.createDataFrame(rows, schema)``:
     one slice per ~50k rows (so a metadata relation costs one worker
