@@ -409,6 +409,93 @@ def _vector_closure(pdf, max_iter: int, pair_cap: int, work_cap: int):
     return pd.DataFrame({"src": nodes[out // V], "dst": nodes[out % V]})
 
 
+def _vector_seeded(e_src, e_dst, seed_vals, pair_cap: int, work_cap: int):
+    """Vectorized seeded reachability over collected arrays (int64 or
+    object/str; seeds and endpoints share one value space). Multi-source
+    BFS on packed (seed_idx * V + node) int64 keys — single-step rounds
+    are ~ms on the driver, so no stride machinery is needed. Returns a
+    (src_vals, dst_vals) pair of numpy arrays (seed value, reachable node
+    at >= 1 hop — the same pair set the distributed walk accumulates), or
+    None when a budget blows (caller falls back to the distributed walk)."""
+    import numpy as np
+
+    # node codes: hash-factorize strings (C-speed; np.unique would
+    # object-compare-sort 2|E| strings — measured seconds at 1M edges),
+    # sort-unique integers. Codes need only be CONSISTENT here, not
+    # value-ordered — unlike _driver_cc's min-decodes.
+    if getattr(e_src.dtype, "kind", None) == "O":
+        import pandas as pd
+
+        codes, uniq = pd.factorize(np.concatenate([e_src, e_dst]))
+        vals = np.asarray(uniq)
+        si = codes[: len(e_src)].astype(np.int64)
+        di = codes[len(e_src):].astype(np.int64)
+        sv = pd.unique(seed_vals)
+        seed_idx = pd.Index(uniq).get_indexer(sv)
+        present = seed_idx >= 0
+        seed_codes = seed_idx[present].astype(np.int64)
+    else:
+        vals = np.unique(np.concatenate([e_src, e_dst]))
+        if len(vals) == 0:
+            return vals, vals
+        si = np.searchsorted(vals, e_src)
+        di = np.searchsorted(vals, e_dst)
+        sv = np.unique(seed_vals)
+        pos = np.searchsorted(vals, sv)
+        pos_c = np.minimum(pos, len(vals) - 1)
+        present = vals[pos_c] == sv
+        seed_codes = pos_c[present]
+    V = len(vals)
+    if V == 0:
+        return vals, vals
+    order = np.argsort(si, kind="stable")
+    csr_src = si[order]
+    csr_dst = di[order]
+    S = len(seed_codes)
+    if S == 0:
+        return vals[:0], vals[:0]
+    frontier = np.arange(S, dtype=np.int64) * V + seed_codes
+    reached = np.empty(0, dtype=np.int64)  # packed (seed_idx, node), sorted
+    work = 0
+    while len(frontier):
+        f_k = frontier // V
+        f_node = frontier % V
+        lo = np.searchsorted(csr_src, f_node, "left")
+        hi = np.searchsorted(csr_src, f_node, "right")
+        counts = hi - lo
+        total = int(counts.sum())
+        work += total + len(frontier)
+        if work > work_cap:
+            return None
+        if total == 0:
+            break
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        idx = np.arange(total) - np.repeat(starts, counts) + np.repeat(lo, counts)
+        keys = np.repeat(f_k, counts) * V + csr_dst[idx]
+        keys = np.unique(keys)
+        if len(reached):
+            p = np.searchsorted(reached, keys)
+            p_c = np.minimum(p, len(reached) - 1)
+            keys = keys[reached[p_c] != keys]
+        if len(keys) == 0:
+            break
+        if len(reached) + len(keys) > pair_cap:
+            return None
+        # linear merge of two sorted disjoint arrays (the _vector_closure
+        # known-set device)
+        ins = np.searchsorted(reached, keys)
+        merged = np.empty(len(reached) + len(keys), dtype=np.int64)
+        at = ins + np.arange(len(keys))
+        mask = np.zeros(len(merged), dtype=bool)
+        mask[at] = True
+        merged[mask] = keys
+        merged[~mask] = reached
+        reached = merged
+        frontier = keys
+    sv_present = sv[present]
+    return sv_present[reached // V], vals[reached % V]
+
+
 _INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
 
 
@@ -606,8 +693,11 @@ def seeded_closure(
             F.col("dst").alias("_edst"),
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
+    # the count materializes the checkpoint (the walk needs base_n anyway)
+    # and gates the r11 driver fast path below
+    base_n = edges.count()
     seed_keyed = group_col is not None and group_col in seeds.columns
     if seed_keyed:
         vcol = next(c for c in seeds.columns if c != group_col)
@@ -621,6 +711,60 @@ def seeded_closure(
     else:
         seeds = seeds.select(F.col(seeds.columns[0]).alias("n")).distinct()
         seed_cond = [F.col("n") == F.col("_esrc")]
+    # r11 driver fast path (the _vector_closure/_driver_sssp precedent):
+    # an ungrouped edge set within the vec gate is collected once and the
+    # whole walk runs as a vectorized multi-source BFS — removing the
+    # ~0.5 s/round job floor AND the per-round broadcast ships. Seeds are
+    # collected BOUNDED (limit gate+1); nulls, oversized seed sets, or a
+    # blown pair/work budget fall through to the distributed walk.
+    if not keys:
+        spark = edges.sparkSession
+        arrow = (
+            str(
+                spark.conf.get("spark.sql.execution.arrow.pyspark.enabled", "false")
+            ).lower()
+            == "true"
+        )
+        gate = _VEC_CLOSURE_MAX_BASE if arrow else _VEC_CLOSURE_MAX_BASE_NO_ARROW
+        etypes = dict(edges.dtypes)
+        same_type = (
+            etypes["_esrc"] == etypes["_edst"]
+            and dict(seeds.dtypes)["n"] == etypes["_esrc"]
+            and (
+                etypes["_esrc"] == "string"
+                or etypes["_esrc"] in _INTEGRAL_TYPES
+            )
+        )
+        if same_type and base_n <= gate:
+            sp = seeds.limit(gate + 1).toPandas()
+            if len(sp) <= gate and not sp["n"].isnull().any():
+                ep = edges.toPandas()
+                if not (ep["_esrc"].isnull().any() or ep["_edst"].isnull().any()):
+                    out = _vector_seeded(
+                        ep["_esrc"].to_numpy(),
+                        ep["_edst"].to_numpy(),
+                        sp["n"].to_numpy(),
+                        _VEC_CLOSURE_MAX_PAIRS
+                        if arrow
+                        else _VEC_CLOSURE_MAX_PAIRS_NO_ARROW,
+                        _VEC_CLOSURE_MAX_WORK,
+                    )
+                    if out is not None:
+                        from pyspark.sql import types as T
+
+                        from d_sparq_spark.localdata import arrow_df
+
+                        dt = edges.schema["_esrc"].dataType
+                        return arrow_df(
+                            spark,
+                            {"src": out[0], "dst": out[1]},
+                            T.StructType(
+                                [
+                                    T.StructField("src", dt),
+                                    T.StructField("dst", dt),
+                                ]
+                            ),
+                        )
     # 1-hop frontier from the RAW edges first: if the seeds touch nothing
     # (common for selective constants), return before paying for the
     # strided hop relation below.
@@ -680,7 +824,6 @@ def seeded_closure(
         return frontier, parts
 
     parts = [frontier]  # disjoint checkpointed frontiers; union = reached
-    base_n = edges.count()
     # lazy stride build: see docstring. Big edges + small frontier ->
     # broadcast-frontier single steps over the RAW edges (shuffle-free,
     # no global hop materialization) for as long as the frontier STAYS

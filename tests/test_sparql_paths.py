@@ -721,3 +721,35 @@ def test_string_vec_closure_matches_encode_and_lexical(spark, monkeypatch):
     monkeypatch.setattr(paths, "_VEC_CLOSURE_MAX_PAIRS", 10)
     monkeypatch.setattr(paths, "_VEC_CLOSURE_MAX_PAIRS_NO_ARROW", 10)
     assert sorted(map(tuple, paths.transitive_closure(e).collect())) == vec
+
+
+def test_seeded_vector_driver_matches_distributed(spark, monkeypatch):
+    """r11: the gated driver multi-source BFS (paths._vector_seeded) and
+    the distributed seeded walk must produce the identical pair set —
+    string and long ids, cyclic graph, seeds absent from the graph — and
+    a blown pair budget must fall through to the distributed walk."""
+    import random
+
+    from d_sparq_spark.operators import paths
+
+    random.seed(71)
+    rows = list({(f"n{random.randrange(90):02d}", f"n{random.randrange(90):02d}")
+                 for _ in range(260)})
+    e = spark.createDataFrame(rows, "src string, dst string")
+    s = spark.createDataFrame(
+        [(x,) for x in sorted({r[0] for r in rows[:6]} | {"zz-absent"})],
+        "n string",
+    )
+
+    def run():
+        return sorted(map(tuple, paths.seeded_closure(e, s).collect()))
+
+    fast = run()
+    monkeypatch.setattr(paths, "_VEC_CLOSURE_MAX_BASE", -1)
+    monkeypatch.setattr(paths, "_VEC_CLOSURE_MAX_BASE_NO_ARROW", -1)
+    assert run() == fast
+    monkeypatch.undo()
+    monkeypatch.setattr(paths, "_VEC_CLOSURE_MAX_PAIRS", 5)
+    monkeypatch.setattr(paths, "_VEC_CLOSURE_MAX_PAIRS_NO_ARROW", 5)
+    assert run() == fast
+    assert len(fast) > 0
