@@ -134,16 +134,17 @@ def transitive_closure(
     keys = [group_col] if group_col else []
     types = dict(edges.dtypes)
     if types.get("src") == "string" and types.get("dst") == "string":
-        # pin the deduped edge set ONCE: terms, the encoded edges, and the
-        # fixpoint base all derive from it — without the pin each would
-        # re-execute the upstream scan/filter plan
-        edges = (
-            edges.select(*keys, "src", "dst").distinct().localCheckpoint(eager=False)
-        )
+        # pin the edge set ONCE — RAW, not distinct (r11): the vectorized
+        # driver path dedups for free (factorize + np.unique over packed
+        # pairs), so the dedup EXCHANGE over |E| strings is only paid when
+        # that path declines. terms/encode/fixpoint all derive from the
+        # checkpoint, so the upstream scan/filter never re-executes.
+        raw = edges.select(*keys, "src", "dst").localCheckpoint(eager=False)
         # the count materializes the checkpoint and gates the encoding:
         # below _ENCODE_MIN_EDGES the lexical loop (or the driver BFS) is
         # cheaper than the encode prep + decode joins
-        n_edges = edges.count()
+        n_edges = raw.count()
+        edges = raw
         # r11: gated VECTORIZED driver path for ungrouped string closures,
         # WITHOUT the hash encoding. The encode route pays a terms
         # distinct + injectivity aggregate up front and, on the way out,
@@ -214,6 +215,13 @@ def transitive_closure(
                             },
                             edges.select("src", "dst").schema,
                         )
+        # fast path declined (or disabled): the encode/lexical routes below
+        # require a DEDUPED edge set — distinct over the checkpointed raw
+        # rows (the generator does not re-run), recount for the gates
+        edges = raw.select(*keys, "src", "dst").distinct().localCheckpoint(
+            eager=False
+        )
+        n_edges = edges.count()
         if n_edges >= _ENCODE_MIN_EDGES:
             terms = (
                 edges.select(F.col("src").alias("term"))
@@ -515,7 +523,63 @@ def _closure_fixpoint(
     counting job."""
     pair_cols = keys + ["src", "dst"]
     base = edges.select(*pair_cols)
+    types0 = dict(base.dtypes)
     if not deduped:
+        # r11: defer the dedup EXCHANGE when the vectorized driver path is
+        # in play — _vector_closure's base np.unique dedups for free, so
+        # gate on the raw (checkpointed, no-shuffle) row count and only
+        # pay the distinct if the fast path declines. Grouped or
+        # non-integer closures keep the old order.
+        vec_shape = (
+            not keys
+            and types0.get("src") in _INTEGRAL_TYPES
+            and types0.get("dst") in _INTEGRAL_TYPES
+        )
+        if vec_shape and n_base is None:
+            spark = edges.sparkSession
+            arrow = (
+                str(
+                    spark.conf.get(
+                        "spark.sql.execution.arrow.pyspark.enabled", "false"
+                    )
+                ).lower()
+                == "true"
+            )
+            gate = (
+                _VEC_CLOSURE_MAX_BASE if arrow else _VEC_CLOSURE_MAX_BASE_NO_ARROW
+            )
+            raw = base.localCheckpoint(eager=False)
+            n_raw = raw.count()
+            if _DRIVER_CLOSURE_MAX_BASE < n_raw <= gate:
+                out = _vector_closure(
+                    raw.toPandas(),
+                    max_iter,
+                    _VEC_CLOSURE_MAX_PAIRS
+                    if arrow
+                    else _VEC_CLOSURE_MAX_PAIRS_NO_ARROW,
+                    _VEC_CLOSURE_MAX_WORK,
+                )
+                if out is not None:
+                    from pyspark.sql import types as T
+
+                    from d_sparq_spark.localdata import arrow_df
+
+                    np_t = {"bigint": "int64", "int": "int32",
+                            "smallint": "int16", "tinyint": "int8"}
+                    return arrow_df(
+                        spark,
+                        {c: out[c].to_numpy().astype(np_t[types0[c]])
+                         for c in ("src", "dst")},
+                        T.StructType(
+                            [
+                                T.StructField("src", base.schema["src"].dataType),
+                                T.StructField("dst", base.schema["dst"].dataType),
+                            ]
+                        ),
+                    )
+            # fast path declined: dedup the CHECKPOINTED raw rows (the
+            # upstream generator does not re-run) and continue below
+            base = raw
         base = base.distinct()
     base = base.withColumn("_d", F.lit(1)).localCheckpoint(eager=False)
     if n_base is None:

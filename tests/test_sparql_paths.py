@@ -518,17 +518,21 @@ def test_seeded_closure_grow_cap_switches_to_stride(spark):
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
 
 
-def test_hub_graph_growth_cap_engages_and_stays_correct(spark):
+def test_hub_graph_growth_cap_engages_and_stays_correct(spark, monkeypatch):
     """r5 (VERDICT r4 #4): on the hub graph the FIRST stride composition
     exceeds 8x|E| (every in-spoke x out-spoke pair materializes at
     distance 2) — the guard must discard it and the walk must still
-    return the exact seeded closure."""
+    return the exact seeded closure. r11: the gated driver BFS would
+    otherwise absorb a graph this small, so the distributed walk (whose
+    guard this test pins) is forced by zeroing the vec gates."""
     from pyspark.sql import functions as F
 
     from d_sparq_spark.operators import paths
     from d_sparq_spark.operators.paths import seeded_closure
     from d_sparq_spark.sources.synth_graph import BLOCKH, S_MAX, synth_hub_edges_int
 
+    monkeypatch.setattr(paths, "_VEC_CLOSURE_MAX_BASE", -1)
+    monkeypatch.setattr(paths, "_VEC_CLOSURE_MAX_BASE_NO_ARROW", -1)
     e = synth_hub_edges_int(spark, 16).select(
         F.col("src").cast("string").alias("src"),
         F.col("dst").cast("string").alias("dst"),
