@@ -128,11 +128,6 @@ def bulk_load(
             "and attach a StoreCatalog in-session instead"
         )
     raw = spark.read.text(nt_path)
-    if not parse_ntriples(raw).take(1):
-        # fail BEFORE any write: an all-malformed/empty dump would
-        # otherwise leave a half-written store and crash later with an
-        # opaque empty-parquet schema-inference error (review r7)
-        raise ValueError(f"bulk_load: no triples parsed from {nt_path!r}")
     # pin the parse ONCE (r11, guide §2.4): the dictionary build, the
     # encode, and the by_p write all consume `triples` — un-pinned, the
     # N-Triples text was re-scanned and re-regexed per consumer (7 passes
@@ -142,6 +137,15 @@ def bulk_load(
     # runs ~4-way whatever the core count.
     par = spark.sparkContext.defaultParallelism
     triples = parse_ntriples(raw.repartition(par)).localCheckpoint()
+    if not triples.take(1):
+        # fail BEFORE any write: an all-malformed/empty dump would
+        # otherwise leave a half-written store and crash later with an
+        # opaque empty-parquet schema-inference error (review r7). The
+        # probe rides the already-materialized checkpoint (r11: a
+        # separate pre-checkpoint take(1) was a second full-text parse
+        # job on the malformed case and a split-sized one on the good
+        # case); no store bytes have been touched either way.
+        raise ValueError(f"bulk_load: no triples parsed from {nt_path!r}")
     dictionary = build_dictionary(triples).persist()
     # size-conditional broadcast: the dictionary is data-sized (one row
     # per distinct term) — at 100 TB it cannot collect to the driver, so
@@ -227,15 +231,24 @@ def bulk_load(
     }
 
 
+def _read_stats_rows(spark: SparkSession, store_path: str) -> list:
+    """The per-predicate stats/ parquet as a list of dicts. Stats are
+    metadata-scale by the A7/A11 contract (one row per distinct
+    predicate), so local stores read them DRIVER-SIDE (r11, guide §5) —
+    the Spark read + collect paid a full job (~0.2-0.4 s) per metadata
+    probe, several times per load. URI stores keep the Spark route."""
+    path = os.path.join(store_path, "stats")
+    if "://" not in store_path:
+        import pyarrow.parquet as pq
+
+        return pq.read_table(path).to_pylist()
+    return [r.asDict() for r in spark.read.parquet(path).collect()]
+
+
 def _count_store_triples(spark: SparkSession, store_path: str) -> int:
     """Triple count from the just-written stats parquet (shared by
     bulk_load/append_load — review r7 deduplicated the copies)."""
-    n = (
-        spark.read.parquet(os.path.join(store_path, "stats"))
-        .agg(F.sum("cnt").alias("n"))
-        .collect()[0]["n"]
-    )
-    return int(n or 0)
+    return int(sum(r["cnt"] or 0 for r in _read_stats_rows(spark, store_path)))
 
 
 def _write_meta(
@@ -259,14 +272,45 @@ def _write_meta(
       used for broadcast gating and load stats, never for id math);
     - dict_buckets: bucket count of the term-bucketed dict/ layout (NULL =
       legacy plain-parquet dictionary)."""
-    # single-slice local DF, no coalesce(1) (r11): the coalesced one-row
-    # write chained defaultParallelism Python-worker round-trips into one
-    # task — 5-8 s per manifest write at 32 cores (see localdata.py)
-    local_df(
-        spark,
-        [(rank_ordered, n_terms, max_id, dict_buckets)],
-        "rank_ordered boolean, n_terms long, max_id long, dict_buckets int",
-    ).write.mode("overwrite").parquet(os.path.join(store_path, "meta"))
+    if "://" in store_path:
+        # URI stores: keep the Spark write (any-filesystem contract).
+        # Single-slice local DF, no coalesce(1) (r11): the coalesced
+        # one-row write chained defaultParallelism Python-worker
+        # round-trips into one task — 5-8 s per write at 32 cores.
+        local_df(
+            spark,
+            [(rank_ordered, n_terms, max_id, dict_buckets)],
+            "rank_ordered boolean, n_terms long, max_id long, dict_buckets int",
+        ).write.mode("overwrite").parquet(os.path.join(store_path, "meta"))
+        return
+    # local stores (r11, guide §5): a one-row manifest does not need a
+    # Spark job (~0.4 s of task launch + commit protocol per write, paid
+    # up to 3x per load) — write the same parquet layout driver-side.
+    # Crash ordering mirrors the Spark committer's: the new file lands
+    # under a dot-name (invisible to Spark and pyarrow dir readers), old
+    # visible files are removed, then one atomic rename publishes it — a
+    # crash leaves either the old manifest or a data-less meta/ that
+    # _read_meta fails LOUDLY on (never fail-open defaults).
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    meta_dir = os.path.join(store_path, "meta")
+    os.makedirs(meta_dir, exist_ok=True)
+    table = pa.table(
+        {
+            "rank_ordered": pa.array([rank_ordered], pa.bool_()),
+            "n_terms": pa.array([n_terms], pa.int64()),
+            "max_id": pa.array([max_id], pa.int64()),
+            "dict_buckets": pa.array([dict_buckets], pa.int32()),
+        }
+    )
+    tmp = os.path.join(meta_dir, ".part-00000.parquet.tmp")
+    pq.write_table(table, tmp)
+    for f in os.listdir(meta_dir):
+        if not f.startswith((".", "_")) and f != "part-00000.parquet":
+            os.remove(os.path.join(meta_dir, f))
+    os.replace(tmp, os.path.join(meta_dir, "part-00000.parquet"))
+    open(os.path.join(meta_dir, "_SUCCESS"), "w").close()
 
 
 def _read_meta(spark: SparkSession, store_path: str) -> dict:
@@ -278,10 +322,30 @@ def _read_meta(spark: SparkSession, store_path: str) -> dict:
     possibly append-ordered store (review r5). Manifests written before
     the counter fields existed surface them as None (callers fall back to
     scanning)."""
+    meta_dir = os.path.join(store_path, "meta")
+    if "://" not in store_path:
+        # driver-side read of the (metadata-scale) manifest — no Spark job
+        # (r11; the write above mirrors the layout, and Spark-written
+        # legacy manifests read identically). Only a MISSING meta/ may
+        # default; a present-but-unreadable one propagates, same contract
+        # as the Spark route below.
+        if not os.path.isdir(meta_dir):
+            return {"rank_ordered": True, "n_terms": None, "max_id": None,
+                    "dict_buckets": None}
+        import pyarrow.parquet as pq
+
+        rows = pq.read_table(meta_dir).to_pylist()
+        row = rows[0] if rows else {}
+        return {
+            "rank_ordered": bool(rows and row["rank_ordered"]),
+            "n_terms": row.get("n_terms"),
+            "max_id": row.get("max_id"),
+            "dict_buckets": row.get("dict_buckets"),
+        }
     from pyspark.errors import AnalysisException
 
     try:
-        df = spark.read.parquet(os.path.join(store_path, "meta"))
+        df = spark.read.parquet(meta_dir)
         rows = df.collect()
     except AnalysisException as e:
         msg = str(e)
@@ -464,9 +528,21 @@ def append_load(spark: SparkSession, nt_path: str, store_path: str) -> dict:
         # REUSE the fresh per-predicate counts instead of re-aggregating
         # the store (review r7 round 2). The touched list is metadata-
         # scale (distinct predicates are bounded in any RDF store) — a
-        # driver-side list is the A7 contract.
-        old_stats = spark.read.parquet(os.path.join(store_path, "stats"))
-        kept = old_stats.filter(~F.col("p").isin(touched_new)).localCheckpoint()
+        # driver-side list is the A7 contract. The kept rows come from a
+        # DRIVER-side stats read (r11): metadata-scale, and a local
+        # relation needs no eager checkpoint to be safe against the
+        # overwrite of the directory it came from (the Spark read +
+        # checkpoint paid two jobs per append for ~a dozen rows).
+        tset = set(touched_new)
+        kept = local_df(
+            spark,
+            [
+                (r["p"], r["cnt"], r["ndv_s"], r["ndv_o"])
+                for r in _read_stats_rows(spark, store_path)
+                if r["p"] not in tset
+            ],
+            "p long, cnt long, ndv_s long, ndv_o long",
+        )
         recomputed = predicate_stats(store.filter(F.col("p").isin(touched_new)))
         kept.unionByName(recomputed).write.mode("overwrite").parquet(
             os.path.join(store_path, "stats")
@@ -495,7 +571,7 @@ def append_load(spark: SparkSession, nt_path: str, store_path: str) -> dict:
             # degenerate to bulk cost whenever extvp was materialized).
             # Sizes and the predicate universe come from the just-merged
             # stats parquet — metadata cost, no store re-aggregation.
-            fresh = spark.read.parquet(os.path.join(store_path, "stats")).collect()
+            fresh = _read_stats_rows(spark, store_path)
             refresh_extvp(
                 store, store_path, touched_new,
                 sizes={r["p"]: r["cnt"] for r in fresh},
@@ -674,8 +750,17 @@ def delete_load(
         # that would otherwise keep serving RETRACTED rows. Idempotent:
         # recomputation over an already-consistent store is a no-op.
         store_post = store_triples(spark, store_path)
-        old_stats = spark.read.parquet(os.path.join(store_path, "stats"))
-        kept = old_stats.filter(~F.col("p").isin(touched)).localCheckpoint()
+        # driver-side kept rows, same rationale as append_load's merge
+        _tset = set(touched)
+        kept = local_df(
+            spark,
+            [
+                (r["p"], r["cnt"], r["ndv_s"], r["ndv_o"])
+                for r in _read_stats_rows(spark, store_path)
+                if r["p"] not in _tset
+            ],
+            "p long, cnt long, ndv_s long, ndv_o long",
+        )
         recomputed = predicate_stats(store_post.filter(F.col("p").isin(touched)))
         kept.unionByName(recomputed).write.mode("overwrite").parquet(
             os.path.join(store_path, "stats")
@@ -692,7 +777,7 @@ def delete_load(
         if os.path.exists(os.path.join(store_path, "extvp", "manifest.json")):
             from d_sparq_spark.operators.extvp import refresh_extvp
 
-            fresh = spark.read.parquet(os.path.join(store_path, "stats")).collect()
+            fresh = _read_stats_rows(spark, store_path)
             refresh_extvp(
                 store_post, store_path, touched,
                 sizes={r["p"]: r["cnt"] for r in fresh},
@@ -875,14 +960,14 @@ def open_store(
         catalog=catalog,
         dict_rank_ordered=_read_meta_rank_ordered(spark, store_path),
     )
-    stats_df = spark.read.parquet(os.path.join(store_path, "stats"))
     # the store's stats parquet materializes exact ndv_s/ndv_o at load —
     # hand them to the engine in the tuple shape order_by_selectivity's
     # r8 ndv cost model consumes (count-only here silently degraded a
-    # loaded store to raw-count ordering; review r8)
+    # loaded store to raw-count ordering; review r8). Driver-side read
+    # (r11): stats are metadata-scale, no Spark job per open_store.
     engine._stats = {
         r["p"]: (r["cnt"], r["ndv_s"], r["ndv_o"])
-        for r in stats_df.select("p", "cnt", "ndv_s", "ndv_o").collect()
+        for r in _read_stats_rows(spark, store_path)
     }
     return engine
 
@@ -945,17 +1030,47 @@ def _write_reasoning_manifest(
     # delta rounds (meta-schema ontology) — maintenance must iterate the
     # same way the layer was materialized or an append under-derives.
     rows.append(("mode", mode, "", ""))
-    local_df(
-        spark, rows, "kind string, s string, p string, o string"
-    ).write.mode("overwrite").parquet(
-        os.path.join(store_path, "reasoning", "manifest")
+    # driver-side parquet write (r11, guide §5): the manifest is
+    # metadata-scale, and materialize_reasoning already rejects URI
+    # stores, so no Spark job is needed. The _SUCCESS commit marker that
+    # _has_reasoning probes is written LAST — a crash anywhere before it
+    # leaves a store appends treat as reasoning-free, exactly the Spark
+    # committer's ordering (delete old marker, write data, mark).
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    mdir = os.path.join(store_path, "reasoning", "manifest")
+    os.makedirs(mdir, exist_ok=True)
+    marker = os.path.join(mdir, "_SUCCESS")
+    if os.path.exists(marker):
+        os.remove(marker)
+    for f in os.listdir(mdir):
+        if not f.startswith((".", "_")):
+            os.remove(os.path.join(mdir, f))
+    cols = list(zip(*rows))
+    pq.write_table(
+        pa.table(
+            {
+                "kind": pa.array(cols[0], pa.string()),
+                "s": pa.array(cols[1], pa.string()),
+                "p": pa.array(cols[2], pa.string()),
+                "o": pa.array(cols[3], pa.string()),
+            }
+        ),
+        os.path.join(mdir, "part-00000.parquet"),
     )
+    open(marker, "w").close()
 
 
 def _read_reasoning_manifest(spark: SparkSession, store_path: str) -> tuple:
-    rows = spark.read.parquet(
+    # driver-side read (r11): callers only get here once _has_reasoning
+    # saw the _SUCCESS marker on a LOCAL store — no Spark job for a
+    # metadata-scale manifest
+    import pyarrow.parquet as pq
+
+    rows = pq.read_table(
         os.path.join(store_path, "reasoning", "manifest")
-    ).collect()
+    ).to_pylist()
     ontology = [(r["s"], r["p"], r["o"]) for r in rows if r["kind"] == "ontology"]
     sameas_pred = next(r["s"] for r in rows if r["kind"] == "config")
     # r9 manifests predate the mode row; every r9 layer passed
@@ -976,13 +1091,20 @@ def _lookup_terms(spark: SparkSession, store_path: str, terms: list) -> dict:
     }
 
 
-def _ensure_terms(spark: SparkSession, store_path: str, terms: list) -> dict:
+def _ensure_terms(
+    spark: SparkSession, store_path: str, terms: list, lookup_extra: tuple = ()
+) -> dict:
     """Extend the store dictionary with any of ``terms`` it lacks (the
     ontology vocabulary — class/property names that may never occur in
     instance data) under the same reserve-then-write watermark discipline
     as append_load, then return term -> id for all of them. New ids land
     above the watermark, so rank_ordered flips false when anything is
-    added (honest: the MIN/MAX peel degrades, ids stay a bijection)."""
+    added (honest: the MIN/MAX peel degrades, ids stay a bijection).
+
+    ``lookup_extra`` terms ride the FINAL lookup only (r11: the caller's
+    separate sameAs-predicate probe was a whole extra dict-scan job) —
+    they are never added to the dictionary, and absent ones are simply
+    absent from the result."""
     from d_sparq_spark.operators.dictionary import extend_dictionary
 
     meta = _read_meta(spark, store_path)
@@ -1010,17 +1132,21 @@ def _ensure_terms(spark: SparkSession, store_path: str, terms: list) -> dict:
             _write_dict_bucketed(delta, store_path, buckets, mode="append")
         else:
             delta.write.mode("append").parquet(os.path.join(store_path, "dict"))
-    return _lookup_terms(spark, store_path, terms)
+    return _lookup_terms(spark, store_path, list(terms) + list(lookup_extra))
 
 
-def _ontology_ids(spark: SparkSession, store_path: str, ontology: list) -> dict:
+def _ontology_ids(
+    spark: SparkSession, store_path: str, ontology: list, lookup_extra: tuple = ()
+) -> dict:
     """term -> id for the ontology vocabulary + rdf:type, all of which
     materialize_reasoning ensured exist; a miss means the store was
-    tampered with — raise rather than silently drop a rule."""
+    tampered with — raise rather than silently drop a rule.
+    ``lookup_extra``: best-effort extra lookups riding the same dict-scan
+    job (absent ones are absent from the result, no error)."""
     from d_sparq_spark.operators import reasoning as R
 
     needed = sorted({R.TYPE} | {t for s, _, o in ontology for t in (s, o)})
-    ids = _lookup_terms(spark, store_path, needed)
+    ids = _lookup_terms(spark, store_path, needed + list(lookup_extra))
     missing = [t for t in needed if t not in ids]
     if missing:
         raise ValueError(
@@ -1164,11 +1290,18 @@ def materialize_reasoning(
                 ignore_errors=True,
             )
     store = store_triples(spark, store_path)
+    sid = None
+    sid_known = False
     if ontology:
         ids = _ensure_terms(
             spark, store_path,
             sorted({R.TYPE} | {t for s, _, o in ontology for t in (s, o)}),
+            lookup_extra=(sameas_pred,),
         )
+        # the sameAs predicate rides the vocabulary lookup (r11): its
+        # separate probe was a whole extra dict-scan job per materialize
+        sid = ids.get(sameas_pred)
+        sid_known = True
         enc_ont = [(ids[s], p, ids[o]) for s, p, o in ontology]
         tid = ids[R.TYPE]
         if mode == "iterative":
@@ -1184,7 +1317,8 @@ def materialize_reasoning(
         layer = store.select("s", "p", "o").filter(F.lit(False))
     write_vp(layer, os.path.join(store_path, "entailed"))
 
-    sid = _lookup_terms(spark, store_path, [sameas_pred]).get(sameas_pred)
+    if not sid_known:
+        sid = _lookup_terms(spark, store_path, [sameas_pred]).get(sameas_pred)
     empty_map = spark.createDataFrame([], "node long, comp long")
     smap = empty_map
     if sid is not None:
@@ -1239,8 +1373,7 @@ def _reasoned_sizes(spark: SparkSession, store_path: str) -> dict:
     layer adds one aggregation over its own (small) partitions. The two
     are DISJOINT by the layer's anti-join invariant, so counts add."""
     sizes = {
-        r["p"]: r["cnt"]
-        for r in spark.read.parquet(os.path.join(store_path, "stats")).collect()
+        r["p"]: r["cnt"] for r in _read_stats_rows(spark, store_path)
     }
     for r in (
         entailed_triples(spark, store_path)
@@ -1350,10 +1483,17 @@ def _maintain_reasoning(
         or os.path.exists(_reasoned_extvp_manifest(store_path))
     ):
         touched = [r["p"] for r in delta_set.select("p").distinct().collect()]
+    sid = None
+    sid_known = False
     if ontology:
         from d_sparq_spark.operators import reasoning as R
 
-        ids = _ontology_ids(spark, store_path, ontology)
+        # the sameAs predicate rides the same dict-scan job (r11)
+        ids = _ontology_ids(
+            spark, store_path, ontology, lookup_extra=(sameas_pred,)
+        )
+        sid = ids.get(sameas_pred)
+        sid_known = True
         dpreds = R.derived_predicates(
             [(ids[s], p, ids[o]) for s, p, o in ontology], type_term=ids[R.TYPE]
         )
@@ -1398,7 +1538,8 @@ def _maintain_reasoning(
         _refresh_reasoned_extvp(
             spark, store_path, sorted(set(touched) | set(dpreds))
         )
-    sid = _lookup_terms(spark, store_path, [sameas_pred]).get(sameas_pred)
+    if not sid_known:
+        sid = _lookup_terms(spark, store_path, [sameas_pred]).get(sameas_pred)
     if sid is None:
         return
     delta_sa = (

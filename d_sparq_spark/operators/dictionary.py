@@ -30,6 +30,23 @@ from d_sparq_spark.localdata import local_df
 
 _IRI_RE = r"^[A-Za-z][A-Za-z0-9+.-]*:"
 
+# Gates for the DRIVER rank fast path (r11; the paths.py _vector_closure
+# precedent): a term stream at or below the gate (RAW rows, probed with a
+# short-circuiting limit so the big case never collects) is collected
+# once and ranked with a C-speed hash-dedup + sort — the distributed
+# scheme pays a range-partition sampling pass, a full exchange, and a
+# per-partition window for what is, at bench/metadata scale, tens of
+# thousands of strings (measured: the dictionary build was the single
+# largest phase of bulk_load after the r11 parse pin). Python string
+# comparison is code-point order, which equals Spark's unsigned UTF-8
+# byte comparison (a UTF-8 order-preservation property, the same fact
+# graph._driver_cc relies on), and NULL ranks first exactly like the
+# window's default NULLS FIRST — ids are bit-identical by construction.
+# Above the gate the distributed rank runs unchanged (the 100 TB path).
+_DRIVER_RANK_MAX_ROWS = 2_000_000
+_DRIVER_RANK_MAX_ROWS_NO_ARROW = 200_000
+_DRIVER_RANK_ENABLED = True
+
 
 def assign_ids(terms: DataFrame, col: str = "term", num_partitions: int | None = None) -> DataFrame:
     """Terms (duplicates welcome) -> (id LONG, term), one row per distinct
@@ -41,9 +58,50 @@ def assign_ids(terms: DataFrame, col: str = "term", num_partitions: int | None =
     so the per-partition window dedups in the same pass that ranks
     (dense_rank + drop rows equal to their lag), and the offsets use
     per-partition exact DISTINCT counts. One full exchange of the term
-    set instead of two."""
+    set instead of two.
+
+    An explicit ``num_partitions`` requests the distributed scheme
+    (partitioning-invariance tests pin it); the default path may take the
+    gated driver rank above when the stream is metadata-scale."""
     src = terms.select(col)
-    n = num_partitions or max(src.sparkSession.sparkContext.defaultParallelism, 2)
+    spark = src.sparkSession
+    if (
+        num_partitions is None
+        and _DRIVER_RANK_ENABLED
+        and dict(src.dtypes)[col] == "string"
+    ):
+        arrow = (
+            str(
+                spark.conf.get("spark.sql.execution.arrow.pyspark.enabled", "false")
+            ).lower()
+            == "true"
+        )
+        gate = _DRIVER_RANK_MAX_ROWS if arrow else _DRIVER_RANK_MAX_ROWS_NO_ARROW
+        # limit(gate+1) short-circuits: at scale this collects at most
+        # gate+1 rows and falls through; below it we hold ALL rows
+        pdf = src.limit(gate + 1).toPandas()
+        if len(pdf) <= gate:
+            import numpy as np
+            import pandas as pd
+            import pyarrow as pa
+
+            from d_sparq_spark.localdata import arrow_df
+
+            vals = pdf[col]
+            has_null = bool(vals.isnull().any())
+            # hash-dedup first (C speed), THEN sort only the distincts
+            uniq = sorted(pd.unique(vals.dropna()))
+            n_ids = len(uniq) + (1 if has_null else 0)
+            term_col = pa.array(([None] if has_null else []) + uniq, pa.string())
+            return arrow_df(
+                spark,
+                {
+                    "id": np.arange(1, n_ids + 1, dtype=np.int64),
+                    "term": term_col,
+                },
+                "id long, term string",
+            )
+    n = num_partitions or max(spark.sparkContext.defaultParallelism, 2)
 
     # no sortWithinPartitions here: the counts job is order-insensitive
     # and the rank window sorts per partition itself — a pre-sort would
@@ -61,11 +119,19 @@ def assign_ids(terms: DataFrame, col: str = "term", num_partitions: int | None =
     with_pid = parts.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
 
     # numPartitions rows — tiny, driver-side cumsum (exact distinct
-    # counts: dense ranks advance once per distinct term).
+    # counts: dense ranks advance once per distinct term). count_distinct
+    # IGNORES a NULL term but dense_rank RANKS it (r11 fix, caught by the
+    # driver/distributed equivalence test): without the has_null term the
+    # partition holding NULL under-reported by one and every later
+    # partition's offset collided two ids — a broken dictionary bijection
+    # for quad stores with a NULL default graph.
     counts = {
-        r["_pid"]: r["cnt"]
+        r["_pid"]: r["cnt"] + (r["has_null"] or 0)
         for r in with_pid.groupBy("_pid")
-        .agg(F.count_distinct(F.col(col)).alias("cnt"))
+        .agg(
+            F.count_distinct(F.col(col)).alias("cnt"),
+            F.max(F.col(col).isNull().cast("int")).alias("has_null"),
+        )
         .collect()
     }
     offsets, acc = {}, 0

@@ -89,14 +89,19 @@ def test_orc_sink_source_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
 
 
-def test_assign_ids_no_single_partition_stage(spark):
+def test_assign_ids_no_single_partition_stage(spark, monkeypatch):
     """VERDICT r2 #5: the dictionary's global dense rank must never plan a
     SinglePartition window (the classic row_number-over-everything scale
     killer). assign_ids range-partitions, ranks per partition, and adds
-    driver-computed offsets — the plan's only window partitions by _pid."""
+    driver-computed offsets — the plan's only window partitions by _pid.
+    r11: the gated driver rank would absorb a stream this small, so the
+    DISTRIBUTED scheme (whose plan this test pins — the 100 TB path) is
+    forced by disabling the fast path."""
+    from d_sparq_spark.operators import dictionary as D
     from d_sparq_spark.operators.dictionary import assign_ids
     from d_sparq_spark.sources.derived_rdf import derive_triples
 
+    monkeypatch.setattr(D, "_DRIVER_RANK_ENABLED", False)
     t = derive_triples(spark, "/root/testdata/sf0.001")
     ids = assign_ids(t.select(F.col("s").alias("term")))
     plan = ids._jdf.queryExecution().executedPlan().toString()
@@ -106,6 +111,32 @@ def test_assign_ids_no_single_partition_stage(spark):
     rows = ids.orderBy("id").limit(3).collect()
     assert [r["id"] for r in rows] == [1, 2, 3]
     assert rows == sorted(rows, key=lambda r: r["term"])
+
+
+def test_assign_ids_driver_and_distributed_paths_agree(spark, monkeypatch):
+    """r11: the gated driver rank must be BIT-IDENTICAL to the
+    distributed range-partitioned rank — including NULL terms (a quad
+    default graph ranks FIRST, the window's NULLS FIRST), duplicates,
+    and non-ASCII terms (Python code-point order == Spark's unsigned
+    UTF-8 byte order)."""
+    from d_sparq_spark.operators import dictionary as D
+    from d_sparq_spark.operators.dictionary import assign_ids
+
+    rows = [(t,) for t in
+            ["b", "a", "b", "éclair", "Z", "", "中文", "a"]]
+    rows.append((None,))
+    terms = spark.createDataFrame(rows, "term string")
+
+    fast = {(r["id"], r["term"]) for r in assign_ids(terms).collect()}
+    monkeypatch.setattr(D, "_DRIVER_RANK_ENABLED", False)
+    slow = {(r["id"], r["term"]) for r in assign_ids(terms).collect()}
+    assert fast == slow
+    # and the declined-gate escape hatch still returns the same ids
+    monkeypatch.setattr(D, "_DRIVER_RANK_ENABLED", True)
+    monkeypatch.setattr(D, "_DRIVER_RANK_MAX_ROWS", 2)
+    monkeypatch.setattr(D, "_DRIVER_RANK_MAX_ROWS_NO_ARROW", 2)
+    declined = {(r["id"], r["term"]) for r in assign_ids(terms).collect()}
+    assert declined == slow
 
 
 def test_reopened_store_p_column_is_long(spark, tmp_path):
