@@ -1274,7 +1274,10 @@ def materialize_reasoning(
     mode = "single"
     try:
         R.validate_ontology(ontology)
-    except ValueError:
+    except R.MetaSchemaOntologyError:
+        # ONLY the documented meta-schema rejection selects iterative mode
+        # (ADVICE r10 #1): a malformed ontology (non-3-tuples etc.) raises
+        # its own error here instead of being silently routed onward.
         mode = "iterative"
     # re-materialization over an existing store (r10 review #3): layouts a
     # PREVIOUS materialize_reasoning built but this call does not request

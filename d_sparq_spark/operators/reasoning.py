@@ -60,10 +60,20 @@ def transitive_pairs(pairs: list) -> list:
     return sorted(out)
 
 
+class MetaSchemaOntologyError(ValueError):
+    """validate_ontology's documented rejection: the ontology places rdfs
+    vocabulary in a schema position, so the single-pass fixpoint would be
+    incomplete and the caller must use an iterative reasoner. A dedicated
+    type (ADVICE r10 #1) so callers routing on it — materialize_reasoning's
+    mode="iterative" switch — cannot be fooled by an unrelated ValueError
+    (e.g. a malformed non-3-tuple ontology raising during unpacking)."""
+
+
 def validate_ontology(ontology: list) -> None:
     """Reject ontologies the single-pass fixpoint cannot close (rdfs
     vocabulary in schema positions — see rdfs_entailment's soundness
-    argument). Always runs against the LEXICAL ontology: in encoded space
+    argument). Raises MetaSchemaOntologyError (a ValueError subclass) for
+    that documented rejection. Always runs against the LEXICAL ontology: in encoded space
     the ids are opaque, so callers that encode (load_pipeline's persisted
     reasoning layer) validate before translation."""
     reserved = {TYPE, SUBCLASS, SUBPROP, DOMAIN, RANGE}
@@ -71,7 +81,7 @@ def validate_ontology(ontology: list) -> None:
         if p == SUBPROP and (s in reserved or o in reserved) or (
             p in (DOMAIN, RANGE) and s in reserved
         ):
-            raise ValueError(
+            raise MetaSchemaOntologyError(
                 f"rdfs_entailment: schema triple ({s}, {p}, {o}) places the "
                 "rdfs vocabulary in a schema position — the single-pass "
                 "fixpoint would be incomplete for it (a derived rdf:type/"

@@ -73,100 +73,93 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # newcomers last within that group), then attested keys oldest-round first.
 # _LAST_ATTESTED is regenerated each round from CORRECTNESS_r{N}.json.
 _LAST_ATTESTED: dict[str, int] = {
-    # last attested round 5
-    "q_doc_stats": 5, "q_dedup_embed": 5,
-    "q_dedup_embed_lsh": 5, "q_cosine_ivf": 5, "q_doc_chunks": 5,
-    "q_sample_hash": 5, "q_mix_weighted": 5, "q_pii_redact": 5,
-    "q_rdf_derive": 5, "q_nt_roundtrip": 5, "q_dict_encode": 5,
-    "q_dict_roundtrip": 5, "q_triple_pattern": 5, "q_star_join": 5,
-    "q_tpch_q20": 5, "q_tpch_q22": 5, "q_ivf_recall": 5,
-    "q_sparql_path_plus_hub": 5, "q_sparql_path_plus_hub_seeded": 5,
     # last attested round 6
-    "q_star_join_enc": 6, "q_path_join": 6, "q_pred_stats": 6,
-    "q_load_pipeline": 6, "q_agg_basic": 6, "q_contamination": 6,
-    "q_dedup_norm": 6, "q_repetition": 6, "q_approx_distinct": 6,
-    "q_pack_sequences": 6, "q_token_histogram": 6, "q_orc_source": 6,
-    "q_text_source": 6, "q_binaryfile_source": 6, "q_pivot": 6,
-    "q_unpivot": 6, "q_udtf_chunks": 6, "q_pred_stats_salted": 6,
-    "q_join_salted": 6, "q_ohlc_hourly": 6, "q_stream_funnel": 6,
-    "q_tpch_q5": 6, "q_dup_clusters_lsh": 6, "q_pagerank": 6,
-    "q_multimodal_resize": 6, "q_multimodal_frames": 6, "q_pandas_udf_scalar": 6,
-    "q_pandas_udf_grouped_agg": 6, "q_nq_roundtrip": 6, "q_agg_distinct": 6,
-    "q_agg_having": 6, "q_agg_rollup": 6, "q_agg_cube": 6,
-    "q_agg_stats": 6, "q_agg_median": 6, "q_agg_group_concat": 6,
-    "q_join_inner": 6, "q_join_broadcast": 6, "q_join_outer": 6,
-    "q_join_full": 6, "q_join_semi": 6, "q_join_anti": 6,
-    "q_join_range": 6, "q_join_asof": 6, "q_join_cross": 6,
-    "q_stream_enrich": 6, "q_doc_surprisal": 6, "q_sparql_construct_ordered": 6,
+    "q_agg_basic": 6, "q_agg_cube": 6, "q_agg_distinct": 6,
+    "q_agg_group_concat": 6, "q_agg_having": 6, "q_agg_median": 6,
+    "q_agg_rollup": 6, "q_agg_stats": 6, "q_join_anti": 6,
+    "q_join_asof": 6, "q_join_broadcast": 6, "q_join_cross": 6,
+    "q_join_full": 6, "q_join_inner": 6, "q_join_outer": 6,
+    "q_join_range": 6, "q_join_semi": 6, "q_load_pipeline": 6,
+    "q_path_join": 6, "q_pred_stats": 6, "q_sparql_construct_ordered": 6,
     "q_sparql_group_expr": 6, "q_sparql_update_graph": 6,
     # last attested round 7
-    "q_merge_upsert": 7, "q_scalar_string": 7, "q_scalar_date": 7,
-    "q_scalar_math": 7, "q_scalar_array": 7, "q_explode": 7,
-    "q_project": 7, "q_filter_pred": 7, "q_filter_rlike": 7,
-    "q_json_extract": 7, "q_case_when": 7, "q_filter_nullsafe": 7,
-    "q_set_ops": 7, "q_union_by_name": 7, "q_distinct": 7,
-    "q_window_rank": 7, "q_window_frame": 7, "q_window_lag": 7,
-    "q_window_ntile": 7, "q_topk": 7, "q_topk_per_group": 7,
-    "q_window_dist": 7, "q_sparql_path_plus": 7, "q_sparql_path_plus_bound": 7,
-    "q_sparql_path_plus_bound_rev": 7, "q_sparql_path_seq": 7, "q_sparql_path_alt": 7,
+    "q_case_when": 7, "q_distinct": 7, "q_explode": 7,
+    "q_filter_nullsafe": 7, "q_filter_pred": 7, "q_filter_rlike": 7,
+    "q_json_extract": 7, "q_merge_upsert": 7, "q_minhash_recall": 7,
+    "q_project": 7, "q_scalar_array": 7, "q_scalar_date": 7,
+    "q_scalar_math": 7, "q_scalar_string": 7, "q_set_ops": 7,
+    "q_sparql_agg": 7, "q_sparql_construct": 7, "q_sparql_expr_fns": 7,
+    "q_sparql_graph": 7, "q_sparql_graph_enc": 7, "q_sparql_graph_var": 7,
+    "q_sparql_graph_var_enc": 7, "q_sparql_minus": 7, "q_sparql_not_exists": 7,
+    "q_sparql_optional": 7, "q_sparql_order_limit": 7, "q_sparql_path": 7,
+    "q_sparql_path_alt": 7, "q_sparql_path_altcomplex": 7, "q_sparql_path_closure_seq": 7,
     "q_sparql_path_inv": 7, "q_sparql_path_neg": 7, "q_sparql_path_opt": 7,
-    "q_sparql_path_altcomplex": 7, "q_sparql_path_closure_seq": 7, "q_sparql_expr_fns": 7,
-    "q_sparql_construct": 7, "q_sparql_subquery": 7, "q_sparql_service": 7,
-    "q_sparql_graph_enc": 7, "q_sparql_graph_var_enc": 7, "q_sparql_graph": 7,
-    "q_sparql_graph_var": 7, "q_sparql_star": 7, "q_sparql_path": 7,
-    "q_sparql_optional": 7, "q_sparql_union": 7, "q_sparql_agg": 7,
-    "q_sparql_order_limit": 7, "q_sparql_minus": 7, "q_sparql_not_exists": 7,
-    "q_minhash_recall": 7, "q_stream_near_dedup": 7,
-    # last attested round 9 (the 50 keys in CORRECTNESS_r09.json)
-    "q_rdfs_iterative": 9, "q_store_reasoning": 9, "q_store_smush": 9,
-    "q_sparql_graph_path_enc": 9, "q_sparql_graph_path_seeded": 9,
-    "q_star_property_table": 9, "q_sparql_typed": 9, "q_sparql_path_plus_big": 9,
-    "q_sparql_path_plus_big_seeded": 9, "q_closure_big_int": 9, "q_tpch_q1": 9,
-    "q_tpch_q2": 9, "q_tpch_q7": 9, "q_tpch_q8": 9,
-    "q_tpch_q9": 9, "q_tpch_q11": 9, "q_tpch_q12": 9,
-    "q_tpch_q16": 9, "q_tpch_q19": 9,
-    "q_scan_counts": 9, "q_csv_source": 9, "q_json_source": 9,
-    "q_scalar_map": 9, "q_agg_grouping_sets": 9, "q_tfidf": 9,
-    "q_sparql_describe": 9, "q_sparql_describe_where": 9, "q_window_tumbling": 9,
-    "q_window_sliding": 9, "q_window_session": 9, "q_dedup_events": 9,
-    "q_stream_tumbling": 9, "q_gap_fill": 9, "q_flagship": 9,
-    "q_dedup_exact": 9, "q_dedup_sha": 9, "q_dedup_near": 9,
-    "q_ngram_jaccard": 9, "q_dup_clusters": 9, "q_simhash": 9,
-    "q_cosine_topk": 9, "q_cosine_ann": 9, "q_token_counts": 9,
-    "q_quality_score": 9, "q_lang_id": 9, "q_fingerprint": 9,
-    "q_embed_join": 9, "q_multimodal_meta": 9, "q_multimodal_features": 9,
-    "q_pandas_udf_zscore": 9,
-    # last attested round 8 (the rest of CORRECTNESS_r08.json)
-    "q_sparql_bind": 8, "q_sparql_values": 8, "q_sparql_distinct": 8,
-    "q_sparql_ask": 8, "q_sparql_expr": 8, "q_sparql_encoded_star": 8,
-    "q_sparql_encoded_filter": 8, "q_sparql_encoded_agg": 8, "q_sparql_star_pt": 8,
-    "q_sparql_encoded_star_pt": 8, "q_sparql_star_extvp": 8, "q_sparql_update": 8,
-    "q_bpe_pairs": 8, "q_vocab_coverage": 8, "q_quality_filter": 8,
-    "q_sample_stratified": 8, "q_ngram_topk": 8, "q_retention_cohort": 8,
-    "q_zorder_layout": 8, "q_histogram": 8, "q_dq_audit": 8,
-    "q_scd2_history": 8, "q_tpch_q3": 8, "q_tpch_q10": 8,
-    "q_tpch_q18": 8, "q_triangle_count": 8, "q_degree_dist": 8,
-    "q_sssp": 8, "q_kmeans": 8, "q_lang_confusion": 8,
-    "q_dedup_incremental": 8, "q_skyline": 8, "q_sparql_graph_path": 8,
-    "q_schema_evolution": 8, "q_tpch_q6": 8, "q_tpch_q4": 8,
-    "q_tpch_q17": 8, "q_tpch_q21": 8, "q_tpch_q13": 8,
-    "q_tpch_q14": 8, "q_tpch_q15": 8, "q_ann_recall": 8,
-    "q_semantic_dedup": 8, "q_dedup_leakage": 8, "q_lang_salience": 8,
-    "q_dup_span_ratio": 8, "q_simhash_recall": 8, "q_rdfs_entailment": 8,
-    "q_sameas_smush": 8, "q_dedup_substring": 8,
+    "q_sparql_path_plus": 7, "q_sparql_path_plus_bound": 7, "q_sparql_path_plus_bound_rev": 7,
+    "q_sparql_path_seq": 7, "q_sparql_service": 7, "q_sparql_star": 7,
+    "q_sparql_subquery": 7, "q_sparql_union": 7, "q_stream_near_dedup": 7,
+    "q_topk": 7, "q_topk_per_group": 7, "q_union_by_name": 7,
+    "q_window_dist": 7, "q_window_frame": 7, "q_window_lag": 7,
+    "q_window_ntile": 7, "q_window_rank": 7,
+    # last attested round 8
+    "q_ann_recall": 8, "q_bpe_pairs": 8, "q_dedup_incremental": 8,
+    "q_dedup_leakage": 8, "q_dedup_substring": 8, "q_degree_dist": 8,
+    "q_dq_audit": 8, "q_dup_span_ratio": 8, "q_histogram": 8,
+    "q_kmeans": 8, "q_lang_confusion": 8, "q_lang_salience": 8,
+    "q_ngram_topk": 8, "q_quality_filter": 8, "q_rdfs_entailment": 8,
+    "q_retention_cohort": 8, "q_sameas_smush": 8, "q_sample_stratified": 8,
+    "q_scd2_history": 8, "q_schema_evolution": 8, "q_semantic_dedup": 8,
+    "q_simhash_recall": 8, "q_skyline": 8, "q_sparql_ask": 8,
+    "q_sparql_bind": 8, "q_sparql_distinct": 8, "q_sparql_encoded_agg": 8,
+    "q_sparql_encoded_filter": 8, "q_sparql_encoded_star": 8, "q_sparql_encoded_star_pt": 8,
+    "q_sparql_expr": 8, "q_sparql_graph_path": 8, "q_sparql_star_extvp": 8,
+    "q_sparql_star_pt": 8, "q_sparql_update": 8, "q_sparql_values": 8,
+    "q_sssp": 8, "q_tpch_q10": 8, "q_tpch_q13": 8,
+    "q_tpch_q14": 8, "q_tpch_q15": 8, "q_tpch_q17": 8,
+    "q_tpch_q18": 8, "q_tpch_q21": 8, "q_tpch_q3": 8,
+    "q_tpch_q4": 8, "q_tpch_q6": 8, "q_triangle_count": 8,
+    "q_vocab_coverage": 8, "q_zorder_layout": 8,
+    # last attested round 9
+    "q_agg_grouping_sets": 9, "q_closure_big_int": 9, "q_cosine_ann": 9,
+    "q_cosine_topk": 9, "q_csv_source": 9, "q_dedup_events": 9,
+    "q_dedup_exact": 9, "q_dedup_near": 9, "q_dedup_sha": 9,
+    "q_dup_clusters": 9, "q_embed_join": 9, "q_fingerprint": 9,
+    "q_flagship": 9, "q_gap_fill": 9, "q_json_source": 9,
+    "q_lang_id": 9, "q_multimodal_features": 9, "q_multimodal_meta": 9,
+    "q_ngram_jaccard": 9, "q_pandas_udf_zscore": 9, "q_quality_score": 9,
+    "q_rdfs_iterative": 9, "q_scalar_map": 9, "q_scan_counts": 9,
+    "q_simhash": 9, "q_sparql_describe": 9, "q_sparql_describe_where": 9,
+    "q_sparql_graph_path_enc": 9, "q_sparql_graph_path_seeded": 9, "q_sparql_path_plus_big": 9,
+    "q_sparql_path_plus_big_seeded": 9, "q_sparql_typed": 9, "q_star_property_table": 9,
+    "q_store_reasoning": 9, "q_store_smush": 9, "q_stream_tumbling": 9,
+    "q_tfidf": 9, "q_token_counts": 9, "q_tpch_q1": 9,
+    "q_tpch_q11": 9, "q_tpch_q12": 9, "q_tpch_q16": 9,
+    "q_tpch_q19": 9, "q_tpch_q2": 9, "q_tpch_q7": 9,
+    "q_tpch_q8": 9, "q_tpch_q9": 9, "q_window_session": 9,
+    "q_window_sliding": 9, "q_window_tumbling": 9,
+    # last attested round 10
+    "q_approx_distinct": 10, "q_binaryfile_source": 10, "q_contamination": 10,
+    "q_cosine_ivf": 10, "q_dedup_embed": 10, "q_dedup_embed_lsh": 10,
+    "q_dedup_norm": 10, "q_dict_encode": 10, "q_dict_roundtrip": 10,
+    "q_doc_chunks": 10, "q_doc_stats": 10, "q_doc_surprisal": 10,
+    "q_dup_clusters_lsh": 10, "q_ivf_recall": 10, "q_join_salted": 10,
+    "q_mix_weighted": 10, "q_multimodal_frames": 10, "q_multimodal_resize": 10,
+    "q_nq_roundtrip": 10, "q_nt_roundtrip": 10, "q_ohlc_hourly": 10,
+    "q_orc_source": 10, "q_pack_sequences": 10, "q_pagerank": 10,
+    "q_pandas_udf_grouped_agg": 10, "q_pandas_udf_scalar": 10, "q_pii_redact": 10,
+    "q_pivot": 10, "q_pred_stats_salted": 10, "q_rdf_derive": 10,
+    "q_repetition": 10, "q_sample_hash": 10, "q_sparql_path_plus_hub": 10,
+    "q_sparql_path_plus_hub_seeded": 10, "q_sparql_star_reasoned_pt": 10, "q_star_join": 10,
+    "q_star_join_enc": 10, "q_store_compact": 10, "q_store_delete": 10,
+    "q_store_reasoning_meta": 10, "q_stream_enrich": 10, "q_stream_funnel": 10,
+    "q_text_source": 10, "q_token_histogram": 10, "q_tpch_q20": 10,
+    "q_tpch_q22": 10, "q_tpch_q5": 10, "q_triple_pattern": 10,
+    "q_udtf_chunks": 10, "q_unpivot": 10,
 }
 
-# Queries first registered THIS round (round 10): they sort after any older
+# Queries first registered THIS round: they sort after any older
 # never-attested queries but before the already-attested ones — age
 # priority, so no key starves.
-_NEW_THIS_ROUND: frozenset[str] = frozenset(
-    {
-        "q_store_reasoning_meta",
-        "q_store_delete",
-        "q_sparql_star_reasoned_pt",
-        "q_store_compact",
-    }
-)
+_NEW_THIS_ROUND: frozenset[str] = frozenset()
 
 
 def all_queries() -> dict[str, Query]:

@@ -420,6 +420,25 @@ def test_rdfs_entailment_rejects_meta_schema(spark):
             rdfs_entailment(triples, [bad, ("ex:p", "rdfs:domain", "C")])
 
 
+def test_validate_ontology_classifies_rejection_kinds():
+    """ADVICE r10 #1: only the documented meta-schema rejection carries
+    the dedicated MetaSchemaOntologyError type that materialize_reasoning
+    routes on (mode="iterative"); a MALFORMED ontology (non-3-tuples)
+    raises a plain ValueError that must NOT select iterative mode."""
+    import pytest as _pytest
+
+    from d_sparq_spark.operators.reasoning import (
+        MetaSchemaOntologyError,
+        validate_ontology,
+    )
+
+    with _pytest.raises(MetaSchemaOntologyError, match="schema position"):
+        validate_ontology([("rdf:type", "rdfs:subPropertyOf", "ex:isA")])
+    with _pytest.raises(ValueError) as exc:
+        validate_ontology([("only", "two-elements")])
+    assert not isinstance(exc.value, MetaSchemaOntologyError)
+
+
 def test_interstar_ndv_ordering_beats_connectivity_order(spark):
     """r9 (VERDICT r8 #7): the ndv chain estimate now orders STARS, not
     just patterns within one. Golden where the two inter-star orders
