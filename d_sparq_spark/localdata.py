@@ -35,10 +35,31 @@ def arrow_df(spark: SparkSession, columns: dict, schema) -> DataFrame:
         {k: v if isinstance(v, (pa.Array, pa.ChunkedArray)) else pa.array(v)
          for k, v in columns.items()}
     )
+    # createDataFrame(Table) makes ONE partition PER ARROW BATCH of
+    # spark.sql.execution.arrow.maxRecordsPerBatch rows (default 10k):
+    # a 6.6M-row closure upload scanned as 665 tasks, whose ~10k-row
+    # slivers also defeat map-side partial aggregation downstream
+    # (measured: the final groupBy over the uploaded pairs shuffled
+    # nearly every input row). Size batches so the relation lands in at
+    # most defaultParallelism partitions — full parallelism, real
+    # combine — by raising the conf around this one driver-side slicing
+    # call (read once inside createDataFrame; restored immediately).
+    chunk = max(
+        10_000,
+        -(-table.num_rows // max(1, spark.sparkContext.defaultParallelism)),
+    )
+    conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, str(chunk))
     try:
         return spark.createDataFrame(table, schema=schema)
     except Exception:
         return spark.createDataFrame(table.to_pandas(), schema=schema)
+    finally:
+        if old is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, old)
 
 
 def local_df(spark: SparkSession, rows, schema) -> DataFrame:

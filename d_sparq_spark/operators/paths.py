@@ -750,15 +750,20 @@ def seeded_closure(
     # frontier trips the analyzer's attribute dedup (key-not-found) when
     # the checkpoint's exprIds recur under distinct.
     keys = [group_col] if group_col else []
-    edges = (
-        edges.select(
-            *[F.col(k).alias(f"_ek_{k}") for k in keys],
-            F.col("src").alias("_esrc"),
-            F.col("dst").alias("_edst"),
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
+    edges = edges.select(
+        *[F.col(k).alias(f"_ek_{k}") for k in keys],
+        F.col("src").alias("_esrc"),
+        F.col("dst").alias("_edst"),
     )
+    # Ungrouped walks pin the edge set RAW, not distinct (r11, the §17
+    # transitive_closure device): the vectorized driver BFS below dedups
+    # for free (np.unique per round), so the dedup EXCHANGE over |E|
+    # rows is deferred until the fast path declines. Grouped walks keep
+    # the dedup-first order (they never take the driver path).
+    deduped = bool(keys)
+    if deduped:
+        edges = edges.distinct()
+    edges = edges.localCheckpoint(eager=False)
     # the count materializes the checkpoint (the walk needs base_n anyway)
     # and gates the r11 driver fast path below
     base_n = edges.count()
@@ -829,6 +834,13 @@ def seeded_closure(
                                 ]
                             ),
                         )
+    if not deduped:
+        # driver path declined: the distributed walk wants DISTINCT edges
+        # (duplicates multiply every per-round join before the frontier
+        # distinct cleans them) — dedup the CHECKPOINTED raw rows, so the
+        # upstream generator never re-runs
+        edges = edges.distinct().localCheckpoint(eager=False)
+        base_n = edges.count()
     # 1-hop frontier from the RAW edges first: if the seeds touch nothing
     # (common for selective constants), return before paying for the
     # strided hop relation below.
