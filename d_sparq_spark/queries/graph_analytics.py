@@ -46,6 +46,11 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
+        # EAGER on purpose: the first consumer (the degree union) references
+        # this relation twice in one plan — a lazy checkpoint would compute
+        # the self-join twice (racing the per-partition cache) inside the
+        # materializing job. q_sssp's edge set, by contrast, is read exactly
+        # once by its materializer (the seed aggregate), so it can be lazy.
         .localCheckpoint()
     )
 
@@ -241,7 +246,10 @@ def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("e")
         )
         .select("e.src", "e.dst", "e.w")
-        .localCheckpoint()  # the edge generator must not re-run per round
+        # lazy: the edge generator must not re-run per round, and the seed
+        # aggregate just below is the first action — it materializes the
+        # checkpoint in the SAME job (eager paid a separate build job)
+        .localCheckpoint(eager=False)
     )
     seed = ew.agg(F.min(F.least("src", "dst"))).collect()[0][0]
     return G.sssp_bellman_ford(ew, seed, n_rounds=64, until_converged=True).select(
