@@ -171,18 +171,30 @@ def transitive_closure(
                 _VEC_CLOSURE_MAX_BASE if arrow else _VEC_CLOSURE_MAX_BASE_NO_ARROW
             ):
                 import pandas as pd
+                import pyarrow as pa
 
-                spdf = edges.select("src", "dst").toPandas()
-                if not (spdf["src"].isnull().any() or spdf["dst"].isnull().any()):
-                    both = pd.concat(
-                        [spdf["src"], spdf["dst"]], ignore_index=True
+                # collect + factorize WITHOUT pandas object strings (r11):
+                # toPandas materializes 2|E| Python string objects and
+                # pd.factorize hashes each PyObject; toArrow keeps the
+                # strings in arrow buffers and dictionary_encode
+                # factorizes at C level over one contiguous array —
+                # identical first-appearance code assignment.
+                tbl = edges.select("src", "dst").toArrow()
+                if (
+                    tbl.column("src").null_count == 0
+                    and tbl.column("dst").null_count == 0
+                ):
+                    both = pa.chunked_array(
+                        [*tbl.column("src").chunks, *tbl.column("dst").chunks]
+                    ).combine_chunks()
+                    denc = both.dictionary_encode()
+                    codes = denc.indices.to_numpy(zero_copy_only=False).astype(
+                        "int64"
                     )
-                    codes, uniq = pd.factorize(both)
+                    uniq_pa = denc.dictionary
+                    n_rows = tbl.num_rows
                     ipdf = pd.DataFrame(
-                        {
-                            "src": codes[: len(spdf)].astype("int64"),
-                            "dst": codes[len(spdf):].astype("int64"),
-                        }
+                        {"src": codes[:n_rows], "dst": codes[n_rows:]}
                     )
                     out = _vector_closure(
                         ipdf,
@@ -193,16 +205,12 @@ def transitive_closure(
                         _VEC_CLOSURE_MAX_WORK,
                     )
                     if out is not None:
-                        # decode + upload arrow-native: one pa conversion
-                        # of the term dictionary, C-level takes, and a
-                        # Table upload (see localdata.arrow_df — the
-                        # pandas object-take + createDataFrame route
+                        # decode + upload arrow-native: C-level dictionary
+                        # takes and a Table upload (see localdata.arrow_df
+                        # — the pandas object-take + createDataFrame route
                         # measured ~3x the cost at 6.6M pairs)
-                        import pyarrow as pa
-
                         from d_sparq_spark.localdata import arrow_df
 
-                        uniq_pa = pa.array(uniq)
                         return arrow_df(
                             spark,
                             {
@@ -807,15 +815,65 @@ def seeded_closure(
         if same_type and base_n <= gate:
             sp = seeds.limit(gate + 1).toPandas()
             if len(sp) <= gate and not sp["n"].isnull().any():
-                ep = edges.toPandas()
-                if not (ep["_esrc"].isnull().any() or ep["_edst"].isnull().any()):
+                import pyarrow as pa
+                import pyarrow.compute as pc
+
+                # collect via toArrow (r11, the transitive_closure device):
+                # toPandas materializes 2|E| Python string objects before
+                # the factorize; arrow buffers + dictionary_encode keep
+                # the whole prep at C level. Strings are factorized HERE
+                # (identical first-appearance codes) and the BFS runs on
+                # the dense int64 codes; seed values map into the same
+                # dictionary with index_in (absent seeds drop — they can
+                # reach nothing, matching the old present-mask).
+                tbl = edges.select("_esrc", "_edst").toArrow()
+                pair_cap = (
+                    _VEC_CLOSURE_MAX_PAIRS
+                    if arrow
+                    else _VEC_CLOSURE_MAX_PAIRS_NO_ARROW
+                )
+                if (
+                    tbl.column("_esrc").null_count == 0
+                    and tbl.column("_edst").null_count == 0
+                ):
+                    uniq_pa = None
+                    if etypes["_esrc"] == "string":
+                        both = pa.chunked_array(
+                            [
+                                *tbl.column("_esrc").chunks,
+                                *tbl.column("_edst").chunks,
+                            ]
+                        ).combine_chunks()
+                        denc = both.dictionary_encode()
+                        uniq_pa = denc.dictionary
+                        codes = denc.indices.to_numpy(
+                            zero_copy_only=False
+                        ).astype("int64")
+                        n_rows = tbl.num_rows
+                        e_src_v = codes[:n_rows]
+                        e_dst_v = codes[n_rows:]
+                        sidx = pc.index_in(
+                            pa.array(sp["n"]).cast(uniq_pa.type),
+                            value_set=uniq_pa,
+                        )
+                        seed_vals = (
+                            sidx.filter(pc.is_valid(sidx))
+                            .to_numpy(zero_copy_only=False)
+                            .astype("int64")
+                        )
+                    else:
+                        e_src_v = tbl.column("_esrc").combine_chunks().to_numpy(
+                            zero_copy_only=False
+                        )
+                        e_dst_v = tbl.column("_edst").combine_chunks().to_numpy(
+                            zero_copy_only=False
+                        )
+                        seed_vals = sp["n"].to_numpy()
                     out = _vector_seeded(
-                        ep["_esrc"].to_numpy(),
-                        ep["_edst"].to_numpy(),
-                        sp["n"].to_numpy(),
-                        _VEC_CLOSURE_MAX_PAIRS
-                        if arrow
-                        else _VEC_CLOSURE_MAX_PAIRS_NO_ARROW,
+                        e_src_v,
+                        e_dst_v,
+                        seed_vals,
+                        pair_cap,
                         _VEC_CLOSURE_MAX_WORK,
                     )
                     if out is not None:
@@ -824,9 +882,17 @@ def seeded_closure(
                         from d_sparq_spark.localdata import arrow_df
 
                         dt = edges.schema["_esrc"].dataType
+                        cols = (
+                            {
+                                "src": uniq_pa.take(pa.array(out[0])),
+                                "dst": uniq_pa.take(pa.array(out[1])),
+                            }
+                            if uniq_pa is not None
+                            else {"src": out[0], "dst": out[1]}
+                        )
                         return arrow_df(
                             spark,
-                            {"src": out[0], "dst": out[1]},
+                            cols,
                             T.StructType(
                                 [
                                     T.StructField("src", dt),
