@@ -73,33 +73,15 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # newcomers last within that group), then attested keys oldest-round first.
 # _LAST_ATTESTED is regenerated each round from CORRECTNESS_r{N}.json.
 _LAST_ATTESTED: dict[str, int] = {
-    # last attested round 6
-    "q_agg_basic": 6, "q_agg_cube": 6, "q_agg_distinct": 6,
-    "q_agg_group_concat": 6, "q_agg_having": 6, "q_agg_median": 6,
-    "q_agg_rollup": 6, "q_agg_stats": 6, "q_join_anti": 6,
-    "q_join_asof": 6, "q_join_broadcast": 6, "q_join_cross": 6,
-    "q_join_full": 6, "q_join_inner": 6, "q_join_outer": 6,
-    "q_join_range": 6, "q_join_semi": 6, "q_load_pipeline": 6,
-    "q_path_join": 6, "q_pred_stats": 6, "q_sparql_construct_ordered": 6,
-    "q_sparql_group_expr": 6, "q_sparql_update_graph": 6,
     # last attested round 7
-    "q_case_when": 7, "q_distinct": 7, "q_explode": 7,
-    "q_filter_nullsafe": 7, "q_filter_pred": 7, "q_filter_rlike": 7,
-    "q_json_extract": 7, "q_merge_upsert": 7, "q_minhash_recall": 7,
-    "q_project": 7, "q_scalar_array": 7, "q_scalar_date": 7,
-    "q_scalar_math": 7, "q_scalar_string": 7, "q_set_ops": 7,
     "q_sparql_agg": 7, "q_sparql_construct": 7, "q_sparql_expr_fns": 7,
     "q_sparql_graph": 7, "q_sparql_graph_enc": 7, "q_sparql_graph_var": 7,
     "q_sparql_graph_var_enc": 7, "q_sparql_minus": 7, "q_sparql_not_exists": 7,
     "q_sparql_optional": 7, "q_sparql_order_limit": 7, "q_sparql_path": 7,
     "q_sparql_path_alt": 7, "q_sparql_path_altcomplex": 7, "q_sparql_path_closure_seq": 7,
     "q_sparql_path_inv": 7, "q_sparql_path_neg": 7, "q_sparql_path_opt": 7,
-    "q_sparql_path_plus": 7, "q_sparql_path_plus_bound": 7, "q_sparql_path_plus_bound_rev": 7,
     "q_sparql_path_seq": 7, "q_sparql_service": 7, "q_sparql_star": 7,
-    "q_sparql_subquery": 7, "q_sparql_union": 7, "q_stream_near_dedup": 7,
-    "q_topk": 7, "q_topk_per_group": 7, "q_union_by_name": 7,
-    "q_window_dist": 7, "q_window_frame": 7, "q_window_lag": 7,
-    "q_window_ntile": 7, "q_window_rank": 7,
+    "q_sparql_subquery": 7, "q_sparql_union": 7,
     # last attested round 8
     "q_ann_recall": 8, "q_bpe_pairs": 8, "q_dedup_incremental": 8,
     "q_dedup_leakage": 8, "q_dedup_substring": 8, "q_degree_dist": 8,
@@ -154,6 +136,24 @@ _LAST_ATTESTED: dict[str, int] = {
     "q_text_source": 10, "q_token_histogram": 10, "q_tpch_q20": 10,
     "q_tpch_q22": 10, "q_tpch_q5": 10, "q_triple_pattern": 10,
     "q_udtf_chunks": 10, "q_unpivot": 10,
+    # last attested round 11
+    "q_agg_basic": 11, "q_agg_cube": 11, "q_agg_distinct": 11,
+    "q_agg_group_concat": 11, "q_agg_having": 11, "q_agg_median": 11,
+    "q_agg_rollup": 11, "q_agg_stats": 11, "q_case_when": 11,
+    "q_distinct": 11, "q_explode": 11, "q_filter_nullsafe": 11,
+    "q_filter_pred": 11, "q_filter_rlike": 11, "q_join_anti": 11,
+    "q_join_asof": 11, "q_join_broadcast": 11, "q_join_cross": 11,
+    "q_join_full": 11, "q_join_inner": 11, "q_join_outer": 11,
+    "q_join_range": 11, "q_join_semi": 11, "q_json_extract": 11,
+    "q_load_pipeline": 11, "q_merge_upsert": 11, "q_minhash_recall": 11,
+    "q_path_join": 11, "q_pred_stats": 11, "q_project": 11,
+    "q_scalar_array": 11, "q_scalar_date": 11, "q_scalar_math": 11,
+    "q_scalar_string": 11, "q_set_ops": 11, "q_sparql_construct_ordered": 11,
+    "q_sparql_group_expr": 11, "q_sparql_path_plus": 11, "q_sparql_path_plus_bound": 11,
+    "q_sparql_path_plus_bound_rev": 11, "q_sparql_update_graph": 11, "q_stream_near_dedup": 11,
+    "q_topk": 11, "q_topk_per_group": 11, "q_union_by_name": 11,
+    "q_window_dist": 11, "q_window_frame": 11, "q_window_lag": 11,
+    "q_window_ntile": 11, "q_window_rank": 11,
 }
 
 # Queries first registered THIS round: they sort after any older
