@@ -18,7 +18,17 @@ parallelism loss.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
+
+# arrow_df briefly raises a SESSION conf around one createDataFrame call;
+# two concurrent uploads in one session could otherwise interleave their
+# set/restore and leave an inflated batch size behind (ADVICE r11 #2 —
+# the conf also governs executor-side toPandas/pandas_udf batching). The
+# driver contract is single-threaded, so this lock is belt-and-braces for
+# embedders that share a session across threads.
+_ARROW_CONF_LOCK = threading.Lock()
 
 
 def arrow_df(spark: SparkSession, columns: dict, schema) -> DataFrame:
@@ -49,17 +59,18 @@ def arrow_df(spark: SparkSession, columns: dict, schema) -> DataFrame:
         -(-table.num_rows // max(1, spark.sparkContext.defaultParallelism)),
     )
     conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
-    old = spark.conf.get(conf_key, None)
-    spark.conf.set(conf_key, str(chunk))
-    try:
-        return spark.createDataFrame(table, schema=schema)
-    except Exception:
-        return spark.createDataFrame(table.to_pandas(), schema=schema)
-    finally:
-        if old is None:
-            spark.conf.unset(conf_key)
-        else:
-            spark.conf.set(conf_key, old)
+    with _ARROW_CONF_LOCK:
+        old = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, str(chunk))
+        try:
+            return spark.createDataFrame(table, schema=schema)
+        except Exception:
+            return spark.createDataFrame(table.to_pandas(), schema=schema)
+        finally:
+            if old is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, old)
 
 
 def local_df(spark: SparkSession, rows, schema) -> DataFrame:

@@ -25,6 +25,7 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from d_sparq_spark.gates import gate as _gate
 from d_sparq_spark.localdata import local_df
 
 # Diagnostics from the LAST seeded_closure stride build on this driver —
@@ -157,7 +158,19 @@ def transitive_closure(
         # decoded pairs directly — no terms pass, no injectivity job, no
         # decode joins, no collision fallback to reason about. Budget
         # blows fall through to the encode path unchanged.
-        if not keys and _STRING_VEC_ENABLED and _ENCODE_MIN_EDGES <= n_edges:
+        #
+        # r12 (VERDICT r11 #5): gate on _DRIVER_CLOSURE_MAX_BASE, not
+        # _ENCODE_MIN_EDGES — the old bound existed to decide when hash
+        # ENCODING pays off, but the vec path never encodes, and hub-shaped
+        # graphs (~20k edges, ~450k closure pairs at sf0.1) fell between
+        # the two bounds into the distributed string doubling loop. The
+        # pair/work budgets already bound driver exposure; edge sets at or
+        # below _DRIVER_CLOSURE_MAX_BASE keep the _driver_closure BFS path.
+        if (
+            not keys
+            and _STRING_VEC_ENABLED
+            and n_edges > _gate(_DRIVER_CLOSURE_MAX_BASE)
+        ):
             spark = edges.sparkSession
             arrow = (
                 str(
@@ -167,7 +180,7 @@ def transitive_closure(
                 ).lower()
                 == "true"
             )
-            if n_edges <= (
+            if n_edges <= _gate(
                 _VEC_CLOSURE_MAX_BASE if arrow else _VEC_CLOSURE_MAX_BASE_NO_ARROW
             ):
                 import pandas as pd
@@ -179,50 +192,62 @@ def transitive_closure(
                 # strings in arrow buffers and dictionary_encode
                 # factorizes at C level over one contiguous array —
                 # identical first-appearance code assignment.
-                tbl = edges.select("src", "dst").toArrow()
-                if (
-                    tbl.column("src").null_count == 0
-                    and tbl.column("dst").null_count == 0
-                ):
-                    both = pa.chunked_array(
-                        [*tbl.column("src").chunks, *tbl.column("dst").chunks]
-                    ).combine_chunks()
-                    denc = both.dictionary_encode()
-                    codes = denc.indices.to_numpy(zero_copy_only=False).astype(
-                        "int64"
-                    )
-                    uniq_pa = denc.dictionary
-                    n_rows = tbl.num_rows
-                    ipdf = pd.DataFrame(
-                        {"src": codes[:n_rows], "dst": codes[n_rows:]}
-                    )
-                    out = _vector_closure(
-                        ipdf,
-                        max_iter,
-                        _VEC_CLOSURE_MAX_PAIRS
-                        if arrow
-                        else _VEC_CLOSURE_MAX_PAIRS_NO_ARROW,
-                        _VEC_CLOSURE_MAX_WORK,
-                    )
-                    if out is not None:
-                        # decode + upload arrow-native: C-level dictionary
-                        # takes and a Table upload (see localdata.arrow_df
-                        # — the pandas object-take + createDataFrame route
-                        # measured ~3x the cost at 6.6M pairs)
-                        from d_sparq_spark.localdata import arrow_df
-
-                        return arrow_df(
-                            spark,
-                            {
-                                "src": uniq_pa.take(
-                                    pa.array(out["src"].to_numpy())
-                                ),
-                                "dst": uniq_pa.take(
-                                    pa.array(out["dst"].to_numpy())
-                                ),
-                            },
-                            edges.select("src", "dst").schema,
+                #
+                # try/except (ADVICE r11 #1): combine_chunks /
+                # dictionary_encode / the decode takes raise ArrowInvalid
+                # past 2 GB cumulative string bytes (int32 offsets) —
+                # reachable under the 4M-edge gate with long IRIs. Any
+                # fast-path decline must fall through to the distributed
+                # loop, never fail the query.
+                try:
+                    tbl = edges.select("src", "dst").toArrow()
+                    if (
+                        tbl.column("src").null_count == 0
+                        and tbl.column("dst").null_count == 0
+                    ):
+                        both = pa.chunked_array(
+                            [*tbl.column("src").chunks, *tbl.column("dst").chunks]
+                        ).combine_chunks()
+                        denc = both.dictionary_encode()
+                        codes = denc.indices.to_numpy(zero_copy_only=False).astype(
+                            "int64"
                         )
+                        uniq_pa = denc.dictionary
+                        n_rows = tbl.num_rows
+                        ipdf = pd.DataFrame(
+                            {"src": codes[:n_rows], "dst": codes[n_rows:]}
+                        )
+                        out = _vector_closure(
+                            ipdf,
+                            max_iter,
+                            _gate(
+                                _VEC_CLOSURE_MAX_PAIRS
+                                if arrow
+                                else _VEC_CLOSURE_MAX_PAIRS_NO_ARROW
+                            ),
+                            _gate(_VEC_CLOSURE_MAX_WORK),
+                        )
+                        if out is not None:
+                            # decode + upload arrow-native: C-level dictionary
+                            # takes and a Table upload (see localdata.arrow_df
+                            # — the pandas object-take + createDataFrame route
+                            # measured ~3x the cost at 6.6M pairs)
+                            from d_sparq_spark.localdata import arrow_df
+
+                            return arrow_df(
+                                spark,
+                                {
+                                    "src": uniq_pa.take(
+                                        pa.array(out["src"].to_numpy())
+                                    ),
+                                    "dst": uniq_pa.take(
+                                        pa.array(out["dst"].to_numpy())
+                                    ),
+                                },
+                                edges.select("src", "dst").schema,
+                            )
+                except pa.ArrowInvalid:
+                    pass  # offset overflow: decline to the distributed path
         # fast path declined (or disabled): the encode/lexical routes below
         # require a DEDUPED edge set — distinct over the checkpointed raw
         # rows (the generator does not re-run), recount for the gates
@@ -289,12 +314,15 @@ def _driver_closure(rows, n_keys: int):
         adj.setdefault((row[:n_keys], row[n_keys]), set()).add(row[n_keys + 1])
     out: list[tuple] = []
     work = 0
+    # read the (env-scalable) budgets once, not per stack pop
+    work_cap = _gate(_DRIVER_CLOSURE_MAX_WORK)
+    pair_cap = _gate(_DRIVER_CLOSURE_MAX_PAIRS)
     for (g, s), first in adj.items():
         seen: set = set()
         stack = list(first)
         while stack:
             work += 1
-            if work > _DRIVER_CLOSURE_MAX_WORK:
+            if work > work_cap:
                 return None
             d = stack.pop()
             if d in seen:
@@ -304,7 +332,7 @@ def _driver_closure(rows, n_keys: int):
             if nbrs:
                 stack.extend(nbrs)
         out.extend((*g, s, d) for d in seen)
-        if len(out) > _DRIVER_CLOSURE_MAX_PAIRS:
+        if len(out) > pair_cap:
             return None
     return out
 
@@ -553,19 +581,21 @@ def _closure_fixpoint(
                 ).lower()
                 == "true"
             )
-            gate = (
+            gate = _gate(
                 _VEC_CLOSURE_MAX_BASE if arrow else _VEC_CLOSURE_MAX_BASE_NO_ARROW
             )
             raw = base.localCheckpoint(eager=False)
             n_raw = raw.count()
-            if _DRIVER_CLOSURE_MAX_BASE < n_raw <= gate:
+            if _gate(_DRIVER_CLOSURE_MAX_BASE) < n_raw <= gate:
                 out = _vector_closure(
                     raw.toPandas(),
                     max_iter,
-                    _VEC_CLOSURE_MAX_PAIRS
-                    if arrow
-                    else _VEC_CLOSURE_MAX_PAIRS_NO_ARROW,
-                    _VEC_CLOSURE_MAX_WORK,
+                    _gate(
+                        _VEC_CLOSURE_MAX_PAIRS
+                        if arrow
+                        else _VEC_CLOSURE_MAX_PAIRS_NO_ARROW
+                    ),
+                    _gate(_VEC_CLOSURE_MAX_WORK),
                 )
                 if out is not None:
                     from pyspark.sql import types as T
@@ -593,7 +623,7 @@ def _closure_fixpoint(
     if n_base is None:
         # one job: materialize the checkpoint + the base pair count
         n_base = base.count()
-    if n_base <= _DRIVER_CLOSURE_MAX_BASE:
+    if n_base <= _gate(_DRIVER_CLOSURE_MAX_BASE):
         # metadata-scale fast path: a base this small is what the loop
         # below would broadcast EVERY round — collect it once instead and
         # close on the driver (zero per-round jobs; the tiny bench
@@ -618,13 +648,19 @@ def _closure_fixpoint(
             ).lower()
             == "true"
         )
-        gate = _VEC_CLOSURE_MAX_BASE if arrow else _VEC_CLOSURE_MAX_BASE_NO_ARROW
+        gate = _gate(
+            _VEC_CLOSURE_MAX_BASE if arrow else _VEC_CLOSURE_MAX_BASE_NO_ARROW
+        )
         if n_base <= gate:
             out = _vector_closure(
                 base.select("src", "dst").toPandas(),
                 max_iter,
-                _VEC_CLOSURE_MAX_PAIRS if arrow else _VEC_CLOSURE_MAX_PAIRS_NO_ARROW,
-                _VEC_CLOSURE_MAX_WORK,
+                _gate(
+                    _VEC_CLOSURE_MAX_PAIRS
+                    if arrow
+                    else _VEC_CLOSURE_MAX_PAIRS_NO_ARROW
+                ),
+                _gate(_VEC_CLOSURE_MAX_WORK),
             )
             if out is not None:
                 from pyspark.sql import types as T
@@ -802,7 +838,9 @@ def seeded_closure(
             ).lower()
             == "true"
         )
-        gate = _VEC_CLOSURE_MAX_BASE if arrow else _VEC_CLOSURE_MAX_BASE_NO_ARROW
+        gate = _gate(
+            _VEC_CLOSURE_MAX_BASE if arrow else _VEC_CLOSURE_MAX_BASE_NO_ARROW
+        )
         etypes = dict(edges.dtypes)
         same_type = (
             etypes["_esrc"] == etypes["_edst"]
@@ -826,80 +864,86 @@ def seeded_closure(
                 # the dense int64 codes; seed values map into the same
                 # dictionary with index_in (absent seeds drop — they can
                 # reach nothing, matching the old present-mask).
-                tbl = edges.select("_esrc", "_edst").toArrow()
-                pair_cap = (
-                    _VEC_CLOSURE_MAX_PAIRS
-                    if arrow
-                    else _VEC_CLOSURE_MAX_PAIRS_NO_ARROW
-                )
-                if (
-                    tbl.column("_esrc").null_count == 0
-                    and tbl.column("_edst").null_count == 0
-                ):
-                    uniq_pa = None
-                    if etypes["_esrc"] == "string":
-                        both = pa.chunked_array(
-                            [
-                                *tbl.column("_esrc").chunks,
-                                *tbl.column("_edst").chunks,
-                            ]
-                        ).combine_chunks()
-                        denc = both.dictionary_encode()
-                        uniq_pa = denc.dictionary
-                        codes = denc.indices.to_numpy(
-                            zero_copy_only=False
-                        ).astype("int64")
-                        n_rows = tbl.num_rows
-                        e_src_v = codes[:n_rows]
-                        e_dst_v = codes[n_rows:]
-                        sidx = pc.index_in(
-                            pa.array(sp["n"]).cast(uniq_pa.type),
-                            value_set=uniq_pa,
-                        )
-                        seed_vals = (
-                            sidx.filter(pc.is_valid(sidx))
-                            .to_numpy(zero_copy_only=False)
-                            .astype("int64")
-                        )
-                    else:
-                        e_src_v = tbl.column("_esrc").combine_chunks().to_numpy(
-                            zero_copy_only=False
-                        )
-                        e_dst_v = tbl.column("_edst").combine_chunks().to_numpy(
-                            zero_copy_only=False
-                        )
-                        seed_vals = sp["n"].to_numpy()
-                    out = _vector_seeded(
-                        e_src_v,
-                        e_dst_v,
-                        seed_vals,
-                        pair_cap,
-                        _VEC_CLOSURE_MAX_WORK,
+                # try/except (ADVICE r11 #1): >2 GB cumulative string bytes
+                # raise ArrowInvalid in combine_chunks/dictionary_encode/
+                # take — a fast-path decline, not a query failure
+                try:
+                    tbl = edges.select("_esrc", "_edst").toArrow()
+                    pair_cap = _gate(
+                        _VEC_CLOSURE_MAX_PAIRS
+                        if arrow
+                        else _VEC_CLOSURE_MAX_PAIRS_NO_ARROW
                     )
-                    if out is not None:
-                        from pyspark.sql import types as T
-
-                        from d_sparq_spark.localdata import arrow_df
-
-                        dt = edges.schema["_esrc"].dataType
-                        cols = (
-                            {
-                                "src": uniq_pa.take(pa.array(out[0])),
-                                "dst": uniq_pa.take(pa.array(out[1])),
-                            }
-                            if uniq_pa is not None
-                            else {"src": out[0], "dst": out[1]}
-                        )
-                        return arrow_df(
-                            spark,
-                            cols,
-                            T.StructType(
+                    if (
+                        tbl.column("_esrc").null_count == 0
+                        and tbl.column("_edst").null_count == 0
+                    ):
+                        uniq_pa = None
+                        if etypes["_esrc"] == "string":
+                            both = pa.chunked_array(
                                 [
-                                    T.StructField("src", dt),
-                                    T.StructField("dst", dt),
+                                    *tbl.column("_esrc").chunks,
+                                    *tbl.column("_edst").chunks,
                                 ]
-                            ),
+                            ).combine_chunks()
+                            denc = both.dictionary_encode()
+                            uniq_pa = denc.dictionary
+                            codes = denc.indices.to_numpy(
+                                zero_copy_only=False
+                            ).astype("int64")
+                            n_rows = tbl.num_rows
+                            e_src_v = codes[:n_rows]
+                            e_dst_v = codes[n_rows:]
+                            sidx = pc.index_in(
+                                pa.array(sp["n"]).cast(uniq_pa.type),
+                                value_set=uniq_pa,
+                            )
+                            seed_vals = (
+                                sidx.filter(pc.is_valid(sidx))
+                                .to_numpy(zero_copy_only=False)
+                                .astype("int64")
+                            )
+                        else:
+                            e_src_v = tbl.column("_esrc").combine_chunks().to_numpy(
+                                zero_copy_only=False
+                            )
+                            e_dst_v = tbl.column("_edst").combine_chunks().to_numpy(
+                                zero_copy_only=False
+                            )
+                            seed_vals = sp["n"].to_numpy()
+                        out = _vector_seeded(
+                            e_src_v,
+                            e_dst_v,
+                            seed_vals,
+                            pair_cap,
+                            _gate(_VEC_CLOSURE_MAX_WORK),
                         )
+                        if out is not None:
+                            from pyspark.sql import types as T
+
+                            from d_sparq_spark.localdata import arrow_df
+
+                            dt = edges.schema["_esrc"].dataType
+                            cols = (
+                                {
+                                    "src": uniq_pa.take(pa.array(out[0])),
+                                    "dst": uniq_pa.take(pa.array(out[1])),
+                                }
+                                if uniq_pa is not None
+                                else {"src": out[0], "dst": out[1]}
+                            )
+                            return arrow_df(
+                                spark,
+                                cols,
+                                T.StructType(
+                                    [
+                                        T.StructField("src", dt),
+                                        T.StructField("dst", dt),
+                                    ]
+                                ),
+                            )
+                except pa.ArrowInvalid:
+                    pass  # offset overflow: decline to the distributed walk
     if not deduped:
         # driver path declined: the distributed walk wants DISTINCT edges
         # (duplicates multiply every per-round join before the frontier
@@ -907,9 +951,13 @@ def seeded_closure(
         # upstream generator never re-runs
         edges = edges.distinct().localCheckpoint(eager=False)
         base_n = edges.count()
-    # 1-hop frontier from the RAW edges first: if the seeds touch nothing
-    # (common for selective constants), return before paying for the
-    # strided hop relation below.
+    # 1-hop frontier from the (now deduped) edges first: if the seeds touch
+    # nothing (common for selective constants), return before paying for
+    # the strided hop relation below. Note the driver-path gate above
+    # compares RAW row counts — a heavily duplicated edge stream whose
+    # DISTINCT size would fit the gate declines conservatively (correct,
+    # just not fast; a pre-gate dedup would pay the exchange the deferral
+    # exists to avoid).
     frontier = (
         seeds.join(edges, seed_cond)
         .select(
