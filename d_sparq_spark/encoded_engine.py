@@ -348,6 +348,8 @@ class EncodedSparqlEngine:
         services: dict | None = None,
         dict_rank_ordered: bool = True,
         stats: dict | None = None,
+        dict_n_terms: int | None = None,
+        dict_plain: bool | None = None,
     ):
         """triples_enc: (s,p,o) LONG columns; dictionary: (id, term[, kind]).
         dict_rank_ordered declares whether ids are LEXICOGRAPHIC-RANK-
@@ -377,8 +379,17 @@ class EncodedSparqlEngine:
         self.triples = triples_enc
         self.dict_rank_ordered = dict_rank_ordered
         self.dict = dictionary.select("id", "term")
-        self._dict_small: bool | None = None
-        self._dict_plain: bool | None = None
+        # load-time dictionary metadata (r12, VERDICT r11 #3): the
+        # broadcast-size gate and the typed-literal plainness probe are
+        # engine-CONSTRUCTION costs re-paid per query because the driver
+        # contract builds a fresh engine each call — when the caller
+        # already knows them (store manifest, load stats, a shared
+        # session cache), seed them here and both probe jobs disappear.
+        # None = compute lazily on first use, exactly as before.
+        self._dict_small: bool | None = (
+            None if dict_n_terms is None else dict_n_terms <= 10_000_000
+        )
+        self._dict_plain: bool | None = dict_plain
         # engine-lifetime pin cache shared by every per-query translator
         # (a per-translator list would never reach its eviction cap)
         self._qpins: list = []
@@ -875,15 +886,11 @@ class EncodedSparqlEngine:
         (a store manifest flag could amortize it across sessions; the
         scan is linear and column-pruned to `term`)."""
         if self._dict_plain is None:
-            from d_sparq_spark.plans.translate import _TYPED_RE
+            from d_sparq_spark.operators.dictionary import numeric_typed_literal
 
-            hit = self.dict.filter(
-                F.col("term").rlike(_TYPED_RE)
-                & F.regexp_extract(F.col("term"), _TYPED_RE, 1)
-                .try_cast("double")
-                .isNotNull()
+            self._dict_plain = not self.dict.filter(
+                numeric_typed_literal("term")
             ).take(1)
-            self._dict_plain = not hit
         return self._dict_plain
 
     def _dict_fits_broadcast(self) -> bool:

@@ -150,8 +150,18 @@ def bulk_load(
     # size-conditional broadcast: the dictionary is data-sized (one row
     # per distinct term) — at 100 TB it cannot collect to the driver, so
     # only hint the broadcast under ~10M terms and let AQE pick the
-    # strategy above that (review r4: the hint used to be unconditional)
-    n_terms = dictionary.count()
+    # strategy above that (review r4: the hint used to be unconditional).
+    # The typed-literal plainness flag rides the SAME aggregate (r12,
+    # VERDICT r11 #3): one job records what every later open_store engine
+    # would otherwise re-probe with its own dictionary scan.
+    from d_sparq_spark.operators.dictionary import numeric_typed_literal
+
+    _dstat = dictionary.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(numeric_typed_literal("term")).alias("typed"),
+    ).first()
+    n_terms = _dstat["n"]
+    dict_plain = not bool(_dstat["typed"])
 
     # INVALIDATE the manifest before clobbering dict/ (review r7): a
     # rebuild over a previously-appended store that crashes mid-dict-write
@@ -193,6 +203,7 @@ def bulk_load(
     _write_meta(
         spark, store_path, rank_ordered=True,
         n_terms=int(n_terms), max_id=int(n_terms), dict_buckets=int(dict_buckets),
+        dict_plain=dict_plain,
     )
     enc = encode_triples(triples, dict_table, broadcast_dict=n_terms <= 10_000_000)
     # vertical partitioning: one directory per predicate id (the VP layout
@@ -258,6 +269,7 @@ def _write_meta(
     n_terms: int | None = None,
     max_id: int | None = None,
     dict_buckets: int | None = None,
+    dict_plain: bool | None = None,
 ) -> None:
     """One-row store manifest written AS PARQUET via Spark (not driver-side
     JSON) so it works on any filesystem a URI store lives on. Records:
@@ -271,7 +283,14 @@ def _write_meta(
     - n_terms: dictionary row count (upper bound after a crashed append —
       used for broadcast gating and load stats, never for id math);
     - dict_buckets: bucket count of the term-bucketed dict/ layout (NULL =
-      legacy plain-parquet dictionary)."""
+      legacy plain-parquet dictionary);
+    - dict_plain (r12, VERDICT r11 #3): no dictionary term is a numeric
+      typed literal — with rank_ordered, the other precondition of the
+      MIN/MAX id peel. Recorded at load so open_store engines skip the
+      per-engine plainness scan; NULL = unknown (legacy store, or a load
+      that could not assert it), engines then probe lazily as before.
+      Must only ever be True when exact (False/NULL merely cost the
+      peel, True wrongly asserted would return wrong MIN/MAX terms)."""
     if "://" in store_path:
         # URI stores: keep the Spark write (any-filesystem contract).
         # Single-slice local DF, no coalesce(1) (r11): the coalesced
@@ -279,8 +298,9 @@ def _write_meta(
         # round-trips into one task — 5-8 s per write at 32 cores.
         local_df(
             spark,
-            [(rank_ordered, n_terms, max_id, dict_buckets)],
-            "rank_ordered boolean, n_terms long, max_id long, dict_buckets int",
+            [(rank_ordered, n_terms, max_id, dict_buckets, dict_plain)],
+            "rank_ordered boolean, n_terms long, max_id long, "
+            "dict_buckets int, dict_plain boolean",
         ).write.mode("overwrite").parquet(os.path.join(store_path, "meta"))
         return
     # local stores (r11, guide §5): a one-row manifest does not need a
@@ -302,6 +322,7 @@ def _write_meta(
             "n_terms": pa.array([n_terms], pa.int64()),
             "max_id": pa.array([max_id], pa.int64()),
             "dict_buckets": pa.array([dict_buckets], pa.int32()),
+            "dict_plain": pa.array([dict_plain], pa.bool_()),
         }
     )
     tmp = os.path.join(meta_dir, ".part-00000.parquet.tmp")
@@ -331,7 +352,7 @@ def _read_meta(spark: SparkSession, store_path: str) -> dict:
         # as the Spark route below.
         if not os.path.isdir(meta_dir):
             return {"rank_ordered": True, "n_terms": None, "max_id": None,
-                    "dict_buckets": None}
+                    "dict_buckets": None, "dict_plain": None}
         import pyarrow.parquet as pq
 
         rows = pq.read_table(meta_dir).to_pylist()
@@ -341,6 +362,7 @@ def _read_meta(spark: SparkSession, store_path: str) -> dict:
             "n_terms": row.get("n_terms"),
             "max_id": row.get("max_id"),
             "dict_buckets": row.get("dict_buckets"),
+            "dict_plain": row.get("dict_plain"),
         }
     from pyspark.errors import AnalysisException
 
@@ -351,7 +373,7 @@ def _read_meta(spark: SparkSession, store_path: str) -> dict:
         msg = str(e)
         if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
             return {"rank_ordered": True, "n_terms": None, "max_id": None,
-                    "dict_buckets": None}
+                    "dict_buckets": None, "dict_plain": None}
         raise
     # FAIL CLOSED on a present-but-damaged manifest (review r6): a
     # zero-row meta or one missing the flag column means the store's
@@ -364,6 +386,7 @@ def _read_meta(spark: SparkSession, store_path: str) -> dict:
         "n_terms": row.get("n_terms"),
         "max_id": row.get("max_id"),
         "dict_buckets": row.get("dict_buckets"),
+        "dict_plain": row.get("dict_plain"),
     }
 
 
@@ -437,7 +460,20 @@ def append_load(spark: SparkSession, nt_path: str, store_path: str) -> dict:
     delta_dict = extend_dictionary(
         existing_dict, triples, base_id=watermark, terms=delta_terms
     ).localCheckpoint()
-    n_new_terms = delta_dict.count()
+    # count + delta plainness in ONE aggregate (r12): the manifest's
+    # dict_plain stays exact across appends — plain iff it was plain AND
+    # no new term is a numeric typed literal; unknown (legacy) stays
+    # unknown, engines then probe lazily.
+    from d_sparq_spark.operators.dictionary import numeric_typed_literal
+
+    _dstat = delta_dict.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(numeric_typed_literal("term")).alias("typed"),
+    ).first()
+    n_new_terms = _dstat["n"]
+    dict_plain = meta["dict_plain"]
+    if dict_plain is not None and n_new_terms:
+        dict_plain = bool(dict_plain) and not bool(_dstat["typed"])
     n_terms = int(n_terms_old) + int(n_new_terms)
     if n_new_terms:
         # reserve BEFORE the dict append (review r5 + r6): flipping the
@@ -450,7 +486,7 @@ def append_load(spark: SparkSession, nt_path: str, store_path: str) -> dict:
         _write_meta(
             spark, store_path, rank_ordered=False,
             n_terms=n_terms, max_id=int(watermark) + int(n_new_terms),
-            dict_buckets=buckets,
+            dict_buckets=buckets, dict_plain=dict_plain,
         )
         if buckets:
             _write_dict_bucketed(delta_dict, store_path, buckets, mode="append")
@@ -462,6 +498,7 @@ def append_load(spark: SparkSession, nt_path: str, store_path: str) -> dict:
         _write_meta(
             spark, store_path, rank_ordered=meta["rank_ordered"],
             n_terms=n_terms, max_id=int(watermark), dict_buckets=buckets,
+            dict_plain=dict_plain,
         )
 
     # encode against the COMBINED dictionary read back from the store (the
@@ -953,12 +990,19 @@ def open_store(
         catalog = cat.load_property_table(spark, root)
     if os.path.exists(os.path.join(root, "extvp", "manifest.json")):
         catalog = cat.load_extvp(spark, root)
+    meta = _read_meta(spark, store_path)
     engine = EncodedSparqlEngine(
         enc,
         dictionary,
         collect_stats=False,
         catalog=catalog,
-        dict_rank_ordered=_read_meta_rank_ordered(spark, store_path),
+        dict_rank_ordered=meta["rank_ordered"],
+        # manifest-recorded dictionary metadata (r12, VERDICT r11 #3):
+        # the broadcast gate and the plainness probe become manifest
+        # reads instead of per-engine dictionary scans; None (legacy
+        # manifest) keeps the lazy probes.
+        dict_n_terms=meta["n_terms"],
+        dict_plain=meta["dict_plain"],
     )
     # the store's stats parquet materializes exact ndv_s/ndv_o at load —
     # hand them to the engine in the tuple shape order_by_selectivity's
@@ -1120,12 +1164,22 @@ def _ensure_terms(
     delta = extend_dictionary(
         existing, None, base_id=watermark, terms=tdf
     ).localCheckpoint()
-    n_new = delta.count()
+    from d_sparq_spark.operators.dictionary import numeric_typed_literal
+
+    _dstat = delta.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(numeric_typed_literal("term")).alias("typed"),
+    ).first()
+    n_new = _dstat["n"]
     if n_new:
+        dict_plain = meta["dict_plain"]
+        if dict_plain is not None:
+            dict_plain = bool(dict_plain) and not bool(_dstat["typed"])
         _write_meta(
             spark, store_path, rank_ordered=False,
             n_terms=int(n_terms_old) + int(n_new),
             max_id=int(watermark) + int(n_new), dict_buckets=buckets,
+            dict_plain=dict_plain,
         )
         if buckets:
             _register_dict_table(spark, store_path, buckets)

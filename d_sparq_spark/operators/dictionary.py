@@ -76,7 +76,9 @@ def assign_ids(terms: DataFrame, col: str = "term", num_partitions: int | None =
             ).lower()
             == "true"
         )
-        gate = _DRIVER_RANK_MAX_ROWS if arrow else _DRIVER_RANK_MAX_ROWS_NO_ARROW
+        from d_sparq_spark.gates import gate as _g
+
+        gate = _g(_DRIVER_RANK_MAX_ROWS if arrow else _DRIVER_RANK_MAX_ROWS_NO_ARROW)
         # limit(gate+1) short-circuits: at scale this collects at most
         # gate+1 rows and falls through; below it we hold ALL rows
         pdf = src.limit(gate + 1).toPandas()
@@ -296,6 +298,24 @@ def decode_triples(
             .withColumnRenamed("term", pos)
         )
     return dec.select(*cols)
+
+
+def numeric_typed_literal(col):
+    """Column predicate: term is a numeric TYPED literal ("12"^^xsd:int
+    style) — the one term class whose VALUE order diverges from lexical
+    (= id-rank) order, so its presence anywhere in a dictionary disables
+    the encoded engine's MIN/MAX id peel. ONE definition shared by the
+    engine's lazy probe and the load pipeline's manifest field (r12,
+    VERDICT r11 #3) — two drifted copies of this expression would let a
+    load-recorded 'plain' flag disagree with what the peel assumes."""
+    from d_sparq_spark.plans.translate import _TYPED_RE
+
+    return (
+        F.col(col).rlike(_TYPED_RE)
+        & F.regexp_extract(F.col(col), _TYPED_RE, 1)
+        .try_cast("double")
+        .isNotNull()
+    )
 
 
 def decode_columns(

@@ -174,12 +174,15 @@ def _q_encoded(name: str, sparql: str, oracle: str) -> None:
     @register(name, oracle=oracle)
     def runner(spark: SparkSession, sf_dir: str, _s=sparql) -> DataFrame:
         from d_sparq_spark.sources.derived_rdf import (
+            encoded_dict_meta_cached,
             encoded_planning_stats_cached,
         )
 
         enc, d = encoded_store_cached(spark, sf_dir)
+        n_terms, plain = encoded_dict_meta_cached(spark, sf_dir)
         return EncodedSparqlEngine(
-            enc, d, stats=encoded_planning_stats_cached(spark, sf_dir)
+            enc, d, stats=encoded_planning_stats_cached(spark, sf_dir),
+            dict_n_terms=n_terms, dict_plain=plain,
         ).query(_s)
 
     runner.__doc__ = f"SPARQL (encoded store):\n{sparql}"
@@ -262,12 +265,17 @@ def q_sparql_encoded_star_pt(spark: SparkSession, sf_dir: str) -> DataFrame:
         encoded_store_cached,
     )
 
-    from d_sparq_spark.sources.derived_rdf import encoded_planning_stats_cached
+    from d_sparq_spark.sources.derived_rdf import (
+        encoded_dict_meta_cached,
+        encoded_planning_stats_cached,
+    )
 
     enc, d = encoded_store_cached(spark, sf_dir)
+    n_terms, plain = encoded_dict_meta_cached(spark, sf_dir)
     return EncodedSparqlEngine(
         enc, d, catalog=encoded_catalog_cached(spark, sf_dir),
         stats=encoded_planning_stats_cached(spark, sf_dir),
+        dict_n_terms=n_terms, dict_plain=plain,
     ).query(_STAR_SPARQL)
 
 # The ExtVP demo star is over nations: SS(foaf:name, ex:region) keeps the

@@ -103,8 +103,10 @@ def encoded_quad_store_cached(spark: SparkSession, sf_dir: str):
         from d_sparq_spark.operators.dictionary import build_dictionary, encode_triples
 
         quads = derive_quads(spark, sf_dir)
-        d = build_dictionary(quads).cache()
-        enc = encode_triples(quads, d, broadcast_dict=True).cache()  # bounded derived dict
+        # localCheckpoint over cache: plan-lineage truncation, same
+        # rationale as encoded_store_cached (r12)
+        d = build_dictionary(quads).localCheckpoint()
+        enc = encode_triples(quads, d, broadcast_dict=True).localCheckpoint()
         _ENC_QUAD_CACHE[key] = (enc, d)
     return _ENC_QUAD_CACHE[key]
 
@@ -266,8 +268,17 @@ def encoded_store_cached(spark: SparkSession, sf_dir: str):
         from d_sparq_spark.operators.dictionary import build_dictionary, encode_triples
 
         triples = derive_triples_cached(spark, sf_dir)
-        d = build_dictionary(triples).cache()
-        enc = encode_triples(triples, d, broadcast_dict=True).cache()  # bounded derived dict
+        # localCheckpoint, NOT cache (r12, guide §7.3/§3.3): .cache()
+        # keeps the full derive+encode lineage in the logical plan, so
+        # EVERY downstream join/filter re-runs Catalyst analysis over the
+        # whole derived-union tree — measured 1.7 s of pure driver-side
+        # py4j/analysis per encoded-star call (5 joins x ~200 ms), vs
+        # 0.4 s over the checkpoint's LogicalRDD leaf. Same in-session
+        # materialization status as the cache (a load-phase artifact the
+        # bench warms outside timed regions); plan truncation is the only
+        # semantic difference.
+        d = build_dictionary(triples).localCheckpoint()
+        enc = encode_triples(triples, d, broadcast_dict=True).localCheckpoint()
         _ENC_CACHE[key] = (enc, d)
     return _ENC_CACHE[key]
 
@@ -304,4 +315,23 @@ def encoded_planning_stats_cached(spark: SparkSession, sf_dir: str) -> dict:
             r["p"]: (r["cnt"], r["ndv_s"], r["ndv_o"])
             for r in planning_stats(enc).collect()
         }
+    return _STATS_CACHE[key]
+
+
+def encoded_dict_meta_cached(spark: SparkSession, sf_dir: str) -> tuple:
+    """(n_terms, plain) of the cached encoded store's dictionary — the
+    two engine-construction probes (broadcast-size count, typed-literal
+    plainness take(1)) that a loaded store reads from its manifest and
+    the harness's derived store amortizes here (r12, VERDICT r11 #3):
+    load-time facts, computed once per (session, sf_dir) like the
+    planning stats, handed to every per-call engine."""
+    key = _cache_key(spark, sf_dir, "dict_meta")
+    if key not in _STATS_CACHE:
+        from d_sparq_spark.operators.dictionary import numeric_typed_literal
+
+        _enc, d = encoded_store_cached(spark, sf_dir)
+        _STATS_CACHE[key] = (
+            d.count(),
+            not d.filter(numeric_typed_literal("term")).take(1),
+        )
     return _STATS_CACHE[key]
