@@ -171,6 +171,45 @@ def main() -> None:
         timings[name] = round(best, 4)
         _release_dead_blocks()
 
+    # r12 distributed lane (VERDICT r11 #2): the heavy iterative operators
+    # all sit below their driver-path gates at sf0.1, so the headline
+    # entries above no longer measure their DISTRIBUTED plans — the actual
+    # 100 TB path. These ADDED twins re-run the five heaviest iteratives
+    # with every driver gate zeroed (D_SPARQ_DRIVER_GATE_SCALE=0, the same
+    # device the gates-off equivalence tests use), so a regression in the
+    # distributed loops is perf-visible again. Methodology identical
+    # (noop sink, min-of-N); the `*__dist` keys are additions — no
+    # existing entry is removed, renamed, or re-measured differently —
+    # and meta.dist_lane_keys + meta.headline_total_ex_dist keep the
+    # old-total comparison one subtraction away. BENCH_DISTRIBUTED=0
+    # skips the lane (e.g. for a quick local A/B of the gated paths).
+    DIST_LANE = [
+        "q_kmeans",
+        "q_pagerank",
+        "q_sssp",
+        "q_closure_big_int",
+        "q_sparql_path_plus_big_seeded",
+    ]
+    dist_keys: list[str] = []
+    if os.environ.get("BENCH_DISTRIBUTED", "1") != "0":
+        for name in DIST_LANE:
+            if name not in all_q:
+                continue
+            os.environ["D_SPARQ_DRIVER_GATE_SCALE"] = "0"
+            try:
+                best = float("inf")
+                for _ in range(runs):
+                    t0 = time.perf_counter()
+                    all_q[name].fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best = min(best, time.perf_counter() - t0)
+            finally:
+                del os.environ["D_SPARQ_DRIVER_GATE_SCALE"]
+            timings[name + "__dist"] = round(best, 4)
+            dist_keys.append(name + "__dist")
+            _release_dead_blocks()
+
     # Load-path bench (r7, VERDICT r6 #6): the store build and the
     # incremental append are first-class BENCH entries so the bulk/append
     # bands regress visibly instead of living in BASELINE.md prose.
@@ -250,6 +289,14 @@ def main() -> None:
                     "single_run_keys": [
                         k for k in timings if k.startswith("load_")
                     ],
+                    # r12: the gates-off distributed lane (added keys; see
+                    # the DIST_LANE comment). headline_total_ex_dist is the
+                    # r11-comparable total without the added lane.
+                    "dist_lane_keys": dist_keys,
+                    "headline_total_ex_dist": round(
+                        sum(v for k, v in timings.items() if k not in dist_keys),
+                        4,
+                    ),
                 },
             }
         )

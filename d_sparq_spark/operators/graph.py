@@ -82,13 +82,17 @@ _DRIVER_ID_TYPES = ("tinyint", "smallint", "int", "bigint", "string")
 
 
 def _driver_graph_gate(spark) -> int:
+    from d_sparq_spark.gates import gate
+
     arrow = (
         str(
             spark.conf.get("spark.sql.execution.arrow.pyspark.enabled", "false")
         ).lower()
         == "true"
     )
-    return _DRIVER_GRAPH_MAX_EDGES if arrow else _DRIVER_GRAPH_MAX_EDGES_NO_ARROW
+    return gate(
+        _DRIVER_GRAPH_MAX_EDGES if arrow else _DRIVER_GRAPH_MAX_EDGES_NO_ARROW
+    )
 
 
 def connected_components(
@@ -555,7 +559,11 @@ def sssp_bellman_ford(
             ).lower()
             == "true"
         )
-        gate = _DRIVER_SSSP_MAX_EDGES if arrow else _DRIVER_SSSP_MAX_EDGES_NO_ARROW
+        from d_sparq_spark.gates import gate as _g
+
+        gate = _g(
+            _DRIVER_SSSP_MAX_EDGES if arrow else _DRIVER_SSSP_MAX_EDGES_NO_ARROW
+        )
         proj = edges_w.select("src", "dst", "w")
         n_edges = proj.count()
         if n_edges <= gate:

@@ -568,7 +568,11 @@ def kmeans_exact_int(
         ).lower()
         == "true"
     )
-    cap = _DRIVER_KMEANS_MAX_CELLS if arrow else _DRIVER_KMEANS_MAX_CELLS_NO_ARROW
+    from d_sparq_spark.gates import gate as _g
+
+    cap = _g(
+        _DRIVER_KMEANS_MAX_CELLS if arrow else _DRIVER_KMEANS_MAX_CELLS_NO_ARROW
+    )
     n_pts = embeddings.count()
     dim = _infer_dim(embeddings, vec_col)
     if dim and n_pts * dim * max(k, 1) <= cap:
