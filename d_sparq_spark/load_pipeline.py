@@ -1512,9 +1512,11 @@ def _entailment_delta(
             known=base_slice.unionByName(ent), plan_sink=plan_sink,
         )
     derived = R.rdfs_derive(delta_set, enc_ont, type_term=tid)
-    out = (
-        derived.join(base_slice, ["s", "p", "o"], "left_anti")
-        .join(ent, ["s", "p", "o"], "left_anti")
+    # ONE anti-join against (base ∪ layer) instead of two (r12, guide
+    # §2.4): same row set — not-in-base AND not-in-layer == not in their
+    # union — with one join build/probe pass instead of two
+    out = derived.join(
+        base_slice.unionByName(ent), ["s", "p", "o"], "left_anti"
     )
     if plan_sink is not None:
         plan_sink.append(out._jdf.queryExecution().executedPlan().toString())

@@ -356,6 +356,40 @@ def degrees(edges: DataFrame) -> DataFrame:
     )
 
 
+def _degree_oriented(edges: DataFrame) -> DataFrame:
+    """Orient every canonical edge (u < v, distinct) toward its
+    higher-(degree, id) endpoint -> (src, dst). The (degree, id) order is
+    a strict total order on nodes, so the orientation is acyclic, and
+    every node's OUT-degree is O(sqrt(|E|)) (Suri & Vassilvitskii,
+    WWW'11) — the bound both triangle paths below build on."""
+    deg = degrees(edges).localCheckpoint(eager=False)
+    # the caller's edge set is typically checkpointed (no Catalyst stats),
+    # so the O(V) degree side needs an explicit hint to avoid shuffling
+    # the edges twice; the guard keeps billion-node graphs on shuffle plans.
+    # The checkpoint pins the degree aggregation: du and dv are two
+    # separate broadcast builds, each of which would otherwise re-run the
+    # full degree groupBy over 2|E| rows (r11).
+    if deg.count() <= 1_000_000:
+        deg = F.broadcast(deg)
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    # orient toward the higher (degree, id) endpoint; id breaks degree ties
+    return (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
+            )
+            .otherwise(F.struct(F.col("v").alias("src"), F.col("u").alias("dst")))
+            .alias("e")
+        )
+        .select("e.src", "e.dst")
+    )
+
+
 def triangles_degree_ordered(edges: DataFrame) -> DataFrame:
     """Triangle enumeration over an undirected edge set, degree-ordered.
 
@@ -373,33 +407,7 @@ def triangles_degree_ordered(edges: DataFrame) -> DataFrame:
     join and the closing join are both equi-joins — shuffle-partitioned,
     AQE-splittable, no broadcast assumption on the edge set.
     """
-    deg = degrees(edges).localCheckpoint(eager=False)
-    # the caller's edge set is typically checkpointed (no Catalyst stats),
-    # so the O(V) degree side needs an explicit hint to avoid shuffling
-    # the edges twice; the guard keeps billion-node graphs on shuffle plans.
-    # The checkpoint pins the degree aggregation: du and dv are two
-    # separate broadcast builds, each of which would otherwise re-run the
-    # full degree groupBy over 2|E| rows (r11).
-    if deg.count() <= 1_000_000:
-        deg = F.broadcast(deg)
-    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
-    # orient toward the higher (degree, id) endpoint; id breaks degree ties
-    # so the orientation is acyclic (a strict total order on nodes)
-    oriented = (
-        edges.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(
-                (F.col("du") < F.col("dv"))
-                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
-                F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
-            )
-            .otherwise(F.struct(F.col("v").alias("src"), F.col("u").alias("dst")))
-            .alias("e")
-        )
-        .select("e.src", "e.dst")
-    )
+    oriented = _degree_oriented(edges)
     o1 = oriented.alias("o1")
     o2 = oriented.alias("o2")
     # r11 (guide §3.1): below the gate, broadcast BOTH the wedge probe
@@ -442,12 +450,87 @@ def triangles_degree_ordered(edges: DataFrame) -> DataFrame:
 
 
 def triangle_counts_per_node(edges: DataFrame) -> DataFrame:
-    """(node, n_triangles) for every node on >= 1 triangle."""
-    tri = triangles_degree_ordered(edges)
-    corners = tri.select(
-        F.explode(F.array("a", "b", "c")).alias("node")
+    """(node, n_triangles) for every node on >= 1 triangle.
+
+    r12 (VERDICT r11 #4, guide §2.3): count WITHOUT materializing the
+    wedge relation. The r11 shape enumerated every wedge
+    (triangles_degree_ordered) and hash-probed the closing edge set per
+    wedge row — 41 M wedge rows streamed through two joins at sf0.1 to
+    keep ~86 k closing matches. Counting needs no wedge rows: group the
+    oriented out-neighborhoods into arrays once (ONE O(|E|)-row exchange)
+    and intersect the two endpoints' arrays per oriented edge — the
+    classic edge-iterator/forward algorithm on the same degree
+    orientation. Exactness: a triangle's three corners are totally
+    ordered by the orientation (x -> y, x -> z, y -> z for x < y < z in
+    (degree, id) order), so it is found exactly once, at its (x, y) edge,
+    as z in out(x) ∩ out(y) — out(z) contains neither y nor x, and
+    out(y) ∩ out(z), out(x) ∩ out(z) cannot re-find it. Per-corner
+    contributions from one edge's intersection I: src and dst each sit on
+    |I| triangles pivoting here; every z in I sits on one.
+
+    The element-touch work keeps the |E|^1.5 bound (out-degrees are
+    O(sqrt|E|) under the orientation), but it runs as per-row array
+    kernels over |E| rows — nothing |E|^1.5-sized is produced, filtered,
+    or probed row-by-row, and at scale the two adjacency joins shuffle
+    O(|E|) rows where the r11 closing join would shuffle the |E|^1.5
+    wedge relation. Enumeration consumers keep
+    triangles_degree_ordered."""
+    oriented = _degree_oriented(edges)
+    # lazy checkpoint: adj feeds BOTH probe sides below — without the pin
+    # each broadcast build re-runs the orientation joins + the collect_list
+    # aggregation over |E| rows (the deg pattern in _degree_oriented)
+    adj = (
+        oriented.groupBy("src")
+        .agg(F.collect_list("dst").alias("nbrs"))
+        .localCheckpoint(eager=False)
     )
-    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+    # same broadcast gate as the enumerator: adjacency is O(|V|) rows /
+    # O(|E|) total longs — at the 5M-edge cap ~40 MB, a fine broadcast;
+    # above it both probes stay shuffle equi-joins (billion-edge safety).
+    n_edges = edges.count()
+    small_edges = n_edges <= 5_000_000
+    stream = oriented
+    if small_edges:
+        # re-spread the streamed side to session parallelism: the per-row
+        # intersection carries the wedge-bound work, and the caller's
+        # checkpoint is AQE-coalesced to a handful of partitions (r11
+        # measured 10 tasks carrying the whole fan-out on 32 cores)
+        par = edges.sparkSession.sparkContext.defaultParallelism
+        stream = oriented.repartition(par)
+    au = (F.broadcast(adj) if small_edges else adj).select(
+        F.col("src").alias("_u"), F.col("nbrs").alias("nbrs_u")
+    )
+    av = (F.broadcast(adj) if small_edges else adj).select(
+        F.col("src").alias("_v"), F.col("nbrs").alias("nbrs_v")
+    )
+    per_edge = (
+        stream.join(au, stream.src == au._u)
+        .join(av, stream.dst == av._v)
+        .select(
+            "src", "dst", F.array_intersect("nbrs_u", "nbrs_v").alias("ws")
+        )
+        .withColumn("k", F.size("ws"))
+        # edges on no triangle must emit nothing — a 0-weight row would
+        # surface its endpoints as spurious n_triangles=0 output rows
+        .where(F.col("k") > 0)
+    )
+    contribs = per_edge.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(F.col("src").alias("node"), F.col("k").alias("w")),
+                    F.struct(F.col("dst").alias("node"), F.col("k").alias("w")),
+                ),
+                F.transform(
+                    "ws",
+                    lambda z: F.struct(
+                        z.alias("node"), F.lit(1).alias("w")
+                    ),
+                ),
+            )
+        ).alias("c")
+    ).select("c.node", "c.w")
+    return contribs.groupBy("node").agg(F.sum("w").alias("n_triangles"))
 
 
 # Driver fast-path gate for SSSP (r11; the paths.py _driver_closure

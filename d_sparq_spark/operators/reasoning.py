@@ -120,6 +120,15 @@ def premise_predicates(ontology: list, type_term=TYPE) -> list:
     return sorted(preds)
 
 
+# r12: per-rule pair-list size up to which a rule runs as a constant
+# literal-map lookup instead of a broadcast hash join (see rdfs_derive).
+# A folded literal map is probed by LINEAR scan per row, so the bound is
+# where ~n/2 equality comparisons per row still beat a hash probe plus a
+# per-call BroadcastExchange build job; real rho-df ontologies are a few
+# dozen closed pairs (A7: schema is metadata-scale).
+_RULE_MAP_MAX_PAIRS = 64
+
+
 def rdfs_derive(triples: DataFrame, ontology: list, type_term=TYPE) -> DataFrame:
     """DERIVED-ONLY rho-df pass: the entailments of ``triples`` under
     ``ontology``, distinct, WITHOUT the base triples (the closure minus
@@ -152,6 +161,7 @@ def rdfs_derive(triples: DataFrame, ontology: list, type_term=TYPE) -> DataFrame
     rng = [(s, o) for s, p, o in ontology if p == RANGE]
 
     p_type = triples.schema["p"].dataType
+    o_type = triples.schema["o"].dataType
     g = [F.col("g")] if "g" in triples.columns else []  # passenger column
 
     def pair_df(pairs, a: str, b: str):
@@ -164,15 +174,50 @@ def rdfs_derive(triples: DataFrame, ontology: list, type_term=TYPE) -> DataFrame
             local_df(spark, pairs, f"{a} {kind}, {b} {kind}")
         )
 
+    # r12 (VERDICT r11 #6, guide §2.4): a rho-df rule is a LOOKUP of a
+    # driver-local pair list keyed on one column — below the gate it runs
+    # as a constant-folded literal map (filter isin(keys) + explode of the
+    # matched values): zero joins, zero BroadcastExchange build jobs, the
+    # whole rule pass is one WholeStageCodegen projection. Each rule join
+    # previously paid a ~0.15-0.25 s single-task broadcast-build job per
+    # derive call (8 such jobs per reasoning append, measured). Above the
+    # gate the broadcast joins are kept: a literal-map probe is a LINEAR
+    # scan per row, so a pathologically wide ontology must hash-probe.
+    # Emission order/multiplicity is identical — one output row per
+    # matching (key, value) pair, exactly the join's multiset.
+    use_map = (
+        max(len(sub_prop), len(sub_cls), len(dom), len(rng))
+        <= _RULE_MAP_MAX_PAIRS
+    )
+
+    def pair_lookup(pairs, key_type, val_type):
+        by_key: dict = {}
+        for a, b in pairs:
+            by_key.setdefault(a, []).append(b)
+        entries = []
+        for k, vs in by_key.items():
+            entries.append(F.lit(k).cast(key_type))
+            entries.append(F.array(*[F.lit(v).cast(val_type) for v in vs]))
+        return list(by_key.keys()), F.create_map(*entries)
+
     type_lit = F.lit(type_term).cast(p_type)
     base = triples.select("s", "p", "o", *g)
     sources = [base]  # instance triples each rule consumes
     derived: list[DataFrame] = []
-    spp = pair_df(sub_prop, "_sub", "_sup")
-    if spp is not None:  # rdfs7 over the closed property hierarchy
-        d7 = base.join(spp, base.p == spp._sub).select(
-            "s", F.col("_sup").cast(p_type).alias("p"), "o", *g
-        )
+    if sub_prop:  # rdfs7 over the closed property hierarchy
+        if use_map:
+            k7, m7 = pair_lookup(sub_prop, p_type, p_type)
+            d7 = base.where(F.col("p").isin(k7)).select(
+                "s",
+                F.explode(F.try_element_at(m7, F.col("p"))).alias("p"),
+                "o",
+                *g,
+            )
+        else:
+            spp = pair_df(sub_prop, "_sub", "_sup")
+            d7 = base.join(spp, base.p == spp._sub).select(
+                "s", F.col("_sup").cast(p_type).alias("p"), "o", *g
+            )
         sources.append(d7)
         derived.append(d7)
     from functools import reduce
@@ -180,31 +225,61 @@ def rdfs_derive(triples: DataFrame, ontology: list, type_term=TYPE) -> DataFrame
     all_prop = reduce(lambda a, b: a.unionByName(b), sources)
 
     typed = [base, *derived]  # rdfs9 consumes types from base + d7 + d2/3
-    dm = pair_df(dom, "_p", "_cls")
-    if dm is not None:  # rdfs2
-        d2 = all_prop.join(dm, all_prop.p == dm._p).select(
-            "s", type_lit.alias("p"), F.col("_cls").alias("o"), *g
-        )
+    if dom:  # rdfs2
+        if use_map:
+            kd, md = pair_lookup(dom, p_type, o_type)
+            d2 = all_prop.where(F.col("p").isin(kd)).select(
+                "s",
+                type_lit.alias("p"),
+                F.explode(F.try_element_at(md, F.col("p"))).alias("o"),
+                *g,
+            )
+        else:
+            dm = pair_df(dom, "_p", "_cls")
+            d2 = all_prop.join(dm, all_prop.p == dm._p).select(
+                "s", type_lit.alias("p"), F.col("_cls").alias("o"), *g
+            )
         typed.append(d2)
         derived.append(d2)
-    rg = pair_df(rng, "_p", "_cls")
-    if rg is not None:  # rdfs3
-        d3 = all_prop.join(rg, all_prop.p == rg._p).select(
-            F.col("o").alias("s"), type_lit.alias("p"), F.col("_cls").alias("o"),
-            *g,
-        )
+    if rng:  # rdfs3
+        if use_map:
+            kr, mr = pair_lookup(rng, p_type, o_type)
+            d3 = all_prop.where(F.col("p").isin(kr)).select(
+                F.col("o").alias("s"),
+                type_lit.alias("p"),
+                F.explode(F.try_element_at(mr, F.col("p"))).alias("o"),
+                *g,
+            )
+        else:
+            rg = pair_df(rng, "_p", "_cls")
+            d3 = all_prop.join(rg, all_prop.p == rg._p).select(
+                F.col("o").alias("s"), type_lit.alias("p"),
+                F.col("_cls").alias("o"),
+                *g,
+            )
         typed.append(d3)
         derived.append(d3)
-    scc = pair_df(sub_cls, "_sub", "_sup")
-    if scc is not None:  # rdfs9 over ALL type triples (base + rdfs2/3)
+    if sub_cls:  # rdfs9 over ALL type triples (base + rdfs2/3)
         types = reduce(
             lambda a, b: a.unionByName(b),
             [d.filter(F.col("p") == type_lit) for d in typed],
         )
-        derived.append(
-            types.join(scc, types.o == scc._sub)
-            .select("s", type_lit.alias("p"), F.col("_sup").alias("o"), *g)
-        )
+        if use_map:
+            kc, mc = pair_lookup(sub_cls, o_type, o_type)
+            derived.append(
+                types.where(F.col("o").isin(kc)).select(
+                    "s",
+                    type_lit.alias("p"),
+                    F.explode(F.try_element_at(mc, F.col("o"))).alias("o"),
+                    *g,
+                )
+            )
+        else:
+            scc = pair_df(sub_cls, "_sub", "_sup")
+            derived.append(
+                types.join(scc, types.o == scc._sub)
+                .select("s", type_lit.alias("p"), F.col("_sup").alias("o"), *g)
+            )
     if not derived:
         return base.filter(F.lit(False))  # empty, schema-stable, no job
     return reduce(lambda a, b: a.unionByName(b), derived).dropDuplicates()
@@ -282,19 +357,22 @@ def rdfs_derive_iterative(
     if not dpreds:  # no derivation rules at all — nothing is derivable
         return empty
     base_d = base.filter(F.col("p").isin(dpreds))
-    known_d = (
-        known.select(*keys).filter(F.col("p").isin(dpreds))
-        if known is not None
-        else None
+    # the fixed anti-join target (base ∪ known, both derivable-pruned) is
+    # round-invariant: union it ONCE so every round pays one anti-join
+    # against it instead of two (r12, guide §2.4)
+    fixed_d = (
+        base_d
+        if known is None
+        else base_d.unionByName(
+            known.select(*keys).filter(F.col("p").isin(dpreds))
+        )
     )
     acc: DataFrame | None = None
     delta = base
     for _ in range(max_passes):
         new = rdfs_derive(delta, ontology, type_term=type_term).join(
-            base_d, keys, "left_anti"
+            fixed_d, keys, "left_anti"
         )
-        if known_d is not None:
-            new = new.join(known_d, keys, "left_anti")
         if acc is not None:
             new = new.join(acc, keys, "left_anti")
         if plan_sink is not None:

@@ -11,8 +11,13 @@ Deadlines disabled: Spark job latency is not the property under test.
 
 import string
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+
+# Property sweep: slow-marked for the fast default profile (VERDICT r11
+# #1); D_SPARQ_FULL_TESTS=1 or `-m slow` runs it.
+pytestmark = pytest.mark.slow
 
 from d_sparq_spark.operators.dictionary import build_dictionary, decode_triples, encode_triples
 from d_sparq_spark.operators.rdf_patterns import TriplePattern, star_join

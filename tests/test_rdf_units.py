@@ -316,10 +316,12 @@ def test_rdfs_entailment_rules_on_fixture(spark):
 
 
 def test_rdfs_entailment_plan_is_broadcast_only(spark):
-    """Scale shape: every rule application must broadcast the metadata-
-    scale ontology against the instance store — no sort-merge join, no
-    instance-scale shuffle except the final distinct."""
-    from d_sparq_spark.operators.reasoning import rdfs_entailment
+    """Scale shape (r12): below _RULE_MAP_MAX_PAIRS every rule applies as
+    a constant literal-map projection — NO join of any kind, so the only
+    instance-scale exchange left is the final distinct. Above the gate
+    the rules must still broadcast the metadata-scale ontology — never
+    sort-merge-shuffle the instance side."""
+    from d_sparq_spark.operators import reasoning as R
 
     triples = spark.createDataFrame(
         [(f"s{i}", "ex:knows", f"o{i}") for i in range(100)],
@@ -330,9 +332,86 @@ def test_rdfs_entailment_plan_is_broadcast_only(spark):
         ("ex:related", "rdfs:domain", "Person"),
         ("Person", "rdfs:subClassOf", "Agent"),
     ]
-    plan = rdfs_entailment(triples, onto)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    plan = R.rdfs_entailment(triples, onto)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:1500]  # map-lookup rules: join-free
+    assert "BroadcastExchange" not in plan
+
+    # forced-join direction: wide ontology keeps the broadcast rule joins
+    orig = R._RULE_MAP_MAX_PAIRS
+    R._RULE_MAP_MAX_PAIRS = 0
+    try:
+        jplan = (
+            R.rdfs_entailment(triples, onto)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        R._RULE_MAP_MAX_PAIRS = orig
+    assert "BroadcastHashJoin" in jplan
+    assert "SortMergeJoin" not in jplan
+
+
+def test_rdfs_derive_map_and_join_paths_agree(spark):
+    """The r12 literal-map rule path must emit EXACTLY the broadcast-join
+    path's multiset — lexical and encoded spaces, multi-super fan-out,
+    quad passenger column included."""
+    from d_sparq_spark.operators import reasoning as R
+
+    triples = spark.createDataFrame(
+        [
+            ("a", "ex:knows", "b", "g1"),
+            ("b", "ex:manages", "c", "g2"),
+            ("c", "rdf:type", "Student", "g1"),
+            ("d", "ex:knows", "a", "g2"),
+        ],
+        "s string, p string, o string, g string",
+    )
+    onto = [
+        ("ex:knows", "rdfs:subPropertyOf", "ex:related"),
+        ("ex:manages", "rdfs:subPropertyOf", "ex:related"),
+        ("ex:related", "rdfs:subPropertyOf", "ex:linked"),  # chain -> 2 supers
+        ("ex:related", "rdfs:domain", "Person"),
+        ("ex:linked", "rdfs:range", "Entity"),
+        ("Student", "rdfs:subClassOf", "Person"),
+        ("Person", "rdfs:subClassOf", "Agent"),
+    ]
+
+    def run():
+        return sorted(map(tuple, R.rdfs_derive(triples, onto).collect()))
+
+    got_map = run()
+    orig = R._RULE_MAP_MAX_PAIRS
+    R._RULE_MAP_MAX_PAIRS = 0
+    try:
+        got_join = run()
+    finally:
+        R._RULE_MAP_MAX_PAIRS = orig
+    assert got_map == got_join and len(got_map) > 0
+
+    # encoded space: same equality over bigint ids
+    terms = sorted(
+        {x for t in triples.select("s", "p", "o").collect() for x in t}
+        | {x for s, p, o in onto for x in (s, o)}
+        | {"rdf:type"}
+    )
+    ids = {t: i for i, t in enumerate(terms)}
+    enc = spark.createDataFrame(
+        [(ids[r.s], ids[r.p], ids[r.o]) for r in triples.collect()],
+        "s long, p long, o long",
+    )
+    enc_ont = [(ids[s], p, ids[o]) for s, p, o in onto]
+
+    def run_enc():
+        return sorted(
+            map(tuple, R.rdfs_derive(enc, enc_ont, type_term=ids["rdf:type"]).collect())
+        )
+
+    got_map_e = run_enc()
+    R._RULE_MAP_MAX_PAIRS = 0
+    try:
+        got_join_e = run_enc()
+    finally:
+        R._RULE_MAP_MAX_PAIRS = orig
+    assert got_map_e == got_join_e and len(got_map_e) > 0
 
 
 def test_smush_sameas_fixture(spark):

@@ -59,7 +59,12 @@ def main() -> None:
     planning_stats_cached(spark, sf_dir)
     encoded_planning_stats_cached(spark, sf_dir)
 
+    def njobs() -> int:
+        v = spark._jsc.sc().dagScheduler().nextJobId()
+        return v if isinstance(v, int) else v.get()
+
     timings: dict[str, float] = {}
+    jobs: dict[str, int] = {}
     for name in args.names:
         if args.explain_dir:
             os.makedirs(args.explain_dir, exist_ok=True)
@@ -82,13 +87,15 @@ def main() -> None:
         best = float("inf")
         for _ in range(args.runs):
             spark.sparkContext.setJobDescription(f"bench_one: {name}")
+            j0 = njobs()
             t0 = time.perf_counter()
             all_q[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+            jobs[name] = njobs() - j0  # jobs of one full invocation
             spark.sparkContext.setJobDescription(None)
         timings[name] = round(best, 4)
 
-    print(json.dumps({"queries": timings, "runs": args.runs}))
+    print(json.dumps({"queries": timings, "jobs": jobs, "runs": args.runs}))
     spark.stop()
 
 
